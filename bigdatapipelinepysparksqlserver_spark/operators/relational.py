@@ -1,0 +1,96 @@
+"""Relational operator surface (SURVEY.md §2) as composable DataFrame
+functions.
+
+Every function is declarative — it builds a logical plan and hands physical
+strategy to Catalyst/AQE. Scale notes are attached per operator: what
+shuffles, what broadcasts, what prunes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.expressions import dec
+
+
+def denormalize(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Column]],
+    select: Sequence[Column] | None = None,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """J1 — star-schema denormalization: fact LEFT OUTER JOIN each dim.
+
+    Mirrors ``load_sales_history.py:112-115`` (Sales ⟕ Clients ⟕ Products).
+    LEFT OUTER is load-bearing: dangling FKs survive with null dim columns.
+
+    Scale: dims are broadcast (hash-join, zero shuffle of the fact side).
+    At 100 TB the fact table never moves; each executor streams its parquet
+    splits against an in-memory dim hash map. If a dim outgrows the broadcast
+    threshold, drop ``broadcast_dims`` and AQE picks shuffled hash join.
+    """
+    out = fact
+    for dim, cond in dims:
+        d = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(d, cond, "left")
+    return out.select(*select) if select else out
+
+
+def grouped_count_distinct(
+    df: DataFrame, keys: Sequence[Column | str], distinct_col: str, alias: str
+) -> DataFrame:
+    """A2 — exact COUNT(DISTINCT x) GROUP BY keys (mart query 1 shape,
+    ``load_sales_mart.py:26-29``).
+
+    Exact (not approx_count_distinct) because reconciliation demands strict
+    equality. Catalyst plans the two-phase Expand + partial/final aggregate;
+    the only full shuffle is on the grouping keys.
+    """
+    return df.groupBy(*keys).agg(F.countDistinct(distinct_col).alias(alias))
+
+
+def changed_partitions(branches: Sequence[DataFrame], key: str = "year_month") -> DataFrame:
+    """U1+A1+O1 — the CDC changed-partition work list.
+
+    UNION-with-dedup of the insert/update/delete branches then sort; T-SQL
+    UNION dedups implicitly, Spark ``union`` is UNION ALL, hence the explicit
+    ``distinct()`` (SURVEY §7.5 trap #2). Mirrors load_sales_history.py:80-96.
+
+    Scale: each branch should already be a single-column projection; distinct
+    over a handful of partition keys is a trivially small shuffle.
+    """
+    out = branches[0].select(key)
+    for b in branches[1:]:
+        out = out.union(b.select(key))
+    return out.distinct().orderBy(key)
+
+
+def reconcile_aggs(df: DataFrame, count_col: str, sum_col: str) -> DataFrame:
+    """A4+F1 — two-sided validation aggregate: COALESCE(COUNT,0), COALESCE(SUM,0).
+
+    The lake-side half of the reference's reconciliation
+    (load_sales_history.py:225-232); run against any source twin and compared
+    for exact equality. Sum is decimal → exact, order-independent.
+    """
+    return df.agg(
+        F.coalesce(F.count(count_col), F.lit(0)).alias("sale_count"),
+        F.coalesce(F.sum(dec(sum_col)), F.lit(0).cast("decimal(18,2)")).alias("paid_sum"),
+    )
+
+
+def next_run_id(ledger: DataFrame, id_col: str = "id") -> DataFrame:
+    """A5 — ``COALESCE(MAX(id),0)+1`` run-id allocation
+    (load_sales_history.py:25-27)."""
+    return ledger.agg((F.coalesce(F.max(id_col), F.lit(0)) + F.lit(1)).alias("next_id"))
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """ORDER BY ... LIMIT k with a deterministic total order.
+
+    Scale: planned as TakeOrderedAndProject — per-partition heap of k rows,
+    then a k*numPartitions merge on the driver; no global sort shuffle.
+    """
+    return df.orderBy(*order).limit(k)

@@ -1,0 +1,136 @@
+"""Deduplication query surface over the ``documents`` table.
+
+Exact dedup is fully SQL-expressible (hash-groupBy) and oracle-checked;
+the probabilistic variants (MinHash-LSH, SimHash) are registered rows-only —
+DuckDB cannot reproduce Spark's hash functions bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_near_duplicates,
+    ngram_shingles,
+    simhash_signatures,
+)
+from ..sources.catalog import Catalog
+from .registry import query
+
+# --------------------------------------------------------------------------
+# exact dedup: hash-groupBy on full text (scale path: the md5 group key makes
+# the shuffle key fixed-width regardless of document size)
+# --------------------------------------------------------------------------
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", oracle=DEDUP_EXACT_ORACLE, headline=True)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate grouping: md5(text) → (canonical doc, count).
+
+    Scale: the shuffle moves (16-byte hash, doc_id) pairs, never document
+    bodies; partial aggregation collapses per-partition duplicates before
+    the exchange. 100 TB of text shuffles as ~24 bytes/doc.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    return exact_dedup_groups(docs, text_col="text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# word n-gram Jaccard near-dup (exact, SQL-expressible) — the quadratic
+# baseline the MinHash variant approximates; threshold keeps output small
+# --------------------------------------------------------------------------
+
+NGRAM_JACCARD_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM tok, UNNEST(range(1, greatest(len(words) - 1, 1))) AS t(i)
+),
+card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id1, p.id2,
+       ROUND(CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter), 6) AS jaccard
+FROM pair p
+JOIN card c1 ON p.id1 = c1.doc_id
+JOIN card c2 ON p.id2 = c2.doc_id
+WHERE CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter) >= 0.2
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity pairs above a threshold.
+
+    Scale: this exact form is quadratic in docs sharing a shingle — it is the
+    correctness baseline. The scale path is ``dedup_minhash`` (LSH banding
+    prunes the candidate space to near-linear); both share the shingling op.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    sh = ngram_shingles(docs, text_col="text", id_col="doc_id", n=3).select(
+        "doc_id", "shingle"
+    ).distinct()
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(card.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(card.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")), "id2")
+        .where(jac >= 0.2)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup (rows-only: Spark hash functions not reproducible
+# in DuckDB) — the 100 TB-scale dedup path
+# --------------------------------------------------------------------------
+
+
+@query("dedup_minhash", oracle=None, headline=True)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified by exact Jaccard.
+
+    shingle → 64 minhashes (xxhash64 with per-permutation seeds) → 16 bands
+    of 4 → band-bucket self-join → exact Jaccard verify on candidates only.
+    Scale: the self-join is on (band, bucket-hash) — near-linear for
+    non-degenerate data vs the quadratic exact form.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    return minhash_near_duplicates(
+        docs, text_col="text", id_col="doc_id", threshold=0.2, num_hashes=64, bands=16
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (rows-only check).
+
+    Candidate pairs = identical signature prefix buckets; emits the signature
+    table (doc_id, simhash) — the join-side primitive for hamming-distance
+    dedup at scale.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    return simhash_signatures(docs, text_col="text", id_col="doc_id")

@@ -1,0 +1,633 @@
+"""Relational query surface (SURVEY.md §2) instantiated on the driver
+testdata (TPC-H-ish star schema + events stream).
+
+Mapping to the reference's domain: orders/lineitem ≙ Sales (fact),
+customer+nation ≙ Clients (nation.n_name ≙ country), part ≙ Products,
+events ≙ CDC-timestamped change stream.
+
+Numeric-determinism policy: money aggregates run on DECIMAL(18,2) casts
+(exact, order-independent — required for two-engine value-hash equality);
+ratios/averages are computed as ROUND(double, 6) with identical operand
+order on both engines.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.expressions import dec, decode_map, half_open_window, year_month, year_month_day
+from ..operators.relational import (
+    changed_partitions,
+    denormalize,
+    grouped_count_distinct,
+    next_run_id,
+    reconcile_aggs,
+    top_k,
+)
+from ..sources.catalog import Catalog
+from .registry import query
+
+# --------------------------------------------------------------------------
+# flagship: TPC-H Q1 pricing summary (A3 grouped agg + F-expressions)
+# --------------------------------------------------------------------------
+
+TPCH_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("tpch_q1", oracle=TPCH_Q1_ORACLE, headline=True)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: full-scan grouped aggregation over lineitem.
+
+    Scale: single shuffle on (returnflag, linestatus) — 6 groups; partial
+    aggregation (map-side combine) reduces each input partition to ≤6 rows
+    before the exchange, so the shuffle is O(partitions), not O(rows).
+    Filter + 7-column projection push down to the parquet scan.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    qty = dec("l_quantity")
+    price = dec("l_extendedprice")
+    disc_price = (price * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    charge = (disc_price * (F.lit(1) + dec("l_tax"))).cast("decimal(18,6)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / cnt, 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / cnt, 6).alias("avg_price"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# mart query 1 analog (A2 count-distinct + F2 decode + J1 denormalize)
+# reference: load_sales_mart.py:26-35
+# --------------------------------------------------------------------------
+
+SEGMENT_DECODE = {"BUILDING": "Construction", "AUTOMOBILE": "Automotive"}
+
+MART_CLIENT_COUNT_ORACLE = """
+SELECT
+  n.n_name AS country,
+  CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'Construction'
+       WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 'Automotive'
+       ELSE 'Other' END AS segment,
+  COUNT(DISTINCT o.o_custkey) AS client_count
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_totalprice > 0
+GROUP BY 1, 2
+"""
+
+
+@query("mart_client_count", oracle=MART_CLIENT_COUNT_ORACLE, headline=True)
+def mart_client_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mart query 1 shape: denormalize ⟕ dims → filter → exact grouped
+    count-distinct → decode (reference load_sales_mart.py:26-35).
+
+    Scale: dims broadcast (orders never shuffles for the join); the
+    count-distinct shuffles once on (country, segment, custkey) via Expand.
+    """
+    t = Catalog(spark, sf_dir)
+    joined = denormalize(
+        t.orders,
+        [
+            (t.customer, t.orders.o_custkey == t.customer.c_custkey),
+            (t.nation, t.customer.c_nationkey == t.nation.n_nationkey),
+        ],
+    )
+    return grouped_count_distinct(
+        joined.where(F.col("o_totalprice") > 0).select(
+            F.col("n_name").alias("country"),
+            decode_map("c_mktsegment", SEGMENT_DECODE, "Other").alias("segment"),
+            "o_custkey",
+        ),
+        ["country", "segment"],
+        "o_custkey",
+        "client_count",
+    )
+
+
+# --------------------------------------------------------------------------
+# mart query 2 analog (A3 multi-key count+sum; reference load_sales_mart.py:60-64)
+# --------------------------------------------------------------------------
+
+MART_SALES_AGG_ORACLE = """
+SELECT
+  p.p_brand AS brand,
+  p.p_type AS type,
+  p.p_size AS size,
+  COUNT(l.l_orderkey) AS sales_count,
+  SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS paid_amount
+FROM lineitem l
+LEFT JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_extendedprice > 0
+GROUP BY 1, 2, 3
+"""
+
+
+@query("mart_sales_agg", oracle=MART_SALES_AGG_ORACLE, headline=True)
+def mart_sales_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mart query 2 shape: filter → ⟕ dim → multi-key COUNT + SUM.
+
+    Scale: part broadcasts; single shuffle on the 3 grouping keys with
+    map-side partial aggregation. paid>0 filter pushes to the parquet scan.
+    """
+    t = Catalog(spark, sf_dir)
+    joined = denormalize(
+        t.lineitem.where(F.col("l_extendedprice") > 0),
+        [(t.part, F.col("l_partkey") == F.col("p_partkey"))],
+    )
+    return joined.groupBy(
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_size").alias("size"),
+    ).agg(
+        F.count("l_orderkey").alias("sales_count"),
+        F.sum(dec("l_extendedprice")).alias("paid_amount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J1/P1 denormalization join, wide projection (load_sales_history.py:112-115)
+# --------------------------------------------------------------------------
+
+DENORMALIZE_ORACLE = """
+SELECT
+  o.o_orderkey AS order_id,
+  o.o_orderdate AS sale_date,
+  o.o_totalprice AS paid,
+  o.o_custkey AS client_id,
+  c.c_name AS client_name,
+  c.c_mktsegment AS segment,
+  n.n_name AS country
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+@query("denormalize_join", oracle=DENORMALIZE_ORACLE)
+def denormalize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake-table denormalization itself: fact ⟕ dim ⟕ dim, wide
+    projection. LEFT OUTER semantics — dangling FKs survive with nulls."""
+    t = Catalog(spark, sf_dir)
+    return denormalize(
+        t.orders,
+        [
+            (t.customer, t.orders.o_custkey == t.customer.c_custkey),
+            (t.nation, t.customer.c_nationkey == t.nation.n_nationkey),
+        ],
+        select=[
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderdate").alias("sale_date"),
+            F.col("o_totalprice").alias("paid"),
+            F.col("o_custkey").alias("client_id"),
+            F.col("c_name").alias("client_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("country"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# U1+A1 changed-partition work list over the events CDC stream
+# (load_sales_history.py:80-96); day-grain keys since events span one month
+# --------------------------------------------------------------------------
+
+CDC_WINDOW_START = datetime(2024, 1, 5)
+CDC_WINDOW_END = datetime(2024, 1, 20)
+
+CHANGED_PARTITIONS_ORACLE = f"""
+SELECT CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS INT) AS partition_day
+FROM events WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+UNION
+SELECT CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS INT) AS partition_day
+FROM events WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+UNION
+SELECT CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS INT) AS partition_day
+FROM events WHERE event_type = 'error'
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+ORDER BY partition_day
+"""
+
+
+@query("changed_partitions", oracle=CHANGED_PARTITIONS_ORACLE)
+def changed_partitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changed-partition list: 3-branch UNION (insert/update/delete
+    proxies) + dedup + sort. T-SQL UNION dedups; Spark needs explicit
+    .distinct() — SURVEY §7.5 trap #2."""
+    ev = Catalog(spark, sf_dir).events
+    window = half_open_window("ts", CDC_WINDOW_START, CDC_WINDOW_END)
+    key = year_month_day("ts").alias("partition_day")
+    branches = [
+        ev.where((F.col("event_type") == et) & window).select(key)
+        for et in ("purchase", "click", "error")
+    ]
+    return changed_partitions(branches, "partition_day")
+
+
+# --------------------------------------------------------------------------
+# A4+F1+P5 reconciliation aggregate (load_sales_history.py:213-232)
+# --------------------------------------------------------------------------
+
+RECONCILE_ORACLE = """
+SELECT
+  COALESCE(COUNT(o_orderkey), 0) AS sale_count,
+  COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS paid_sum
+FROM orders
+WHERE CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) IN (199501, 199502, 199503)
+"""
+
+
+@query("reconcile_aggs", oracle=RECONCILE_ORACLE)
+def reconcile_aggs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation aggregate: exact COUNT + decimal SUM over an IN-list of
+    changed partitions — the lake half of two-engine reconciliation."""
+    o = Catalog(spark, sf_dir).orders
+    filtered = o.where(year_month("o_orderdate").isin(199501, 199502, 199503))
+    return reconcile_aggs(filtered, "o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# A5 next-run-id allocation (load_sales_history.py:25-27)
+# --------------------------------------------------------------------------
+
+NEXT_RUN_ID_ORACLE = """
+SELECT COALESCE(MAX(event_id), 0) + 1 AS next_id
+FROM events
+WHERE event_type = 'signup' AND value > 0
+"""
+
+
+@query("next_run_id", oracle=NEXT_RUN_ID_ORACLE)
+def next_run_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX+1 id allocation with compound status-filter (P7 analog)."""
+    ev = Catalog(spark, sf_dir).events
+    return next_run_id(
+        ev.where((F.col("event_type") == "signup") & (F.col("value") > 0)), "event_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# P2 half-open CDC window filter (load_sales_history.py:76-94)
+# --------------------------------------------------------------------------
+
+WINDOW_FILTER_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+@query("window_filter", oracle=WINDOW_FILTER_ORACLE)
+def window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-open interval scan [start, end) — exact boundary semantics drive
+    CDC correctness (events at a cutoff processed exactly once)."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.where(
+        half_open_window("ts", datetime(2024, 1, 10), datetime(2024, 1, 20))
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# F7+A1+O1 year_month derivation + distinct partition list
+# --------------------------------------------------------------------------
+
+YEAR_MONTH_ORACLE = """
+SELECT DISTINCT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) AS year_month
+FROM orders
+ORDER BY year_month
+"""
+
+
+@query("year_month_partitions", oracle=YEAR_MONTH_ORACLE)
+def year_month_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key derivation (F7, data_generation.py:38) + distinct+sort."""
+    o = Catalog(spark, sf_dir).orders
+    return o.select(year_month("o_orderdate").alias("year_month")).distinct().orderBy("year_month")
+
+
+# --------------------------------------------------------------------------
+# O-extension: deterministic top-k (TakeOrderedAndProject, no global sort)
+# --------------------------------------------------------------------------
+
+TOP_CUSTOMERS_ORACLE = """
+SELECT c.c_custkey AS client_id, c.c_name AS client_name,
+       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_spend
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2
+ORDER BY total_spend DESC, client_id
+LIMIT 10
+"""
+
+
+@query("top_customers", oracle=TOP_CUSTOMERS_ORACLE)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by aggregate with deterministic tie-break.
+
+    Scale: Spark plans ORDER BY+LIMIT as TakeOrderedAndProject — per-partition
+    top-k heaps merged on the driver, no global sort shuffle.
+    """
+    t = Catalog(spark, sf_dir)
+    spend = (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_custkey").alias("client_id"), F.col("c_name").alias("client_name"))
+        .agg(F.sum(dec("o_totalprice")).alias("total_spend"))
+    )
+    return top_k(spend, [F.col("total_spend").desc(), F.col("client_id")], 10)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 (shipping priority) — join-heavy with selective filters
+# --------------------------------------------------------------------------
+
+TPCH_Q3_ORACLE = """
+SELECT
+  l.l_orderkey,
+  SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue,
+  o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("tpch_q3", oracle=TPCH_Q3_ORACLE, headline=True)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dim filter → 3-way join → grouped agg → top-k.
+
+    Scale: the filtered customer side broadcasts; orders⋈lineitem shuffles on
+    orderkey (both sides pre-filtered at scan). Deterministic tie-break added
+    (revenue ties would otherwise make LIMIT nondeterministic across engines).
+    """
+    t = Catalog(spark, sf_dir)
+    cutoff = F.lit(datetime(1998, 3, 15))
+    cust = t.customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t.orders.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = t.lineitem.where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    agg = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 (local supplier volume) — 6-way join
+# --------------------------------------------------------------------------
+
+TPCH_Q5_ORACLE = """
+SELECT
+  n.n_name AS nation,
+  SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@query("tpch_q5", oracle=TPCH_Q5_ORACLE, headline=True)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join with region filter and same-nation constraint.
+
+    Scale: nation⋈region prunes to one region's nations and broadcasts;
+    supplier and customer broadcast after their nation filter; the only big
+    shuffle is orders⋈lineitem on orderkey. Date filter pushes to the
+    orders scan.
+    """
+    t = Catalog(spark, sf_dir)
+    nations = (
+        t.nation.join(
+            F.broadcast(t.region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    orders = t.orders.where(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1998, 1, 1)))
+    ).select("o_orderkey", "o_custkey")
+    revenue = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    return (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t.customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# semi/anti join capability surface (SURVEY §2.3 — engine exposes beyond J1)
+# --------------------------------------------------------------------------
+
+ORDERS_NO_LINEITEMS_ORACLE = """
+SELECT o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+@query("orders_without_lineitems", oracle=ORDERS_NO_LINEITEMS_ORACLE)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — orphan-detection primitive used by
+    reconciliation tooling."""
+    t = Catalog(spark, sf_dir)
+    return t.orders.join(
+        t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey, "left_anti"
+    ).select("o_orderkey")
+
+
+CUSTOMERS_WITH_ORDERS_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@query("customers_with_orders", oracle=CUSTOMERS_WITH_ORDERS_ORACLE)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS)."""
+    t = Catalog(spark, sf_dir)
+    return t.customer.join(
+        t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# windowed time aggregation (streaming-equivalent batch shape)
+# --------------------------------------------------------------------------
+
+EVENTS_HOURLY_ORACLE = """
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  event_type,
+  COUNT(*) AS event_count,
+  SUM(CAST(value AS DECIMAL(18,2))) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_hourly_agg", oracle=EVENTS_HOURLY_ORACLE)
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming windowed agg
+    in streaming/cdc.py — identical semantics, date_trunc alignment)."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(dec("value")).alias("value_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# window functions: gap-based sessionization + rank (analytic surface)
+# --------------------------------------------------------------------------
+
+SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS events_in_session,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions
+GROUP BY 1, 2
+"""
+
+
+@query("sessionize", oracle=SESSIONIZE_ORACLE, headline=True)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via window functions (lag → flag → running
+    sum → per-session agg).
+
+    Scale: one shuffle on user_id; within-partition sort by (ts, event_id).
+    This is the batch shape; streaming/cdc.py holds the
+    applyInPandasWithState variant for unbounded input.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            lag_ts.isNull() | ((F.col("ts").cast("long") - lag_ts.cast("long")) > 1800), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("events_in_session"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+CUSTOMER_RANK_ORACLE = """
+WITH spend AS (
+  SELECT n.n_name AS country, c.c_custkey AS client_id,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_spend
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT country, client_id, total_spend,
+       RANK() OVER (PARTITION BY country ORDER BY total_spend DESC, client_id) AS spend_rank
+FROM spend
+QUALIFY spend_rank <= 3
+"""
+
+
+@query("customer_rank_by_spend", oracle=CUSTOMER_RANK_ORACLE)
+def customer_rank_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregate + RANK window, filtered to top-3 per country."""
+    from pyspark.sql.window import Window
+
+    t = Catalog(spark, sf_dir)
+    spend = (
+        t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("country"), F.col("c_custkey").alias("client_id"))
+        .agg(F.sum(dec("o_totalprice")).alias("total_spend"))
+    )
+    w = Window.partitionBy("country").orderBy(F.col("total_spend").desc(), F.col("client_id"))
+    return (
+        spend.withColumn("spend_rank", F.rank().over(w))
+        .where(F.col("spend_rank") <= 3)
+    )

@@ -1,0 +1,105 @@
+"""Text-analysis query surface over ``documents`` with DuckDB oracles.
+
+Oracle-parity rules: shared regexes limited to the Java∩RE2 dialect;
+ratios computed with identical operand order and ROUND(x, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.text import (
+    fingerprints,
+    language_scores,
+    quality_scores,
+    token_counts,
+)
+from ..sources.catalog import Catalog
+from .registry import query
+
+TOKEN_COUNT_ORACLE = r"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS regex_tokens
+FROM documents
+"""
+
+
+@query("text_token_count", oracle=TOKEN_COUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts (pure codegen, no UDF)."""
+    docs = Catalog(spark, sf_dir).documents
+    return token_counts(docs, text_col="text", id_col="doc_id")
+
+
+QUALITY_ORACLE = r"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+  ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+  ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+  ROUND(CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+        / CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE), 6) AS stopword_ratio,
+  ROUND(
+    0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE))
+  + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+           / CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE))
+  + 0.3 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 64.0, 1.0)
+  , 6) AS quality_score
+FROM documents
+"""
+
+
+@query("text_quality_score", oracle=QUALITY_ORACLE, headline=True)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality features + composite score."""
+    docs = Catalog(spark, sf_dir).documents
+    return quality_scores(docs, text_col="text", id_col="doc_id")
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+@query("doc_fingerprint", oracle=FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint (md5 of canonicalized text)."""
+    docs = Catalog(spark, sf_dir).documents
+    return fingerprints(docs, text_col="text", id_col="doc_id")
+
+
+LANG_ID_ORACLE = r"""
+WITH scored AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS score_de,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|is|in|to)\b')) AS score_en,
+    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b')) AS score_es,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est)\b')) AS score_fr
+  FROM documents
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+       WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+       WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+       WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+       ELSE 'fr' END AS predicted_lang
+FROM scored
+"""
+
+
+@query("text_language_id", oracle=LANG_ID_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language identification with deterministic argmax."""
+    docs = Catalog(spark, sf_dir).documents
+    return language_scores(docs, text_col="text", id_col="doc_id")

@@ -1,0 +1,88 @@
+"""Parquet catalog for the driver testdata tables.
+
+Tables (``/root/testdata/sf*/``): region nation customer supplier part orders
+lineitem events documents embeddings — TPC-H-ish star schema plus an event
+stream, a documents corpus and an embeddings table.
+
+Scale note: the loader is a thin veneer over ``spark.read.parquet`` so that
+Catalyst keeps full control — predicate pushdown, column pruning and partition
+pruning all reach the parquet scan. The ONLY transformation applied eagerly is
+the nanosecond-timestamp repair (the testdata is written with
+TIMESTAMP(NANOS), which Spark's vectorized reader rejects); that repair is a
+pure projection, so pushdown of other predicates is unaffected.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
+
+from ..session import apply_runtime_confs
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# columns stored as TIMESTAMP(NANOS) in the testdata parquet; read as long
+# (spark.sql.legacy.parquet.nanosAsLong) then converted to micros timestamps.
+NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def _repair_nano_ts(df: DataFrame, table: str) -> DataFrame:
+    """Convert nanos-as-long columns to proper TimestampType (micros).
+
+    Integer division by 1000 truncates towards zero — the same semantics
+    DuckDB applies when narrowing nanos to its native micros, so the two
+    engines see identical values (verified empirically on the testdata).
+    """
+    cols = NANO_TS_COLUMNS.get(table, ())
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if isinstance(fields.get(c), LongType):
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _repair_nano_ts(df, name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+class Catalog:
+    """Lazy per-table accessor: ``Catalog(spark, sf_dir).orders`` etc."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self._spark, self._sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLE_NAMES:
+            return self.table(name)
+        raise AttributeError(name)
