@@ -1,0 +1,56 @@
+"""Benchmark harness: times each headline query and prints ONE JSON line.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Each query is planned and fully executed
+(count-collapsed via a noop write would hide result materialization, so we
+use ``collect()`` on the final — small — results, matching how the driver's
+correctness gate consumes them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY  # noqa: E402
+from bigdatapipelinepysparksqlserver_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    # one warmup pass on the cheapest headline query amortizes JVM/codegen
+    # startup out of the per-query numbers
+    warm = REGISTRY["mart_client_count"].fn(spark, sf_dir)
+    warm.collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        if not spec.headline:
+            continue
+        t0 = time.time()
+        spec.fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,14 +51,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """num_hashes MinHash values per doc from (id, shingle) pairs.
 
-    Permutation k ≙ xxhash64 seeded with literal k prepended — one shuffle
-    (groupBy id) computes all signatures via map-side partial MIN.
+    Permutation k ≙ xxhash64(k, h) over the shingle's 64-bit hash h —
+    the variable-length shingle string is hashed ONCE, then each
+    permutation hashes a fixed 12-byte (int, long) pair, which is
+    several× cheaper than re-hashing the string per permutation. One
+    shuffle (groupBy id) computes all signatures via map-side partial MIN.
     """
+    hashed = shingled.withColumn("__sh64", F.xxhash64(F.col("shingle")))
     mins = [
-        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh{k}")
+        F.min(F.xxhash64(F.lit(k), F.col("__sh64"))).alias(f"mh{k}")
         for k in range(num_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*mins)
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(
@@ -72,6 +76,11 @@ def lsh_candidate_pairs(
     known skew risk; AQE skew-join splitting handles moderate cases, salting
     the band key is the escape hatch.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing minhash columns"
+        )
     rows_per_band = num_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
@@ -99,13 +108,33 @@ def lsh_candidate_pairs(
     )
 
 
-def exact_jaccard(shingled: DataFrame, id_col: str, pairs: DataFrame | None) -> DataFrame:
+def exact_jaccard(
+    shingled: DataFrame,
+    id_col: str,
+    pairs: DataFrame | None,
+    prefiltered: bool = False,
+) -> DataFrame:
     """Exact Jaccard for (id1, id2) pairs from distinct shingle sets.
 
     ``pairs=None`` computes all co-shingled pairs (quadratic baseline);
     otherwise restricted to the given candidates (the LSH path).
+
+    Scale: when ``pairs`` is given, the shingle table is semi-joined on the
+    candidate doc-id set BEFORE the self-join — Catalyst cannot push a
+    semi-join on post-aggregation (id1, id2) below the join+groupBy, so
+    pruning must happen on the inputs. The self-join is then quadratic only
+    in candidate docs (LSH-bucket collisions), not the whole corpus.
+    ``prefiltered=True`` asserts the caller already restricted ``shingled``
+    to candidate docs (skips the redundant semi-join).
     """
     sh = shingled.select(F.col(id_col).alias("doc_id"), "shingle").distinct()
+    if pairs is not None and not prefiltered:
+        cand_ids = (
+            pairs.select(F.col("id1").alias("doc_id"))
+            .union(pairs.select(F.col("id2").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, "doc_id", "left_semi")
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -114,6 +143,8 @@ def exact_jaccard(shingled: DataFrame, id_col: str, pairs: DataFrame | None) -> 
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     if pairs is not None:
+        # the candidate docs can still co-shingle with pairs outside the LSH
+        # candidate list; keep only the candidate pairs themselves.
         inter = inter.join(pairs, ["id1", "id2"], "left_semi")
     jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
     return (
@@ -139,7 +170,23 @@ def minhash_near_duplicates(
     shingled = ngram_shingles(df, text_col=text_col, id_col=id_col, n=shingle_n)
     sigs = minhash_signatures(shingled, id_col=id_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
-    verified = exact_jaccard(shingled.withColumnRenamed(id_col, "doc_id"), "doc_id", cands)
+    # the candidate list feeds two consumers (doc pruning + pair filter);
+    # persist the tiny (id1,id2) table so the expensive shingle→minhash→band
+    # subtree runs ONCE per action instead of once per consumer.
+    cands = cands.persist()
+    # verify cost must be proportional to CANDIDATES, not corpus: re-shingle
+    # only candidate docs (semi-join pushes the prune into the documents
+    # scan, before the explode) rather than filtering the full shingle table.
+    cand_ids = (
+        cands.select(F.col("id1").alias(id_col))
+        .union(cands.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(cand_ids, id_col, "left_semi")
+    cand_shingled = ngram_shingles(cand_docs, text_col=text_col, id_col=id_col, n=shingle_n)
+    verified = exact_jaccard(
+        cand_shingled.withColumnRenamed(id_col, "doc_id"), "doc_id", cands, prefiltered=True
+    )
     return verified.where(F.col("jaccard") >= threshold).select(
         "id1", "id2", F.round("jaccard", 6).alias("jaccard")
     )

@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Brute-force cosine top-k is the correctness baseline (linear scans are
+fine when the query set is small and broadcast); the scale path is
+random-hyperplane LSH bucketing (sign-bit signatures → bucket join →
+exact verify), which avoids the full cross product the same way
+MinHash-LSH does for text dedup.
+
+All arithmetic is native Catalyst expressions (`zip_with`/`aggregate`
+fold over the array) — no Python UDFs, so the scan stays inside
+whole-stage codegen. Values are cast to double BEFORE multiplication so
+the result is independent of the float32 storage type.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i as a deterministic left-to-right double fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Scale: the query side is broadcast (it is the small side by contract),
+    so the big vectors table is scanned ONCE with no shuffle of vector
+    payloads; only (query_id, neighbor_id, cosine) triples — 24 bytes/row —
+    reach the per-query top-k, which Catalyst plans as a partial
+    TakeOrderedAndProject under the window when k is small.
+
+    Returns (query_id, neighbor_id, cosine, rank), self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    pairs = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    ).crossJoin(F.broadcast(q))
+    scored = pairs.where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, bits: int = 16) -> Column:
+    """Random-hyperplane LSH signature: bit_j = sign(dot(vec, r_j)) ≥ 0.
+
+    The hyperplanes are pseudo-random but DETERMINISTIC — component i of
+    plane j is derived from xxhash64(j, i) scaled to [-1, 1] — so the
+    signature is reproducible across runs/executors with no driver-side
+    randomness or broadcast of plane matrices.
+    """
+    bit_cols = []
+    for j in range(bits):
+        # deterministic pseudo-random plane component for (plane j, dim i)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: (
+                        F.xxhash64(F.lit(j), i).cast("double") / F.lit(float(1 << 63))
+                    ),
+                ),
+                lambda x, r: x.cast("double") * r,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit_cols.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return sig.cast("long")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k via hyperplane-LSH bucketing.
+
+    Candidates = vectors sharing the query's `bits`-bit signature bucket;
+    exact cosine re-ranks within the bucket. At 100 TB the bucket join
+    replaces the full scan per query: the vectors table is hashed once
+    (signature is a pure projection, computed during the scan) and the
+    join key is an 8-byte bucket id. Recall is tuned by `bits` (fewer bits
+    → bigger buckets → higher recall, more verify work); multi-probe or
+    multiple tables are the standard extensions.
+    """
+    sig = hyperplane_signature(F.col(vec_col), dim=dim, bits=bits)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        sig.alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        sig.alias("bucket"),
+    )
+    cands = v.join(F.broadcast(q), "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join.
+
+    (id1 < id2, cosine ≥ threshold) — same bucket-then-verify shape as
+    MinHash dedup: the self-join key is the signature bucket, never the
+    vector, so candidate generation is near-linear for non-degenerate data.
+    """
+    sig = hyperplane_signature(F.col(vec_col), dim=dim, bits=bits)
+    tagged = vectors.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"), sig.alias("bucket")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    scored = cands.select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_raw"),
+    )
+    return scored.where(F.col("cos_raw") >= threshold).select(
+        "id1", "id2", F.round("cos_raw", 6).alias("cosine")
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
     exact_dedup_groups,
+    hamming_neighbors,
     minhash_near_duplicates,
     ngram_shingles,
     simhash_signatures,
@@ -134,3 +135,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = Catalog(spark, sf_dir).documents
     return simhash_signatures(docs, text_col="text", id_col="doc_id")
+
+
+@query("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only check).
+
+    Scale: pigeonhole blocking — the self-join key is a 16-bit signature
+    block (4 joins, each near-linear for non-degenerate data), then a
+    bit_count verify; signatures are 8 bytes/doc so the shuffle never
+    carries text.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    sigs = simhash_signatures(docs, text_col="text", id_col="doc_id")
+    return hamming_neighbors(sigs, id_col="doc_id", max_distance=3)

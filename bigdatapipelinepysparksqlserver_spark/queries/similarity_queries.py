@@ -1,0 +1,129 @@
+"""Similarity-search query surface over the ``embeddings`` table.
+
+The exact brute-force variants are oracle-checked against DuckDB (both
+engines compute the dot product as a sequential double fold, so 6-dp
+rounded cosines hash-match); the LSH-bucketed variants are registered
+rows-only — the bucket assignment depends on Spark's xxhash64, which
+DuckDB cannot reproduce bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from ..sources.catalog import Catalog
+from .registry import query
+
+N_QUERY_VECS = 8  # query set = vec_id < 8 (small side, broadcast by design)
+TOP_K = 10
+
+# --------------------------------------------------------------------------
+# exact cosine top-k (the correctness baseline for ANN)
+# --------------------------------------------------------------------------
+
+ANN_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id,
+         e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.emb, e.emb) AS cos_raw
+  FROM v q JOIN v e ON q.vec_id <> e.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+)
+SELECT query_id, neighbor_id,
+       ROUND(cos_raw, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+       ) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+@query("ann_topk_cosine", oracle=ANN_TOPK_ORACLE, headline=True)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for 8 broadcast query vectors.
+
+    Scale: one full scan of the vectors table, query side broadcast, no
+    shuffle of vector payloads — per-query top-k runs over 24-byte rows.
+    The approximate twin is ``ann_lsh_topk`` (bucket join instead of scan).
+    """
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return brute_force_topk(emb, q, id_col="vec_id", vec_col="embedding", k=TOP_K)
+
+
+# --------------------------------------------------------------------------
+# exact embedding-cosine near-duplicate pairs (oracle-checked)
+# --------------------------------------------------------------------------
+
+# the synthetic embeddings are near-orthogonal (max pairwise cosine ≈ 0.51
+# at sf0.01); 0.4 keeps the "near-dup" set small but non-empty.
+EMB_NEARDUP_THRESHOLD = 0.4
+
+EMB_NEARDUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+@query("emb_neardup_exact", oracle=EMB_NEARDUP_ORACLE)
+def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold — the near-dup correctness baseline.
+
+    Deliberately quadratic (documented baseline, like dedup_ngram_jaccard);
+    the scale path is ``emb_neardup_lsh`` which buckets by hyperplane
+    signature before verifying.
+    """
+    from ..operators.similarity import cosine
+
+    emb = Catalog(spark, sf_dir).embeddings
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    scored = pairs.select(
+        "id1", "id2", cosine(F.col("va"), F.col("vb")).alias("cos_raw")
+    )
+    return scored.where(F.col("cos_raw") >= EMB_NEARDUP_THRESHOLD).select(
+        "id1", "id2", F.round("cos_raw", 6).alias("cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed variants (rows-only: bucket ids come from Spark xxhash64)
+# --------------------------------------------------------------------------
+
+
+@query("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k: bucket join then exact re-rank.
+
+    Scale: replaces the brute-force full scan with an 8-byte bucket-key
+    join; vectors are signed once during the scan (pure projection).
+    """
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return lsh_topk(emb, q, id_col="vec_id", vec_col="embedding", dim=64, k=TOP_K, bits=4)
+
+
+@query("emb_neardup_lsh", oracle=None)
+def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH bucket self-join."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", dim=64,
+        threshold=EMB_NEARDUP_THRESHOLD, bits=4,
+    )

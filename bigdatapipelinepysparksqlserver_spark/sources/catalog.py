@@ -55,7 +55,9 @@ def _repair_nano_ts(df: DataFrame, table: str) -> DataFrame:
     fields = {f.name: f.dataType for f in df.schema.fields}
     for c in cols:
         if isinstance(fields.get(c), LongType):
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+            # `div` is true integer division (Spark `/` on longs is double
+            # division, whose ~256 ns ulp at ~1.7e18 rounds values 1 µs low).
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
