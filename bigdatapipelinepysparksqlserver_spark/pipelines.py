@@ -1,0 +1,164 @@
+"""End-to-end pipeline compositions mirroring the reference's two
+Airflow tasks (`dags/sales_pipeline_dag.py:10-13`): sequential driver
+code replaces the DAG; single-flight is enforced by the ledger state
+machine (C5 — a RUNNING row blocks a second concurrent start).
+
+Pipeline 1 (`sales_pipeline_1.py` → `load_sales_history.py`):
+  ledger start → changed partitions → extract+denormalize → partition
+  rebuild → ledger finish → reconcile → ledger validation verdict.
+Pipeline 2 (`sales_pipeline_2.py` → `load_sales_mart.py`):
+  two mart aggregations over the lake → staging write → atomic swap
+  publish (M4+M5 as a directory-rename transaction).
+
+Clock injection throughout (SURVEY §7.5 risk 3).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.expressions import decode_map
+from .operators.relational import grouped_count_distinct
+from .plans.incremental import IncrementalLoader
+from .plans.ledger import FAILED, RUNNING, SUCCESSFUL, RunLedger, default_cutoff
+from .plans.reconcile import reconcile
+from .sources.lake import LakeTable
+from .workload import SourceTables
+
+
+class SingleFlightError(RuntimeError):
+    """A RUNNING run already holds the ledger (C5 — reference relies on
+    Airflow max_active_runs=1, README.md:70; we enforce it in-engine)."""
+
+
+def run_pipeline_1(
+    spark: SparkSession,
+    src: SourceTables,
+    lake: LakeTable,
+    ledger: RunLedger,
+    now: datetime,
+    lag_minutes: int = 5,
+) -> dict:
+    """One incremental load + validation cycle. Returns a run report."""
+    # single-flight check (C5)
+    active = [r.id for r in ledger.read().collect() if r.pipeline_status == RUNNING]
+    if active:
+        raise SingleFlightError(f"run {active} still RUNNING")
+
+    run_id = ledger.next_run_id()
+    ledger.purge_failed(run_id)  # idempotent restart (C4)
+    prev = ledger.previous_cutoff(run_id)
+    cur = default_cutoff(now, lag_minutes)
+    ledger.start_run(run_id, now, prev, cur)
+
+    try:
+        loader = IncrementalLoader(
+            src.read("sales"), src.read("clients"), src.read("products"),
+            src.read("removed"), lake,
+        )
+        parts = loader.run(prev, cur)
+        ledger.finish_run(run_id, now, SUCCESSFUL)
+    except Exception:
+        ledger.finish_run(run_id, now, FAILED)
+        raise
+
+    ledger.start_validation(run_id, now)
+    res = reconcile(src.read("sales"), lake.read(), parts, cur)
+    ledger.finish_validation(run_id, now, res.status)
+    return {
+        "run_id": run_id,
+        "previous_cutoff": prev,
+        "current_cutoff": cur,
+        "rebuilt_partitions": parts,
+        "validation": res,
+    }
+
+
+# ---------------------------------------------------------------------------
+# pipeline 2: mart aggregation + atomic publish
+# ---------------------------------------------------------------------------
+
+
+def mart_client_count_df(lake_df: DataFrame, refresh: datetime) -> DataFrame:
+    """Mart query 1 (load_sales_mart.py:26-35): COUNT(DISTINCT client)
+    per country×gender over paid sales, gender decoded, refresh stamped
+    (A2+P4+F2+F3)."""
+    agg = grouped_count_distinct(
+        lake_df.where(F.col("paid") > 0), ["country", "gender"], "client_id",
+        "client_count",
+    )
+    return agg.select(
+        "country",
+        decode_map("gender", {"M": "Male", "F": "Female"}, "Other").alias("gender"),
+        "client_count",
+        F.lit(refresh).alias("refresh_date"),
+    )
+
+
+def mart_sales_agg_df(lake_df: DataFrame, refresh: datetime) -> DataFrame:
+    """Mart query 2 (load_sales_mart.py:60-70): COUNT+SUM per
+    country×product×size×color over paid sales (A3+P4+F3)."""
+    return (
+        lake_df.where(F.col("paid") > 0)
+        .groupBy("country", "product", "size", "color")
+        .agg(
+            F.count("id").alias("sales_count"),
+            F.sum("paid").alias("paid_amount"),
+        )
+        .withColumn("refresh_date", F.lit(refresh))
+    )
+
+
+class MartPublisher:
+    """Staging → final atomic swap (M4+M5, load_sales_mart.py:51-53,
+    :92-102): write the fresh snapshot to ``<table>_staging``, then swap
+    it into place with directory renames — readers of ``final_path``
+    never observe a half-written snapshot (the lake-native analog of the
+    reference's BEGIN TRAN; TRUNCATE; INSERT; COMMIT)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def staging_path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}_staging")
+
+    def final_path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write_staging(self, table: str, df: DataFrame) -> None:
+        """M4 — truncate-and-load staging (overwrite = truncate+append)."""
+        df.write.mode("overwrite").parquet(self.staging_path(table))
+
+    def publish(self, table: str) -> None:
+        """M5 — atomic swap: staging renamed over final in one move."""
+        staging, final = self.staging_path(table), self.final_path(table)
+        if not os.path.isdir(staging):
+            raise FileNotFoundError(f"no staging snapshot for {table}")
+        old = final + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(staging, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.final_path(table))
+
+
+def run_pipeline_2(
+    spark: SparkSession, lake: LakeTable, mart: MartPublisher, now: datetime
+) -> dict:
+    """Aggregate the lake into both mart tables and publish atomically."""
+    lake_df = lake.read()
+    mart.write_staging("sales_history_1", mart_client_count_df(lake_df, now))
+    mart.write_staging("sales_history_2", mart_sales_agg_df(lake_df, now))
+    mart.publish("sales_history_1")
+    mart.publish("sales_history_2")
+    return {"published": ["sales_history_1", "sales_history_2"], "refresh": now}

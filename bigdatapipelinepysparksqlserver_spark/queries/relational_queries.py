@@ -631,3 +631,68 @@ def customer_rank_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         spend.withColumn("spend_rank", F.rank().over(w))
         .where(F.col("spend_rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# F3+F5: literal refresh-stamp injection + timestamp formatting
+# (load_sales_mart.py:32-35 lit(now); load_sales_history.py:214 strftime)
+# --------------------------------------------------------------------------
+
+REFRESH_STAMP_ORACLE = """
+SELECT n.n_name AS country,
+       COUNT(*) AS order_count,
+       TIMESTAMP '2024-06-01 08:00:00' AS refresh_date,
+       strftime(TIMESTAMP '2024-06-01 08:00:00', '%Y-%m-%d %H:%M:%S') AS refresh_str
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("refresh_stamp", oracle=REFRESH_STAMP_ORACLE)
+def refresh_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 literal timestamp column + F5 formatting.
+
+    The refresh timestamp is an INJECTED parameter (here a fixed literal),
+    never current_timestamp() — clock injection keeps runs reproducible
+    (SURVEY §7.5 risk 3)."""
+    refresh = datetime(2024, 6, 1, 8, 0, 0)
+    t = Catalog(spark, sf_dir)
+    return (
+        t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("country"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .withColumn("refresh_date", F.lit(refresh))
+        .withColumn(
+            "refresh_str", F.date_format(F.lit(refresh), "yyyy-MM-dd HH:mm:ss")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F6+C1: cutoff arithmetic (truncate-to-minute − 5-min safety lag) applied
+# as a watermark predicate (load_sales_history.py:33-44)
+# --------------------------------------------------------------------------
+
+CUTOFF_WINDOW_ORACLE = """
+SELECT COUNT(*) AS event_count,
+       date_trunc('minute', TIMESTAMP '2024-02-15 17:42:37') - INTERVAL 5 MINUTE
+         AS cutoff_ts
+FROM events
+WHERE ts < date_trunc('minute', TIMESTAMP '2024-02-15 17:42:37') - INTERVAL 5 MINUTE
+"""
+
+
+@query("cutoff_window", oracle=CUTOFF_WINDOW_ORACLE)
+def cutoff_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 cutoff expression over an injected 'now': minute truncation + lag,
+    then the half-open upper bound (the C1 watermark in batch form)."""
+    now = datetime(2024, 2, 15, 17, 42, 37)
+    cutoff = F.date_trunc("minute", F.lit(now)) - F.expr("INTERVAL 5 MINUTES")
+    ev = Catalog(spark, sf_dir).events
+    return ev.where(F.col("ts") < cutoff).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.first(cutoff).alias("cutoff_ts"),
+    )

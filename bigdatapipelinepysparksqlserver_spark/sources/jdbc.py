@@ -1,0 +1,109 @@
+"""JDBC source/sink wrappers (S1, S9, S11; reference
+`pipeline_scripts/sql_conn.py:11-30` + chunked reads
+`load_sales_history.py:118-135` + pandas `to_sql` writes
+`load_sales_mart.py:55,:78`).
+
+Spark-first: the reference's driver-side pandas chunk funnel (20k rows
+per chunk through ONE process) is replaced by Spark's parallel
+partitioned JDBC read — ``partitionColumn/lowerBound/upperBound/
+numPartitions`` split the table into N concurrent range-scans, and
+Catalyst pushes filters and column pruning into the generated SQL
+(`PushedFilters` in .explain). Writes go executor→DB in parallel
+batches instead of driver-side row INSERTs.
+
+No database is reachable in the test container, so everything here is
+exercised as *configuration construction* by tests; the ``load``/
+``save`` calls are the only network touchpoints.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+
+@dataclass
+class JdbcConfig:
+    """Connection descriptor (reference `config/cred.conf` analog)."""
+
+    url: str  # e.g. jdbc:sqlserver://host:1433;databaseName=Production
+    user: str
+    password: str
+    driver: str = "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+    options: dict[str, str] = field(default_factory=dict)
+
+    def base_options(self) -> dict[str, str]:
+        return {
+            "url": self.url,
+            "user": self.user,
+            "password": self.password,
+            "driver": self.driver,
+            **self.options,
+        }
+
+
+def jdbc_scan_options(
+    cfg: JdbcConfig,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    """S1 — parallel partitioned scan configuration (pure, testable).
+
+    ``table`` may be a table name or a pushdown subquery
+    ``(SELECT ... WHERE ...) q`` — the reference's per-partition extract
+    query (`load_sales_history.py:112-116`) maps to exactly that, with
+    the engine's half-open window predicate in the WHERE.
+    """
+    opts = {
+        **cfg.base_options(),
+        "dbtable": table,
+        "fetchsize": str(fetch_size),
+    }
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned read needs lower_bound and upper_bound")
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def jdbc_reader(spark: SparkSession, cfg: JdbcConfig, table: str, **kw) -> DataFrameReader:
+    return spark.read.format("jdbc").options(**jdbc_scan_options(cfg, table, **kw))
+
+
+def read_jdbc(spark: SparkSession, cfg: JdbcConfig, table: str, **kw) -> DataFrame:
+    return jdbc_reader(spark, cfg, table, **kw).load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    cfg: JdbcConfig,
+    table: str,
+    mode: str = "append",
+    truncate: bool = False,
+    batch_size: int = 10_000,
+) -> None:
+    """S9/M4 — executor-parallel batched write.
+
+    ``mode="overwrite", truncate=True`` reproduces the reference's
+    TRUNCATE-then-load staging protocol (`load_sales_mart.py:51-55`)
+    without dropping the table (keeps grants/DDL).
+    """
+    (
+        df.write.format("jdbc")
+        .options(**cfg.base_options())
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .option("truncate", "true" if truncate else "false")
+        .mode(mode)
+        .save()
+    )

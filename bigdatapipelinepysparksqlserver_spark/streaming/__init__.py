@@ -1,0 +1,12 @@
+"""Structured Streaming equivalents of the engine's batch-CDC semantics.
+
+- ``cdc`` — watermarked windowed aggregation, streaming dedup, and a
+  foreachBatch partition-rebuild sink (the streaming twin of
+  ``plans.incremental``).
+"""
+
+from .cdc import (  # noqa: F401
+    foreach_batch_partition_overwrite,
+    streaming_dedup,
+    streaming_hourly_agg,
+)

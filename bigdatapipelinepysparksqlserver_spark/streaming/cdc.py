@@ -1,0 +1,96 @@
+"""Streaming CDC primitives (SURVEY §2.9 re-expressed on Structured
+Streaming).
+
+The reference implements streaming *concepts* in batch (cutoff
+watermark C1, changed-partition rebuild C2, tombstone deletes C3). A
+Spark-native deployment can run the same semantics continuously:
+
+- the 5-minute cutoff lag ≙ ``withWatermark`` (late-data tolerance)
+- the per-run half-open window ≙ micro-batch boundaries (each batch is
+  exactly-once within the query's checkpoint)
+- the partition rebuild ≙ a ``foreachBatch`` sink doing dynamic
+  partition overwrite per micro-batch
+
+Everything here takes/returns DataFrames so the same transformations
+compose on a batch frame in tests (Structured Streaming's unified
+semantics: a streaming query is the incrementalized batch plan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..sources.lake import LakeTable
+
+
+def streaming_hourly_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-hour aggregation over the events stream.
+
+    Batch twin: ``queries.relational_queries.events_hourly_agg``. The
+    watermark bounds state: hours older than (max event time − watermark)
+    are finalized and evicted — the streaming version of the reference's
+    cutoff lag (load_sales_history.py:33-36).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("amount").alias("amount_sum"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "event_count",
+            "amount_sum",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once event dedup within the watermark horizon.
+
+    ``dropDuplicates`` on a watermarked stream keeps key state only for
+    the late-data window — bounded memory at any scale (vs unbounded
+    exact dedup, which is the batch job's role).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+        return src.dropDuplicatesWithinWatermark(list(key_cols))
+    return src.dropDuplicates(list(key_cols))
+
+
+def foreach_batch_partition_overwrite(
+    lake: LakeTable, transform: Callable[[DataFrame], DataFrame] | None = None
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: each micro-batch dynamic-partition-overwrites
+    the lake partitions it touches — the continuous version of
+    ``plans.incremental`` (C2/M6). Idempotent per batch (C4): replays
+    rewrite the same partitions to the same content.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        if out.isEmpty():
+            return
+        lake.overwrite_partitions(out)
+
+    return _sink

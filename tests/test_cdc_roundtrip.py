@@ -1,0 +1,160 @@
+"""The engine's signature capability end-to-end (C1-C6, M6, F8, F9, M7):
+seeded workload → incremental load → partition-grain rebuild → exact
+two-sided reconciliation — including the reference's documented
+backdated-record blind spot (README.md:76).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatapipelinepysparksqlserver_spark.pipelines import (
+    SingleFlightError,
+    run_pipeline_1,
+)
+from bigdatapipelinepysparksqlserver_spark.plans.ledger import RUNNING, RunLedger
+from bigdatapipelinepysparksqlserver_spark.plans.reconcile import SUCCESSFUL
+from bigdatapipelinepysparksqlserver_spark.sources.lake import LakeTable
+from bigdatapipelinepysparksqlserver_spark.workload import SourceTables, WorkloadGenerator
+
+T1 = datetime(2024, 6, 1, 12, 3, 42)
+T2 = T1 + timedelta(days=1)
+T3 = T2 + timedelta(days=1)
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    src = SourceTables(spark, str(tmp_path / "oltp"))
+    gen = WorkloadGenerator(src, seed=42)
+    gen.seed_dimensions(n_clients=40, n_products=15)
+    lake = LakeTable(spark, str(tmp_path / "lake"))
+    ledger = RunLedger(spark, str(tmp_path / "ledger"))
+    return src, gen, lake, ledger
+
+
+def test_full_then_incremental_roundtrip(spark, env):
+    src, gen, lake, ledger = env
+
+    # --- run 1: full load ------------------------------------------------
+    gen.insert_sales(300, batch=1, now=T1, spread_days=45)
+    rep1 = run_pipeline_1(spark, src, lake, ledger, now=T1)
+    assert rep1["previous_cutoff"] is None
+    assert rep1["validation"].status == SUCCESSFUL
+    assert rep1["validation"].source_count == rep1["validation"].lake_count > 0
+
+    # --- run 2: inserts + updates + deletes ------------------------------
+    before = {
+        (r.year_month, r.country)
+        for r in lake.partitions().collect()
+    }
+    # stamp mutations 1h before the run: a change stamped inside the
+    # cutoff's 5-min safety lag is (correctly) deferred to the NEXT run,
+    # so same-instant stamps would not surface in run 2.
+    t2_stamp = T2 - timedelta(hours=1)
+    gen.insert_sales(80, batch=2, now=t2_stamp, spread_days=1)  # within window
+    n_upd = gen.update_sales(batch=2, now=t2_stamp, p=0.05)
+    n_del = gen.delete_sales(batch=2, now=t2_stamp, p=0.03)
+    assert n_upd > 0 and n_del > 0
+
+    rep2 = run_pipeline_1(spark, src, lake, ledger, now=T2)
+    assert rep2["run_id"] == 2
+    assert rep2["previous_cutoff"] == rep1["current_cutoff"]
+    assert rep2["validation"].status == SUCCESSFUL
+    assert rep2["rebuilt_partitions"]  # something changed
+
+    # deleted rows are gone from the lake (tombstone-driven rebuild)
+    deleted_ids = [r.id for r in src.read("removed").collect()]
+    assert deleted_ids
+    lake_ids = {r.id for r in lake.read().collect()}
+    assert not (set(deleted_ids) & lake_ids)
+
+    # updated rows carry the new paid value in the lake
+    upd = src.read("sales").where(F.col("updated_date").isNotNull()).collect()
+    assert upd
+    lake_paid = {r.id: r.paid for r in lake.read().collect()}
+    for r in upd:
+        if r.sale_date < rep2["current_cutoff"]:
+            assert lake_paid[r.id] == r.paid
+
+    # untouched partitions were NOT rewritten beyond the changed list
+    assert set(rep2["rebuilt_partitions"]) <= {ym for ym, _ in before} | {
+        r.year_month for r in src.read("sales").collect()
+    }
+
+
+def test_exact_cutoff_row_deferred_to_next_run(spark, env):
+    """A sale stamped exactly at the cutoff is excluded by run N ([prev,cur))
+    and picked up by run N+1 — processed exactly once, never twice."""
+    src, gen, lake, ledger = env
+    gen.insert_sales(50, batch=1, now=T1, spread_days=10)
+    rep1 = run_pipeline_1(spark, src, lake, ledger, now=T1)
+    cut1 = rep1["current_cutoff"]
+
+    # hand-craft one sale exactly at cut1
+    extra = spark.createDataFrame(
+        [(999_999, cut1, int(f"{cut1.year}{cut1.month:02d}"), "50.00", 1, 1, None)],
+        "id long, sale_date timestamp, year_month int, paid string, client_id long, product_id long, updated_date timestamp",
+    ).withColumn("paid", F.col("paid").cast("decimal(18,2)"))
+    src.append("sales", extra)
+
+    assert 999_999 not in {r.id for r in lake.read().collect()}
+
+    rep2 = run_pipeline_1(spark, src, lake, ledger, now=T2)
+    assert rep2["validation"].status == SUCCESSFUL
+    assert 999_999 in {r.id for r in lake.read().collect()}
+
+
+def test_backdated_insert_is_skipped_by_design(spark, env):
+    """README.md:76 semantics: a row inserted with sale_date BEFORE
+    previous_cutoff (and no updated_date) is never picked up. The test
+    asserts the blind spot rather than 'fixing' it."""
+    src, gen, lake, ledger = env
+    gen.insert_sales(100, batch=1, now=T1, spread_days=30)
+    run_pipeline_1(spark, src, lake, ledger, now=T1)
+
+    backdated = spark.createDataFrame(
+        [(888_888, T1 - timedelta(days=10), int(f"{(T1 - timedelta(days=10)).year}{(T1 - timedelta(days=10)).month:02d}"),
+          "10.00", 1, 1, None)],
+        "id long, sale_date timestamp, year_month int, paid string, client_id long, product_id long, updated_date timestamp",
+    ).withColumn("paid", F.col("paid").cast("decimal(18,2)"))
+    src.append("sales", backdated)
+
+    rep2 = run_pipeline_1(spark, src, lake, ledger, now=T2)
+    assert 888_888 not in {r.id for r in lake.read().collect()}
+    # and validation does NOT flag it (reconcile only checks changed partitions)
+    assert rep2["validation"].status == SUCCESSFUL
+
+    # ... but a later UPDATE to that row DOES surface it (updated_date branch)
+    src.write(
+        "sales",
+        src.read("sales").withColumn(
+            "updated_date",
+            F.when(F.col("id") == 888_888, F.lit(T3 - timedelta(hours=1)))
+            .otherwise(F.col("updated_date")),
+        ),
+    )
+    rep3 = run_pipeline_1(spark, src, lake, ledger, now=T3)
+    assert rep3["validation"].status == SUCCESSFUL
+    assert 888_888 in {r.id for r in lake.read().collect()}
+
+
+def test_single_flight_guard(spark, env):
+    src, gen, lake, ledger = env
+    gen.insert_sales(20, batch=1, now=T1, spread_days=5)
+    ledger.start_run(1, T1, None, T1)  # leave a RUNNING row
+    assert [r.pipeline_status for r in ledger.read().collect()] == [RUNNING]
+    with pytest.raises(SingleFlightError):
+        run_pipeline_1(spark, src, lake, ledger, now=T2)
+
+
+def test_empty_changeset_short_circuits(spark, env):
+    src, gen, lake, ledger = env
+    gen.insert_sales(30, batch=1, now=T1, spread_days=5)
+    run_pipeline_1(spark, src, lake, ledger, now=T1)
+    # no new activity between T1 and T2 cutoffs except the last-5-min tail
+    rep2 = run_pipeline_1(spark, src, lake, ledger, now=T1 + timedelta(minutes=1))
+    assert rep2["rebuilt_partitions"] == []
+    assert rep2["validation"].status == SUCCESSFUL

@@ -1,0 +1,54 @@
+"""Partitioned lake management (S4-S6, M6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatapipelinepysparksqlserver_spark.sources.lake import LakeTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["id", "v", "year_month", "country"])
+
+
+def test_dynamic_overwrite_touches_only_present_partitions(spark, tmp_path):
+    lake = LakeTable(spark, str(tmp_path / "lake"))
+    lake.write_full(
+        _df(spark, [(1, "a", 202401, "PT"), (2, "b", 202401, "ES"), (3, "c", 202402, "PT")])
+    )
+    # rebuild ONLY (202401, PT) with new content
+    lake.overwrite_partitions(_df(spark, [(9, "z", 202401, "PT")]))
+    got = {(r.id, r.year_month, r.country) for r in lake.read().collect()}
+    assert got == {(9, 202401, "PT"), (2, 202401, "ES"), (3, 202402, "PT")}
+
+
+def test_static_mode_guard(spark, tmp_path):
+    lake = LakeTable(spark, str(tmp_path / "lake"))
+    lake.write_full(_df(spark, [(1, "a", 202401, "PT")]))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        with pytest.raises(RuntimeError, match="dynamic"):
+            lake.overwrite_partitions(_df(spark, [(2, "b", 202402, "PT")]))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+
+def test_partitions_listing_and_drop(spark, tmp_path):
+    lake = LakeTable(spark, str(tmp_path / "lake"))
+    lake.write_full(_df(spark, [(1, "a", 202401, "PT"), (2, "b", 202402, "PT")]))
+    parts = {(r.year_month, r.country) for r in lake.partitions().collect()}
+    assert parts == {(202401, "PT"), (202402, "PT")}
+    lake.drop_partitions([202401])
+    assert {r.year_month for r in lake.read().collect()} == {202402}
+
+
+def test_one_file_per_partition(spark, tmp_path):
+    """Small-files contract: each partition dir holds exactly one data file."""
+    import glob
+
+    lake = LakeTable(spark, str(tmp_path / "lake"))
+    rows = [(i, "x", 202401 + (i % 2), "PT") for i in range(100)]
+    lake.write_full(_df(spark, rows))
+    for d in glob.glob(str(tmp_path / "lake" / "year_month=*/country=*")):
+        files = [f for f in glob.glob(d + "/*.parquet")]
+        assert len(files) == 1, d
