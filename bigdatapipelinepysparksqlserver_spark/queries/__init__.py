@@ -11,6 +11,7 @@ from . import relational_queries  # noqa: F401,E402
 from . import dedup_queries  # noqa: F401,E402
 from . import text_queries  # noqa: F401,E402
 from . import similarity_queries  # noqa: F401,E402
+from . import multimodal_queries  # noqa: F401,E402
 
 
 def spark_queries():

@@ -1,0 +1,100 @@
+"""Multimodal query surface over `documents` (payload = text bytes).
+
+The metadata path (binary length stats, frame-sampling plan) is
+SQL-expressible and oracle-checked; the Pandas-UDF decode path is
+rows-only (DuckDB has no Arrow-UDF twin) but runs the REAL mapInPandas
+pipeline with the deterministic surrogate decoder.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.multimodal import (
+    attach_binary_payload,
+    decode_image_batches,
+    sample_frames,
+)
+from ..sources.catalog import Catalog
+from .registry import query
+
+MEDIA_META_ORACLE = """
+SELECT source AS media_source,
+       COUNT(*) AS media_count,
+       SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+       MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
+FROM documents
+GROUP BY source
+"""
+
+
+@query("media_metadata_stats", oracle=MEDIA_META_ORACLE)
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation over binary payloads.
+
+    Scale contract: the struct metadata (n_bytes here) is computed at
+    scan time from the binary column; group-by never deserializes
+    payloads into Python — pure codegen.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    joined = media.join(
+        docs.select(F.col("doc_id").alias("media_id"), "source"), "media_id"
+    )
+    return joined.groupBy(F.col("source").alias("media_source")).agg(
+        F.count(F.lit(1)).alias("media_count"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+    )
+
+
+@query("media_decode_features", oracle=None)
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched surrogate decode: mapInPandas over binary payloads →
+    fixed-width feature vectors (rows-only; exercises the real multimodal
+    plumbing end-to-end)."""
+    docs = Catalog(spark, sf_dir).documents
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    return decode_image_batches(media, dim=8, fake=True)
+
+
+FRAME_PLAN_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM documents
+),
+v AS (
+  SELECT media_id, (n_bytes % 10000) AS duration_ms FROM m
+)
+SELECT media_id, CAST(t.i AS INT) AS frame_index,
+       CAST(t.i * 1000 AS BIGINT) AS frame_ts_ms
+FROM v, UNNEST(range(0, GREATEST(LEAST(CAST(duration_ms/1000 AS INT), 8), 1))) AS t(i)
+"""
+
+
+@query("media_frame_plan", oracle=FRAME_PLAN_ORACLE)
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling work list built natively from metadata (video ×
+    frame_index explode) — decode-load balancing happens on this list
+    BEFORE any Python worker touches bytes."""
+    docs = Catalog(spark, sf_dir).documents
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text", media_type="video")
+    # synthesize a deterministic duration from n_bytes for the plan
+    with_duration = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.media_type"),
+            F.col("meta.codec"),
+            F.col("meta.width"),
+            F.col("meta.height"),
+            (F.col("meta.n_bytes") % 10000).alias("duration_ms"),
+            F.col("meta.n_bytes"),
+        ),
+    )
+    return sample_frames(with_duration, every_ms=1000, max_frames=8).select(
+        "media_id",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )

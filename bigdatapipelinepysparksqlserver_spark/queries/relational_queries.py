@@ -437,10 +437,14 @@ GROUP BY 1
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 6-way join with region filter and same-nation constraint.
 
-    Scale: nation⋈region prunes to one region's nations and broadcasts;
-    supplier and customer broadcast after their nation filter; the only big
-    shuffle is orders⋈lineitem on orderkey. Date filter pushes to the
-    orders scan.
+    Scale: nation⋈region prunes to one region's nations and broadcasts —
+    those are FIXED-cardinality dims (25/5 rows at any SF), so the hint is
+    always safe. customer and supplier GROW with SF, so they carry no
+    explicit hint: at test SFs the autoBroadcastJoinThreshold still
+    broadcasts them, and at 100× scale AQE picks shuffled hash join from
+    runtime sizes instead of an over-eager forced broadcast OOMing the
+    executors. The only guaranteed big shuffle is orders⋈lineitem on
+    orderkey. Date filter pushes to the orders scan.
     """
     t = Catalog(spark, sf_dir)
     nations = (
@@ -457,9 +461,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(t.customer),
+            t.customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -695,4 +699,45 @@ def cutoff_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.where(F.col("ts") < cutoff).agg(
         F.count(F.lit(1)).alias("event_count"),
         F.first(cutoff).alias("cutoff_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S7: temp-view registration + SQL facade — the DataFrame↔SQL bridge
+# (load_sales_history.py:166 createOrReplaceTempView + :173 spark.sql)
+# --------------------------------------------------------------------------
+
+SQL_FACADE_ORACLE = """
+SELECT n.n_name AS country,
+       COUNT(o.o_orderkey) AS order_count,
+       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) > 0
+GROUP BY n.n_name
+"""
+
+
+@query("sql_facade_agg", oracle=SQL_FACADE_ORACLE)
+def sql_facade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — DataFrames registered as temp views, query expressed as SQL
+    text: the exact handoff pattern of the reference (DataFrame world →
+    createOrReplaceTempView → spark.sql). Catalyst plans both worlds into
+    the same logical plan, so the facade costs nothing."""
+    t = Catalog(spark, sf_dir)
+    t.orders.createOrReplaceTempView("v_orders")
+    t.customer.createOrReplaceTempView("v_customer")
+    t.nation.createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name AS country,
+               COUNT(o.o_orderkey) AS order_count,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) > 0
+        GROUP BY n.n_name
+        """
     )

@@ -92,6 +92,23 @@ class LakeTable:
             if os.path.isdir(d):
                 shutil.rmtree(d)
 
+    def register_catalog_table(self, name: str) -> None:
+        """S4 — catalog DDL: CREATE TABLE IF NOT EXISTS ... USING PARQUET
+        PARTITIONED BY ... LOCATION path (load_sales_history.py:101-103),
+        then partition discovery (MSCK REPAIR) so SQL readers see every
+        partition directory. Idempotent."""
+        df = self.read()
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        )
+        parts = ", ".join(f"`{c}`" for c in self.partition_cols)
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING PARQUET "
+            f"PARTITIONED BY ({parts}) LOCATION '{os.path.abspath(self.path)}'"
+        )
+        self.spark.sql(f"MSCK REPAIR TABLE {name}")
+
     def partitions(self) -> DataFrame:
         """A1-style distinct partition listing, resolved from directory
         metadata (no data scan — Spark lists partition dirs)."""

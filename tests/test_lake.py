@@ -52,3 +52,31 @@ def test_one_file_per_partition(spark, tmp_path):
     for d in glob.glob(str(tmp_path / "lake" / "year_month=*/country=*")):
         files = [f for f in glob.glob(d + "/*.parquet")]
         assert len(files) == 1, d
+
+
+def test_register_catalog_table(spark, tmp_path):
+    """S4: CREATE TABLE ... USING PARQUET + MSCK partition discovery makes
+    the lake queryable by name through the SQL catalog."""
+    lake = LakeTable(spark, str(tmp_path / "lake"))
+    lake.write_full(
+        _df(spark, [(1, "a", 202401, "PT"), (2, "b", 202402, "ES")])
+    )
+    lake.register_catalog_table("sales_history_cat_test")
+    try:
+        got = {
+            (r.id, r.year_month)
+            for r in spark.sql(
+                "SELECT id, year_month FROM sales_history_cat_test"
+            ).collect()
+        }
+        assert got == {(1, 202401), (2, 202402)}
+        # partition pruning reaches the catalog table
+        plan = (
+            spark.sql("SELECT id FROM sales_history_cat_test WHERE year_month = 202401")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "202401" in plan
+        # idempotent re-register
+        lake.register_catalog_table("sales_history_cat_test")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sales_history_cat_test")

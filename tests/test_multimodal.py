@@ -1,0 +1,65 @@
+"""Multimodal plumbing: binary payloads, Arrow-batched decode, frame plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatapipelinepysparksqlserver_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_batches,
+    sample_frames,
+)
+
+import pyspark.sql.functions as F
+
+
+@pytest.fixture()
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc"), (3, "")], ["doc_id", "text"]
+    )
+    return attach_binary_payload(docs, "doc_id", "text")
+
+
+def test_payload_schema_and_metadata(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    rows = {r.media_id: r.meta.n_bytes for r in media.collect()}
+    assert rows == {1: 11, 2: 3, 3: 0}
+
+
+def test_decode_stub_raises_without_fake(media):
+    with pytest.raises(NotImplementedError, match="codecs"):
+        decode_image_batches(media, fake=False)
+
+
+def test_fake_decode_deterministic_and_fixed_width(media):
+    out1 = {r.media_id: (r.n_bytes, r.mean_luma, tuple(r.feature_vec))
+            for r in decode_image_batches(media, dim=8, fake=True).collect()}
+    out2 = {r.media_id: (r.n_bytes, r.mean_luma, tuple(r.feature_vec))
+            for r in decode_image_batches(media, dim=8, fake=True).collect()}
+    assert out1 == out2  # deterministic across runs
+    assert all(len(v[2]) == 8 for v in out1.values())  # fixed-width
+    assert out1[1][0] == 11
+    # histogram is L1-normalized for non-empty payloads
+    assert abs(sum(out1[1][2]) - 1.0) < 1e-6
+    assert sum(out1[3][2]) == 0.0  # empty payload → zero vector, no NaN
+
+
+def test_frame_plan_clamps(spark):
+    docs = spark.createDataFrame([(1, "x" * 500), (2, "y" * 50)], ["doc_id", "text"])
+    media = attach_binary_payload(docs, "doc_id", "text", media_type="video")
+    with_dur = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.media_type"), F.col("meta.codec"), F.col("meta.width"),
+            F.col("meta.height"),
+            (F.col("meta.n_bytes") * 10).cast("long").alias("duration_ms"),
+            F.col("meta.n_bytes"),
+        ),
+    )
+    plan = sample_frames(with_dur, every_ms=1000, max_frames=4)
+    frames = {r.media_id: [] for r in plan.collect()}
+    for r in plan.collect():
+        frames[r.media_id].append((r.frame_index, r.frame_ts_ms))
+    assert sorted(frames[1]) == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]  # capped at 4
+    assert sorted(frames[2]) == [(0, 0)]  # sub-second duration → 1 frame
