@@ -30,13 +30,19 @@ def main() -> None:
     warm = REGISTRY["mart_client_count"].fn(spark, sf_dir)
     warm.collect()
 
+    # two passes per query, report the min: first execution of a plan pays
+    # one-time JVM/codegen compilation that a long-lived cluster amortizes;
+    # steady-state is the number that scales.
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         if not spec.headline:
             continue
-        t0 = time.time()
-        spec.fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            spec.fn(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

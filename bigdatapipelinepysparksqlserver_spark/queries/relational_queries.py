@@ -573,8 +573,9 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum → per-session agg).
 
     Scale: one shuffle on user_id; within-partition sort by (ts, event_id).
-    This is the batch shape; streaming/cdc.py holds the
-    applyInPandasWithState variant for unbounded input.
+    This is the batch shape; ``streaming.cdc.streaming_sessionize``
+    (registered as `sessionize_session_window`) is the session_window
+    form that runs on unbounded input with per-open-session state.
     """
     from pyspark.sql.window import Window
 
@@ -741,3 +742,47 @@ def sql_facade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+# --------------------------------------------------------------------------
+# session_window sessionization — the streaming-capable twin of `sessionize`
+# (same plan runs on readStream with a watermark; see streaming/cdc.py)
+# --------------------------------------------------------------------------
+
+SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS events_in_session
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+@query("sessionize_session_window", oracle=SESSION_WINDOW_ORACLE)
+def sessionize_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (streaming-capable form).
+
+    vs `sessionize`: boundary is >= gap (window [start, last+gap)) and
+    session_end = last_event + gap. Scale: state per OPEN session instead
+    of whole-history per-user sort — the only form viable on an unbounded
+    stream.
+    """
+    from ..streaming.cdc import streaming_sessionize
+
+    ev = Catalog(spark, sf_dir).events
+    return streaming_sessionize(ev, ts_col="ts", user_col="user_id", gap="30 minutes")

@@ -81,3 +81,43 @@ def test_foreach_batch_partition_overwrite(spark, tmp_path):
     sink(_events(spark).where("event_id < 0"), 1)
     assert lake.read().count() == 3
     assert os.path.isdir(str(tmp_path / "lake"))
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """The session_window plan run as a REAL stream (file source,
+    availableNow) produces the batch twin's sessions exactly."""
+    from bigdatapipelinepysparksqlserver_spark.streaming.cdc import streaming_sessionize
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 100),
+        (2, datetime(2024, 1, 1, 10, 10), 100),   # same session
+        (3, datetime(2024, 1, 1, 11, 0), 100),    # 50min gap → new session
+        (4, datetime(2024, 1, 1, 10, 5), 200),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    src_dir = str(tmp_path / "sess_src")
+    df.write.parquet(src_dir)
+
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.events_in_session)
+        for r in streaming_sessionize(df).collect()
+    }
+    assert (100, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 40), 2) in batch
+    assert len(batch) == 3
+
+    stream = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(src_dir)
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.events_in_session)
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    assert streamed == batch
