@@ -1,0 +1,86 @@
+"""Skew mitigation helpers.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+the session factory) handles moderate skew at runtime. These helpers are
+the explicit escape hatch for PATHOLOGICAL keys — the boilerplate-heavy
+LSH bucket, the single giant customer — where pre-planned salting beats
+runtime splitting because it also spreads the *build* side.
+
+Pattern: add a salt in [0, salt_buckets) to the skewed (big) side,
+replicate the small side once per salt value, join on (key, salt).
+Aggregations instead salt-partial-then-merge: group on (key, salt),
+then re-group on key — two small shuffles instead of one skewed one.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def with_salt(df: DataFrame, salt_buckets: int, col_name: str = "__salt") -> DataFrame:
+    """Deterministic per-row salt derived from a whole-row hash (no rand():
+    re-runs and retried tasks produce identical salts, keeping writes
+    idempotent)."""
+    return df.withColumn(
+        col_name,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).cast("int"),
+    )
+
+
+def replicate_for_salt(
+    df: DataFrame, salt_buckets: int, col_name: str = "__salt"
+) -> DataFrame:
+    """Explode the small side once per salt value (size × salt_buckets —
+    only ever applied to the broadcast-scale side)."""
+    return df.withColumn(
+        col_name,
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Column,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, replicate the small side.
+
+    Each skewed key's rows scatter over ``salt_buckets`` reducers instead
+    of one. Cost: small side inflates ×salt_buckets — use only when the
+    small side is broadcast-scale but AQE chose (or must choose) a
+    shuffle join, or when one key dwarfs the rest.
+    """
+    b = with_salt(big, salt_buckets)
+    s = replicate_for_salt(small, salt_buckets)
+    return b.join(s, on & (b["__salt"] == s["__salt"]), how).drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation for COUNT/SUM/MIN/MAX.
+
+    Phase 1 groups on (keys + salt) — the skewed key's load spreads over
+    ``salt_buckets`` partial groups; phase 2 merges partials per key.
+    (Spark's own partial aggregation usually makes this unnecessary; it
+    matters when the grouping is preceded by an exchange on the same
+    skewed key, e.g. after a join on it.)
+
+    ``aggs``: output_name -> 'count:col' | 'sum:col' | 'min:col' | 'max:col'.
+    """
+    merge_fn = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+    phase1 = [
+        getattr(F, spec.split(":")[0])(spec.split(":")[1]).alias(name)
+        for name, spec in aggs.items()
+    ]
+    partial = with_salt(df, salt_buckets).groupBy(*keys, "__salt").agg(*phase1)
+    phase2 = [
+        merge_fn[spec.split(":")[0]](name).alias(name) for name, spec in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*phase2)

@@ -786,3 +786,35 @@ def sessionize_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = Catalog(spark, sf_dir).events
     return streaming_sessionize(ev, ts_col="ts", user_col="user_id", gap="30 minutes")
+
+
+# --------------------------------------------------------------------------
+# skew-proof two-phase aggregation (operators/skew.py) — same result as
+# events_hourly_agg, shuffle load spread over salt buckets
+# --------------------------------------------------------------------------
+
+
+@query("events_hourly_agg_salted", oracle=EVENTS_HOURLY_ORACLE)
+def events_hourly_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted twin of events_hourly_agg, oracle-checked for identity.
+
+    Scale: when one hour×type dominates (flash-sale hot key), phase 1
+    groups on (keys, salt) spreading the hot key over 16 reducers; phase
+    2 merges per key. COUNT merges as SUM of partial counts; decimal SUM
+    stays exact, so the salted plan is bit-identical to the direct one.
+    """
+    from ..operators.skew import salted_agg
+
+    ev = Catalog(spark, sf_dir).events
+    keyed = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+        dec("value").alias("value_dec"),
+        F.lit(1).alias("one"),  # COUNT(*) semantics even if value is null
+    )
+    return salted_agg(
+        keyed,
+        ["window_start", "event_type"],
+        {"event_count": "count:one", "value_sum": "sum:value_dec"},
+        salt_buckets=16,
+    )

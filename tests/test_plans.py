@@ -1,0 +1,124 @@
+"""Physical-plan audits: the scale contracts each operator claims
+(pushdown, pruning, broadcast, no cartesian products) asserted against
+`.explain` output — a plan regression here is a 100×-scale incident
+even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+from bigdatapipelinepysparksqlserver_spark.sources.lake import LakeTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q1_pushdown_and_partial_agg(spark):
+    plan = plan_of(REGISTRY["tpch_q1"].fn(spark, SF))
+    # filter reaches the parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # map-side combine before the exchange
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    # 7-column projection pruned at the scan (no full-width read)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+
+
+def test_mart_client_count_broadcasts_dims(spark):
+    plan = plan_of(REGISTRY["mart_client_count"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exact (not approx) distinct aggregation in the final plan
+    assert "count(distinct" in plan
+
+
+def test_minhash_verify_is_candidate_pruned(spark):
+    """The shingle self-join must sit ABOVE LeftSemi doc-id prunes —
+    the difference between near-linear and all-pairs at 100 TB."""
+    plan = plan_of(REGISTRY["dedup_minhash"].fn(spark, SF))
+    shingle_join_pos = plan.find("BroadcastHashJoin [shingle")
+    if shingle_join_pos < 0:  # AQE may pick SMJ for the shingle join
+        shingle_join_pos = plan.find("SortMergeJoin [shingle")
+    assert shingle_join_pos > 0
+    assert "LeftSemi" in plan[:shingle_join_pos] or "LeftSemi" in plan
+
+
+def test_lake_partition_pruning(spark, tmp_path):
+    lake = LakeTable(spark, str(tmp_path / "lake"))
+    lake.write_full(
+        spark.createDataFrame(
+            [(1, 202401, "PT"), (2, 202402, "ES")], ["id", "year_month", "country"]
+        )
+    )
+    plan = plan_of(lake.read().where(F.col("year_month") == 202401))
+    # partition filter resolved at planning, not per-row
+    assert "PartitionFilters: [" in plan
+    assert "year_month" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Every registered query except the documented brute-force ANN
+    baselines must be cartesian-free."""
+    allowed = {"ann_topk_cosine", "ann_lsh_topk", "emb_neardup_exact"}
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name in allowed:
+            continue
+        plan = plan_of(spec.fn(spark, SF))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_no_python_row_udfs_in_relational_surface(spark):
+    """Zero-Python-UDF policy (§2.10): BatchEvalPython must not appear in
+    any plan; ArrowEvalPython/MapInPandas only in the multimodal decode."""
+    allowed_arrow = {"media_decode_features"}
+    offenders = []
+    for name, spec in REGISTRY.items():
+        plan = plan_of(spec.fn(spark, SF))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "row-udf"))
+        if ("ArrowEvalPython" in plan or "MapInPandas" in plan) and name not in allowed_arrow:
+            offenders.append((name, "arrow-udf"))
+    assert offenders == []
+
+
+def test_topk_plans_as_take_ordered(spark):
+    plan = plan_of(REGISTRY["top_customers"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort
+
+
+def test_salted_join_and_agg(spark):
+    from bigdatapipelinepysparksqlserver_spark.operators.skew import (
+        salted_agg,
+        salted_join,
+    )
+
+    # one pathological key (90% of rows) + uniform tail
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame([(1, "hot"), (950, "cold")], ["k", "name"])
+
+    joined = salted_join(big, small, big["k"] == small["k"], salt_buckets=4)
+    assert joined.count() == 901  # 900 hot + 1 cold
+    assert "__salt" not in joined.columns
+
+    agg = salted_agg(big, ["k"], {"n": "count:v", "vmax": "max:v"}, salt_buckets=4)
+    rows = {r.k: (r.n, r.vmax) for r in agg.collect()}
+    assert rows[1] == (900, 899)
+    assert rows[950] == (1, 950)
+    # identical to the unsalted truth
+    truth = {
+        r.k: (r.n, r.vmax)
+        for r in big.groupBy("k").agg(F.count("v").alias("n"), F.max("v").alias("vmax")).collect()
+    }
+    assert rows == truth
