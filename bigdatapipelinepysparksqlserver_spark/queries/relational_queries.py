@@ -818,3 +818,87 @@ def events_hourly_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"event_count": "count:one", "value_sum": "sum:value_dec"},
         salt_buckets=16,
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6: pure filter + global agg — the pushdown showcase
+# --------------------------------------------------------------------------
+
+TPCH_Q6_ORACLE = """
+SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+         * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("tpch_q6", oracle=TPCH_Q6_ORACLE)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: all four predicates and the
+    4-column projection push into the parquet scan; the aggregate is a
+    single partial+final SUM — no join, no wide shuffle, the cheapest
+    query at any scale."""
+    li = Catalog(spark, sf_dir).lineitem
+    disc = dec("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+            & (disc >= F.lit(0.05).cast("decimal(18,2)"))
+            & (disc <= F.lit(0.07).cast("decimal(18,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .select((dec("l_extendedprice") * disc).cast("decimal(18,4)").alias("rev"))
+        .agg(F.sum("rev").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# sketch surface: approximate distinct (HLL++) and quantiles (GK) —
+# the documented scale alternatives to exact aggregation. Rows-only:
+# sketch internals are engine-specific, DuckDB cannot reproduce them.
+# --------------------------------------------------------------------------
+
+
+@query("sketch_distinct_clients", oracle=None)
+def sketch_distinct_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=1%) per country — the
+    mergeable-sketch form of mart query 1.
+
+    Scale: exact count-distinct shuffles every distinct (key, custkey)
+    pair (Expand doubles input rows); the HLL sketch is a fixed ~1.5 KB
+    per group regardless of cardinality, merges associatively (map-side
+    combine works), and is the only viable form when distinct cardinality
+    per group approaches memory. Exactness policy: reconciliation paths
+    must stay exact (reference validates equality) — sketches are for
+    interactive/monitoring reads.
+    """
+    t = Catalog(spark, sf_dir)
+    joined = t.orders.join(
+        F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        joined.groupBy(F.col("n_name").alias("country"))
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("client_count_approx"))
+    )
+
+
+@query("sketch_price_quantiles", oracle=None)
+def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) of order totals per segment.
+
+    Scale: exact percentiles need a full sort; the GK sketch is bounded
+    memory with a declared accuracy (here 1/10000 relative rank) and
+    merges across partitions.
+    """
+    o = Catalog(spark, sf_dir).orders
+    c = Catalog(spark, sf_dir).customer
+    joined = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.percentile_approx(
+            F.col("o_totalprice").cast("double"), [0.5, 0.95, 0.99], 10000
+        ).alias("price_quantiles")
+    )

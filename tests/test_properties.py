@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the semantics the engine's
+correctness hangs on: CDC window partitioning, cutoff arithmetic,
+salted-vs-direct aggregation identity.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from bigdatapipelinepysparksqlserver_spark.functions.expressions import (
+    half_open_window,
+    year_month,
+)
+from bigdatapipelinepysparksqlserver_spark.plans.ledger import default_cutoff
+
+TS = st.datetimes(
+    min_value=datetime(2020, 1, 1), max_value=datetime(2030, 1, 1)
+).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000))
+
+
+@given(now=TS, lag=st.integers(min_value=0, max_value=120))
+def test_cutoff_properties(now, lag):
+    cut = default_cutoff(now, lag)
+    # truncated to the minute
+    assert cut.second == 0 and cut.microsecond == 0
+    # lag exact: distance from truncation is exactly `lag` minutes
+    assert now.replace(second=0, microsecond=0) - cut == timedelta(minutes=lag)
+    # idempotent through another truncation
+    assert default_cutoff(cut, 0) == cut
+    # monotone: larger lag => earlier cutoff
+    assert default_cutoff(now, lag + 1) < cut or lag >= 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(TS, min_size=1, max_size=40),
+    cuts=st.lists(TS, min_size=2, max_size=4, unique=True),
+)
+def test_windows_partition_events_exactly_once(spark, events, cuts):
+    """Consecutive half-open windows [c0,c1),[c1,c2),... assign every
+    event in [c0, cN) to EXACTLY one window — the no-loss/no-dup CDC
+    invariant the reference's cutoff chain relies on."""
+    cuts = sorted(cuts)
+    df = spark.createDataFrame([(i, e) for i, e in enumerate(events)], ["id", "ts"])
+    total_in_range = df.where(
+        (F.col("ts") >= F.lit(cuts[0])) & (F.col("ts") < F.lit(cuts[-1]))
+    ).count()
+    window_sum = sum(
+        df.where(half_open_window("ts", lo, hi)).count()
+        for lo, hi in zip(cuts, cuts[1:])
+    )
+    assert window_sum == total_in_range
+
+
+@settings(max_examples=8, deadline=None)
+@given(ts=st.lists(TS, min_size=1, max_size=30))
+def test_year_month_matches_string_derivation(spark, ts):
+    """Arithmetic year_month == the reference's string formula
+    str(y)+('0'+str(m))[-2:] (data_generation.py:38)."""
+    df = spark.createDataFrame([(t,) for t in ts], ["ts"])
+    got = [r.ym for r in df.select(year_month("ts").alias("ym")).collect()]
+    want = [int(f"{t.year}{t.month:02d}") for t in ts]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    buckets=st.integers(min_value=1, max_value=7),
+)
+def test_salted_agg_equals_direct(spark, rows, buckets):
+    """Salting never changes results, for any data and bucket count."""
+    from bigdatapipelinepysparksqlserver_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    direct = {
+        r.k: (r.n, r.s, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, r.s, r.mx)
+        for r in salted_agg(
+            df, ["k"], {"n": "count:v", "s": "sum:v", "mx": "max:v"}, buckets
+        ).collect()
+    }
+    assert salted == direct
