@@ -902,3 +902,175 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double"), [0.5, 0.95, 0.99], 10000
         ).alias("price_quantiles")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4: order priority checking — EXISTS rewritten as semi join
+# --------------------------------------------------------------------------
+
+TPCH_Q4_ORACLE = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("tpch_q4", oracle=TPCH_Q4_ORACLE)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → LEFT SEMI join (no duplication, no
+    distinct needed). The driver testdata has no commit/receipt dates, so
+    the EXISTS predicate is returned-items (l_returnflag='R') — same
+    plan shape. Scale: the lineitem side is filtered before the semi
+    join; both sides shuffle once on orderkey, the date filter pushes to
+    the orders scan."""
+    t = Catalog(spark, sf_dir)
+    o = t.orders.where(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 7, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1996, 10, 1)))
+    )
+    late = t.lineitem.where(F.col("l_returnflag") == "R")
+    return (
+        o.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12: shipmode priority classification — CASE inside aggregation
+# --------------------------------------------------------------------------
+
+TPCH_Q12_ORACLE = """
+SELECT l.l_linestatus,
+  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+@query("tpch_q12", oracle=TPCH_Q12_ORACLE)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counting (CASE folded into SUM) after
+    an equi-join, grouped on l_linestatus (testdata has no l_shipmode).
+    Scale: lineitem pre-filtered by date AT THE SCAN, so the join input
+    is a fraction of the table; one shuffle on orderkey."""
+    t = Catalog(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t.orders.select("o_orderkey", "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14: promo revenue ratio — conditional aggregation into a scalar
+# --------------------------------------------------------------------------
+
+TPCH_Q14_ORACLE = """
+SELECT ROUND(
+  100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+       THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+  / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE),
+  6) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@query("tpch_q14", oracle=TPCH_Q14_ORACLE)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: ratio of conditional to total revenue. Scale: part
+    broadcasts; the month filter prunes lineitem at the scan; decimal
+    numerators, double division rounded identically on both engines."""
+    t = Catalog(spark, sf_dir)
+    li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 3, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1996, 4, 1)))
+    )
+    rev = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), rev
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10-like: returned-item top customers (group-agg + deterministic top-k)
+# --------------------------------------------------------------------------
+
+TPCH_Q10_ORACLE = """
+SELECT c.c_custkey AS client_id, c.c_name AS client_name, n.n_name AS country,
+       SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, client_id
+LIMIT 20
+"""
+
+
+@query("tpch_q10", oracle=TPCH_Q10_ORACLE)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: lost-revenue top-20 customers. Scale: returnflag and the
+    date window prune both big tables at their scans; customer/nation
+    broadcast; TakeOrderedAndProject avoids a global sort; client_id
+    tie-break makes the top-k deterministic for value-hash comparison."""
+    t = Catalog(spark, sf_dir)
+    o = t.orders.where(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1996, 7, 1)))
+    ).select("o_orderkey", "o_custkey")
+    li = t.lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    agg = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("client_id"),
+            F.col("c_name").alias("client_name"),
+            F.col("n_name").alias("country"),
+        )
+        .agg(F.sum(rev).alias("revenue"))
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("client_id")], 20)
