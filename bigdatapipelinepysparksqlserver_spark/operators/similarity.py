@@ -169,6 +169,84 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
+    probe the n_probe nearest centroid cells → exact cosine re-rank.
+
+    The alternative scale path to hyperplane LSH: centroids ADAPT to the
+    data distribution (better cell balance on clustered embeddings than
+    data-oblivious hyperplanes). Training runs on the vectors table via
+    Spark ML KMeans (seeded, deterministic); assignment is one pass; the
+    search joins on an 8-byte cell id like the LSH bucket join. Recall
+    is tuned by n_probe; at 100 TB the centroid model is megabytes and
+    broadcasts, so assignment never shuffles vectors.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, maxIter=10)
+    model = km.fit(feat.select("features"))
+    assigned = model.transform(feat).select(
+        "neighbor_id", "neighbor_vec", F.col("prediction").alias("cell")
+    )
+
+    # query → its n_probe nearest centroids (tiny driver-side model math)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    cent_df = feat.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["cell", "centroid"]
+    ).select("cell", F.col("centroid").cast("array<float>").alias("centroid"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id", "query_vec", "cell",
+            cosine(F.col("query_vec"), F.col("centroid")).alias("cdist"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cdist").desc(), F.col("cell")
+                )
+            ),
+        )
+        .where(F.col("rk") <= n_probe)
+        .select("query_id", "query_vec", "cell")
+    )
+
+    cands = assigned.join(F.broadcast(q_cells), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     id_col: str = "vec_id",

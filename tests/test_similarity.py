@@ -1,0 +1,57 @@
+"""Similarity operators: exact vs approximate consistency."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return Catalog(spark, SF).embeddings
+
+
+def test_brute_force_topk_properties(spark, emb):
+    q = emb.where(F.col("vec_id") < 4)
+    out = brute_force_topk(emb, q, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        cosines = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)  # ranked by similarity
+        assert all(r.neighbor_id != qid for r in rows)   # no self-match
+
+
+def test_approximate_results_are_subset_quality(spark, emb):
+    """Every approximate hit must carry the TRUE cosine (exact re-rank),
+    so approx results are always a subset of the exact score space."""
+    q = emb.where(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(emb, q, k=500).collect()
+    }
+    for approx_df in (
+        lsh_topk(emb, q, dim=64, k=5, bits=4),
+        ivf_topk(emb, q, n_centroids=8, n_probe=3, k=5),
+    ):
+        for r in approx_df.collect():
+            assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_ivf_deterministic(spark, emb):
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted(map(str, ivf_topk(emb, q, n_centroids=8, n_probe=2, k=5).collect()))
+    b = sorted(map(str, ivf_topk(emb, q, n_centroids=8, n_probe=2, k=5).collect()))
+    assert a == b
