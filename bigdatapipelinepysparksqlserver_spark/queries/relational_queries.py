@@ -308,11 +308,19 @@ WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00
 @query("window_filter", oracle=WINDOW_FILTER_ORACLE)
 def window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Half-open interval scan [start, end) — exact boundary semantics drive
-    CDC correctness (events at a cutoff processed exactly once)."""
-    ev = Catalog(spark, sf_dir).events
-    return ev.where(
-        half_open_window("ts", datetime(2024, 1, 10), datetime(2024, 1, 20))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    CDC correctness (events at a cutoff processed exactly once).
+
+    Scale: the window predicate is rewritten into the RAW int64-nanos
+    domain below the ts repair (load_table_ts_window), so it reaches
+    parquet row-group min/max stats — the scan skips row groups outside
+    the window instead of filtering post-projection."""
+    from ..sources.catalog import load_table_ts_window
+
+    ev = load_table_ts_window(
+        spark, sf_dir, "events", "ts",
+        datetime(2024, 1, 10), datetime(2024, 1, 20),
+    )
+    return ev.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 # --------------------------------------------------------------------------

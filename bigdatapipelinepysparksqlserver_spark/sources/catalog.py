@@ -15,6 +15,7 @@ pure projection, so pushdown of other predicates is unaffected.
 from __future__ import annotations
 
 import os
+from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -65,6 +66,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _repair_nano_ts(df, name)
+
+
+def load_table_ts_window(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_col: str,
+    start: "datetime | None",
+    end: "datetime | None",
+) -> DataFrame:
+    """Time-windowed scan with the predicate pushed in the RAW domain.
+
+    The nanos→micros repair is a projection, so a filter written against
+    the repaired timestamp cannot reach parquet row-group statistics
+    (expression filters don't push; only attribute comparisons do). For
+    nanos-stored columns this helper rewrites the half-open window
+    [start, end) into the raw int64 nanosecond domain BEFORE the repair —
+    exact, because ts_us = ts_ns div 1000 is monotone and
+    ``ts_us >= A ⟺ ts_ns >= A*1000``, ``ts_us < B ⟺ ts_ns < B*1000`` —
+    restoring min/max row-group skipping on the scan. Columns stored as
+    real timestamps push down natively and take the normal path.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if isinstance(fields.get(ts_col), LongType):
+        # tz-independent epoch micros (naive datetime arithmetic matches
+        # Spark's UTC session handling of naive literals)
+        def _ns(dt):
+            return ((dt - datetime(1970, 1, 1)) // timedelta(microseconds=1)) * 1000
+
+        if start is not None:
+            df = df.where(F.col(ts_col) >= F.lit(_ns(start)))
+        if end is not None:
+            df = df.where(F.col(ts_col) < F.lit(_ns(end)))
+        return _repair_nano_ts(df, name)
+    out = _repair_nano_ts(df, name)
+    if start is not None:
+        out = out.where(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        out = out.where(F.col(ts_col) < F.lit(end))
+    return out
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -123,3 +123,12 @@ def test_salted_join_and_agg(spark):
         for r in big.groupBy("k").agg(F.count("v").alias("n"), F.max("v").alias("vmax")).collect()
     }
     assert rows == truth
+
+
+def test_nano_window_filter_pushes_raw_range(spark):
+    """window_filter's time range must reach PushedFilters in the raw
+    int64-nanos domain (the repair projection would otherwise block
+    row-group skipping on the only true-nanos column, events.ts)."""
+    plan = plan_of(REGISTRY["window_filter"].fn(spark, SF))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(ts," in pushed and "LessThan(ts," in pushed
