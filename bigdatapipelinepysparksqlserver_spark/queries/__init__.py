@@ -9,6 +9,7 @@ Import side effect: importing this package registers all queries.
 from .registry import REGISTRY, QuerySpec, query  # noqa: F401
 from . import relational_queries  # noqa: F401,E402
 from . import tpch_extra  # noqa: F401,E402
+from . import temporal_queries  # noqa: F401,E402
 from . import dedup_queries  # noqa: F401,E402
 from . import text_queries  # noqa: F401,E402
 from . import similarity_queries  # noqa: F401,E402

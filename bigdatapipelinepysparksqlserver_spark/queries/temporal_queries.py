@@ -1,0 +1,221 @@
+"""Temporal-join and multidimensional-aggregation query surface.
+
+As-of join and banded range join are the two interval operators Spark has
+no built-in for (``operators/temporal.py``); rollup/pivot exercise the
+multidimensional GROUP BY surface. All four are oracle-checked — the
+as-of/range oracles are written as window/inequality SQL DuckDB executes
+exactly, with (ts, event_id) total-order tie-breaks so both engines pick
+the same row at timestamp collisions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.expressions import dec
+from ..operators.temporal import asof_join, range_join
+from ..sources.catalog import Catalog
+from .registry import query
+
+# --------------------------------------------------------------------------
+# as-of join: last-touch attribution (purchase ← latest prior click/view)
+# --------------------------------------------------------------------------
+
+ASOF_ATTRIBUTION_ORACLE = """
+WITH src AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('click', 'view')
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         s.ts AS s_ts, s.event_type AS s_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC
+         ) AS rn
+  FROM p LEFT JOIN src s
+    ON s.user_id = p.user_id
+   AND (s.ts < p.ts OR (s.ts = p.ts AND s.event_id < p.event_id))
+)
+SELECT event_id, user_id, ts,
+       s_ts AS last_touch_ts, s_type AS last_touch_type
+FROM j WHERE rn = 1
+"""
+
+
+@query("asof_attribution", oracle=ASOF_ATTRIBUTION_ORACLE)
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined as-of to the latest
+    preceding click/view of the same user (marketing-attribution shape).
+
+    Scale: the union-window as-of join shuffles ONCE on user_id; the
+    oracle's equivalent inequality-join formulation explodes each purchase
+    by the user's full click history — that asymmetry is exactly why the
+    operator exists. Purchases with no prior touch keep null fields
+    (left-outer as-of).
+    """
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = asof_join(
+        purchases,
+        touches,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["ts", "event_type"],
+        seq_col="event_id",
+        prefix="asof_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("last_touch_ts"),
+        F.col("asof_event_type").alias("last_touch_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# banded range join: per-error look-back context window
+# --------------------------------------------------------------------------
+
+RANGE_ERROR_CONTEXT_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts,
+       COUNT(o.event_id) AS ctx_count,
+       SUM(CAST(o.value AS DECIMAL(18,2))) AS ctx_value_sum
+FROM events e
+LEFT JOIN events o
+  ON o.user_id = e.user_id
+ AND o.ts >= e.ts - INTERVAL 10 MINUTE
+ AND o.ts <  e.ts
+WHERE e.event_type = 'error'
+GROUP BY 1, 2, 3
+"""
+
+
+@query("range_error_context", oracle=RANGE_ERROR_CONTEXT_ORACLE)
+def range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event: count + value sum of the same user's
+    activity in the 10 minutes before it (half-open look-back band).
+
+    Scale: the banded range join turns the ts-inequality join — which
+    Catalyst would plan as a per-key nested loop — into an equi-join on
+    (user_id, time_bin) with ≤2 candidate bins per error. Errors with an
+    empty window are restored by a final left join against the error list
+    (count 0, sum null — SQL aggregate semantics).
+    """
+    ev = Catalog(spark, sf_dir).events
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    context = ev.select("event_id", "user_id", "ts", "value")
+    ten_min_us = 10 * 60 * 1_000_000
+    pairs = range_join(
+        errors,
+        context,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_us=-ten_min_us,
+        upper_us=0,
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count("r_event_id").alias("ctx_count"),
+        F.sum(dec("r_value")).alias("ctx_value_sum"),
+    )
+    return errors.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("ctx_count"), F.lit(0)).alias("ctx_count"),
+        "ctx_value_sum",
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP: event_type × day with subtotal levels
+# --------------------------------------------------------------------------
+
+EVENTS_ROLLUP_ORACLE = """
+SELECT event_type, day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day) AS INTEGER) AS lvl,
+       COUNT(*) AS event_count,
+       SUM(CAST(value AS DECIMAL(18,2))) AS value_sum
+FROM (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value
+      FROM events) t
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+@query("events_rollup", oracle=EVENTS_ROLLUP_ORACLE)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (event_type, day): detail rows + per-type subtotals + grand
+    total in one pass, with an explicit grouping-level column (the CASE the
+    two engines' differing GROUPING_ID bit orders is avoided by computing
+    the level from individual GROUPING flags identically on both).
+
+    Scale: Spark plans rollup as a single Expand + one hash aggregate —
+    3 grouping sets here, so the shuffle carries 3× the (small) group
+    domain, not 3× the input; partial aggregation still applies below the
+    exchange.
+    """
+    ev = Catalog(spark, sf_dir).events
+    base = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return (
+        base.rollup("event_type", "day")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("day"))
+            .cast("int")
+            .alias("lvl"),
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(dec("value")).alias("value_sum"),
+        )
+        .select("event_type", "day", "lvl", "event_count", "value_sum")
+    )
+
+
+# --------------------------------------------------------------------------
+# PIVOT: daily event-type count matrix
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+EVENTS_PIVOT_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+FROM events
+GROUP BY 1
+"""
+
+
+@query("events_pivot", oracle=EVENTS_PIVOT_ORACLE)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type count matrix via an EXPLICIT-values pivot.
+
+    Scale: passing the pivot values up front matters — without them Spark
+    runs an extra distinct-collect job over the full input to discover the
+    columns before it can even plan. With fixed values the pivot compiles
+    to conditional aggregates (same plan as the oracle's CASE columns):
+    one scan, one shuffle on day. Missing cells are 0 (count semantics),
+    matching COUNT(CASE …) which never returns NULL.
+    """
+    ev = Catalog(spark, sf_dir).events
+    out = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in EVENT_TYPES]
+    )

@@ -1,0 +1,110 @@
+"""Unit tests for the as-of join and banded range join operators —
+boundary semantics (strict/inclusive edges, timestamp ties, empty
+matches) on hand-built rows where the expected answer is enumerable.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from bigdatapipelinepysparksqlserver_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s: int):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_picks_latest_prior_row(spark):
+    left = spark.createDataFrame(
+        [(100, 1, _ts(10)), (101, 1, _ts(30)), (102, 2, _ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 1, _ts(1), "a"), (2, 1, _ts(9), "b"), (3, 1, _ts(20), "c")],
+        "event_id long, user_id long, ts timestamp, tag string",
+    )
+    out = {
+        r["event_id"]: r["asof_tag"]
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            payload_cols=["tag"], seq_col="event_id",
+        ).collect()
+    }
+    assert out == {100: "b", 101: "c", 102: None}  # 102: no rows for user 2
+
+
+def test_asof_tie_on_ts_resolved_by_seq(spark):
+    # right row at the SAME timestamp as the left row: joined only if its
+    # seq (event_id) is smaller — the (ts, seq) total order, not a hash race.
+    left = spark.createDataFrame(
+        [(10, 1, _ts(5)), (1, 1, _ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(5, 1, _ts(5), "same-ts")], "event_id long, user_id long, ts timestamp, tag string"
+    )
+    out = {
+        r["event_id"]: r["asof_tag"]
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            payload_cols=["tag"], seq_col="event_id",
+        ).collect()
+    }
+    assert out == {10: "same-ts", 1: None}  # seq 5 < 10 joins; 5 > 1 does not
+
+
+def test_asof_single_shuffle_plan(spark):
+    left = spark.createDataFrame([(1, 1, _ts(1))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(2, 1, _ts(0), "x")], "event_id long, user_id long, ts timestamp, tag string"
+    )
+    plan = (
+        asof_join(left, right, key="user_id", left_ts="ts", right_ts="ts",
+                  payload_cols=["tag"], seq_col="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan  # union+window, not a join explosion
+    assert plan.count("Exchange") <= 2  # union inputs coalesce into one key shuffle
+
+
+def test_range_join_half_open_band(spark):
+    left = spark.createDataFrame([(1, 7, _ts(10))], "id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(20, 7, _ts(4)), (21, 7, _ts(5)), (22, 7, _ts(9)), (23, 7, _ts(10)), (24, 8, _ts(9))],
+        "id long, user_id long, ts timestamp",
+    )
+    # band [ts-5s, ts): 5..9 inclusive-lower, exclusive-upper; other key excluded
+    got = sorted(
+        r["r_id"]
+        for r in range_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            lower_us=-5_000_000, upper_us=0,
+        ).collect()
+    )
+    assert got == [21, 22]
+
+
+def test_range_join_matches_across_bin_boundary(spark):
+    # right row lands in a different bin than the left row's own bin;
+    # the candidate-bin explosion must still find it.
+    left = spark.createDataFrame([(1, 7, _ts(31))], "id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(20, 7, _ts(29))], "id long, user_id long, ts timestamp")
+    got = range_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        lower_us=-30_000_000, upper_us=0, bin_width_us=30_000_000,
+    ).collect()
+    assert [r["r_id"] for r in got] == [20]
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # a right row in the overlap of two candidate bins must pair exactly once
+    left = spark.createDataFrame([(1, 7, _ts(10))], "id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(20, 7, _ts(8)), (20, 7, _ts(8))][:1], "id long, user_id long, ts timestamp"
+    )
+    got = range_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        lower_us=-5_000_000, upper_us=0, bin_width_us=2_000_000,
+    ).collect()
+    assert len(got) == 1
