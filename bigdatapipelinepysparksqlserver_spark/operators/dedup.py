@@ -56,6 +56,12 @@ def minhash_signatures(
     permutation hashes a fixed 12-byte (int, long) pair, which is
     several× cheaper than re-hashing the string per permutation. One
     shuffle (groupBy id) computes all signatures via map-side partial MIN.
+
+    A map-only array formulation (transform + array_min per permutation)
+    was benchmarked and REJECTED: Spark's higher-order functions are
+    interpreted, not codegen'd, so it costs more CPU than this form saves
+    in shuffle — and the shuffle here is already doc-cardinality thanks to
+    partial aggregation.
     """
     hashed = shingled.withColumn("__sh64", F.xxhash64(F.col("shingle")))
     mins = [
@@ -95,61 +101,82 @@ def lsh_candidate_pairs(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
         ).alias("e"),
     ).select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # bucket-grouping form, NOT a self-join: one shuffle on (band, bh),
+    # then in-bucket pair enumeration as an array expression. A self-join
+    # would evaluate the signature subtree twice — Spark cannot reuse the
+    # exchange because higher-order-function lambda ids defeat plan
+    # canonicalization — and shuffle the exploded table two more times.
+    # collect_list is safe here: a bucket is an LSH collision group, small
+    # by construction (a mega-bucket means near-identical boilerplate docs,
+    # which exact-dedup should have removed upstream).
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i + 1).alias("id1"),
+                    F.element_at(F.col("ids"), j + 1).alias("id2"),
+                ),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .distinct()
     )
 
 
-def exact_jaccard(
-    shingled: DataFrame,
+def shingle_array(text_col: str, n: int = 3) -> Column:
+    """Distinct word-n-gram shingle set of a text column, as an array
+    expression (map-side, no explode)."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)])
+
+    return F.when(
+        F.size(words) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def pairwise_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
     id_col: str,
-    pairs: DataFrame | None,
-    prefiltered: bool = False,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact Jaccard for (id1, id2) pairs from distinct shingle sets.
+    """Exact Jaccard for an explicit (id1, id2) candidate list, computed
+    per pair by array intersection — the verify stage of the LSH path.
 
-    ``pairs=None`` computes all co-shingled pairs (quadratic baseline);
-    otherwise restricted to the given candidates (the LSH path).
-
-    Scale: when ``pairs`` is given, the shingle table is semi-joined on the
-    candidate doc-id set BEFORE the self-join — Catalyst cannot push a
-    semi-join on post-aggregation (id1, id2) below the join+groupBy, so
-    pruning must happen on the inputs. The self-join is then quadratic only
-    in candidate docs (LSH-bucket collisions), not the whole corpus.
-    ``prefiltered=True`` asserts the caller already restricted ``shingled``
-    to candidate docs (skips the redundant semi-join).
+    Scale: cost is proportional to CANDIDATES, never corpus. Each side of
+    the pair list joins the docs table once (shingle arrays are computed
+    below the join, once per doc, and travel as data); the Jaccard itself
+    is a row-local array_intersect — no shingle-level shuffle, no
+    post-aggregation semi-join, ~3 stages total. A doc appearing in k
+    candidate pairs is replicated k times; LSH banding keeps k small by
+    construction (bucket collisions), which is the operator's contract.
     """
-    sh = shingled.select(F.col(id_col).alias("doc_id"), "shingle").distinct()
-    if pairs is not None and not prefiltered:
-        cand_ids = (
-            pairs.select(F.col("id1").alias("doc_id"))
-            .union(pairs.select(F.col("id2").alias("doc_id")))
-            .distinct()
-        )
-        sh = sh.join(cand_ids, "doc_id", "left_semi")
-    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sh = docs.select(
+        F.col(id_col).alias("__id"), shingle_array(text_col, shingle_n).alias("__sh")
     )
-    if pairs is not None:
-        # the candidate docs can still co-shingle with pairs outside the LSH
-        # candidate list; keep only the candidate pairs themselves.
-        inter = inter.join(pairs, ["id1", "id2"], "left_semi")
-    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    s1 = sh.select(F.col("__id").alias("id1"), F.col("__sh").alias("__sh1"))
+    s2 = sh.select(F.col("__id").alias("id2"), F.col("__sh").alias("__sh2"))
+    inter = F.size(F.array_intersect(F.col("__sh1"), F.col("__sh2")))
+    union = F.size("__sh1") + F.size("__sh2") - inter
+    jac = inter.cast("double") / union
     return (
-        inter.join(card.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")), "id1")
-        .join(card.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")), "id2")
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
         .select("id1", "id2", jac.alias("jaccard"))
     )
 
@@ -167,27 +194,31 @@ def minhash_near_duplicates(
 
     Returns (id1, id2, jaccard rounded to 6dp) for verified pairs ≥ threshold.
     """
+    # exploded + groupBy-MIN signatures, NOT the array variant: Spark's
+    # higher-order functions (transform/aggregate) are interpreted, so the
+    # "shuffle-free" array form spends more CPU than it saves in exchange.
+    # The groupBy's map-side partial MIN collapses the shuffle to
+    # ~num_hashes longs per (doc, source partition) — doc-cardinality, not
+    # shingle-cardinality — which scales fine.
     shingled = ngram_shingles(df, text_col=text_col, id_col=id_col, n=shingle_n)
     sigs = minhash_signatures(shingled, id_col=id_col, num_hashes=num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
-    # the candidate list feeds two consumers (doc pruning + pair filter);
-    # persist the tiny (id1,id2) table so the expensive shingle→minhash→band
-    # subtree runs ONCE per action instead of once per consumer.
-    cands = cands.persist()
-    # verify cost must be proportional to CANDIDATES, not corpus: re-shingle
-    # only candidate docs (semi-join pushes the prune into the documents
-    # scan, before the explode) rather than filtering the full shingle table.
+    cands = lsh_candidate_pairs(
+        sigs, id_col=id_col, num_hashes=num_hashes, bands=bands
+    ).persist()  # two consumers (doc prune + verify) — don't recompute LSH
     cand_ids = (
         cands.select(F.col("id1").alias(id_col))
         .union(cands.select(F.col("id2").alias(id_col)))
         .distinct()
     )
-    cand_docs = df.join(cand_ids, id_col, "left_semi")
-    cand_shingled = ngram_shingles(cand_docs, text_col=text_col, id_col=id_col, n=shingle_n)
-    verified = exact_jaccard(
-        cand_shingled.withColumnRenamed(id_col, "doc_id"), "doc_id", cands, prefiltered=True
+    # verify cost must be proportional to CANDIDATES, not corpus: prune the
+    # docs table to candidate ids (broadcast semi-join reaches the parquet
+    # scan), then each pair fetches its two shingle sets by id join and
+    # intersects row-locally.
+    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    pairs = pairwise_jaccard(
+        cand_docs, cands, text_col=text_col, id_col=id_col, shingle_n=shingle_n
     )
-    return verified.where(F.col("jaccard") >= threshold).select(
+    return pairs.where(F.col("jaccard") >= threshold).select(
         "id1", "id2", F.round("jaccard", 6).alias("jaccard")
     )
 

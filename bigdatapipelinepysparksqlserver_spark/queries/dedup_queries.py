@@ -115,8 +115,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard.
 
     shingle → 64 minhashes (xxhash64 with per-permutation seeds) → 16 bands
-    of 4 → band-bucket self-join → exact Jaccard verify on candidates only.
-    Scale: the self-join is on (band, bucket-hash) — near-linear for
+    of 4 → bucket-grouped pair enumeration (groupBy band-hash +
+    collect_list, no self-join) → per-pair array-intersection Jaccard on
+    candidate docs only. Scale: candidate generation is one shuffle on the
+    band hash and verification is candidate-proportional — near-linear for
     non-degenerate data vs the quadratic exact form.
     """
     docs = Catalog(spark, sf_dir).documents
