@@ -232,10 +232,17 @@ def simhash_signatures(
     `bits` conditional SUM aggregates in a single groupBy — one shuffle, all
     map-side combinable. 63 bits keeps the signature in a signed BIGINT.
     """
-    tokens = df.select(
-        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok")
-    ).distinct()
-    h = F.xxhash64(F.col("tok"))
+    # hash BEFORE the distinct: the (id, token) dedup shuffle then carries
+    # fixed 8-byte hashes instead of variable-length token strings, and the
+    # downstream bit tests reuse the same column.
+    tokens = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok")
+        )
+        .select(F.col(id_col), F.xxhash64(F.col("tok")).alias("__h"))
+        .distinct()
+    )
+    h = F.col("__h")
     sums = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
             f"b{i}"
@@ -254,27 +261,62 @@ def simhash_signatures(
 def hamming_neighbors(signatures: DataFrame, id_col: str, max_distance: int = 3) -> DataFrame:
     """SimHash pairs within a Hamming radius, bucketed by 16-bit sub-blocks.
 
-    Pigeonhole: two 64-bit signatures within distance 3 share at least one of
-    four 16-bit blocks exactly — join per block, then verify with bit_count.
+    Pigeonhole: two 64-bit signatures within distance 3 share at least one
+    of four 16-bit blocks exactly — bucket per block, enumerate in-bucket
+    pairs, then verify with bit_count.
+
+    Scale: bucket-grouped like :func:`lsh_candidate_pairs` — the
+    alternative (4 self-joins of the signature relation) evaluates the
+    signature aggregation 8× and shuffles it 8×; here the (block, value)
+    explode shuffles ONCE into buckets. (id, simhash) pairs are sorted
+    structs so id1 < id2 falls out of the enumeration order; the final
+    distinct dedups pairs that collide in several blocks.
     """
-    blocks = [
-        F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"blk{b}")
-        for b in range(4)
-    ]
-    tagged = signatures.select(F.col(id_col).alias("doc_id"), "simhash", *blocks)
-    pairs = None
-    for b in range(4):
-        a_side = tagged.select(
-            F.col("doc_id").alias("id1"), F.col("simhash").alias("sh1"), F.col(f"blk{b}").alias("k")
+    exploded = signatures.select(
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("e"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("k"),
+    )
+    buckets = (
+        exploded.groupBy("k.blk", "k.val")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .where(F.size("es") > 1)
+    )
+    n = F.size("es")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("es"), i + 1).alias("p1"),
+                    F.element_at(F.col("es"), j + 1).alias("p2"),
+                ),
+            ),
         )
-        b_side = tagged.select(
-            F.col("doc_id").alias("id2"), F.col("simhash").alias("sh2"), F.col(f"blk{b}").alias("k")
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.p1.id").alias("id1"),
+            F.col("p.p2.id").alias("id2"),
+            F.col("p.p1.sh").alias("sh1"),
+            F.col("p.p2.sh").alias("sh2"),
         )
-        p = a_side.join(b_side, ["k"]).where(F.col("id1") < F.col("id2")).drop("k")
-        pairs = p if pairs is None else pairs.unionByName(p)
+        .distinct()
+    )
     dist = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
-    return (
-        pairs.distinct()
-        .where(dist <= max_distance)
-        .select("id1", "id2", dist.alias("hamming_distance"))
+    return pairs.where(dist <= max_distance).select(
+        "id1", "id2", dist.alias("hamming_distance")
     )
