@@ -10,6 +10,7 @@ from .registry import REGISTRY, QuerySpec, query  # noqa: F401
 from . import relational_queries  # noqa: F401,E402
 from . import tpch_extra  # noqa: F401,E402
 from . import temporal_queries  # noqa: F401,E402
+from . import window_queries  # noqa: F401,E402
 from . import dedup_queries  # noqa: F401,E402
 from . import text_queries  # noqa: F401,E402
 from . import similarity_queries  # noqa: F401,E402

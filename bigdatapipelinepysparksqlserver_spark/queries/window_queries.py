@@ -1,0 +1,87 @@
+"""Analytic window-function surface: offset functions (lag/lead), framed
+moving aggregates, and exact interpolated percentiles — each with a DuckDB
+oracle twin. Orders are made TOTAL with an (ts, event_id) tie-break so the
+two engines agree row-for-row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.catalog import Catalog
+from .registry import query
+
+# --------------------------------------------------------------------------
+# lag / lead / framed moving average over the event stream
+# --------------------------------------------------------------------------
+
+EVENT_GAPS_ORACLE = """
+SELECT event_id, user_id, ts,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       LEAD(event_type) OVER w AS next_type,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("event_gaps", oracle=EVENT_GAPS_ORACLE)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (lag), next event type (lead), and a
+    3-row moving average of value — the offset + framed-aggregate window
+    trio in one pass.
+
+    Scale: all three windows share ONE partitioning and ordering, so
+    Catalyst plans a single shuffle on user_id and a single sort — adding
+    window functions over the same (partition, order) spec is free. The
+    (ts, event_id) tie-break makes lag/lead deterministic under timestamp
+    collisions.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.avg("value").over(frame), 6).alias("moving_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact interpolated percentiles (the sketch twin is sketch_price_quantiles)
+# --------------------------------------------------------------------------
+
+PRICE_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("price_percentiles", oracle=PRICE_PERCENTILES_ORACLE)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quartiles of extended price per return
+    flag (Spark ``percentile`` ≡ DuckDB ``quantile_cont``).
+
+    Scale: exact percentile buffers each group's values — fine for a
+    handful of groups, wrong for high-cardinality ones; the registered
+    ``sketch_price_quantiles`` (approx_percentile / GK sketch) is the
+    100 TB path, this query is its exact twin for auditability.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(q)), 6).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )

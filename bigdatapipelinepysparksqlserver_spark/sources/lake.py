@@ -126,3 +126,32 @@ class LakeTable:
         )
         out = ordered.repartition(*[F.col(c) for c in self.partition_cols])
         return out.write.partitionBy(*self.partition_cols)
+
+
+def write_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Hash-bucketed (and optionally sorted) catalog table.
+
+    Bucketing is the pre-shuffle: both sides of a repeated equi-join (or a
+    repeated groupBy) written with the SAME bucket column and count join
+    WITHOUT any Exchange — the hash partitioning is baked into the file
+    layout at write time, and with ``sort_col`` the sort is too, so a
+    sort-merge join degenerates to a zip of pre-sorted buckets. At 100 TB
+    this converts the fact⋈fact shuffle (the single most expensive
+    operation in the pipeline) into a local merge, paid once at ingest.
+    Idempotent: re-running replaces the table.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    w = df.write.format("parquet").mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", os.path.abspath(path))
+    w.saveAsTable(name)
