@@ -198,7 +198,10 @@ def ivf_topk(
         F.col(vec_col).alias("neighbor_vec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=n_centroids, seed=seed, maxIter=10)
+    # random init (seeded, deterministic): k-means|| init costs ~2 extra
+    # distributed passes, pointless precision for a COARSE quantizer whose
+    # cell boundaries only gate recall, not correctness of the re-rank.
+    km = KMeans(k=n_centroids, seed=seed, maxIter=8, initMode="random")
     model = km.fit(feat.select("features"))
     assigned = model.transform(feat).select(
         "neighbor_id", "neighbor_vec", F.col("prediction").alias("cell")
