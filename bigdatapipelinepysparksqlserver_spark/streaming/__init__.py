@@ -9,4 +9,6 @@ from .cdc import (  # noqa: F401
     foreach_batch_partition_overwrite,
     streaming_dedup,
     streaming_hourly_agg,
+    streaming_running_totals,
+    streaming_sessionize,
 )

@@ -135,3 +135,49 @@ def foreach_batch_partition_overwrite(
         lake.overwrite_partitions(out)
 
     return _sink
+
+
+def streaming_running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "amount",
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum) maintained
+    across micro-batches with ``applyInPandasWithState`` — the escape
+    hatch for stateful logic no built-in streaming aggregation expresses
+    (the reference's run-ledger accumulation, continuous form).
+
+    Emits one row per key per micro-batch that touched it (update-mode
+    semantics): the key's NEW running totals. State is one (long, double)
+    pair per key — O(distinct keys) memory, partitioned by the groupBy
+    hash, so it scales horizontally with executors.
+
+    This is deliberately the ONLY stateful Python surface in the engine:
+    everything expressible as watermarked aggs/dedup/session_window uses
+    the native operators above (JVM state store, no Python round-trip);
+    Arrow batches amortize the transfer here.
+    """
+    import pandas as pd  # local import: only the streaming path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, event_count long, value_sum double"
+    state_schema = "event_count long, value_sum double"
+
+    def update(key, pdfs, state):
+        (k,) = key
+        cnt, vsum = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            vsum += float(pdf[value_col].fillna(0.0).sum())
+        state.update((cnt, vsum))
+        yield pd.DataFrame(
+            {key_col: [k], "event_count": [cnt], "value_sum": [vsum]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -121,3 +121,44 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from sess_test").collect()
     }
     assert streamed == batch
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state must SURVIVE micro-batch boundaries —
+    two single-file batches, final per-key totals equal the batch groupBy."""
+    from bigdatapipelinepysparksqlserver_spark.streaming import streaming_running_totals
+
+    schema = "user_id long, ts timestamp, amount double"
+    batch1 = [(1, datetime(2024, 1, 1, 10, 0), 10.0), (2, datetime(2024, 1, 1, 10, 1), 5.0)]
+    batch2 = [(1, datetime(2024, 1, 1, 10, 2), 7.0), (1, datetime(2024, 1, 1, 10, 3), 3.0)]
+    src = tmp_path / "totals_src"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force ≥2 micro-batches
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_running_totals(stream, key_col="user_id", value_col="amount")
+        .writeStream.format("memory")
+        .queryName("totals_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "totals_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1  # really >1 batch
+
+    emitted = spark.sql("SELECT * FROM totals_test").collect()
+    # update mode re-emits a key on every batch that touches it; the running
+    # totals are monotone, so the final state is the max emission per key
+    final = {}
+    for r in emitted:
+        cur = final.get(r.user_id)
+        if cur is None or r.event_count > cur[0]:
+            final[r.user_id] = (r.event_count, r.value_sum)
+    assert final == {1: (3, 20.0), 2: (1, 5.0)}
+    # user 1's totals span both micro-batches → state crossed the boundary
