@@ -1,5 +1,5 @@
-"""Extended TPC-H coverage (q7/q8/q9/q13/q15/q17/q18/q19/q22), adapted to
-the driver testdata's reduced star schema.
+"""Extended TPC-H coverage (q7/q8/q9/q13/q15/q16/q17/q18/q19/q20/q22),
+adapted to the driver testdata's reduced star schema.
 
 Adaptations (the testdata has no partsupp table, no l_commitdate /
 l_receiptdate / l_shipmode / l_shipinstruct / p_container / p_mfgr /
@@ -8,7 +8,11 @@ c_phone / o_comment):
 - q9 costs from ``p_retailprice`` instead of ``ps_supplycost``.
 - q13 filters ``o_orderpriority <> '5-LOW'`` instead of the o_comment
   NOT-LIKE filter.
+- q16 takes supplier relationships from lineitem (no partsupp) and drops
+  the complaint-supplier subquery (no s_comment).
 - q17/q19 substitute brand+size predicates for brand+container.
+- q20 compares shipped share instead of stocked availability (no
+  partsupp).
 - q22 derives the "country code" grouping from ``c_nationkey`` instead of
   ``substring(c_phone, 1, 2)``.
 
@@ -555,4 +559,112 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(dec("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier diversity per part attribute (distinct-count semi surface)
+# --------------------------------------------------------------------------
+
+TPCH_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+GROUP BY 1, 2, 3
+"""
+
+
+@query("tpch_q16", oracle=TPCH_Q16_ORACLE)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted): distinct suppliers per (brand, type, size);
+    supplier relationships come from lineitem (no partsupp in the
+    testdata), and the complaint-supplier NOT-IN subquery is dropped
+    (no s_comment).
+
+    Scale: the brand/type/size predicates prune part at its scan; part
+    broadcasts into lineitem; COUNT(DISTINCT suppkey) plans as a two-phase
+    Expand aggregate — both phases partial-aggregate below their
+    exchanges, so the shuffle carries (group, suppkey) pairs, already
+    deduplicated per map partition.
+    """
+    t = Catalog(spark, sf_dir)
+    part = t.part.where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — suppliers carrying a dominant share of a part's shipments
+# --------------------------------------------------------------------------
+
+TPCH_Q20_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey AS tot_pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS part_qty
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_partkey
+), dominant AS (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN per_part t ON l.l_partkey = t.tot_pk
+  WHERE p.p_name LIKE '%gear%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_suppkey, l.l_partkey, t.part_qty
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 0.3 * t.part_qty
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN dominant d ON s.s_suppkey = d.l_suppkey
+"""
+
+
+@query("tpch_q20", oracle=TPCH_Q20_ORACLE)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted): suppliers shipping > 30% of a 'gear' part's
+    1996 volume. The spec's partsupp availability comparison becomes a
+    shipped-share comparison (no partsupp table) — the same decorrelated
+    correlated-subquery plan shape as the original.
+
+    Scale: the per-part total and the per-(supp, part) sum share the 1996
+    ship-window scan AND the partkey shuffle key (AQE coalesces the
+    exchanges); the part-name filter broadcasts into the grouped side; the
+    final supplier join is semi-dedup'd before touching supplier.
+    """
+    t = Catalog(spark, sf_dir)
+    window = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    per_part = window.groupBy(F.col("l_partkey").alias("tot_pk")).agg(
+        F.sum(dec("l_quantity")).alias("part_qty")
+    )
+    gear = t.part.where(F.col("p_name").like("%gear%")).select("p_partkey")
+    dominant = (
+        window.join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("tot_pk"))
+        .groupBy("l_suppkey", "l_partkey", "part_qty")
+        .agg(F.sum(dec("l_quantity")).alias("supp_qty"))
+        .where(F.col("supp_qty") > F.lit(0.3) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t.supplier.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
     )

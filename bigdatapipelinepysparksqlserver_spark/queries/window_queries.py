@@ -85,3 +85,38 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.50, 0.75)
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# semi-structured (JSON) property extraction — §2.7 function surface
+# --------------------------------------------------------------------------
+
+JSON_PROPS_ORACLE = """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS k_avg,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("json_props_agg", oracle=JSON_PROPS_ORACLE)
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured ``props`` JSON column,
+    aggregated per event type.
+
+    Scale: ``get_json_object`` is a JVM-side path evaluation (no Python,
+    no full JSON parse into a struct — single-path extraction). For hot
+    multi-key access at 100 TB, promote to ``from_json`` with an explicit
+    schema once per row instead of N path scans; with one key, the path
+    form is the cheaper plan. The extraction happens BELOW the aggregate,
+    so the shuffle carries (type, long), never the JSON string.
+    """
+    ev = Catalog(spark, sf_dir).events
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.round(F.avg(k), 6).alias("k_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
