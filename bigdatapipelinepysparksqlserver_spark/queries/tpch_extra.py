@@ -309,13 +309,16 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) achieving the max quarterly revenue.
 
-    Scale: the revenue CTE is one pruned-scan + one shuffle on suppkey; the
-    scalar max is a 1-row global agg of that SMALL aggregate (supplier-
-    cardinality, not lineitem-cardinality) broadcast back as a join — the
-    classic argmax-without-window shape. Ties surface every max supplier,
-    same as the spec. Decimal equality join is exact, so the two-pass argmax
-    is deterministic.
+    Scale: the revenue aggregate (one pruned scan + one shuffle on
+    suppkey) is computed ONCE — the scalar max is an empty-partition
+    window over that SMALL aggregate (supplier-cardinality, not
+    lineitem-cardinality), so Spark doesn't re-derive the subtree the way
+    a separate max-aggregate + self-join formulation would (the CTE form
+    plans TWO lineitem scans). Ties surface every max supplier, same as
+    the spec; decimal comparison is exact, so the argmax is deterministic.
     """
+    from pyspark.sql import Window
+
     t = Catalog(spark, sf_dir)
     revenue_expr = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
         "decimal(18,4)"
@@ -328,11 +331,10 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(revenue_expr).alias("total_revenue"))
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    max_rev = F.max("total_revenue").over(Window.partitionBy())
     return (
-        revenue.join(
-            F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue")
-        )
+        revenue.withColumn("max_revenue", max_rev)
+        .where(F.col("total_revenue") == F.col("max_revenue"))
         .join(t.supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
