@@ -93,3 +93,73 @@ def test_salted_agg_equals_direct(spark, rows, buckets):
         ).collect()
     }
     assert salted == direct
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), TS), min_size=1, max_size=15
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), TS), min_size=0, max_size=15
+    ),
+)
+def test_asof_join_equals_bruteforce(spark, lefts, rights):
+    """asof_join ≡ argmax over the (ts, seq) order: for every left row the
+    payload is the right row of the same key with the greatest (ts, seq)
+    strictly below the left row's (ts, seq), or null."""
+    from bigdatapipelinepysparksqlserver_spark.operators.temporal import asof_join
+
+    lrows = [(i, k, t) for i, (k, t) in enumerate(lefts)]
+    rrows = [(1000 + i, k, t, f"p{i}") for i, (k, t) in enumerate(rights)]
+    left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "event_id long, user_id long, ts timestamp, tag string"
+    )
+    got = {
+        r["event_id"]: r["asof_tag"]
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            payload_cols=["tag"], seq_col="event_id",
+        ).collect()
+    }
+    for lid, lk, lt in lrows:
+        prior = [
+            (rt, rid, tag)
+            for rid, rk, rt, tag in rrows
+            if rk == lk and (rt, rid) < (lt, lid)
+        ]
+        expected = max(prior)[2] if prior else None
+        assert got[lid] == expected, (lid, got[lid], expected)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), TS), min_size=1, max_size=10),
+    rights=st.lists(st.tuples(st.integers(0, 2), TS), min_size=0, max_size=15),
+    span_s=st.integers(1, 3600),
+)
+def test_range_join_equals_bruteforce(spark, lefts, rights, span_s):
+    """range_join ≡ the half-open band predicate, regardless of how rows
+    straddle bin boundaries."""
+    from bigdatapipelinepysparksqlserver_spark.operators.temporal import range_join
+
+    lrows = [(i, k, t) for i, (k, t) in enumerate(lefts)]
+    rrows = [(1000 + i, k, t) for i, (k, t) in enumerate(rights)]
+    left = spark.createDataFrame(lrows, "id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "id long, user_id long, ts timestamp")
+    got = sorted(
+        (r["id"], r["r_id"])
+        for r in range_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            lower_us=-span_s * 1_000_000, upper_us=0,
+        ).collect()
+    )
+    lo = timedelta(seconds=span_s)
+    expected = sorted(
+        (lid, rid)
+        for lid, lk, lt in lrows
+        for rid, rk, rt in rrows
+        if rk == lk and lt - lo <= rt < lt
+    )
+    assert got == expected
