@@ -79,11 +79,19 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path, this query is its exact twin for auditability.
     """
     li = Catalog(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.percentile("l_extendedprice", F.lit(q)), 6).alias(f"p{int(q * 100)}")
-            for q in (0.25, 0.50, 0.75)
-        ]
+    # ONE percentile aggregate with an array argument — one sort buffer per
+    # group instead of three; the post-agg projection splits the array.
+    ps = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("__ps"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.element_at("__ps", i + 1), 6).alias(p)
+                for i, p in enumerate(("p25", "p50", "p75"))
+            ],
+        )
     )
 
 

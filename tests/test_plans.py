@@ -143,3 +143,19 @@ def test_nano_window_filter_pushes_raw_range(spark):
     plan = plan_of(REGISTRY["window_filter"].fn(spark, SF))
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "GreaterThanOrEqual(ts," in pushed and "LessThan(ts," in pushed
+
+
+def test_event_gaps_single_window_pass(spark):
+    """lag + lead + moving-avg share one (partition, order) spec → ONE
+    shuffle and ONE Window operator, not three."""
+    plan = plan_of(REGISTRY["event_gaps"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window ") == 1
+
+
+def test_asof_attribution_is_union_window_not_join(spark):
+    """The as-of join must plan as union+window: no join operator, one
+    key shuffle — the shape that avoids per-row history explosion."""
+    plan = plan_of(REGISTRY["asof_attribution"].fn(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
