@@ -320,3 +320,66 @@ def hamming_neighbors(signatures: DataFrame, id_col: str, max_distance: int = 3)
     return pairs.where(dist <= max_distance).select(
         "id1", "id2", dist.alias("hamming_distance")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate clusters from a pair list: connected components by
+    iterative min-label propagation. Returns (doc_id, component) where
+    ``component`` is the smallest doc id reachable from ``doc_id`` —
+    i.e. the cluster's canonical representative.
+
+    This is the step that turns pairwise near-dup MATCHES into dedup
+    GROUPS (keep the canonical doc, drop the rest). It is genuinely
+    iterative — no single SQL expression computes transitive closure —
+    so it runs a driver loop of DataFrame rounds:
+
+    label_{t+1}(v) = min(label_t(v), min over neighbors u of label_t(u))
+
+    converging in O(diameter) rounds; near-dup graphs are unions of
+    small dense clusters, so the diameter — and the round count — is
+    tiny regardless of corpus size. Each round is one join + one
+    groupBy on the (small) edge list, with the previous labels
+    localCheckpoint()ed to sever the exponentially deepening lineage
+    (the classic iterative-algorithm failure mode). Convergence is
+    detected by an exact per-round change count; ``max_iter`` bounds
+    pathological chains.
+    """
+    sym = edges.select(
+        F.col(id1).alias("src"), F.col(id2).alias("dst")
+    ).unionByName(edges.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["doc_id"])
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                .cast("long")
+                .alias("__changed"),
+            )
+        ).localCheckpoint()  # sever lineage: O(1) plan depth per round
+        changed = updated.agg(F.sum("__changed")).first()[0] or 0
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

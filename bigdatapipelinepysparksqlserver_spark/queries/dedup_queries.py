@@ -151,3 +151,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     sigs = simhash_signatures(docs, text_col="text", id_col="doc_id")
     return hamming_neighbors(sigs, id_col="doc_id", max_distance=3)
+
+
+@query("dedup_clusters", oracle=None)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair graph — (doc_id, component) where component is the
+    cluster's canonical (minimum) doc id. Rows-only check: the pair graph
+    derives from Spark-seeded xxhash64 MinHash, which DuckDB cannot
+    reproduce; the component semantics themselves are property-tested
+    against a brute-force reference in tests/test_components.py.
+
+    This is the step pairwise dedup output actually needs — "keep one doc
+    per cluster" is a component question, not a pair question (A~B, B~C
+    must drop two docs of {A,B,C} even though A~C never matched).
+    """
+    from ..operators.dedup import connected_components, minhash_near_duplicates
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = minhash_near_duplicates(
+        docs, text_col="text", id_col="doc_id", threshold=0.2, num_hashes=64, bands=16
+    )
+    return connected_components(pairs)
