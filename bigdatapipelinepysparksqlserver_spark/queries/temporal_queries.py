@@ -44,7 +44,7 @@ FROM j WHERE rn = 1
 """
 
 
-@query("asof_attribution", oracle=ASOF_ATTRIBUTION_ORACLE)
+@query("asof_attribution", oracle=ASOF_ATTRIBUTION_ORACLE, headline=True)
 def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase joined as-of to the latest
     preceding click/view of the same user (marketing-attribution shape).

@@ -415,7 +415,7 @@ LIMIT 100
 """
 
 
-@query("tpch_q18", oracle=TPCH_Q18_ORACLE)
+@query("tpch_q18", oracle=TPCH_Q18_ORACLE, headline=True)
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: customers with orders above a quantity threshold
     (threshold 250 ≈ top decile at the testdata's ≤13 lines/order).
