@@ -396,9 +396,11 @@ LIMIT 10
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: selective dim filter → 3-way join → grouped agg → top-k.
 
-    Scale: the filtered customer side broadcasts; orders⋈lineitem shuffles on
-    orderkey (both sides pre-filtered at scan). Deterministic tie-break added
-    (revenue ties would otherwise make LIMIT nondeterministic across engines).
+    Scale: the segment-filtered customer side is AQE-sized (it grows with
+    SF — broadcast while it fits, shuffled hash join beyond, never a forced
+    compile-time hint); orders⋈lineitem shuffles on orderkey (both sides
+    pre-filtered at scan). Deterministic tie-break added (revenue ties
+    would otherwise make LIMIT nondeterministic across engines).
     """
     t = Catalog(spark, sf_dir)
     cutoff = F.lit(datetime(1998, 3, 15))
@@ -411,7 +413,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)")
     agg = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(revenue).alias("revenue"))
@@ -634,7 +636,7 @@ def customer_rank_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Catalog(spark, sf_dir)
     spend = (
-        t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("country"), F.col("c_custkey").alias("client_id"))
         .agg(F.sum(dec("o_totalprice")).alias("total_spend"))
@@ -673,7 +675,7 @@ def refresh_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh = datetime(2024, 6, 1, 8, 0, 0)
     t = Catalog(spark, sf_dir)
     return (
-        t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("country"))
         .agg(F.count(F.lit(1)).alias("order_count"))
@@ -886,7 +888,7 @@ def sketch_distinct_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Catalog(spark, sf_dir)
     joined = t.orders.join(
-        F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey")
+        t.customer, F.col("o_custkey") == F.col("c_custkey")
     ).join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
     return (
         joined.groupBy(F.col("n_name").alias("country"))
@@ -904,7 +906,7 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = Catalog(spark, sf_dir).orders
     c = Catalog(spark, sf_dir).customer
-    joined = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    joined = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.percentile_approx(
             F.col("o_totalprice").cast("double"), [0.5, 0.95, 0.99], 10000
@@ -1024,7 +1026,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").startswith("PROMO"), rev
     ).otherwise(F.lit(0).cast("decimal(18,4)"))
     return (
-        li.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(t.part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"),
@@ -1058,8 +1060,8 @@ LIMIT 20
 @query("tpch_q10", oracle=TPCH_Q10_ORACLE)
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: lost-revenue top-20 customers. Scale: returnflag and the
-    date window prune both big tables at their scans; customer/nation
-    broadcast; TakeOrderedAndProject avoids a global sort; client_id
+    date window prune both big tables at their scans; nation is hinted
+    broadcast (fixed 25 rows), customer is AQE-sized (grows with SF); TakeOrderedAndProject avoids a global sort; client_id
     tie-break makes the top-k deterministic for value-hash comparison."""
     t = Catalog(spark, sf_dir)
     o = t.orders.where(
@@ -1072,7 +1074,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)")
     agg = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("c_custkey").alias("client_id"),

@@ -422,7 +422,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the HAVING subquery is a lineitem groupBy(orderkey) whose output
     is orders-cardinality; it semi-joins orders BEFORE the customer join, so
-    only qualifying orders (rare) reach the wide join. The re-aggregation
+    only qualifying orders (rare) reach the wide join (customer is unhinted —
+    it grows with SF; AQE broadcasts it while it fits). The re-aggregation
     reuses the same orderkey partitioning (no extra exchange under AQE).
     Top-100 lowers to TakeOrderedAndProject with an orderkey tie-break for
     a deterministic hash.
@@ -438,7 +439,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.select("l_orderkey", "l_quantity")
         .join(big_orders, F.col("l_orderkey") == F.col("big_okey"), "left_semi")
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
     )
@@ -473,16 +474,15 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand ∈ {12,23,34}, size ≤ 15) and the lineitem-only implication
     (quantity ≤ 30) are derivable and push to their scans, while the full
     cross-table disjunction evaluates post-join. The part side after
-    pushdown is small → broadcast.
+    pushdown is small at any realistic SF, but carries no hint — AQE
+    broadcasts it from its runtime size rather than a compile-time guess.
     """
     t = Catalog(spark, sf_dir)
     joined = t.lineitem.select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     ).join(
-        F.broadcast(
-            t.part.where(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
-            .select("p_partkey", "p_brand", "p_size")
-        ),
+        t.part.where(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select("p_partkey", "p_brand", "p_size"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     block = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
@@ -601,7 +601,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
         t.lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -645,8 +645,9 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-part total and the per-(supp, part) sum share the 1996
     ship-window scan AND the partkey shuffle key (AQE coalesces the
-    exchanges); the part-name filter broadcasts into the grouped side; the
-    final supplier join is semi-dedup'd before touching supplier.
+    exchanges); the part-name-filtered join side is AQE-sized (it grows
+    with SF); the final supplier join is semi-dedup'd before touching
+    supplier.
     """
     t = Catalog(spark, sf_dir)
     window = t.lineitem.where(
@@ -658,7 +659,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gear = t.part.where(F.col("p_name").like("%gear%")).select("p_partkey")
     dominant = (
-        window.join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        window.join(gear, F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part, F.col("l_partkey") == F.col("tot_pk"))
         .groupBy("l_suppkey", "l_partkey", "part_qty")
         .agg(F.sum(dec("l_quantity")).alias("supp_qty"))
