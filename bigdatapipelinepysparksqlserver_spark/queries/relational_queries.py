@@ -1084,3 +1084,68 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).alias("revenue"))
     )
     return top_k(agg, [F.col("revenue").desc(), F.col("client_id")], 20)
+
+
+# --------------------------------------------------------------------------
+# set operations beyond UNION (SURVEY §2.5 completeness): INTERSECT / EXCEPT
+# --------------------------------------------------------------------------
+
+RETAINED_CLIENTS_ORACLE = """
+SELECT o_custkey AS client_id FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+@query("retained_clients", oracle=RETAINED_CLIENTS_ORACLE)
+def retained_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: clients active in both 1996 and 1997.
+
+    Scale: Catalyst plans INTERSECT as a left-semi join over distinct
+    inputs — one shuffle per side on the (already pruned, 8-byte) key;
+    both date filters push to the orders scan.
+    """
+    t = Catalog(spark, sf_dir)
+
+    def active(y0: int, y1: int) -> DataFrame:
+        return (
+            t.orders.where(
+                (F.col("o_orderdate") >= F.lit(datetime(y0, 1, 1)))
+                & (F.col("o_orderdate") < F.lit(datetime(y1, 1, 1)))
+            ).select(F.col("o_custkey").alias("client_id"))
+        )
+
+    return active(1996, 1997).intersect(active(1997, 1998))
+
+
+CHURNED_CLIENTS_ORACLE = """
+SELECT o_custkey AS client_id FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+@query("churned_clients", oracle=CHURNED_CLIENTS_ORACLE)
+def churned_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): clients active in 1996 but gone in 1997 — the
+    set-difference churn list. Plans as a left-anti join over distinct
+    inputs, same shuffle profile as INTERSECT."""
+    t = Catalog(spark, sf_dir)
+
+    def active(y0: int, y1: int) -> DataFrame:
+        return (
+            t.orders.where(
+                (F.col("o_orderdate") >= F.lit(datetime(y0, 1, 1)))
+                & (F.col("o_orderdate") < F.lit(datetime(y1, 1, 1)))
+            ).select(F.col("o_custkey").alias("client_id"))
+        )
+
+    return active(1996, 1997).subtract(active(1997, 1998))
