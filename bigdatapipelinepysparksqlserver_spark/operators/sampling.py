@@ -1,0 +1,39 @@
+"""Reproducible sampling for training-data pipelines.
+
+``df.sample(fraction, seed)`` is NOT reproducible across runs at scale:
+its Bernoulli draw is seeded per partition index, so any change in file
+layout, split sizes, or parallelism reshuffles which rows are kept.
+A data pipeline needs sample membership to be a pure function of the ROW
+— so re-runs, backfills, and incremental extensions of the corpus agree
+on every row forever.
+
+``hash_sample`` gates on a cryptographic hash of a stable key: a row is
+in the sample iff ``md5(key) < threshold``. Membership is deterministic,
+partition-independent, composable (a 1/4 sample of a 1/2 sample is an
+exact 1/8 sample when thresholds nest), and engine-portable (md5 hex
+compares identically everywhere — which also makes it DuckDB-oracle
+checkable, unlike xxhash64 gating).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def hash_gate(key: Column, threshold_hex: str) -> Column:
+    """Membership predicate: md5(key) lexicographically below the hex
+    threshold. ``threshold_hex`` of length k keeps ~int(threshold,16)/16^k
+    of rows (e.g. '28' → 0x28/256 ≈ 15.6%, '1' → 1/16 = 6.25%)."""
+    return F.md5(key.cast("string").cast("binary")) < F.lit(threshold_hex.lower())
+
+
+def hash_sample(df: DataFrame, key_col: str, threshold_hex: str) -> DataFrame:
+    """Deterministic row-content sample (see module docstring).
+
+    Scale: the gate is a scan-side codegen predicate — no shuffle, no
+    state; the md5 cost is per-row but the predicate prunes before any
+    downstream join or explode. For selective samples this makes the
+    whole downstream pipeline pay fraction-proportional cost.
+    """
+    return df.where(hash_gate(F.col(key_col), threshold_hex))

@@ -6,6 +6,7 @@ ratios computed with identical operand order and ROUND(x, 6).
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.text import (
@@ -103,3 +104,38 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language identification with deterministic argmax."""
     docs = Catalog(spark, sf_dir).documents
     return language_scores(docs, text_col="text", id_col="doc_id")
+
+
+SAMPLE_DOCUMENTS_ORACLE = """
+SELECT lang,
+       COUNT(*) AS sampled_docs,
+       SUM(n_chars) AS sampled_chars
+FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
+GROUP BY lang
+"""
+
+
+@query("sample_documents", oracle=SAMPLE_DOCUMENTS_ORACLE)
+def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~15.6% corpus sample (md5(doc_id) < '28') with
+    per-language counts — the deterministic-sampling primitive every
+    training-data pipeline needs for eval splits and ablations.
+
+    Membership is a pure function of doc_id: stable under repartitioning,
+    re-runs, and corpus growth (rows never migrate in/out of the sample
+    as OTHER rows change — unlike ``df.sample``, whose per-partition
+    seeding reshuffles membership with the file layout). Oracle-checkable
+    because md5 hex strings compare identically in both engines.
+    """
+    from ..operators.sampling import hash_sample
+
+    docs = Catalog(spark, sf_dir).documents
+    return (
+        hash_sample(docs, "doc_id", "28")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
