@@ -347,7 +347,10 @@ def connected_components(
     localCheckpoint()ed to sever the exponentially deepening lineage
     (the classic iterative-algorithm failure mode). Convergence is
     detected by an exact per-round change count; ``max_iter`` bounds
-    pathological chains.
+    pathological chains — if the cap is hit, a chain longer than
+    ``max_iter`` hops keeps more than one label (components OVER-split,
+    never wrongly merged; raise ``max_iter`` or pre-collapse exact dups
+    if corpus graphs ever get that stringy).
     """
     sym = edges.select(
         F.col(id1).alias("src"), F.col(id2).alias("dst")
