@@ -202,9 +202,14 @@ def minhash_near_duplicates(
     # shingle-cardinality — which scales fine.
     shingled = ngram_shingles(df, text_col=text_col, id_col=id_col, n=shingle_n)
     sigs = minhash_signatures(shingled, id_col=id_col, num_hashes=num_hashes)
+    # persist: two consumers (doc prune + verify) must not recompute the
+    # LSH subtree. No explicit unpersist — the operator returns a lazy
+    # plan referencing cands, so eager unpersist would defeat the cache;
+    # the block is freed by Spark's ContextCleaner when the returned
+    # DataFrame is garbage collected (bounded, per-call lifetime).
     cands = lsh_candidate_pairs(
         sigs, id_col=id_col, num_hashes=num_hashes, bands=bands
-    ).persist()  # two consumers (doc prune + verify) — don't recompute LSH
+    ).persist()
     cand_ids = (
         cands.select(F.col("id1").alias(id_col))
         .union(cands.select(F.col("id2").alias(id_col)))

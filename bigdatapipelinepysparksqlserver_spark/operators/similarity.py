@@ -193,10 +193,19 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    # L2-normalize BEFORE clustering (spherical k-means approximation):
+    # cells are assigned by Euclidean distance (KMeans.transform) but
+    # probed by cosine — on unit vectors the two orderings agree
+    # (||a−b||² = 2−2·cos), so normalization is what makes the
+    # assign-metric and probe-metric consistent for unnormalized inputs.
+    # The exact re-rank below still uses the RAW vectors.
+    arr = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(arr, lambda x: x / norm)
     feat = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("neighbor_vec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        array_to_vector(unit).alias("features"),
     )
     # random init (seeded, deterministic): k-means|| init costs ~2 extra
     # distributed passes, pointless precision for a COARSE quantizer whose

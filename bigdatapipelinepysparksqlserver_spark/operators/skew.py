@@ -52,7 +52,20 @@ def salted_join(
     of one. Cost: small side inflates ×salt_buckets — use only when the
     small side is broadcast-scale but AQE chose (or must choose) a
     shuffle join, or when one key dwarfs the rest.
+
+    Only inner/left/semi/anti joins are valid: the physical replication
+    of the small side means a right or full outer join would emit each
+    UNMATCHED small-side row once per salt value (×salt_buckets
+    duplicates) — rejected rather than silently corrupted.
     """
+    if how.replace("_", "").lower() not in {
+        "inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti", "cross",
+    }:
+        raise ValueError(
+            f"salted_join cannot express {how!r}: unmatched small-side rows "
+            f"would duplicate once per salt bucket; use AQE skew handling for "
+            f"right/full outer joins"
+        )
     b = with_salt(big, salt_buckets)
     s = replicate_for_salt(small, salt_buckets)
     return b.join(s, on & (b["__salt"] == s["__salt"]), how).drop("__salt")

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -43,15 +43,34 @@ def run_pipeline_1(
     ledger: RunLedger,
     now: datetime,
     lag_minutes: int = 5,
+    stale_running_minutes: int = 60,
 ) -> dict:
-    """One incremental load + validation cycle. Returns a run report."""
-    # single-flight check (C5)
-    active = [r.id for r in ledger.read().collect() if r.pipeline_status == RUNNING]
-    if active:
-        raise SingleFlightError(f"run {active} still RUNNING")
+    """One incremental load + validation cycle. Returns a run report.
+
+    Single-flight vs crash recovery: a RUNNING ledger row either belongs
+    to a live concurrent run (block it — C5) or to a run that died before
+    writing FAILED (a hard kill never reaches the except-branch). The two
+    are indistinguishable from the row alone, so the tiebreak is a
+    heartbeat timeout on ``exec_start``: younger than
+    ``stale_running_minutes`` → raise SingleFlightError; older → treat as
+    crashed and let ``purge_failed`` erase it (its id is ≥ next_run_id by
+    construction, since it never became fully successful). Without the
+    timeout, one hard crash would brick the pipeline forever behind its
+    own RUNNING row.
+    """
+    # single-flight check (C5) with stale-crash takeover (C4)
+    fresh = [
+        r.id
+        for r in ledger.read().collect()
+        if r.pipeline_status == RUNNING
+        and r.exec_start is not None
+        and (now - r.exec_start) < timedelta(minutes=stale_running_minutes)
+    ]
+    if fresh:
+        raise SingleFlightError(f"run {fresh} still RUNNING")
 
     run_id = ledger.next_run_id()
-    ledger.purge_failed(run_id)  # idempotent restart (C4)
+    ledger.purge_failed(run_id)  # idempotent restart (C4) — also erases stale RUNNING rows
     prev = ledger.previous_cutoff(run_id)
     cur = default_cutoff(now, lag_minutes)
     ledger.start_run(run_id, now, prev, cur)
@@ -135,10 +154,20 @@ class MartPublisher:
         df.write.mode("overwrite").parquet(self.staging_path(table))
 
     def publish(self, table: str) -> None:
-        """M5 — atomic swap: staging renamed over final in one move."""
+        """M5 — snapshot swap via two renames.
+
+        Honest semantics: POSIX has no multi-directory atomic swap, so
+        there is a sub-millisecond window between rename(final→old) and
+        rename(staging→final) where ``final`` does not exist — a reader
+        in that instant sees path-not-found (never a HALF-WRITTEN
+        snapshot; each rename is itself atomic). A crash inside the
+        window is self-healing: the next publish (or ``recover``) puts
+        the ``.old`` snapshot back before swapping.
+        """
         staging, final = self.staging_path(table), self.final_path(table)
         if not os.path.isdir(staging):
             raise FileNotFoundError(f"no staging snapshot for {table}")
+        self.recover(table)
         old = final + ".old"
         if os.path.isdir(old):
             shutil.rmtree(old)
@@ -147,6 +176,15 @@ class MartPublisher:
         os.rename(staging, final)
         if os.path.isdir(old):
             shutil.rmtree(old)
+
+    def recover(self, table: str) -> None:
+        """Crash recovery: a publish killed between its two renames leaves
+        ``<table>.old`` but no ``<table>`` — restore the previous snapshot
+        so readers see data again. No-op otherwise."""
+        final = self.final_path(table)
+        old = final + ".old"
+        if not os.path.isdir(final) and os.path.isdir(old):
+            os.rename(old, final)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.final_path(table))

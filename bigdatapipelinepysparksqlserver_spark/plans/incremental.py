@@ -113,10 +113,35 @@ class IncrementalLoader:
     def run(
         self, previous_cutoff: datetime | None, current_cutoff: datetime
     ) -> list[int]:
-        """Full incremental load; returns the rebuilt partition list."""
+        """Full incremental load; returns the rebuilt partition list.
+
+        Delete-to-empty cleanup: dynamic overwrite can only REPLACE
+        partitions present in the extract — a changed partition whose
+        rows were ALL deleted in this window produces no extract rows and
+        would silently keep its stale lake data forever. So after the
+        overwrite, any lake (year_month, country) partition under a
+        changed year_month that the extract no longer contains is dropped
+        explicitly. Both partition listings are partition-value scans
+        (tiny collects), bounded by the change set.
+        """
         parts = self.changed_partition_list(previous_cutoff, current_cutoff)
         if not parts:
             return []
         extract = self.extract_partitions(parts, current_cutoff)
+        pcols = list(self.lake.partition_cols)
+        kept = {
+            tuple(r[c] for c in pcols)
+            for r in extract.select(*pcols).distinct().collect()
+        }
         self.lake.overwrite_partitions(extract)
+        if self.lake.exists():
+            existing = {
+                tuple(r[c] for c in pcols)
+                for r in self.lake.partitions()
+                .where(F.col("year_month").isin(parts))
+                .collect()
+            }
+            stale = sorted(existing - kept)
+            if stale:
+                self.lake.drop_partition_values(stale)
         return parts

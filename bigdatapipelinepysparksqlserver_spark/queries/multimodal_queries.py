@@ -70,7 +70,7 @@ v AS (
 )
 SELECT media_id, CAST(t.i AS INT) AS frame_index,
        CAST(t.i * 1000 AS BIGINT) AS frame_ts_ms
-FROM v, UNNEST(range(0, GREATEST(LEAST(CAST(duration_ms/1000 AS INT), 8), 1))) AS t(i)
+FROM v, UNNEST(range(0, GREATEST(LEAST(CAST(FLOOR(duration_ms / 1000) AS INT), 8), 1))) AS t(i)
 """
 
 

@@ -37,10 +37,20 @@ class LakeTable:
         spark: SparkSession,
         path: str,
         partition_cols: Sequence[str] = LAKE_PARTITION_COLS,
+        schema=None,
     ):
         self.spark = spark
         self.path = path
         self.partition_cols = tuple(partition_cols)
+        # fallback schema for the legitimately-EMPTY table state (every
+        # partition deleted): parquet can't infer a schema from zero
+        # files, but an empty table is not an error — CDC can delete
+        # everything. Default: the lake's wide sales-history schema.
+        if schema is None:
+            from ..schemas import SALES_HISTORY
+
+            schema = SALES_HISTORY
+        self.schema = schema
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -49,7 +59,10 @@ class LakeTable:
 
     def read(self) -> DataFrame:
         """Full-table scan; Catalyst prunes partitions from any filter on
-        the partition columns (verify via PartitionFilters in .explain)."""
+        the partition columns (verify via PartitionFilters in .explain).
+        An empty/absent table reads as zero rows of ``self.schema``."""
+        if not self.exists():
+            return self.spark.createDataFrame([], self.schema)
         return self.spark.read.parquet(self.path)
 
     def write_full(self, df: DataFrame) -> None:
@@ -91,6 +104,34 @@ class LakeTable:
             d = os.path.join(self.path, f"{key}={v}")
             if os.path.isdir(d):
                 shutil.rmtree(d)
+
+    def drop_partition_values(self, rows: Sequence[Sequence]) -> None:
+        """Drop fully-qualified partitions, one (value per partition col,
+        in ``partition_cols`` order) tuple each — the cleanup path for
+        partitions whose content disappeared entirely (dynamic overwrite
+        can only REPLACE partitions present in the incoming frame; an
+        all-rows-deleted partition is present in nothing and needs an
+        explicit drop)."""
+        import shutil
+
+        root = os.path.abspath(self.path)
+        for vals in rows:
+            if len(vals) != len(self.partition_cols):
+                raise ValueError(
+                    f"expected {len(self.partition_cols)} values {self.partition_cols}, got {vals!r}"
+                )
+            d = os.path.join(
+                root, *[f"{k}={v}" for k, v in zip(self.partition_cols, vals)]
+            )
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+            # prune now-empty ancestor partition dirs (an empty
+            # `year_month=X` shell would make the parquet reader fail
+            # schema inference on an otherwise-valid empty table)
+            parent = os.path.dirname(d)
+            while parent != root and os.path.isdir(parent) and not os.listdir(parent):
+                os.rmdir(parent)
+                parent = os.path.dirname(parent)
 
     def register_catalog_table(self, name: str) -> None:
         """S4 — catalog DDL: CREATE TABLE IF NOT EXISTS ... USING PARQUET

@@ -141,13 +141,44 @@ def test_backdated_insert_is_skipped_by_design(spark, env):
     assert 888_888 in {r.id for r in lake.read().collect()}
 
 
-def test_single_flight_guard(spark, env):
+def test_single_flight_guard_blocks_fresh_running(spark, env):
     src, gen, lake, ledger = env
     gen.insert_sales(20, batch=1, now=T1, spread_days=5)
-    ledger.start_run(1, T1, None, T1)  # leave a RUNNING row
+    ledger.start_run(1, T1, None, T1)  # a live concurrent run
     assert [r.pipeline_status for r in ledger.read().collect()] == [RUNNING]
     with pytest.raises(SingleFlightError):
-        run_pipeline_1(spark, src, lake, ledger, now=T2)
+        run_pipeline_1(spark, src, lake, ledger, now=T1 + timedelta(minutes=10))
+
+
+def test_stale_running_row_is_taken_over(spark, env):
+    """A RUNNING row whose run hard-crashed (never wrote FAILED) must not
+    brick the pipeline: past the heartbeat timeout the restart purges it
+    and proceeds (C4)."""
+    src, gen, lake, ledger = env
+    gen.insert_sales(20, batch=1, now=T1, spread_days=5)
+    ledger.start_run(1, T1, None, T1)  # crashed run's leftover
+    rep = run_pipeline_1(spark, src, lake, ledger, now=T2)  # 1 day later ≫ 60 min
+    assert rep["validation"].status == SUCCESSFUL
+    rows = ledger.read().collect()
+    assert [r.pipeline_status for r in rows] == ["SUCCESSFUL"]  # leftover purged
+
+
+def test_fully_deleted_partition_is_dropped_from_lake(spark, env):
+    """Delete-to-empty cleanup: when every row of a partition is deleted
+    in a window, dynamic overwrite alone cannot clean it (nothing to
+    overwrite with) — the loader must drop the stale partition dirs."""
+    src, gen, lake, ledger = env
+    gen.insert_sales(100, batch=1, now=T1, spread_days=30)
+    rep1 = run_pipeline_1(spark, src, lake, ledger, now=T1)
+    assert rep1["validation"].source_count > 0
+    assert lake.read().count() > 0
+
+    n = gen.delete_sales(batch=2, now=T2 - timedelta(hours=1), p=1.0)  # delete ALL
+    assert n == rep1["validation"].source_count
+    rep2 = run_pipeline_1(spark, src, lake, ledger, now=T2)
+    assert rep2["validation"].status == SUCCESSFUL
+    assert rep2["validation"].source_count == 0
+    assert lake.read().count() == 0  # no stale rows survive anywhere
 
 
 def test_empty_changeset_short_circuits(spark, env):
