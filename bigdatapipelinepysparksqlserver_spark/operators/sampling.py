@@ -37,3 +37,35 @@ def hash_sample(df: DataFrame, key_col: str, threshold_hex: str) -> DataFrame:
     whole downstream pipeline pay fraction-proportional cost.
     """
     return df.where(hash_gate(F.col(key_col), threshold_hex))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    thresholds: dict[str, str],
+) -> DataFrame:
+    """Per-stratum deterministic sampling — corpus mixing by downsampling
+    each stratum (language, source, domain) at its own rate, e.g. keep 25%
+    of 'en' but 6% of 'de' to hit a target language mix.
+
+    ``thresholds`` maps stratum value → hex gate for :func:`hash_gate`;
+    strata absent from the map are dropped entirely (rate 0). Same
+    guarantees as ``hash_sample``: membership is a pure per-row function,
+    so the mix is stable under re-runs and corpus growth, and nested
+    thresholds compose (shrinking one stratum's hex prefix only ever
+    removes rows from it).
+
+    Scale: still a scan-side codegen predicate (a CASE over literal
+    thresholds — no join, no shuffle); strata count is assumed
+    literal-sized (languages/sources), not data-sized.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must map at least one stratum to a gate")
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    gate = F.lit(False)
+    for stratum, thr in thresholds.items():
+        gate = F.when(
+            F.col(stratum_col) == stratum, h < F.lit(thr.lower())
+        ).otherwise(gate)
+    return df.where(gate)

@@ -89,6 +89,160 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition features: distinct-word ratio and the
+    fraction of all word-bigrams taken by the single most frequent bigram
+    (boilerplate/template detector — high top-bigram fraction ⇒ the doc
+    is dominated by one repeated phrase).
+
+    Scale: the bigram mode cannot be a row-local array expression (no
+    native array mode), so it is explode → two partial-aggregated
+    groupBys. Both shuffle keys are (doc, bigram-hash) / doc — document
+    cardinality, never corpus-pairwise. Docs with < 2 words have no
+    bigrams → null top_bigram_fraction (left join).
+    """
+    low = F.lower(F.trim(F.col(text_col)))
+    words = F.split(low, " ")
+    nw = F.size(words)
+    word_stats = df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        F.round(
+            F.size(F.array_distinct(words)).cast("double") / nw.cast("double"), 6
+        ).alias("distinct_word_ratio"),
+    )
+    # guard: F.sequence(0, n-2) with n < 2 would generate a DESCENDING
+    # sequence (Spark's default step is -1 when start > stop), indexing
+    # element 0 — empty array instead, so sub-2-word docs emit no bigrams.
+    bigram_starts = F.when(
+        F.size("__w") >= 2, F.sequence(F.lit(0), F.size("__w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .select(
+            F.col(id_col),
+            F.explode(bigram_starts).alias("i"),
+            F.col("__w"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("__w"), F.col("i") + 1),
+                F.element_at(F.col("__w"), F.col("i") + 2),
+            ).alias("bigram"),
+        )
+    )
+    top = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("top_bigram_fraction")
+        )
+    )
+    return word_stats.join(top, id_col, "left")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    training-example prep step (context-length packing) of an LLM data
+    pipeline.
+
+    Chunk i covers words [i*stride, i*stride + window); the chunk count
+    ceil((n-window)/stride)+1 (min 1) covers every word. Emits the md5 of
+    each chunk's text (joinable/dedup-able) rather than the text itself,
+    so downstream exchange payload stays fixed-width.
+
+    Scale: map-side explode only — no shuffle; output rows ≈ n_tokens /
+    stride per doc, linear in corpus size.
+    """
+    words = F.split(F.trim(F.col(text_col)), " ")
+    n = F.col("__n")  # resolved against the projected frame below
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - window).cast("double") / stride).cast("int") + 1
+    )
+    start = F.col("i") * stride  # 0-based word offset of the chunk
+    return (
+        df.select(F.col(id_col), words.alias("__w"), F.size(words).alias("__n"))
+        .select(
+            F.col(id_col),
+            F.col("__w"),
+            F.col("__n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("i").cast("int").alias("chunk_index"),
+            F.least(F.lit(window), F.col("__n") - start).cast("int").alias("chunk_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("__w"), start + 1, window)).cast("binary")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+# PII patterns, Java∩RE2 dialect (shared verbatim with the DuckDB oracle)
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\+?[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+
+
+def scrub_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact emails and phone numbers; report per-doc hit counts and the
+    md5 of the scrubbed text (emails first, then phones — order matters
+    and is mirrored in the oracle).
+
+    Pure regexp_replace/regexp_extract_all — row-local codegen, no
+    shuffle; at 100 TB this runs at scan speed.
+    """
+    text = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>"), PHONE_REGEX, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_REGEX), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_REGEX), 0)).alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+def ngram_probe_hits(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: which docs contain any probe n-gram
+    (token-aligned), and how many distinct probes each hits.
+
+    ``probes`` is one column ``probe`` of n-word strings (eval-set
+    shingles). The scan side explodes docs into n-gram shingles and
+    BROADCAST-hash-joins the probe list — cost is one pass over the
+    corpus regardless of probe count, the scalable form of the classic
+    13-gram contamination check. (A substring `contains` scan would be a
+    nested-loop over docs × probes AND match non-token-aligned text —
+    wrong semantics and wrong complexity.)
+    """
+    from .dedup import ngram_shingles
+
+    grams = ngram_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    return (
+        grams.join(F.broadcast(probes), grams["shingle"] == probes["probe"])
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("probe")).alias("n_probe_hits"))
+    )
+
+
 # language marker words (shared with oracle); scores are marker-hit counts
 LANG_MARKERS: dict[str, str] = {
     "en": r"\b(the|and|of|is|in|to)\b",

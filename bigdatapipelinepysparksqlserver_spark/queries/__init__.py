@@ -13,6 +13,7 @@ from . import temporal_queries  # noqa: F401,E402
 from . import window_queries  # noqa: F401,E402
 from . import dedup_queries  # noqa: F401,E402
 from . import text_queries  # noqa: F401,E402
+from . import training_queries  # noqa: F401,E402
 from . import similarity_queries  # noqa: F401,E402
 from . import multimodal_queries  # noqa: F401,E402
 

@@ -1,0 +1,155 @@
+"""Unit tests for the training-data pipeline operators: repetition
+scores, token-window chunking, stratified sampling, PII scrub, n-gram
+decontamination."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+)
+from bigdatapipelinepysparksqlserver_spark.operators.text import (
+    chunk_documents,
+    ngram_probe_hits,
+    repetition_scores,
+    scrub_pii,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_scores_detects_boilerplate(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam ham spam ham spam ham"),  # one bigram pair dominates
+            (2, "a b c d e f"),  # all distinct
+            (3, "solo"),  # < 2 words: no bigrams
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in repetition_scores(df, "text", "doc_id").collect()
+    }
+    assert out[1].n_words == 6
+    assert out[1].distinct_word_ratio == pytest.approx(2 / 6, abs=1e-6)
+    # bigrams: [spam ham]x3, [ham spam]x2 → top fraction 3/5
+    assert out[1].top_bigram_fraction == pytest.approx(3 / 5, abs=1e-6)
+    assert out[2].distinct_word_ratio == 1.0
+    assert out[2].top_bigram_fraction == pytest.approx(1 / 5, abs=1e-6)
+    assert out[3].top_bigram_fraction is None  # guard: no descending-sequence blowup
+
+
+def test_chunk_documents_covers_every_token_exactly(spark):
+    # n=10 window=4 stride=2 → chunks at 0,2,4,6 (ceil(6/2)+1 = 4 chunks)
+    words = [f"w{i}" for i in range(10)]
+    df = _docs(spark, [(1, " ".join(words))])
+    rows = sorted(
+        chunk_documents(df, "text", "doc_id", window=4, stride=2).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    assert [r.chunk_index for r in rows] == [0, 1, 2, 3]
+    assert [r.chunk_tokens for r in rows] == [4, 4, 4, 4]
+    # stride coverage: last chunk ends at word 10 → every token in some chunk
+
+
+def test_chunk_documents_short_and_exact_window(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c d"), (3, "a b c d e")])
+    by_doc = {}
+    for r in chunk_documents(df, "text", "doc_id", window=4, stride=2).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_tokens == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_tokens == 4
+    # n=5: chunks at 0 (4 tokens) and 2 (3 tokens)
+    assert sorted((r.chunk_index, r.chunk_tokens) for r in by_doc[3]) == [
+        (0, 4),
+        (1, 3),
+    ]
+
+
+def test_chunk_md5_identifies_identical_windows(spark):
+    df = _docs(spark, [(1, "x y z w"), (2, "x y z w")])
+    hashes = {
+        r.doc_id: r.chunk_md5
+        for r in chunk_documents(df, "text", "doc_id", window=8, stride=4).collect()
+    }
+    assert hashes[1] == hashes[2]
+
+
+def test_stratified_sample_is_deterministic_and_nested(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    wide = stratified_sample(df, "lang", "doc_id", {"en": "80", "de": "80"})
+    narrow = stratified_sample(df, "lang", "doc_id", {"en": "40", "de": "80"})
+    wide_ids = {r.doc_id for r in wide.collect()}
+    narrow_ids = {r.doc_id for r in narrow.collect()}
+    # determinism across repartitionings
+    assert {
+        r.doc_id for r in stratified_sample(df.repartition(13), "lang", "doc_id", {"en": "80", "de": "80"}).collect()
+    } == wide_ids
+    # nesting: shrinking en's threshold only removes en rows
+    assert narrow_ids <= wide_ids
+    dropped = wide_ids - narrow_ids
+    assert dropped and all(i % 2 == 0 for i in dropped)  # only en ids dropped
+    # strata absent from the map are dropped entirely
+    only_en = stratified_sample(df, "lang", "doc_id", {"en": "80"})
+    assert all(r.lang == "en" for r in only_en.collect())
+
+
+def test_stratified_matches_hash_sample_per_stratum(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    a = {r.doc_id for r in stratified_sample(df, "lang", "doc_id", {"en": "28"}).collect()}
+    b = {r.doc_id for r in hash_sample(df, "doc_id", "28").collect()}
+    assert a == b
+
+
+def test_stratified_sample_rejects_empty_map(spark):
+    df = spark.range(1).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", "doc_id", {})
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe+x@example.com or call 555-123-4567 now"),
+            (2, "no pii here at all"),
+        ],
+    )
+    out = {r.doc_id: r for r in scrub_pii(df, "text", "doc_id").collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert out[2].n_emails == 0 and out[2].n_phones == 0
+    # doc 2 unchanged → scrubbed hash equals hash of original text
+    expected = df.where("doc_id = 2").select(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).first()
+    assert out[2].scrubbed_md5 == expected.h
+    # doc 1 changed → different hash
+    orig1 = df.where("doc_id = 1").select(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).first()
+    assert out[1].scrubbed_md5 != orig1.h
+
+
+def test_ngram_probe_hits_token_aligned(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a the quick brown fox leaps"),  # contains probe 3-gram mid-doc
+            (3, "thequick brown foxjumps xx"),  # substring-ish but not token-aligned
+        ],
+    )
+    probes = spark.createDataFrame([("the quick brown",)], "probe string")
+    out = {r.doc_id: r.n_probe_hits for r in ngram_probe_hits(docs, probes, "text", "doc_id", n=3).collect()}
+    assert out == {1: 1, 2: 1}  # doc 3 absent: no token-aligned match
