@@ -32,8 +32,14 @@ def ngram_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
 
     Single-space tokenization (mirrors the DuckDB oracle's string_split);
     documents with < n words produce no shingles.
+
+    The split is PROJECTED to a column before the transform lambda: HOF
+    lambda bodies are interpreted with no common-subexpression
+    elimination, so an inlined ``split(...)`` expression would re-split
+    the document once per ``element_at`` — n re-splits per shingle,
+    measured ~10× slower at n=8. A bound column reference is O(1).
     """
-    words = F.split(F.trim(F.col(text_col)), " ")
+    words = F.col("__words")
     idx = F.sequence(F.lit(0), F.size(words) - n)  # 0-based start positions
 
     def gram(i: Column) -> Column:
@@ -43,7 +49,9 @@ def ngram_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
     shingles = F.when(F.size(words) >= n, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
     )
-    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__words")
+    ).select(F.col(id_col), F.explode(shingles).alias("shingle"))
 
 
 def minhash_signatures(
@@ -134,10 +142,15 @@ def lsh_candidate_pairs(
     )
 
 
-def shingle_array(text_col: str, n: int = 3) -> Column:
-    """Distinct word-n-gram shingle set of a text column, as an array
-    expression (map-side, no explode)."""
-    words = F.split(F.trim(F.col(text_col)), " ")
+def shingle_array_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram shingle set from an ALREADY-PROJECTED words
+    column (map-side, no explode).
+
+    ``words`` must be a bound column reference, not an inline ``split``
+    expression — HOF lambdas are interpreted without common-subexpression
+    elimination, so an inline split re-executes per element (see
+    :func:`ngram_shingles`).
+    """
     idx = F.sequence(F.lit(0), F.size(words) - n)
 
     def gram(i: Column) -> Column:
@@ -167,7 +180,11 @@ def pairwise_jaccard(
     construction (bucket collisions), which is the operator's contract.
     """
     sh = docs.select(
-        F.col(id_col).alias("__id"), shingle_array(text_col, shingle_n).alias("__sh")
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.col(text_col)), " ").alias("__words"),
+    ).select(
+        F.col("__id"),
+        shingle_array_from_words(F.col("__words"), shingle_n).alias("__sh"),
     )
     s1 = sh.select(F.col("__id").alias("id1"), F.col("__sh").alias("__sh1"))
     s2 = sh.select(F.col("__id").alias("id2"), F.col("__sh").alias("__sh2"))

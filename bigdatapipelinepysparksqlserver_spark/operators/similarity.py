@@ -199,13 +199,24 @@ def ivf_topk(
     # (||a−b||² = 2−2·cos), so normalization is what makes the
     # assign-metric and probe-metric consistent for unnormalized inputs.
     # The exact re-rank below still uses the RAW vectors.
-    arr = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(arr, lambda x: x / norm)
-    feat = vectors.select(
+    # The cast array and its norm are PROJECTED to columns before the
+    # transform lambda: interpreted HOF bodies get no common-subexpression
+    # elimination, so inlining them would redo the O(d) cast + aggregate
+    # per element — O(d²) per row.
+    pre = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("neighbor_vec"),
-        array_to_vector(unit).alias("features"),
+        F.col(vec_col).cast("array<double>").alias("__arr"),
+    ).withColumn(
+        "__norm",
+        F.sqrt(F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    feat = pre.select(
+        "neighbor_id",
+        "neighbor_vec",
+        array_to_vector(
+            F.transform(F.col("__arr"), lambda x: x / F.col("__norm"))
+        ).alias("features"),
     )
     # random init (seeded, deterministic): k-means|| init costs ~2 extra
     # distributed passes, pointless precision for a COARSE quantizer whose

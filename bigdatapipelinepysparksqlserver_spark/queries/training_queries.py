@@ -53,7 +53,7 @@ FROM stats s LEFT JOIN bgt b USING (doc_id)
 """
 
 
-@query("text_repetition_score", oracle=REPETITION_ORACLE)
+@query("text_repetition_score", oracle=REPETITION_ORACLE, headline=True)
 def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality gate: distinct-word ratio +
     top-bigram dominance per document."""
@@ -169,7 +169,7 @@ GROUP BY g.doc_id
 """
 
 
-@query("decontaminate", oracle=DECONTAMINATE_ORACLE)
+@query("decontaminate", oracle=DECONTAMINATE_ORACLE, headline=True)
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: flag documents containing any probe
     8-gram (here: the first 8 words of docs 0-2 stand in for an eval
