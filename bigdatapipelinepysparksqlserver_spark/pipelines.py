@@ -193,10 +193,36 @@ class MartPublisher:
 def run_pipeline_2(
     spark: SparkSession, lake: LakeTable, mart: MartPublisher, now: datetime
 ) -> dict:
-    """Aggregate the lake into both mart tables and publish atomically."""
+    """Aggregate the lake into both mart tables and publish atomically.
+
+    Full-scan form (the reference's semantics, O(lake) per run) — the
+    bootstrap / repair / validation twin of
+    :func:`run_pipeline_2_incremental`.
+    """
     lake_df = lake.read()
     mart.write_staging("sales_history_1", mart_client_count_df(lake_df, now))
     mart.write_staging("sales_history_2", mart_sales_agg_df(lake_df, now))
+    mart.publish("sales_history_1")
+    mart.publish("sales_history_2")
+    return {"published": ["sales_history_1", "sales_history_2"], "refresh": now}
+
+
+def run_pipeline_2_incremental(
+    spark: SparkSession,
+    partials: "IncrementalMart",
+    mart: MartPublisher,
+    changed_partitions: list,
+    now: datetime,
+) -> dict:
+    """Incremental mart publish: refresh only the partial-table
+    partitions pipeline 1 just rebuilt, re-aggregate the (compact)
+    partials, publish atomically. Per-run cost ∝ change set — the form
+    that survives a 15-minute cadence at 100 TB, where
+    :func:`run_pipeline_2`'s full lake scan cannot.
+    """
+    partials.refresh(changed_partitions)
+    mart.write_staging("sales_history_1", partials.client_count(now))
+    mart.write_staging("sales_history_2", partials.sales_agg(now))
     mart.publish("sales_history_1")
     mart.publish("sales_history_2")
     return {"published": ["sales_history_1", "sales_history_2"], "refresh": now}
