@@ -6,6 +6,7 @@
 """
 
 from .cdc import (  # noqa: F401
+    foreach_batch_incremental_mart,
     foreach_batch_partition_overwrite,
     streaming_dedup,
     streaming_hourly_agg,

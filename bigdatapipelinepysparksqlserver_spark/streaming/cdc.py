@@ -137,6 +137,45 @@ def foreach_batch_partition_overwrite(
     return _sink
 
 
+def foreach_batch_incremental_mart(
+    lake: LakeTable,
+    partials,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink composing the partition rebuild with incremental
+    mart maintenance: each micro-batch overwrites the lake partitions it
+    touches, then refreshes ONLY those partitions' mart partials
+    (``plans.mart_incremental.IncrementalMart``) — continuous end-to-end
+    CDC → lake → mart with per-batch cost ∝ change set.
+
+    Input contract (same as ``foreach_batch_partition_overwrite``): each
+    micro-batch must be a PARTITION-COMPLETE re-extract — the full
+    rebuilt content of every partition it touches, the shape
+    ``plans.incremental.IncrementalLoader.extract_partitions`` produces —
+    because dynamic overwrite REPLACES touched partitions wholesale.
+    Raw per-row appends would erase a partition's earlier rows.
+
+    Idempotent per batch (C4): both steps rewrite state to a pure
+    function of the lake's post-overwrite content, so micro-batch
+    replays after a crash converge to the same lake AND the same mart.
+
+    ``partials`` is an ``IncrementalMart`` (untyped to keep streaming
+    import-light).
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        if out.isEmpty():
+            return
+        lake.overwrite_partitions(out)
+        changed = [
+            r.year_month for r in out.select("year_month").distinct().collect()
+        ]
+        partials.refresh(changed)
+
+    return _sink
+
+
 def streaming_running_totals(
     events: DataFrame,
     key_col: str = "user_id",

@@ -162,3 +162,62 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
             final[r.user_id] = (r.event_count, r.value_sum)
     assert final == {1: (3, 20.0), 2: (1, 5.0)}
     # user 1's totals span both micro-batches → state crossed the boundary
+
+
+def test_foreach_batch_incremental_mart_end_to_end(spark, tmp_path):
+    """Continuous CDC → lake → mart: a real availableNow stream of wide
+    sales rows, processed in ≥2 micro-batches, must leave the incremental
+    mart exactly equal to a full recompute over the final lake."""
+    from decimal import Decimal
+
+    from bigdatapipelinepysparksqlserver_spark.pipelines import mart_sales_agg_df
+    from bigdatapipelinepysparksqlserver_spark.plans.mart_incremental import (
+        IncrementalMart,
+    )
+    from bigdatapipelinepysparksqlserver_spark.schemas import SALES_HISTORY
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_incremental_mart,
+    )
+
+    t = datetime(2024, 1, 5, 9, 0)
+
+    def wide(i, ym, country, paid, product):
+        return (
+            i, t, Decimal(paid), 100 + i, "M", 200 + i, product, "L", "red",
+            None, ym, country,
+        )
+
+    batch1 = [wide(1, 202401, "PT", "10.00", "shirt"), wide(2, 202401, "ES", "5.50", "hat")]
+    # sink contract: each micro-batch is a PARTITION-COMPLETE re-extract
+    # (like plans.incremental) — batch 2 touches (202401, PT) again, so it
+    # must carry that partition's full rebuilt content (rows 1 and 4)
+    batch2 = [
+        wide(3, 202402, "PT", "7.25", "shirt"),
+        wide(1, 202401, "PT", "10.00", "shirt"),
+        wide(4, 202401, "PT", "2.00", "hat"),
+    ]
+    src = tmp_path / "cdc_src"
+    spark.createDataFrame(batch1, SALES_HISTORY).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(batch2, SALES_HISTORY).coalesce(1).write.parquet(str(src / "f2"))
+
+    lake = LakeTable(spark, str(tmp_path / "lake"))
+    mart = IncrementalMart(spark, lake, str(tmp_path / "partials"))
+    stream = (
+        spark.readStream.schema(SALES_HISTORY)
+        .option("maxFilesPerTrigger", 1)  # force ≥2 micro-batches
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_incremental_mart(lake, mart))
+        .option("checkpointLocation", str(tmp_path / "mart_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+    assert lake.read().count() == 4
+    refresh = datetime(2024, 2, 1)
+    full = sorted(map(tuple, mart_sales_agg_df(lake.read(), refresh).collect()))
+    inc = sorted(map(tuple, mart.sales_agg(refresh).collect()))
+    assert full == inc and len(full) > 0
