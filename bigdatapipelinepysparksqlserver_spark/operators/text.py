@@ -38,7 +38,9 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def quality_scores(
+    df: DataFrame, text_col: str, id_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic quality features + composite score.
 
     Features: length, whitespace-token count, alpha ratio, punctuation
@@ -46,6 +48,9 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     0.4*alpha + 0.3*stopword + 0.3*min(tokens/64, 1), rounded to 6dp.
     Pure arithmetic over regexp counts → bit-identical across engines when
     the expression shape is mirrored.
+
+    ``keep`` passes extra source columns through (e.g. ``("lang",)``) so
+    downstream groupers need no second scan + self-join.
     """
     text = F.col(text_col)
     n_chars = F.length(text)
@@ -65,6 +70,7 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_chars.alias("n_chars"),
         toks.cast("bigint").alias("n_tokens"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),

@@ -13,7 +13,7 @@ shared regex dialect is Java∩RE2.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.sampling import stratified_sample
 from ..operators.text import (
@@ -148,6 +148,91 @@ def scrub_pii_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-speed regex, no shuffle)."""
     docs = Catalog(spark, sf_dir).documents
     return scrub_pii(docs, text_col="text", id_col="doc_id")
+
+
+FUNNEL_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split(trim(text), ' ')) END AS n_words,
+    CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS DOUBLE)
+      / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) AS dwr
+  FROM documents
+)
+SELECT COUNT(*) AS n_total,
+       SUM(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END) AS n_len_ok,
+       SUM(CASE WHEN n_words >= 20 AND dwr >= 0.30 THEN 1 ELSE 0 END) AS n_final
+FROM scored
+"""
+
+
+@query("corpus_filter_funnel", oracle=FUNNEL_ORACLE)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning funnel report: how many documents survive each
+    cumulative quality gate (length, then repetition). One scan-side
+    conditional aggregation — the per-stage drop report every corpus
+    pipeline publishes, with no extra passes over the data."""
+    docs = Catalog(spark, sf_dir).documents
+    t = F.trim(F.col("text"))
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, " "))
+    )
+    low_words = F.split(F.lower(t), " ")
+    dwr = F.size(F.array_distinct(low_words)).cast("double") / F.size(
+        low_words
+    ).cast("double")
+    len_ok = n_words >= 20
+    final_ok = len_ok & (dwr >= 0.30)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(len_ok.cast("bigint")).alias("n_len_ok"),
+        F.sum(final_ok.cast("bigint")).alias("n_final"),
+    )
+
+
+TOP_DOCS_ORACLE = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    ROUND(
+      0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE))
+    + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+             / CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE))
+    + 0.3 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 64.0, 1.0)
+    , 6) AS quality_score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY quality_score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT lang, rank, doc_id, quality_score FROM ranked WHERE rank <= 5
+"""
+
+
+@query("top_docs_per_lang", oracle=TOP_DOCS_ORACLE)
+def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 documents by quality score (deterministic
+    doc_id tie-break) — operator composition: quality scoring feeding a
+    per-group top-k. Spark plans the rank-filter as WindowGroupLimit
+    (per-partition partial top-k before the shuffle), so the exchange
+    carries ≤ k rows per (lang, input partition), not the corpus."""
+    from ..operators.text import quality_scores
+
+    docs = Catalog(spark, sf_dir).documents
+    scored = quality_scores(docs, text_col="text", id_col="doc_id", keep=("lang",))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "quality_score")
+    )
 
 
 PROBE_N = 8
