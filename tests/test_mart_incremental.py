@@ -159,6 +159,32 @@ def test_pipeline_2_incremental_publishes_same_snapshot(spark, env, tmp_path):
         assert full == inc
 
 
+def test_sketched_client_count_tracks_exact(spark, env):
+    """The persisted HLL sketch partials must merge to within HLL error
+    of the exact count-distinct, across an incremental refresh."""
+    src, gen, lake, ledger, mart = env
+    gen.insert_sales(300, batch=1, now=T1, spread_days=45)
+    rep1 = run_pipeline_1(spark, src, lake, ledger, now=T1)
+    mart.refresh(rep1["rebuilt_partitions"])
+
+    t2 = T2 - timedelta(hours=1)
+    gen.insert_sales(80, batch=2, now=t2, spread_days=1)
+    rep2 = run_pipeline_1(spark, src, lake, ledger, now=T2)
+    mart.refresh(rep2["rebuilt_partitions"])
+
+    exact = {
+        (r.country, r.gender): r.client_count
+        for r in mart.client_count(REFRESH).collect()
+    }
+    approx = {
+        (r.country, r.gender): r.client_count_approx
+        for r in mart.client_count_sketched(REFRESH).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n)  # HLL error envelope
+
+
 def test_bootstrap_equals_refresh_path(spark, env):
     src, gen, lake, ledger, mart = env
     gen.insert_sales(150, batch=1, now=T1, spread_days=20)
