@@ -16,6 +16,7 @@ from . import text_queries  # noqa: F401,E402
 from . import training_queries  # noqa: F401,E402
 from . import similarity_queries  # noqa: F401,E402
 from . import multimodal_queries  # noqa: F401,E402
+from . import pipeline_queries  # noqa: F401,E402
 
 
 def spark_queries():

@@ -1,0 +1,93 @@
+"""Pipeline-lifecycle queries: the CDC round-trip surfaced in the
+driver's correctness artifact.
+
+The engine's signature capability (SURVEY §2.8–§2.9: ledger, CDC
+rebuild, reconciliation, mart refresh) needs a writable environment, so
+it cannot run against the read-only testdata directly. This query runs
+the WHOLE protocol — seeded workload, two incremental loads with
+inserts/updates/deletes in between, partition rebuild, two-sided
+reconciliation, incremental mart refresh — inside a per-call temp dir,
+and returns the run ledger + mart checksum. Deterministic (seeded
+generator, injected clocks), so rows/schema are stable across runs;
+rows-only (no SQL oracle can replay a multi-step pipeline)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import query
+
+
+@query("cdc_roundtrip_demo", oracle=None)
+def cdc_roundtrip_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run CDC cycle: full load, then a window of inserts+updates+
+    deletes; returns one row per run with ledger status, reconciliation
+    verdict, and the incremental mart's total (which must equal a full
+    recompute — asserted inline).
+
+    The testdata dir is unused (the protocol needs a mutable source);
+    everything is seeded + clock-injected, so the result is a pure
+    function of the code.
+    """
+    from ..pipelines import mart_sales_agg_df, run_pipeline_1
+    from ..plans.ledger import RunLedger
+    from ..plans.mart_incremental import IncrementalMart
+    from ..sources.lake import LakeTable
+    from ..workload import SourceTables, WorkloadGenerator
+
+    t1 = datetime(2024, 6, 1, 12, 3, 42)
+    t2 = t1 + timedelta(days=1)
+    root = tempfile.mkdtemp(prefix="cdc_demo_")
+    try:
+        src = SourceTables(spark, f"{root}/oltp")
+        gen = WorkloadGenerator(src, seed=42)
+        gen.seed_dimensions(n_clients=30, n_products=10)
+        lake = LakeTable(spark, f"{root}/lake")
+        ledger = RunLedger(spark, f"{root}/ledger")
+        mart = IncrementalMart(spark, lake, f"{root}/partials")
+
+        gen.insert_sales(120, batch=1, now=t1, spread_days=10)
+        rep1 = run_pipeline_1(spark, src, lake, ledger, now=t1)
+        mart.refresh(rep1["rebuilt_partitions"])
+
+        stamp = t2 - timedelta(hours=1)
+        gen.insert_sales(40, batch=2, now=stamp, spread_days=1)
+        gen.update_sales(batch=2, now=stamp, p=0.05)
+        gen.delete_sales(batch=2, now=stamp, p=0.03)
+        rep2 = run_pipeline_1(spark, src, lake, ledger, now=t2)
+        mart.refresh(rep2["rebuilt_partitions"])
+
+        refresh = datetime(2024, 7, 1)
+        inc = mart.sales_agg(refresh).agg(
+            F.sum("sales_count").alias("n"), F.sum("paid_amount").alias("amt")
+        ).first()
+        full = mart_sales_agg_df(lake.read(), refresh).agg(
+            F.sum("sales_count").alias("n"), F.sum("paid_amount").alias("amt")
+        ).first()
+        if (inc.n, inc.amt) != (full.n, full.amt):
+            raise AssertionError(
+                f"incremental mart diverged: {(inc.n, inc.amt)} != {(full.n, full.amt)}"
+            )
+
+        rows = [
+            (
+                int(r.id),
+                r.pipeline_status,
+                r.validation_status,
+                int(full.n),
+                str(full.amt),
+            )
+            for r in ledger.read().orderBy("id").collect()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "run_id int, pipeline_status string, validation_status string, "
+            "mart_sales_count int, mart_paid_amount string",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
