@@ -189,3 +189,32 @@ def test_empty_changeset_short_circuits(spark, env):
     rep2 = run_pipeline_1(spark, src, lake, ledger, now=T1 + timedelta(minutes=1))
     assert rep2["rebuilt_partitions"] == []
     assert rep2["validation"].status == SUCCESSFUL
+
+
+def test_failed_run_writes_failed_and_restart_recovers(spark, env, monkeypatch):
+    """A pipeline exception must reach the ledger as FAILED (the soft-
+    crash path), and the next run must purge the failed row, REUSE its
+    id, and complete — the reference's idempotent-restart protocol
+    (load_sales_history.py:25-31,:181-183) end-to-end."""
+    import bigdatapipelinepysparksqlserver_spark.pipelines as P
+
+    src, gen, lake, ledger = env
+    gen.insert_sales(30, batch=1, now=T1, spread_days=5)
+
+    real_run = P.IncrementalLoader.run
+
+    def boom(self, prev, cur):
+        raise RuntimeError("injected extract failure")
+
+    monkeypatch.setattr(P.IncrementalLoader, "run", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        run_pipeline_1(spark, src, lake, ledger, now=T1)
+    rows = {r.id: r for r in ledger.read().collect()}
+    assert rows[1].pipeline_status == "FAILED"
+
+    monkeypatch.setattr(P.IncrementalLoader, "run", real_run)
+    rep = run_pipeline_1(spark, src, lake, ledger, now=T2)
+    assert rep["run_id"] == 1  # failed run's id reused after purge
+    assert rep["validation"].status == SUCCESSFUL
+    rows = [r for r in ledger.read().collect()]
+    assert len(rows) == 1 and rows[0].pipeline_status == "SUCCESSFUL"
