@@ -11,9 +11,10 @@ Catalyst pushes filters and column pruning into the generated SQL
 (`PushedFilters` in .explain). Writes go executor→DB in parallel
 batches instead of driver-side row INSERTs.
 
-No database is reachable in the test container, so everything here is
-exercised as *configuration construction* by tests; the ``load``/
-``save`` calls are the only network touchpoints.
+Tests exercise the full read/write paths against embedded Derby
+(bundled with Spark): partitioned parallel scans, filter pushdown into
+the generated SQL, pushdown subqueries, and the truncate-overwrite
+staging protocol. Only url/driver change for a networked database.
 """
 
 from __future__ import annotations

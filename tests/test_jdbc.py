@@ -39,3 +39,71 @@ def test_reader_constructs(spark):
     # building the reader performs no connection; load() would
     r = jdbc_reader(spark, CFG, "Sales")
     assert r is not None
+
+
+# ---------------------------------------------------------------------------
+# Real round-trips against embedded Derby (ships with Spark). Embedded
+# mode shares the JVM, so this exercises the genuine JDBC read/write
+# paths — partitioned parallel scans, filter pushdown, truncate
+# semantics — without a network database; on a cluster only the url/
+# driver change.
+# ---------------------------------------------------------------------------
+
+import tempfile
+
+from bigdatapipelinepysparksqlserver_spark.sources.jdbc import read_jdbc, write_jdbc
+
+
+@pytest.fixture()
+def derby_cfg():
+    db = tempfile.mkdtemp(prefix="derby_") + "/db"
+    return JdbcConfig(
+        url=f"jdbc:derby:{db};create=true",
+        user="app",
+        password="app",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+
+
+def test_jdbc_write_read_roundtrip_partitioned(spark, derby_cfg):
+    df = spark.range(0, 200).selectExpr("id", "id * 2 AS v")
+    write_jdbc(df, derby_cfg, "SALES", mode="overwrite")
+    back = read_jdbc(
+        spark, derby_cfg, "SALES",
+        partition_column="ID", lower_bound=0, upper_bound=200, num_partitions=4,
+    )
+    # S1: genuinely parallel — one Spark partition per ID range-slice
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted((r.id, r.v) for r in back.collect()) == [(i, 2 * i) for i in range(200)]
+
+
+def test_jdbc_filter_pushdown_reaches_scan(spark, derby_cfg):
+    write_jdbc(spark.range(0, 100).selectExpr("id", "id * 2 AS v"), derby_cfg, "T")
+    flt = read_jdbc(spark, derby_cfg, "T").where("v > 100")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(v,100)" in plan.replace("V", "v")
+    assert flt.count() == 49  # the filter also actually filtered
+
+
+def test_jdbc_pushdown_subquery_dbtable(spark, derby_cfg):
+    write_jdbc(spark.range(0, 50).selectExpr("id", "id % 5 AS ym"), derby_cfg, "S")
+    # reference's per-partition extract shape; Spark writes case-preserving
+    # QUOTED identifiers, so Derby needs the quoted column name
+    q = '(SELECT * FROM S WHERE "ym" = 3) q'
+    got = read_jdbc(spark, derby_cfg, q)
+    assert sorted(r.id for r in got.collect()) == [i for i in range(50) if i % 5 == 3]
+
+
+def test_jdbc_truncate_overwrite_staging_protocol(spark, derby_cfg):
+    """M4: overwrite+truncate reloads the staging table without dropping
+    it — the reference's TRUNCATE-then-INSERT mart load."""
+    write_jdbc(spark.range(0, 10).selectExpr("id"), derby_cfg, "STG", mode="overwrite")
+    write_jdbc(
+        spark.range(100, 105).selectExpr("id"), derby_cfg, "STG",
+        mode="overwrite", truncate=True,
+    )
+    got = read_jdbc(spark, derby_cfg, "STG")
+    assert sorted(r.id for r in got.collect()) == list(range(100, 105))
+    # append on top (S9)
+    write_jdbc(spark.range(105, 107).selectExpr("id"), derby_cfg, "STG", mode="append")
+    assert read_jdbc(spark, derby_cfg, "STG").count() == 7
