@@ -92,19 +92,91 @@ def write_jdbc(
     mode: str = "append",
     truncate: bool = False,
     batch_size: int = 10_000,
+    create_column_types: str | None = None,
 ) -> None:
     """S9/M4 — executor-parallel batched write.
 
     ``mode="overwrite", truncate=True`` reproduces the reference's
     TRUNCATE-then-load staging protocol (`load_sales_mart.py:51-55`)
     without dropping the table (keeps grants/DDL).
+
+    ``create_column_types`` overrides column DDL when the writer creates
+    the table (e.g. ``"country VARCHAR(32)"``) — needed for dialects
+    whose default StringType mapping is a large-object type that cannot
+    be compared/pushed down (Derby maps StringType → CLOB).
     """
-    (
+    w = (
         df.write.format("jdbc")
         .options(**cfg.base_options())
         .option("dbtable", table)
         .option("batchsize", str(batch_size))
         .option("truncate", "true" if truncate else "false")
-        .mode(mode)
-        .save()
     )
+    if create_column_types:
+        w = w.option("createTableColumnTypes", create_column_types)
+    w.mode(mode).save()
+
+
+class JdbcSourceTables:
+    """The OLTP-source quartet as JDBC tables — the reference's actual
+    topology (SQL Server as CDC source, `sql_conn.py:11-30`), drop-in
+    for ``workload.SourceTables`` so the whole pipeline (generator, CDC
+    loader, reconciler) runs against a real database. Exercised in tests
+    via embedded Derby.
+
+    String columns get explicit VARCHAR DDL (``create_column_types``)
+    because some dialects map StringType to CLOB, which cannot be
+    compared — and the CDC branch predicates (e.g. ``table = 'sales'``
+    on the tombstone table) must push down into the source SQL.
+
+    ``write`` materializes the frame on the driver before overwriting:
+    the workload generator read-modifies-overwrites the SAME table, and
+    a lazy plan would read from the table mid-truncate. This is a
+    test-harness concern only — the ENGINE never overwrites its source
+    (parquet SourceTables uses tmp+rename for the same reason).
+    """
+
+    def __init__(self, spark: SparkSession, cfg: JdbcConfig):
+        from ..schemas import CLIENTS, PRODUCTS, REMOVED, SALES
+
+        self.spark = spark
+        self.cfg = cfg
+        self.schemas = {
+            "sales": SALES, "clients": CLIENTS, "products": PRODUCTS, "removed": REMOVED
+        }
+
+    def _varchar_ddl(self, name: str) -> str | None:
+        cols = [
+            f"{f.name} VARCHAR(64)"
+            for f in self.schemas[name].fields
+            if f.dataType.typeName() == "string"
+        ]
+        return ", ".join(cols) or None
+
+    def read(self, name: str) -> DataFrame:
+        try:
+            df = read_jdbc(self.spark, self.cfg, name)
+        except Exception:  # table not created yet → legitimately empty
+            return self.spark.createDataFrame([], self.schemas[name])
+        # normalize to the canonical schema (column order + exact types)
+        return df.select(
+            *[
+                df[f.name].cast(f.dataType).alias(f.name)
+                for f in self.schemas[name].fields
+            ]
+        )
+
+    def write(self, name: str, df: DataFrame) -> None:
+        ordered = df.select([f.name for f in self.schemas[name].fields])
+        mat = self.spark.createDataFrame(ordered.collect(), self.schemas[name])
+        write_jdbc(
+            mat, self.cfg, name, mode="overwrite",
+            create_column_types=self._varchar_ddl(name),
+        )
+
+    def append(self, name: str, df: DataFrame) -> None:
+        ordered = df.select([f.name for f in self.schemas[name].fields])
+        write_jdbc(
+            ordered, self.cfg, name, mode="append",
+            create_column_types=self._varchar_ddl(name),
+        )

@@ -107,3 +107,42 @@ def test_jdbc_truncate_overwrite_staging_protocol(spark, derby_cfg):
     # append on top (S9)
     write_jdbc(spark.range(105, 107).selectExpr("id"), derby_cfg, "STG", mode="append")
     assert read_jdbc(spark, derby_cfg, "STG").count() == 7
+
+
+def test_cdc_pipeline_with_jdbc_source(spark, derby_cfg, tmp_path):
+    """The reference's real topology: SQL database as CDC source. The
+    full protocol — seeded workload, two incremental loads with
+    inserts/updates/deletes, reconciliation — runs against Derby through
+    the JdbcSourceTables adapter, extract predicates pushed down."""
+    from datetime import datetime, timedelta
+
+    from bigdatapipelinepysparksqlserver_spark.pipelines import run_pipeline_1
+    from bigdatapipelinepysparksqlserver_spark.plans.ledger import RunLedger
+    from bigdatapipelinepysparksqlserver_spark.plans.reconcile import SUCCESSFUL
+    from bigdatapipelinepysparksqlserver_spark.sources.jdbc import JdbcSourceTables
+    from bigdatapipelinepysparksqlserver_spark.sources.lake import LakeTable
+    from bigdatapipelinepysparksqlserver_spark.workload import WorkloadGenerator
+
+    t1 = datetime(2024, 6, 1, 12, 3, 42)
+    t2 = t1 + timedelta(days=1)
+    src = JdbcSourceTables(spark, derby_cfg)
+    gen = WorkloadGenerator(src, seed=11)
+    gen.seed_dimensions(n_clients=20, n_products=8)
+    lake = LakeTable(spark, str(tmp_path / "lake"))
+    ledger = RunLedger(spark, str(tmp_path / "ledger"))
+
+    gen.insert_sales(60, batch=1, now=t1, spread_days=10)
+    rep1 = run_pipeline_1(spark, src, lake, ledger, now=t1)
+    assert rep1["validation"].status == SUCCESSFUL
+    assert rep1["validation"].source_count == rep1["validation"].lake_count > 0
+
+    stamp = t2 - timedelta(hours=1)
+    gen.insert_sales(20, batch=2, now=stamp, spread_days=1)
+    assert gen.update_sales(batch=2, now=stamp, p=0.08) > 0
+    assert gen.delete_sales(batch=2, now=stamp, p=0.05) > 0
+    rep2 = run_pipeline_1(spark, src, lake, ledger, now=t2)
+    assert rep2["validation"].status == SUCCESSFUL
+
+    # tombstoned rows really left the lake
+    deleted = {r.id for r in src.read("removed").collect()}
+    assert deleted and not (deleted & {r.id for r in lake.read().collect()})
