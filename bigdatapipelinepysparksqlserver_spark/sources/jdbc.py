@@ -117,6 +117,87 @@ def write_jdbc(
     w.mode(mode).save()
 
 
+class JdbcMartPublisher:
+    """M4+M5 against a real database: staging load + transactional
+    TRUNCATE/INSERT-SELECT swap — the reference's mart publish protocol
+    verbatim (`load_sales_mart.py:51-53,:92-102`: BEGIN TRAN; TRUNCATE
+    final; INSERT final SELECT * FROM staging; COMMIT).
+
+    The swap runs as ONE java.sql transaction on a raw connection
+    (autocommit off): readers under SQL-standard isolation never observe
+    the empty-table intermediate state, and a failure between the two
+    statements rolls back to the previous snapshot — the JDBC twin of
+    ``pipelines.MartPublisher``'s directory-rename swap.
+
+    Spark's DataFrame writer cannot express multi-statement
+    transactions, so the swap goes through the JVM's DriverManager via
+    the session's gateway — control-plane SQL, not a data path (the
+    data moved in ``write_staging``, executor-parallel).
+    """
+
+    def __init__(self, spark: SparkSession, cfg: JdbcConfig):
+        self.spark = spark
+        self.cfg = cfg
+
+    def staging_name(self, table: str) -> str:
+        return f"{table}_STAGING"
+
+    def _varchar_ddl(self, df: DataFrame) -> str | None:
+        cols = [
+            f"{f.name} VARCHAR(64)"
+            for f in df.schema.fields
+            if f.dataType.typeName() == "string"
+        ]
+        return ", ".join(cols) or None
+
+    def write_staging(self, table: str, df: DataFrame) -> None:
+        write_jdbc(
+            df, self.cfg, self.staging_name(table), mode="overwrite",
+            create_column_types=self._varchar_ddl(df),
+        )
+
+    def _connection(self):
+        jvm = self.spark.sparkContext._jvm
+        return jvm.java.sql.DriverManager.getConnection(
+            self.cfg.url, self.cfg.user, self.cfg.password
+        )
+
+    def _table_exists(self, conn, name: str) -> bool:
+        rs = conn.getMetaData().getTables(None, None, name.upper(), None)
+        try:
+            return bool(rs.next())
+        finally:
+            rs.close()
+
+    def publish(self, table: str) -> None:
+        staging = self.staging_name(table)
+        conn = self._connection()
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            if not self._table_exists(conn, table):
+                # first publish: clone staging's shape, then fall through
+                # to the same transactional fill path
+                st.executeUpdate(
+                    f"CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA"
+                )
+            # DELETE (not TRUNCATE): transactional in every dialect, so
+            # the rollback guarantee is unconditional; SQL Server's
+            # TRUNCATE is also transactional and a dialect subclass may
+            # override for speed.
+            st.executeUpdate(f"DELETE FROM {table}")
+            st.executeUpdate(f"INSERT INTO {table} SELECT * FROM {staging}")
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return read_jdbc(spark, self.cfg, table)
+
+
 class JdbcSourceTables:
     """The OLTP-source quartet as JDBC tables — the reference's actual
     topology (SQL Server as CDC source, `sql_conn.py:11-30`), drop-in

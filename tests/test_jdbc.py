@@ -146,3 +146,35 @@ def test_cdc_pipeline_with_jdbc_source(spark, derby_cfg, tmp_path):
     # tombstoned rows really left the lake
     deleted = {r.id for r in src.read("removed").collect()}
     assert deleted and not (deleted & {r.id for r in lake.read().collect()})
+
+
+def test_jdbc_mart_publish_transactional_swap(spark, derby_cfg):
+    """M5 over JDBC: staging → transactional DELETE+INSERT swap; a crash
+    between the two statements must leave the PREVIOUS snapshot."""
+    from bigdatapipelinepysparksqlserver_spark.sources.jdbc import JdbcMartPublisher
+
+    pub = JdbcMartPublisher(spark, derby_cfg)
+    v1 = spark.range(0, 5).selectExpr("id", "CAST('a' AS STRING) AS tag")
+    pub.write_staging("MART1", v1)
+    pub.publish("MART1")
+    assert sorted(r.id for r in pub.read(spark, "MART1").collect()) == list(range(5))
+
+    # second snapshot replaces the first
+    v2 = spark.range(10, 13).selectExpr("id", "CAST('b' AS STRING) AS tag")
+    pub.write_staging("MART1", v2)
+    pub.publish("MART1")
+    got = pub.read(spark, "MART1").collect()
+    assert sorted(r.id for r in got) == [10, 11, 12]
+    assert {r.tag for r in got} == {"b"}
+
+    # failure mid-transaction rolls back to the committed snapshot:
+    # drop the staging table, then publish → INSERT fails after DELETE,
+    # but the DELETE must roll back with it
+    conn = pub._connection()
+    try:
+        conn.createStatement().executeUpdate("DROP TABLE MART1_STAGING")
+    finally:
+        conn.close()
+    with pytest.raises(Exception):
+        pub.publish("MART1")
+    assert sorted(r.id for r in pub.read(spark, "MART1").collect()) == [10, 11, 12]
