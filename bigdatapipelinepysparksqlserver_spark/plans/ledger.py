@@ -130,3 +130,105 @@ class RunLedger:
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
         os.rename(tmp, self.path)
+
+
+class JdbcRunLedger(RunLedger):
+    """The ledger where the reference actually keeps it: a lineage table
+    in the SQL database (`Sales_History_Lineage`), mutated with REAL
+    per-row SQL — INSERT (M1), UPDATE ... WHERE id (M2), DELETE WHERE
+    id >= n (M3/P8), scalar cutoff lookup (S11) — instead of the parquet
+    read-modify-overwrite. Same public API; ``run_pipeline_1`` takes
+    either.
+
+    Control-plane statements go through a raw java.sql connection (one
+    row per statement; Spark's writer only does the initial INSERT so
+    the table is created with proper VARCHAR columns). Timestamps are
+    passed as JDBC timestamp literals in UTC-naive form, matching the
+    session timezone the engine pins.
+    """
+
+    TABLE = "SALES_HISTORY_LINEAGE"
+
+    def __init__(self, spark: SparkSession, cfg):
+        self.spark = spark
+        self.cfg = cfg
+
+    # -- storage layer ----------------------------------------------------
+
+    def _connection(self):
+        jvm = self.spark.sparkContext._jvm
+        return jvm.java.sql.DriverManager.getConnection(
+            self.cfg.url, self.cfg.user, self.cfg.password
+        )
+
+    def _exists(self) -> bool:
+        conn = self._connection()
+        try:
+            rs = conn.getMetaData().getTables(None, None, self.TABLE, None)
+            try:
+                return bool(rs.next())
+            finally:
+                rs.close()
+        finally:
+            conn.close()
+
+    def _execute(self, sql: str) -> None:
+        conn = self._connection()
+        try:
+            conn.createStatement().executeUpdate(sql)
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _ts(dt: datetime) -> str:
+        return "TIMESTAMP('" + dt.strftime("%Y-%m-%d %H:%M:%S") + "')"
+
+    def read(self):
+        from ..sources.jdbc import read_jdbc
+
+        if not self._exists():
+            return self.spark.createDataFrame([], LEDGER)
+        df = read_jdbc(self.spark, self.cfg, self.TABLE)
+        return df.select(
+            *[df[f.name].cast(f.dataType).alias(f.name) for f in LEDGER.fields]
+        )
+
+    def purge_failed(self, from_id: int) -> None:
+        if self._exists():
+            self._execute(
+                f'DELETE FROM {self.TABLE} WHERE "id" >= {int(from_id)}'
+            )
+
+    def start_run(self, run_id: int, now: datetime, previous_cutoff: datetime | None,
+                  current_cutoff: datetime) -> None:
+        from ..sources.jdbc import write_jdbc
+
+        row = Row(
+            id=run_id,
+            exec_start=now,
+            exec_finish=None,
+            previous_cutoff=previous_cutoff,
+            current_cutoff=current_cutoff,
+            pipeline_status=RUNNING,
+            validation_start=None,
+            validation_finish=None,
+            validation_status=NOT_STARTED,
+        )
+        write_jdbc(
+            self.spark.createDataFrame([row], LEDGER),
+            self.cfg,
+            self.TABLE,
+            mode="append",
+            create_column_types="pipeline_status VARCHAR(16), validation_status VARCHAR(16)",
+        )
+
+    def _update(self, run_id: int, **fields) -> None:
+        sets = []
+        for k, v in fields.items():
+            if isinstance(v, datetime):
+                sets.append(f'"{k}" = {self._ts(v)}')
+            else:
+                sets.append(f"\"{k}\" = '{v}'")
+        self._execute(
+            f'UPDATE {self.TABLE} SET {", ".join(sets)} WHERE "id" = {int(run_id)}'
+        )

@@ -178,3 +178,51 @@ def test_jdbc_mart_publish_transactional_swap(spark, derby_cfg):
     with pytest.raises(Exception):
         pub.publish("MART1")
     assert sorted(r.id for r in pub.read(spark, "MART1").collect()) == [10, 11, 12]
+
+
+def test_jdbc_ledger_state_machine_and_full_pipeline(spark, derby_cfg, tmp_path):
+    """The ledger where the reference keeps it — a lineage table in the
+    database, mutated with real INSERT/UPDATE/DELETE — driving the full
+    pipeline together with the JDBC source: every control-plane surface
+    (M1-M3, S11, A5/P7) against Derby."""
+    from datetime import datetime, timedelta
+
+    from bigdatapipelinepysparksqlserver_spark.pipelines import run_pipeline_1
+    from bigdatapipelinepysparksqlserver_spark.plans.ledger import (
+        FAILED,
+        JdbcRunLedger,
+        SUCCESSFUL,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.jdbc import JdbcSourceTables
+    from bigdatapipelinepysparksqlserver_spark.sources.lake import LakeTable
+    from bigdatapipelinepysparksqlserver_spark.workload import WorkloadGenerator
+
+    t0 = datetime(2024, 6, 1, 12, 3, 42)
+    led = JdbcRunLedger(spark, derby_cfg)
+
+    # state machine alone: failed run's id is reused after purge (A5+M3)
+    assert led.next_run_id() == 1
+    led.start_run(1, t0, None, t0)
+    led.finish_run(1, t0, FAILED)
+    assert led.next_run_id() == 1
+    led.purge_failed(1)
+    assert led.read().count() == 0
+
+    # full pipeline: JDBC source + JDBC ledger
+    src = JdbcSourceTables(spark, derby_cfg)
+    gen = WorkloadGenerator(src, seed=5)
+    gen.seed_dimensions(n_clients=15, n_products=6)
+    lake = LakeTable(spark, str(tmp_path / "lake"))
+    gen.insert_sales(40, batch=1, now=t0, spread_days=8)
+    rep = run_pipeline_1(spark, src, lake, led, now=t0)
+    assert rep["validation"].status == SUCCESSFUL
+    rows = led.read().collect()
+    assert len(rows) == 1 and rows[0].pipeline_status == "SUCCESSFUL"
+    assert rows[0].current_cutoff == rep["current_cutoff"]  # S11 round-trips
+
+    # second run resolves previous_cutoff from the DB (S11)
+    t1 = t0 + timedelta(days=1)
+    gen.insert_sales(10, batch=2, now=t1 - timedelta(hours=1), spread_days=1)
+    rep2 = run_pipeline_1(spark, src, lake, led, now=t1)
+    assert rep2["previous_cutoff"] == rep["current_cutoff"]
+    assert rep2["validation"].status == SUCCESSFUL
