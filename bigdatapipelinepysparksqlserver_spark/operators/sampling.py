@@ -39,6 +39,30 @@ def hash_sample(df: DataFrame, key_col: str, threshold_hex: str) -> DataFrame:
     return df.where(hash_gate(F.col(key_col), threshold_hex))
 
 
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, num_partitions: int = 64
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: total
+    order by ``md5(key)`` — effectively random with respect to any
+    content attribute, yet a pure function of the row, so every re-run
+    (and every engine) produces the SAME order.
+
+    Scale: the single-partition trap here is a global
+    ``row_number()``/``orderBy().collect()`` — instead this is
+    ``repartitionByRange`` on the hash (range exchange via sampled
+    boundaries) + ``sortWithinPartitions``: written out, part-00000 …
+    part-NNNNN concatenate to the totally-ordered corpus, with no
+    operator ever seeing more than one partition. This is how an epoch's
+    example order is fixed at 100 TB.
+    """
+    h = F.md5(F.col(key_col).cast("string").cast("binary")).alias("__shuffle_key")
+    return (
+        df.select("*", h)
+        .repartitionByRange(num_partitions, F.col("__shuffle_key"))
+        .sortWithinPartitions("__shuffle_key")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -153,3 +153,37 @@ def test_ngram_probe_hits_token_aligned(spark):
     probes = spark.createDataFrame([("the quick brown",)], "probe string")
     out = {r.doc_id: r.n_probe_hits for r in ngram_probe_hits(docs, probes, "text", "doc_id", n=3).collect()}
     assert out == {1: 1, 2: 1}  # doc 3 absent: no token-aligned match
+
+
+def test_deterministic_shuffle_total_order_without_global_sort(spark):
+    from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(df, "doc_id", num_partitions=8)
+
+    # partition-wise: concatenating partitions in index order yields the
+    # total md5 order (range partitioning → disjoint, ordered ranges)
+    parts = out.select("doc_id", "__shuffle_key", F.spark_partition_id().alias("p")).collect()
+    by_part = {}
+    for r in parts:
+        by_part.setdefault(r.p, []).append(r["__shuffle_key"])
+    prev_max = ""
+    for p in sorted(by_part):
+        keys = by_part[p]
+        assert keys == sorted(keys)  # sorted within partition
+        assert prev_max <= keys[0]  # ranges disjoint and increasing
+        prev_max = keys[-1]
+
+    # determinism: same order regardless of input partitioning
+    order_a = [r.doc_id for r in out.collect()]
+    out_b = deterministic_shuffle(df.repartition(17), "doc_id", num_partitions=8)
+    order_b = [r.doc_id for r in out_b.collect()]
+    assert sorted(order_a) == sorted(order_b) == list(range(1000))
+    # the shuffle is non-trivial (not identity order)
+    assert order_a[:10] != list(range(10))
+
+    # no single-partition stage: the plan must not contain a global Sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
