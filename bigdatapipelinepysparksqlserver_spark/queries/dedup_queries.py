@@ -165,11 +165,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the step pairwise dedup output actually needs — "keep one doc
     per cluster" is a component question, not a pair question (A~B, B~C
     must drop two docs of {A,B,C} even though A~C never matched).
+
+    Uses the large/small-star contraction (O(log n) rounds independent
+    of graph diameter) rather than min-label propagation (O(diameter)):
+    at 100 TB one adversarial chain of near-dup docs would serialize the
+    propagation loop, while star contraction collapses it regardless.
     """
-    from ..operators.dedup import connected_components, minhash_near_duplicates
+    from ..operators.dedup import connected_components_star, minhash_near_duplicates
 
     docs = Catalog(spark, sf_dir).documents
     pairs = minhash_near_duplicates(
         docs, text_col="text", id_col="doc_id", threshold=0.2, num_hashes=64, bands=16
     )
-    return connected_components(pairs)
+    return connected_components_star(pairs)

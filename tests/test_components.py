@@ -1,11 +1,18 @@
 """Connected components (duplicate clustering): hand-built graphs plus a
-property test against a brute-force union-find reference."""
+property test against a brute-force union-find reference — run against
+BOTH implementations (min-label propagation and large/small-star)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
-from bigdatapipelinepysparksqlserver_spark.operators.dedup import connected_components
+from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
+
+ALGOS = [connected_components, connected_components_star]
 
 
 def _components_bruteforce(edges):
@@ -25,29 +32,39 @@ def _components_bruteforce(edges):
     return {v: find(v) for v in parent}
 
 
-def test_chain_and_islands(spark):
+@pytest.mark.parametrize("algo", ALGOS, ids=["label", "star"])
+def test_chain_and_islands(spark, algo):
     edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
     got = {
         r.doc_id: r.component
-        for r in connected_components(
-            spark.createDataFrame(edges, "id1 long, id2 long")
-        ).collect()
+        for r in algo(spark.createDataFrame(edges, "id1 long, id2 long")).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
-def test_long_chain_converges(spark):
+@pytest.mark.parametrize("algo", ALGOS, ids=["label", "star"])
+def test_long_chain_converges(spark, algo):
     # a path graph has maximal diameter for its size — worst case for
-    # min-label propagation round count
+    # min-label propagation round count, and the case star contraction
+    # exists to collapse in O(log n) rounds
     n = 12
     edges = [(i, i + 1) for i in range(n)]
     got = {
         r.doc_id: r.component
-        for r in connected_components(
+        for r in algo(spark.createDataFrame(edges, "id1 long, id2 long")).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_star_handles_duplicate_and_reversed_edges(spark):
+    edges = [(5, 3), (3, 5), (5, 3), (7, 5), (2, 9)]
+    got = {
+        r.doc_id: r.component
+        for r in connected_components_star(
             spark.createDataFrame(edges, "id1 long, id2 long")
         ).collect()
     }
-    assert got == {i: 0 for i in range(n + 1)}
+    assert got == {3: 3, 5: 3, 7: 3, 2: 2, 9: 2}
 
 
 @settings(max_examples=5, deadline=None)
@@ -60,10 +77,9 @@ def test_long_chain_converges(spark):
 )
 def test_components_equal_union_find(spark, edges):
     expected = _components_bruteforce(edges)
-    got = {
-        r.doc_id: r.component
-        for r in connected_components(
-            spark.createDataFrame(edges, "id1 long, id2 long")
-        ).collect()
-    }
-    assert got == expected
+    for algo in ALGOS:
+        got = {
+            r.doc_id: r.component
+            for r in algo(spark.createDataFrame(edges, "id1 long, id2 long")).collect()
+        }
+        assert got == expected, algo.__name__
