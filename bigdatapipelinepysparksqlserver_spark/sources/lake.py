@@ -133,6 +133,91 @@ class LakeTable:
                 os.rmdir(parent)
                 parent = os.path.dirname(parent)
 
+    def partition_file_stats(self) -> list[tuple[str, int, int]]:
+        """Per-partition (relative_dir, file_count, total_bytes) from
+        filesystem metadata only — no data scan. The observability half
+        of compaction: a 100 TB lake's scan cost is driven by file count
+        as much as byte count (per-file open/footer overhead, task
+        scheduling), so fragmentation must be measurable cheaply."""
+        stats: list[tuple[str, int, int]] = []
+        root = os.path.abspath(self.path)
+        for dirpath, _dirnames, filenames in os.walk(root):
+            data = [
+                n
+                for n in filenames
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            ]
+            if not data:
+                continue
+            nbytes = sum(os.path.getsize(os.path.join(dirpath, n)) for n in data)
+            stats.append((os.path.relpath(dirpath, root), len(data), nbytes))
+        return stats
+
+    def compact_partitions(
+        self, target_file_bytes: int = 128 << 20, min_files: int = 2
+    ) -> list[str]:
+        """File-layout repair: rewrite exactly the partitions whose file
+        count is wrong for their byte size — MERGE when fragmented
+        (> ceil(bytes/target) files and ≥ ``min_files``), SPLIT when
+        files are oversized (< ceil(bytes/target) files, i.e. average
+        file > target). Healthy partitions' files are left physically
+        untouched. Returns the rewritten partition dirs.
+
+        Continuous ingest (streaming foreachBatch, frequent small CDC
+        runs) fragments partitions — per-file open/footer overhead and
+        task-scheduling cost then dominate scans; conversely a giant
+        single file caps scan parallelism at 1 task per
+        maxPartitionBytes range but still pays row-group skew. At scale
+        the fix must be (a) incremental — cost ∝ unhealthy partitions,
+        never the table — and (b) idempotent/atomic per partition,
+        which dynamic partition overwrite gives for free. Each
+        rewritten partition comes back as ceil(bytes/target) files via
+        a salted repartition.
+        """
+        todo: list[tuple[str, int]] = []
+        for rel, nfiles, nbytes in self.partition_file_stats():
+            want = max(1, -(-nbytes // target_file_bytes))
+            fragmented = nfiles >= min_files and nfiles > want
+            oversized = nfiles < want
+            if fragmented or oversized:
+                todo.append((rel, want))
+        if not todo:
+            return []
+        mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        if (mode or "").lower() != "dynamic":
+            raise RuntimeError(
+                "partitionOverwriteMode must be 'dynamic' for compaction "
+                f"(got {mode!r}); static mode would drop healthy partitions"
+            )
+        # match partitions by their dir path rendered from the data —
+        # identical formatting to what the writer produced the dirs from
+        rel_expr = F.concat_ws(
+            "/",
+            *[
+                F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                for c in self.partition_cols
+            ],
+        )
+        # the common case — fragmented partitions merging to 1 file each —
+        # is ONE keyed-repartition job regardless of how many partitions
+        # qualify (cost bounded by one shuffle of the fragmented data).
+        # Splits are rarer and need an exact file count, which only an
+        # explicit repartition(n) gives (AQE coalesces keyed shuffles of
+        # small data back into one task, silently undoing a salt), so
+        # each oversized partition is its own round-robin rewrite.
+        merge_rels = [rel for rel, want in todo if want == 1]
+        if merge_rels:
+            frag = self.read().where(rel_expr.isin(merge_rels))
+            self._writer(frag).mode("overwrite").parquet(self.path)
+        for rel, want in todo:
+            if want == 1:
+                continue
+            part = self.read().where(rel_expr == rel).repartition(want)
+            part.write.partitionBy(*self.partition_cols).mode("overwrite").parquet(
+                self.path
+            )
+        return [rel for rel, _ in todo]
+
     def register_catalog_table(self, name: str) -> None:
         """S4 — catalog DDL: CREATE TABLE IF NOT EXISTS ... USING PARQUET
         PARTITIONED BY ... LOCATION path (load_sales_history.py:101-103),
@@ -158,9 +243,9 @@ class LakeTable:
     def _writer(self, df: DataFrame):
         # hash-repartition on the partition keys: every row of one lake
         # partition lands in one shuffle task → exactly one file per
-        # partition (small-files avoidance, README.md:62). A pathologically
-        # large single partition would need a salt column added here; at
-        # month×country grain the reference's data never gets there.
+        # partition (small-files avoidance, README.md:62). A partition
+        # too big for one file is compact_partitions' split path, which
+        # uses an explicit round-robin repartition instead.
         ordered = df.select(
             *[c for c in df.columns if c not in self.partition_cols],
             *self.partition_cols,

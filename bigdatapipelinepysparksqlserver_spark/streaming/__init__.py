@@ -9,7 +9,9 @@ from .cdc import (  # noqa: F401
     foreach_batch_incremental_mart,
     foreach_batch_partition_overwrite,
     streaming_dedup,
+    streaming_enrich,
     streaming_hourly_agg,
+    streaming_interval_join,
     streaming_running_totals,
     streaming_sessionize,
 )

@@ -119,6 +119,73 @@ def streaming_sessionize(
     )
 
 
+def streaming_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stream-static dimension enrichment: left-join the (possibly
+    streaming) fact against a STATIC dimension — the continuous twin of
+    the batch denormalize (J1, ``operators.relational.denormalize``).
+
+    Scale: the static side is broadcast-hinted, so each micro-batch is a
+    map-only BroadcastHashJoin — no shuffle of the stream, no streaming
+    state at all (stream-static joins are stateless by construction; the
+    static side is simply re-resolved per micro-batch, which also means
+    a dim TABLE refreshed in place is picked up between batches).
+    Left-outer keeps unmatched facts (dim gaps must not drop revenue —
+    same null-tolerant contract as the batch denormalize).
+    """
+    cols = dim.select(on, *dim_cols) if dim_cols else dim
+    return events.join(F.broadcast(cols), on, "left")
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream equi+interval join: each LEFT event matches RIGHT
+    events with the same key whose timestamp falls in
+    ``[left_ts, left_ts + max_delay]`` — the streaming twin of the batch
+    banded range join (``operators.temporal.range_join``), e.g. "views
+    followed by a purchase within the hour".
+
+    Both sides carry watermarks and the join predicate bounds event-time
+    distance, which is exactly what Structured Streaming needs to EVICT
+    buffered rows: a right row is droppable once the left watermark
+    passes right_ts, a left row once the right watermark passes
+    left_ts + max_delay. Without the time bound the state store grows
+    without limit — the interval predicate is load-bearing, not an
+    optimization. One shuffle per side (hash on the key), state
+    partitioned the same way, so it scales horizontally.
+
+    On batch frames the identical plan is a plain range join (unified
+    semantics), which is how the tests cross-check results.
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    lhs = lw.alias("l")
+    rhs = rw.alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return lhs.join(
+        rhs,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {max_delay}")),
+    ).select(
+        F.col(f"l.{key}").alias(key),
+        lts.alias("left_ts"),
+        rts.alias("right_ts"),
+        (rts.cast("double") - lts.cast("double")).alias("delay_seconds"),
+    )
+
+
 def foreach_batch_partition_overwrite(
     lake: LakeTable, transform: Callable[[DataFrame], DataFrame] | None = None
 ) -> Callable[[DataFrame, int], None]:

@@ -164,6 +164,87 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
     # user 1's totals span both micro-batches → state crossed the boundary
 
 
+def test_streaming_enrich_stream_static(spark, tmp_path):
+    """Stream-static join: a real file-source stream enriched against a
+    static dim must equal the batch join, and unmatched facts survive."""
+    from bigdatapipelinepysparksqlserver_spark.streaming import streaming_enrich
+
+    dim = spark.createDataFrame(
+        [("purchase", "rev"), ("view", "traffic")], "event_type string, category string"
+    )
+    batch = {
+        (r.event_id, r.category)
+        for r in streaming_enrich(_events(spark), dim, on="event_type").collect()
+    }
+    assert batch == {(1, "rev"), (2, "rev"), (3, "traffic")}
+
+    src_dir = str(tmp_path / "enrich_src")
+    _events(spark).write.parquet(src_dir)
+    stream = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    q = (
+        streaming_enrich(stream, dim, on="event_type")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.event_id, r.category)
+        for r in spark.sql("select * from enrich_test").collect()
+    }
+    # the duplicate event_id 3 row appears twice in the raw stream
+    assert streamed == batch
+
+
+def test_streaming_interval_join_stream_stream(spark, tmp_path):
+    """Stream-stream interval join (both sides watermarked) run as a real
+    availableNow stream equals the identical plan on batch frames."""
+    from bigdatapipelinepysparksqlserver_spark.streaming import streaming_interval_join
+
+    schema = "user_id long, ts timestamp"
+    views = [
+        (100, datetime(2024, 1, 1, 10, 0)),
+        (100, datetime(2024, 1, 1, 12, 0)),
+        (200, datetime(2024, 1, 1, 10, 30)),
+    ]
+    purchases = [
+        (100, datetime(2024, 1, 1, 10, 45)),  # within 1h of the 10:00 view
+        (200, datetime(2024, 1, 1, 12, 0)),   # 1h30 after the view — no match
+    ]
+    vdf = spark.createDataFrame(views, schema)
+    pdf = spark.createDataFrame(purchases, schema)
+
+    batch = {
+        (r.user_id, r.left_ts, r.right_ts, r.delay_seconds)
+        for r in streaming_interval_join(vdf, pdf, max_delay="1 hour").collect()
+    }
+    assert batch == {(100, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 45), 2700.0)}
+
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    vdf.write.parquet(vdir)
+    pdf.write.parquet(pdir)
+    vs = spark.readStream.schema(schema).parquet(vdir)
+    ps = spark.readStream.schema(schema).parquet(pdir)
+    q = (
+        streaming_interval_join(vs, ps, max_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("ij_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, r.left_ts, r.right_ts, r.delay_seconds)
+        for r in spark.sql("select * from ij_test").collect()
+    }
+    assert streamed == batch
+
+
 def test_foreach_batch_incremental_mart_end_to_end(spark, tmp_path):
     """Continuous CDC → lake → mart: a real availableNow stream of wide
     sales rows, processed in ≥2 micro-batches, must leave the incremental
