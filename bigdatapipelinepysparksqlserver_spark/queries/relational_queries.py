@@ -914,6 +914,42 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sketch_top_clients", oracle=None)
+def sketch_top_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-10 clients by order count via the approx_top_k
+    frequency sketch — completing the sketch triad (HLL distinct, GK
+    quantiles, frequent items).
+
+    Built in the explicitly MERGEABLE form — per-group
+    approx_top_k_accumulate sketches combined with approx_top_k_combine,
+    then read with approx_top_k_estimate — the same
+    partial/combine/estimate protocol the incremental mart uses for HLL
+    partials, so per-partition frequency sketches could be persisted and
+    re-aggregated without rescanning history.
+
+    Scale: exact top-k over a high-cardinality key is a full groupBy
+    (shuffle ∝ distinct keys) THEN a sort; the sketch is one pass,
+    bounded memory (maxItemsTracked entries per partial), map-side
+    combinable, with estimates exact whenever per-partial distinct keys
+    fit the tracked budget. Policy unchanged: monitoring/interactive
+    tier only — reconciliation stays exact.
+    """
+    o = Catalog(spark, sf_dir).orders
+    # per-orderdate-year partials (stand-in for per-partition persisted
+    # sketches), combined into one global sketch, then estimated
+    partials = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.expr("approx_top_k_accumulate(o_custkey, 100000)").alias("sk")
+    )
+    combined = partials.agg(F.expr("approx_top_k_combine(sk)").alias("sk"))
+    est = combined.select(
+        F.explode(F.expr("approx_top_k_estimate(sk, 10)")).alias("e")
+    )
+    return est.select(
+        F.col("e.item").alias("o_custkey"),
+        F.col("e.count").alias("order_count_est"),
+    ).orderBy(F.desc("order_count_est"), "o_custkey")
+
+
 # --------------------------------------------------------------------------
 # TPC-H Q4: order priority checking — EXISTS rewritten as semi join
 # --------------------------------------------------------------------------
