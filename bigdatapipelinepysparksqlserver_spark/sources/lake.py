@@ -57,13 +57,23 @@ class LakeTable:
             not n.startswith(("_", ".")) for n in os.listdir(self.path)
         )
 
-    def read(self) -> DataFrame:
+    def read(self, merge_schema: bool = False) -> DataFrame:
         """Full-table scan; Catalyst prunes partitions from any filter on
         the partition columns (verify via PartitionFilters in .explain).
-        An empty/absent table reads as zero rows of ``self.schema``."""
+        An empty/absent table reads as zero rows of ``self.schema``.
+
+        ``merge_schema=True`` unions the schemas of ALL partition files
+        (columns added by later CDC runs read as NULL in older
+        partitions) — schema evolution without rewriting history, which
+        at 100 TB is the only affordable kind. Off by default: merging
+        footers costs a file-listing pass, and the steady-state reader
+        should use the latest schema it already knows."""
         if not self.exists():
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.parquet(self.path)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.path)
 
     def write_full(self, df: DataFrame) -> None:
         """Initial full load (reference: first run, empty partition list →

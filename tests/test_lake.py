@@ -147,3 +147,23 @@ def test_compaction_splits_oversized_partition(spark, tmp_path):
     # salted split: expect >1 file, bounded by the requested count
     assert 1 < got_files <= want
     assert {tuple(r) for r in lake.read().collect()} == before
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """A column added by a later CDC run must be readable across the whole
+    table (NULL in pre-evolution partitions) without rewriting history."""
+    import pyspark.sql.functions as F
+
+    lake = LakeTable(spark, str(tmp_path / "lake"))
+    lake.write_full(_df(spark, [(1, "a", 202401, "PT")]))
+    evolved = _df(spark, [(2, "b", 202402, "PT")]).withColumn(
+        "channel", F.lit("web")
+    )
+    lake.overwrite_partitions(evolved.select("id", "v", "channel", "year_month", "country"))
+    got = {
+        (r.id, r.channel)
+        for r in lake.read(merge_schema=True).select("id", "channel").collect()
+    }
+    assert got == {(1, None), (2, "web")}
+    # old partition physically untouched — evolution cost ∝ new data only
+    assert lake.read(merge_schema=True).count() == 2
