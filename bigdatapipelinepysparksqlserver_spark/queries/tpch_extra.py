@@ -309,16 +309,19 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) achieving the max quarterly revenue.
 
-    Scale: the revenue aggregate (one pruned scan + one shuffle on
-    suppkey) is computed ONCE — the scalar max is an empty-partition
-    window over that SMALL aggregate (supplier-cardinality, not
-    lineitem-cardinality), so Spark doesn't re-derive the subtree the way
-    a separate max-aggregate + self-join formulation would (the CTE form
-    plans TWO lineitem scans). Ties surface every max supplier, same as
-    the spec; decimal comparison is exact, so the argmax is deterministic.
+    Scale: the scalar max is a broadcast-joined GLOBAL AGGREGATE over the
+    per-supplier revenue, not a single-partition window (an
+    empty-partition-spec window funnels the whole supplier-cardinality
+    aggregate through ONE task — ~1e9 rows at SF100k). The aggregate form
+    is partial-per-partition + 1-row merge, fully distributed. Both
+    branches canonicalize to the same shuffle, so ReuseExchange computes
+    the revenue subtree ONCE (single lineitem scan); the explicit
+    ``l_suppkey IS NOT NULL`` filter exists to keep the two branches
+    canonically identical — without it the supplier join pushes
+    ``isnotnull`` into only the probe branch and reuse is lost.
+    Ties surface every max supplier, same as the spec; decimal comparison
+    is exact, so the argmax is deterministic.
     """
-    from pyspark.sql import Window
-
     t = Catalog(spark, sf_dir)
     revenue_expr = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
         "decimal(18,4)"
@@ -327,15 +330,15 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.where(
             (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
             & (F.col("l_shipdate") < F.lit(datetime(1996, 4, 1)))
+            & F.col("l_suppkey").isNotNull()
         )
-        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .groupBy("l_suppkey")
         .agg(F.sum(revenue_expr).alias("total_revenue"))
     )
-    max_rev = F.max("total_revenue").over(Window.partitionBy())
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        revenue.withColumn("max_revenue", max_rev)
-        .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(t.supplier, F.col("supplier_no") == F.col("s_suppkey"))
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
