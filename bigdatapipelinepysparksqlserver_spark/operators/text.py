@@ -277,3 +277,47 @@ def language_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         *[counts[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
         pred.alias("predicted_lang"),
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 256,
+    shard_hex_chars: int = 1,
+) -> DataFrame:
+    """Pack token chunks into fixed-budget training sequences.
+
+    Contiguous greedy fill: chunks are laid out in a deterministic,
+    content-addressed order (chunk_md5, doc_id, chunk_index) and a
+    sequence boundary is drawn every ``budget`` tokens — a chunk belongs
+    to the sequence where its first token lands (``floor(prefix_sum /
+    budget)``). This is the distributed-friendly formulation of sequence
+    packing: best-fit bin packing is inherently sequential, while
+    prefix-sum packing is one window per shard and wastes at most one
+    chunk's worth of slack per boundary.
+
+    Scale: the only shuffle is the window's hash partition on ``shard``
+    (first ``shard_hex_chars`` hex chars of chunk_md5 — 16^k shards; raise
+    k so shards ≫ executor count at 100 TB). The md5 ordering doubles as
+    the corpus shuffle step — consecutive chunks of one document land in
+    different sequences, which is exactly what training wants.
+
+    Returns one row per (shard, seq_id): chunk count and token total.
+    """
+    from pyspark.sql import Window
+
+    shard = F.substring("chunk_md5", 1, shard_hex_chars)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("chunk_md5", "doc_id", "chunk_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("chunk_tokens").over(w)
+    return (
+        chunks.withColumn("shard", shard)
+        .withColumn("seq_id", ((cum - F.col("chunk_tokens")) / budget).cast("bigint"))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").alias("seq_tokens"),
+        )
+    )

@@ -269,3 +269,101 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_probe_hits(
         docs, probes, text_col="text", id_col="doc_id", n=PROBE_N
     )
+
+
+PACK_BUDGET = 256
+
+PACK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS words,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, words, n,
+         CASE WHEN n <= {CHUNK_W} THEN 1
+              ELSE CAST(CEIL(CAST(n - {CHUNK_W} AS DOUBLE) / {CHUNK_S}) AS INT) + 1
+         END AS n_chunks
+  FROM w
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(t.i AS INT) AS chunk_index,
+         CAST(LEAST({CHUNK_W}, n - t.i * {CHUNK_S}) AS INT) AS chunk_tokens,
+         md5(array_to_string(
+               words[CAST(t.i * {CHUNK_S} + 1 AS INT) : CAST(t.i * {CHUNK_S} + {CHUNK_W} AS INT)],
+               ' ')) AS chunk_md5
+  FROM c, UNNEST(range(0, n_chunks)) AS t(i)
+),
+laid AS (
+  SELECT substr(chunk_md5, 1, 1) AS shard, chunk_tokens,
+         SUM(chunk_tokens) OVER (
+           PARTITION BY substr(chunk_md5, 1, 1)
+           ORDER BY chunk_md5, doc_id, chunk_index
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM chunks
+)
+SELECT shard,
+       CAST(FLOOR((cum - chunk_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_chunks,
+       SUM(chunk_tokens) AS seq_tokens
+FROM laid
+GROUP BY shard, seq_id
+"""
+
+
+@query("doc_pack_plan", oracle=PACK_ORACLE)
+def doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: lay chunks out in content-addressed (md5)
+    order and draw a sequence boundary every 256 tokens — the example-prep
+    step that turns variable-length chunks into fixed-budget training
+    sequences. Prefix-sum packing instead of best-fit keeps it one window
+    per md5 shard (16^k independent shards), and the md5 ordering doubles
+    as the corpus shuffle."""
+    from ..operators.text import pack_chunks
+
+    docs = Catalog(spark, sf_dir).documents
+    chunks = chunk_documents(
+        docs, text_col="text", id_col="doc_id", window=CHUNK_W, stride=CHUNK_S
+    )
+    return pack_chunks(chunks, budget=PACK_BUDGET, shard_hex_chars=1)
+
+
+TOKEN_DF_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok AS token
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+') AS arr
+        FROM documents),
+       UNNEST(arr) AS t(tok)
+  WHERE t.tok <> ''
+)
+SELECT token, COUNT(*) AS doc_freq
+FROM toks
+GROUP BY token
+ORDER BY doc_freq DESC, token ASC
+LIMIT 50
+"""
+
+
+@query("token_doc_freq", oracle=TOKEN_DF_ORACLE)
+def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary report: top-50 tokens by document frequency.
+
+    Scale: tokens are distinct-ed INSIDE each document before the explode
+    (array_distinct — map-side, no Expand), so the shuffle carries at most
+    one row per (doc, term); partial aggregation then collapses the
+    stopword skew per partition before the exchange, and the final top-50
+    plans as TakeOrderedAndProject (no global sort)."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+"))
+        ).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+        .limit(50)
+    )
