@@ -367,3 +367,38 @@ def token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
         .limit(50)
     )
+
+
+CLASSIFIER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+') AS arr
+        FROM documents),
+       UNNEST(arr) AS t(tok)
+  WHERE t.tok <> ''
+),
+weighted AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(token), 1, 3)) AS INT) % 61 AS DOUBLE)
+           / 30.0 - 1.0 AS w
+  FROM toks
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(1.0 / (1.0 + EXP(-4.0 * AVG(w))), 6) AS quality_prob
+FROM weighted
+GROUP BY doc_id
+"""
+
+
+@query("quality_classifier_score", oracle=CLASSIFIER_ORACLE)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier (frozen stand-in weights)
+    scoring every document — the model-based quality gate of a corpus
+    pipeline, with the learned-weight swap point left as a broadcast
+    join."""
+    from ..operators.text import classifier_scores
+
+    docs = Catalog(spark, sf_dir).documents
+    return classifier_scores(docs, text_col="text", id_col="doc_id")
