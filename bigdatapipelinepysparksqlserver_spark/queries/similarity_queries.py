@@ -144,3 +144,31 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", dim=64,
         threshold=EMB_NEARDUP_THRESHOLD, bits=4,
     )
+
+
+CENTROID_ORACLE = """
+SELECT label,
+       CAST(t.i AS INT) AS dim,
+       ROUND(AVG(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)), 6) AS centroid
+FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, dim
+"""
+
+
+@query("embedding_label_centroids", oracle=CENTROID_ORACLE)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors, one row per
+    (label, dimension) — the distributed mean-vector computation behind
+    IVF/KMeans quantizer training and class prototypes.
+
+    Scale: posexplode multiplies rows by the dimension count, but partial
+    aggregation collapses them to (labels x dims) per partition before
+    the exchange — the shuffle is model-sized, not data-sized, at any
+    corpus scale. No vector ever crosses the wire whole, no driver
+    collect."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
