@@ -187,3 +187,40 @@ def test_deterministic_shuffle_total_order_without_global_sort(spark):
     # no single-partition stage: the plan must not contain a global Sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_pack_chunks_conserves_tokens_and_is_layout_independent(spark):
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), (F.pmod(F.xxhash64("id"), F.lit(90)) + 10).cast("int")),
+                lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64("id", i), F.lit(50))),
+            ),
+        ).alias("text"),
+    )
+    chunks = chunk_documents(docs, text_col="text", id_col="doc_id")
+    packed = pack_chunks(chunks, budget=64).collect()
+
+    # token conservation: every chunk token lands in exactly one sequence
+    total_chunk_tokens = chunks.agg(F.sum("chunk_tokens")).first()[0]
+    assert sum(r.seq_tokens for r in packed) == total_chunk_tokens
+
+    # each shard's sequence ids are dense from 0 and every sequence except
+    # the shard's last starts within `budget` tokens of the previous one
+    by_shard: dict[str, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.seq_id)
+        assert [r.seq_id for r in rows] == list(range(len(rows)))
+
+    # layout independence: same plan from a differently-partitioned input
+    repacked = pack_chunks(chunks.repartition(13), budget=64).collect()
+    assert sorted(map(tuple, repacked)) == sorted(map(tuple, packed))
