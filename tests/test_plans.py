@@ -159,3 +159,39 @@ def test_asof_attribution_is_union_window_not_join(spark):
     plan = plan_of(REGISTRY["asof_attribution"].fn(spark, SF))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_no_single_partition_windows_anywhere(spark):
+    """A window with an empty partition spec funnels its whole input
+    through ONE task — fine on a 100-row ledger, fatal on a corpus-sized
+    input. Every registered query must partition every window (global
+    argmax/top-k belong to aggregate or TakeOrdered forms instead)."""
+    import re
+
+    def has_global_window(logical: str) -> bool:
+        for line in logical.splitlines():
+            if "WindowGroupLimit" in line:
+                continue
+            m = re.search(r"(?:^|\s)Window (\[.*)$", line)
+            if m is None:
+                continue
+            groups = depth = 0
+            for ch in m.group(1):
+                if ch == "[":
+                    if depth == 0:
+                        groups += 1
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+            if groups < 3:  # [exprs], [partition], [order] when partitioned
+                return True
+        return False
+
+    offenders = []
+    for name, spec in REGISTRY.items():
+        logical = (
+            spec.fn(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        if has_global_window(logical):
+            offenders.append(name)
+    assert offenders == []
