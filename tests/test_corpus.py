@@ -1,0 +1,74 @@
+"""End-to-end corpus build pipeline (clean → scrub → dedup → mix →
+chunk → pack → write)."""
+
+from __future__ import annotations
+
+from bigdatapipelinepysparksqlserver_spark.corpus import build_corpus
+
+
+def _docs(spark):
+    long_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    long_b = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(25))
+    rows = [
+        (1, long_a, "en"),  # survives everything
+        (2, long_a, "en"),  # exact duplicate of 1 → dropped by dedup
+        (3, "too short", "en"),  # fails the length gate
+        (4, "spam " * 60, "en"),  # fails the repetition gate
+        (5, long_b + " mail me at a@b.com now please thanks", "de"),  # scrubbed
+        (6, long_b + " unique german tail here today friend", "de"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_build_corpus_funnel_and_dedup(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    report = build_corpus(
+        spark,
+        _docs(spark),
+        out,
+        mix_thresholds={"en": "ff", "de": "ff"},  # keep-all mix for this test
+    )
+    assert report["n_raw"] == 6
+    assert report["n_quality"] == 4  # docs 3 and 4 gated out
+    assert report["n_dedup"] == 3  # the duplicate pair collapsed
+    assert report["n_mixed"] == 3
+    assert report["n_sequences"] >= 1
+    assert report["n_chunks"] >= report["n_sequences"]
+    assert report["total_tokens"] > 0
+
+    packed = spark.read.parquet(out)
+    assert packed.columns == ["shard", "seq_id", "n_chunks", "seq_tokens"]
+    # token conservation into the written corpus
+    assert (
+        packed.groupBy().sum("seq_tokens").first()[0] == report["total_tokens"]
+    )
+
+
+def test_build_corpus_scrubs_pii_before_hashing(spark, tmp_path):
+    """The PII address must not reach the corpus: doc 5's email is
+    redacted before chunk md5s are computed."""
+    out = str(tmp_path / "corpus2")
+    build_corpus(
+        spark, _docs(spark), out, mix_thresholds={"en": "ff", "de": "ff"}
+    )
+    # rebuild with the email pre-redacted by hand: identical output
+    import pyspark.sql.functions as F
+
+    pre = _docs(spark).withColumn(
+        "text", F.regexp_replace("text", "a@b\\.com", "<EMAIL>")
+    )
+    out_pre = str(tmp_path / "corpus3")
+    build_corpus(spark, pre, out_pre, mix_thresholds={"en": "ff", "de": "ff"})
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out_pre).collect()))
+    assert a == b
+
+
+def test_build_corpus_deterministic_across_runs(spark, tmp_path):
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    ra = build_corpus(spark, _docs(spark), a_dir)
+    rb = build_corpus(spark, _docs(spark).repartition(7), b_dir)
+    assert ra == rb
+    a = sorted(map(tuple, spark.read.parquet(a_dir).collect()))
+    b = sorted(map(tuple, spark.read.parquet(b_dir).collect()))
+    assert a == b
