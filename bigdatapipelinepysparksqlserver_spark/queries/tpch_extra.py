@@ -674,3 +674,81 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.supplier.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q21 (adapted) — suppliers who kept orders waiting
+# --------------------------------------------------------------------------
+
+TPCH_Q21_ORACLE = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 20
+"""
+
+
+@query("tpch_q21", oracle=TPCH_Q21_ORACLE)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted): suppliers who were the SOLE late supplier on a
+    multi-supplier finished order. Lateness is ``l_shipdate > o_orderdate
+    + 60 days`` (the schema has no commit/receipt dates — reduced-schema
+    adaptation, like q16/q20).
+
+    Scale: the dual correlated subqueries become one left-semi and one
+    left-anti hash join, both keyed on orderkey (the non-equal suppkey
+    predicate rides along as a join condition — no nested-loop); the
+    ``late`` set builds from one orders⋈lineitem join with the status and
+    lateness filters pushed to the scans. Final top-20 is
+    TakeOrderedAndProject.
+    """
+    t = Catalog(spark, sf_dir)
+    late = (
+        t.lineitem.join(
+            t.orders.where(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = t.lineitem.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
