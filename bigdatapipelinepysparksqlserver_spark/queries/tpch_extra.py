@@ -1,11 +1,17 @@
-"""Extended TPC-H coverage (q7/q8/q9/q13/q15/q16/q17/q18/q19/q20/q22),
-adapted to the driver testdata's reduced star schema.
+"""Extended TPC-H coverage (q2/q7/q8/q9/q11/q13/q15/q16/q17/q18/q19/
+q20/q21/q22), adapted to the driver testdata's reduced star schema —
+together with q1/q3/q4/q5/q6/q10/q12/q14 in relational_queries.py this
+completes all 22 TPC-H query shapes.
 
 Adaptations (the testdata has no partsupp table, no l_commitdate /
 l_receiptdate / l_shipmode / l_shipinstruct / p_container / p_mfgr /
 c_phone / o_comment):
 
+- q2 derives part–supplier pairs from lineitem with ``ps_supplycost :=
+  MIN(l_extendedprice)`` (no partsupp).
 - q9 costs from ``p_retailprice`` instead of ``ps_supplycost``.
+- q11 measures nation spend SUM(l_extendedprice) instead of
+  supplycost×availqty (no partsupp).
 - q13 filters ``o_orderpriority <> '5-LOW'`` instead of the o_comment
   NOT-LIKE filter.
 - q16 takes supplier relationships from lineitem (no partsupp) and drops
@@ -13,6 +19,8 @@ c_phone / o_comment):
 - q17/q19 substitute brand+size predicates for brand+container.
 - q20 compares shipped share instead of stocked availability (no
   partsupp).
+- q21 defines late as ``l_shipdate > o_orderdate + 60 days`` (no
+  commit/receipt dates).
 - q22 derives the "country code" grouping from ``c_nationkey`` instead of
   ``substring(c_phone, 1, 2)``.
 
@@ -754,4 +762,144 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 (adapted) — minimum-cost supplier per part within a region
+# --------------------------------------------------------------------------
+
+TPCH_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p.p_partkey, eu.s_name, eu.s_acctbal, eu.n_name, ps.ps_supplycost,
+         MIN(ps.ps_supplycost) OVER (PARTITION BY p.p_partkey) AS min_cost
+  FROM ps
+  JOIN eu ON ps.l_suppkey = eu.s_suppkey
+  JOIN part p ON ps.l_partkey = p.p_partkey
+  WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+FROM cand WHERE ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+@query("tpch_q2", oracle=TPCH_Q2_ORACLE)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted): cheapest EUROPE supplier for each 15-size
+    ECONOMY part. The schema has no partsupp, so the part–supplier
+    relationship derives from lineitem (as in q16/q20) with
+    ``ps_supplycost := MIN(l_extendedprice)`` per (part, supplier) —
+    monotonic, decimal-exact, division-free.
+
+    Scale: the correlated min-cost subquery is a window partitioned by
+    partkey over the ALREADY part-filtered candidates — one shuffle of a
+    dimension-sized frame, never a self-join; supplier/nation/region
+    collapse to a broadcast dim; the ps rollup reuses the (partkey,
+    suppkey) shuffle for its aggregate.
+    """
+    from pyspark.sql import Window
+
+    t = Catalog(spark, sf_dir)
+    ps = (
+        t.lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec("l_extendedprice")).alias("ps_supplycost"))
+    )
+    eu = (
+        t.supplier.join(
+            F.broadcast(
+                t.nation.join(
+                    F.broadcast(t.region.where(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = t.part.where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    cand = (
+        ps.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 (adapted) — important part holdings within one nation
+# --------------------------------------------------------------------------
+
+TPCH_Q11_ORACLE = """
+WITH spend AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_1'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey AS ps_partkey, value
+FROM spend
+WHERE value > (SELECT SUM(value) * 0.001 FROM spend)
+"""
+
+
+@query("tpch_q11", oracle=TPCH_Q11_ORACLE)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted): parts representing an outsized share of one
+    nation's supplier spend. No partsupp availqty, so value :=
+    SUM(l_extendedprice) over the nation's lineitems per part.
+
+    Scale: the Q15 pattern — the fraction-of-total threshold is a global
+    aggregate over the per-part spend, broadcast back onto it; both
+    branches are canonically identical so ReuseExchange computes the
+    spend subtree once (single lineitem scan, no single-partition stage).
+    """
+    t = Catalog(spark, sf_dir)
+    nation_supp = (
+        t.supplier.join(
+            F.broadcast(t.nation.where(F.col("n_name") == "NATION_1")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    spend = (
+        t.lineitem.where(F.col("l_partkey").isNotNull())
+        .join(nation_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("value"))
+    )
+    threshold = spend.agg(
+        (F.sum("value") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        spend.join(F.broadcast(threshold), F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("ps_partkey"), "value")
     )

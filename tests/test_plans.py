@@ -77,6 +77,7 @@ def test_no_cartesian_products_anywhere(spark):
         "emb_neardup_exact",
         "ann_ivf_topk",
         "tpch_q22",
+        "tpch_q11",  # 1-row threshold broadcast (scalar-subquery shape)
     }
     offenders = []
     for name, spec in REGISTRY.items():
