@@ -176,16 +176,29 @@ def test_no_single_partition_windows_anywhere(spark):
             m = re.search(r"(?:^|\s)Window (\[.*)$", line)
             if m is None:
                 continue
-            groups = depth = 0
+            # split the node args into top-level [...] groups:
+            # [exprs], [partition], [order] — the partition group is
+            # dropped from the printout when empty, and the order group
+            # when there is no ORDER BY. An order group is recognizable
+            # by its ASC/DESC sort directions.
+            groups: list[str] = []
+            depth = 0
             for ch in m.group(1):
                 if ch == "[":
                     if depth == 0:
-                        groups += 1
+                        groups.append("")
                     depth += 1
                 elif ch == "]":
                     depth -= 1
-            if groups < 3:  # [exprs], [partition], [order] when partitioned
-                return True
+                if depth > 0 and groups:
+                    groups[-1] += ch
+            if len(groups) >= 3:
+                continue  # exprs + partition + order → partitioned
+            if len(groups) == 2 and not re.search(
+                r"\b(ASC|DESC) NULLS", groups[1]
+            ):
+                continue  # exprs + partition (no order) → partitioned
+            return True  # exprs alone, or exprs + order → no partition
         return False
 
     offenders = []
