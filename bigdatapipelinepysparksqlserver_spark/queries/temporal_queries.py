@@ -219,3 +219,121 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in EVENT_TYPES]
     )
+
+
+# --------------------------------------------------------------------------
+# funnel: view → click → purchase, strictly ordered per user
+# --------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT user_id, ts, event_type, t1,
+         MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT user_id, t1, t2,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM s3 GROUP BY user_id
+)
+SELECT COUNT(t1) AS n_viewed,
+       COUNT(t2) AS n_clicked_after_view,
+       COUNT(t3) AS n_purchased_after_click
+FROM per_user
+"""
+
+
+@query("event_funnel", oracle=FUNNEL_ORACLE)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who viewed, then clicked strictly
+    after the first view, then purchased strictly after that click.
+
+    Scale: the sequential-pattern match is three conditional-min window
+    passes over ONE user_id partitioning — a single shuffle, three
+    chained Window operators, no self-joins and no per-user event-list
+    materialization. The final rollup is a user-level aggregate that
+    reuses the same partitioning."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id")
+    ts, typ = F.col("ts"), F.col("event_type")
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("t1", F.min(F.when(typ == "view", ts)).over(w))
+        .withColumn(
+            "t2", F.min(F.when((typ == "click") & (ts > F.col("t1")), ts)).over(w)
+        )
+        .withColumn(
+            "t3",
+            F.min(F.when((typ == "purchase") & (ts > F.col("t2")), ts)).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cohort retention: signup-month cohorts × months-since activity
+# --------------------------------------------------------------------------
+
+COHORT_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ad
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(ad) AS cd FROM user_days GROUP BY user_id
+)
+SELECT c.cd AS cohort_day_index,
+       u.ad - c.cd AS days_since,
+       COUNT(*) AS n_users
+FROM user_days u JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", oracle=COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted on each subsequent active day (linearized epoch-day index —
+    portable integer arithmetic on both engines; swap the truncation
+    expression for weekly/monthly cohorts on longer horizons).
+
+    Scale: no events self-join and no separate distinct pass — ONE
+    user_id shuffle builds each user's active-day set (collect_set
+    dedups map-side; its size is bounded by the calendar horizon, not
+    the event count), the cohort day is array_min of that set, and the
+    exploded (cohort, days_since) pairs aggregate into the
+    cohort-matrix-sized output."""
+    ev = Catalog(spark, sf_dir).events
+    ad = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("ad")
+    per_user = (
+        ev.select("user_id", ad)
+        .groupBy("user_id")
+        .agg(F.collect_set("ad").alias("days"))
+        .select(F.array_min("days").alias("cd"), F.explode("days").alias("ad"))
+    )
+    return per_user.groupBy(
+        F.col("cd").alias("cohort_day_index"),
+        (F.col("ad") - F.col("cd")).alias("days_since"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
