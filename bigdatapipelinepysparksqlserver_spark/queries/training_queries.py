@@ -402,3 +402,56 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return classifier_scores(docs, text_col="text", id_col="doc_id")
+
+
+SPAN_DUP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS words,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, words, n,
+         CASE WHEN n <= {CHUNK_W} THEN 1
+              ELSE CAST(CEIL(CAST(n - {CHUNK_W} AS DOUBLE) / {CHUNK_S}) AS INT) + 1
+         END AS n_chunks
+  FROM w
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(
+               words[CAST(t.i * {CHUNK_S} + 1 AS INT) : CAST(t.i * {CHUNK_S} + {CHUNK_W} AS INT)],
+               ' ')) AS chunk_md5
+  FROM c, UNNEST(range(0, n_chunks)) AS t(i)
+)
+SELECT chunk_md5,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM chunks
+GROUP BY chunk_md5
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@query("chunk_span_dups", oracle=SPAN_DUP_ORACLE)
+def chunk_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated spans: token windows whose md5 appears in
+    ≥2 documents — the boilerplate/template detector that feeds span-level
+    (rather than whole-document) dedup.
+
+    Scale: rides the map-only chunker; the shuffle key is the 16-byte
+    chunk hash and partial aggregation collapses within-partition repeats
+    first. The HAVING prunes to the (rare) repeated spans before any
+    downstream use."""
+    docs = Catalog(spark, sf_dir).documents
+    chunks = chunk_documents(
+        docs, text_col="text", id_col="doc_id", window=CHUNK_W, stride=CHUNK_S
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
