@@ -19,7 +19,7 @@ from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..session import apply_runtime_confs
 
@@ -46,19 +46,27 @@ NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 
 
 def _repair_nano_ts(df: DataFrame, table: str) -> DataFrame:
-    """Convert nanos-as-long columns to proper TimestampType (micros).
+    """Normalize timestamp storage variants to session-TZ TimestampType.
 
-    Integer division by 1000 truncates towards zero — the same semantics
-    DuckDB applies when narrowing nanos to its native micros, so the two
-    engines see identical values (verified empirically on the testdata).
+    Two storage encodings appear in driver testdata generations:
+    - TIMESTAMP(NANOS) read as long (``nanosAsLong``): integer-divide by
+      1000 — truncation toward zero matches DuckDB's nanos→micros
+      narrowing exactly. ``div`` is true integer division (Spark ``/`` on
+      longs is double division, whose ~256 ns ulp at ~1.7e18 rounds
+      values 1 µs low).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ: cast to
+      TimestampType. The session timezone is pinned to UTC, so the cast
+      preserves both the wall-clock and the epoch value, and the rest of
+      the engine (``unix_micros``, epoch casts, window/session_window)
+      sees one uniform type.
     """
     cols = NANO_TS_COLUMNS.get(table, ())
     fields = {f.name: f.dataType for f in df.schema.fields}
     for c in cols:
         if isinstance(fields.get(c), LongType):
-            # `div` is true integer division (Spark `/` on longs is double
-            # division, whose ~256 ns ulp at ~1.7e18 rounds values 1 µs low).
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(fields.get(c), TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -101,6 +109,16 @@ def load_table_ts_window(
             df = df.where(F.col(ts_col) >= F.lit(_ns(start)))
         if end is not None:
             df = df.where(F.col(ts_col) < F.lit(_ns(end)))
+        return _repair_nano_ts(df, name)
+    if isinstance(fields.get(ts_col), TimestampNTZType):
+        # filter in the stored NTZ domain BEFORE the cast-to-session-TZ
+        # projection so the comparison stays an attribute predicate and
+        # reaches parquet row-group stats; UTC session TZ makes the naive
+        # literal equivalent on both sides of the cast.
+        if start is not None:
+            df = df.where(F.col(ts_col) >= F.lit(start).cast("timestamp_ntz"))
+        if end is not None:
+            df = df.where(F.col(ts_col) < F.lit(end).cast("timestamp_ntz"))
         return _repair_nano_ts(df, name)
     out = _repair_nano_ts(df, name)
     if start is not None:
