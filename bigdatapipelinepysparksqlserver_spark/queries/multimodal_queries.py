@@ -22,7 +22,7 @@ from .registry import query
 MEDIA_META_ORACLE = """
 SELECT source AS media_source,
        COUNT(*) AS media_count,
-       SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
        MAX(octet_length(CAST(text AS BLOB))) AS max_bytes
 FROM documents
 GROUP BY source

@@ -9,6 +9,17 @@ Numeric-determinism policy: money aggregates run on DECIMAL(18,2) casts
 (exact, order-independent — required for two-engine value-hash equality);
 ratios/averages are computed as ROUND(double, 6) with identical operand
 order on both engines.
+
+Output-representation policy (driver canon): every FINAL projected
+aggregate is cast to a canon-stable type on BOTH engines — DECIMAL sums
+→ DOUBLE (identical exact decimal → correctly-rounded double on both
+sides, so the float64 values are bit-equal), and integer SUM(CASE…) →
+BIGINT in the oracle (DuckDB's HUGEINT otherwise downcasts to float64 in
+pandas). DECIMAL stays INTERNAL (exact, order-independent); only the
+final projection converts. Without this, Spark's toPandas() emits
+Decimal('…0') objects whose string form ('3916451.10') differs from
+DuckDB-pandas float64 ('3916451.1') whenever the value has a trailing
+zero — a value-dependent hash mismatch (the r2 driver failure mode).
 """
 
 from __future__ import annotations
@@ -38,10 +49,10 @@ TPCH_Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS sum_disc_price,
-  SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
   COUNT(*) AS count_order
@@ -70,10 +81,10 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit(datetime(1998, 9, 2)))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             F.round(F.sum(qty).cast("double") / cnt, 6).alias("avg_qty"),
             F.round(F.sum(price).cast("double") / cnt, 6).alias("avg_price"),
             cnt.alias("count_order"),
@@ -141,7 +152,7 @@ SELECT
   p.p_type AS type,
   p.p_size AS size,
   COUNT(l.l_orderkey) AS sales_count,
-  SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS paid_amount
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS paid_amount
 FROM lineitem l
 LEFT JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_extendedprice > 0
@@ -167,7 +178,7 @@ def mart_sales_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").alias("size"),
     ).agg(
         F.count("l_orderkey").alias("sales_count"),
-        F.sum(dec("l_extendedprice")).alias("paid_amount"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("paid_amount"),
     )
 
 
@@ -259,7 +270,7 @@ def changed_partitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 RECONCILE_ORACLE = """
 SELECT
   COALESCE(COUNT(o_orderkey), 0) AS sale_count,
-  COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS paid_sum
+  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS paid_sum
 FROM orders
 WHERE CAST(year(o_orderdate)*100 + month(o_orderdate) AS INT) IN (199501, 199502, 199503)
 """
@@ -271,7 +282,10 @@ def reconcile_aggs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed partitions — the lake half of two-engine reconciliation."""
     o = Catalog(spark, sf_dir).orders
     filtered = o.where(year_month("o_orderdate").isin(199501, 199502, 199503))
-    return reconcile_aggs(filtered, "o_orderkey", "o_totalprice")
+    out = reconcile_aggs(filtered, "o_orderkey", "o_totalprice")
+    # operator stays decimal-exact for reconciliation; canon-stable DOUBLE
+    # only at the registered-query boundary
+    return out.withColumn("paid_sum", F.col("paid_sum").cast("double"))
 
 
 # --------------------------------------------------------------------------
@@ -347,7 +361,7 @@ def year_month_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_CUSTOMERS_ORACLE = """
 SELECT c.c_custkey AS client_id, c.c_name AS client_name,
-       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_spend
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY 1, 2
 ORDER BY total_spend DESC, client_id
@@ -366,7 +380,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy(F.col("c_custkey").alias("client_id"), F.col("c_name").alias("client_name"))
-        .agg(F.sum(dec("o_totalprice")).alias("total_spend"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("total_spend"))
     )
     return top_k(spend, [F.col("total_spend").desc(), F.col("client_id")], 10)
 
@@ -378,7 +392,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q3_ORACLE = """
 SELECT
   l.l_orderkey,
-  SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue,
+  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
   o.o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -416,7 +430,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
     )
     return top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
@@ -429,7 +443,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q5_ORACLE = """
 SELECT
   n.n_name AS nation,
-  SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -479,7 +493,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 
@@ -527,7 +541,7 @@ SELECT
   date_trunc('hour', ts) AS window_start,
   event_type,
   COUNT(*) AS event_count,
-  SUM(CAST(value AS DECIMAL(18,2))) AS value_sum
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events
 GROUP BY 1, 2
 """
@@ -545,7 +559,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("event_count"),
-            F.sum(dec("value")).alias("value_sum"),
+            F.sum(dec("value")).cast("double").alias("value_sum"),
         )
     )
 
@@ -616,7 +630,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMER_RANK_ORACLE = """
 WITH spend AS (
   SELECT n.n_name AS country, c.c_custkey AS client_id,
-         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_spend
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -639,7 +653,7 @@ def customer_rank_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("country"), F.col("c_custkey").alias("client_id"))
-        .agg(F.sum(dec("o_totalprice")).alias("total_spend"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("total_spend"))
     )
     w = Window.partitionBy("country").orderBy(F.col("total_spend").desc(), F.col("client_id"))
     return (
@@ -721,7 +735,7 @@ def cutoff_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FACADE_ORACLE = """
 SELECT n.n_name AS country,
        COUNT(o.o_orderkey) AS order_count,
-       SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -744,7 +758,7 @@ def sql_facade_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n.n_name AS country,
                COUNT(o.o_orderkey) AS order_count,
-               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         FROM v_orders o
         JOIN v_customer c ON o.o_custkey = c.c_custkey
         JOIN v_nation n ON c.c_nationkey = n.n_nationkey
@@ -822,12 +836,13 @@ def events_hourly_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec("value").alias("value_dec"),
         F.lit(1).alias("one"),  # COUNT(*) semantics even if value is null
     )
-    return salted_agg(
+    out = salted_agg(
         keyed,
         ["window_start", "event_type"],
         {"event_count": "count:one", "value_sum": "sum:value_dec"},
         salt_buckets=16,
     )
+    return out.withColumn("value_sum", F.col("value_sum").cast("double"))
 
 
 # --------------------------------------------------------------------------
@@ -835,8 +850,8 @@ def events_hourly_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 TPCH_Q6_ORACLE = """
-SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-         * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS revenue
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+         * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -862,7 +877,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .select((dec("l_extendedprice") * disc).cast("decimal(18,4)").alias("rev"))
-        .agg(F.sum("rev").alias("revenue"))
+        .agg(F.sum("rev").cast("double").alias("revenue"))
     )
 
 
@@ -994,10 +1009,10 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q12_ORACLE = """
 SELECT l.l_linestatus,
-  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS low_line_count
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -1078,8 +1093,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q10_ORACLE = """
 SELECT c.c_custkey AS client_id, c.c_name AS client_name, n.n_name AS country,
-       SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1117,7 +1132,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("client_name"),
             F.col("n_name").alias("country"),
         )
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
     )
     return top_k(agg, [F.col("revenue").desc(), F.col("client_id")], 20)
 

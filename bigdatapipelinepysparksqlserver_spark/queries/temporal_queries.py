@@ -88,7 +88,7 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_ERROR_CONTEXT_ORACLE = """
 SELECT e.event_id, e.user_id, e.ts,
        COUNT(o.event_id) AS ctx_count,
-       SUM(CAST(o.value AS DECIMAL(18,2))) AS ctx_value_sum
+       CAST(SUM(CAST(o.value AS DECIMAL(18,2))) AS DOUBLE) AS ctx_value_sum
 FROM events e
 LEFT JOIN events o
   ON o.user_id = e.user_id
@@ -132,7 +132,7 @@ def range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.coalesce(F.col("ctx_count"), F.lit(0)).alias("ctx_count"),
-        "ctx_value_sum",
+        F.col("ctx_value_sum").cast("double").alias("ctx_value_sum"),
     )
 
 
@@ -144,7 +144,7 @@ EVENTS_ROLLUP_ORACLE = """
 SELECT event_type, day,
        CAST(GROUPING(event_type) * 2 + GROUPING(day) AS INTEGER) AS lvl,
        COUNT(*) AS event_count,
-       SUM(CAST(value AS DECIMAL(18,2))) AS value_sum
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value
       FROM events) t
 GROUP BY ROLLUP (event_type, day)
@@ -174,7 +174,7 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("lvl"),
             F.count(F.lit(1)).alias("event_count"),
-            F.sum(dec("value")).alias("value_sum"),
+            F.sum(dec("value")).cast("double").alias("value_sum"),
         )
         .select("event_type", "day", "lvl", "event_count", "value_sum")
     )

@@ -109,7 +109,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_DOCUMENTS_ORACLE = """
 SELECT lang,
        COUNT(*) AS sampled_docs,
-       SUM(n_chars) AS sampled_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
 FROM documents
 WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
 GROUP BY lang

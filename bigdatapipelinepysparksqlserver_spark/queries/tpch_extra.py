@@ -51,8 +51,8 @@ SELECT
   sn.n_name AS supp_nation,
   cn.n_name AS cust_nation,
   CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
-  SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-      * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -106,7 +106,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 
@@ -204,10 +204,10 @@ TPCH_Q9_ORACLE = """
 SELECT
   sn.n_name AS nation,
   CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS o_year,
-  SUM(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+  CAST(SUM(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
         * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
       - CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
-        * CAST(l.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS DECIMAL(18,4)))
+        * CAST(l.l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS DOUBLE)
     AS sum_profit
 FROM lineitem l
 JOIN part p     ON l.l_partkey = p.p_partkey
@@ -245,7 +245,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.col("nation"), F.year("l_shipdate").alias("o_year"))
-        .agg(F.sum(profit).alias("sum_profit"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
     )
 
 
@@ -306,7 +306,7 @@ WITH revenue AS (
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, r.total_revenue
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
 FROM supplier s
 JOIN revenue r ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
@@ -347,7 +347,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
         .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
     )
 
 
@@ -412,7 +412,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q18_ORACLE = """
 SELECT
   c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-  SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -452,7 +452,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t.customer.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
     )
     return top_k(agg, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 100)
 
@@ -463,8 +463,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q19_ORACLE = """
 SELECT
-  SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-      * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS revenue
+  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -508,7 +508,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             block("Brand#12", 5, 1, 11)
             | block("Brand#23", 10, 10, 20)
             | block("Brand#34", 15, 20, 30)
-        ).agg(F.sum(revenue).alias("revenue"))
+        ).agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 
@@ -523,7 +523,7 @@ WITH avg_bal AS (
 SELECT
   c.c_nationkey AS cntry,
   COUNT(*) AS numcust,
-  SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS totacctbal
+  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer c, avg_bal
 WHERE c.c_acctbal > avg_bal.threshold
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -570,7 +570,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         dormant.groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(dec("c_acctbal")).alias("totacctbal"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
 
@@ -790,7 +790,8 @@ cand AS (
   JOIN part p ON ps.l_partkey = p.p_partkey
   WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
 )
-SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
 FROM cand WHERE ps_supplycost = min_cost
 ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
 LIMIT 100
@@ -841,7 +842,10 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("min_cost", F.min("ps_supplycost").over(w))
         .where(F.col("ps_supplycost") == F.col("min_cost"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("ps_supplycost").cast("double").alias("ps_supplycost"),
+        )
         .orderBy(
             F.col("s_acctbal").desc(),
             F.col("n_name").asc(),
@@ -866,7 +870,7 @@ WITH spend AS (
   WHERE n.n_name = 'NATION_1'
   GROUP BY l.l_partkey
 )
-SELECT l_partkey AS ps_partkey, value
+SELECT l_partkey AS ps_partkey, CAST(value AS DOUBLE) AS value
 FROM spend
 WHERE value > (SELECT SUM(value) * 0.001 FROM spend)
 """
@@ -901,5 +905,8 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         spend.join(F.broadcast(threshold), F.col("value") > F.col("threshold"))
-        .select(F.col("l_partkey").alias("ps_partkey"), "value")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
     )

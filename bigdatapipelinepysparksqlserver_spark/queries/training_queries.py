@@ -102,7 +102,7 @@ MIX_THRESHOLDS = {"en": "40", "de": "20", "fr": "10", "es": "08"}
 MIX_ORACLE = """
 SELECT lang,
        COUNT(*) AS kept_docs,
-       SUM(n_chars) AS kept_chars
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
 FROM documents
 WHERE CASE lang
         WHEN 'en' THEN md5(CAST(doc_id AS VARCHAR)) < '40'
@@ -160,8 +160,8 @@ WITH scored AS (
   FROM documents
 )
 SELECT COUNT(*) AS n_total,
-       SUM(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END) AS n_len_ok,
-       SUM(CASE WHEN n_words >= 20 AND dwr >= 0.30 THEN 1 ELSE 0 END) AS n_final
+       CAST(SUM(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       CAST(SUM(CASE WHEN n_words >= 20 AND dwr >= 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
 FROM scored
 """
 
@@ -306,7 +306,7 @@ laid AS (
 SELECT shard,
        CAST(FLOOR((cum - chunk_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
        COUNT(*) AS n_chunks,
-       SUM(chunk_tokens) AS seq_tokens
+       CAST(SUM(chunk_tokens) AS BIGINT) AS seq_tokens
 FROM laid
 GROUP BY shard, seq_id
 """

@@ -101,7 +101,7 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_ORACLE = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS k_avg,
        COUNT(*) AS n
 FROM events
