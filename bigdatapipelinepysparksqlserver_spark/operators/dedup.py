@@ -54,16 +54,43 @@ def ngram_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
     ).select(F.col(id_col), F.explode(shingles).alias("shingle"))
 
 
+# Engine-portable MinHash family: base(s) = first 8 hex chars of md5(s)
+# as an integer in [0, 2^32) — computable identically in Spark
+# (conv(substring(md5(s),1,8),16,10)) and DuckDB
+# (CAST('0x'||substr(md5(s),1,8) AS BIGINT)) — then permutation k is the
+# affine map (a_k·base + b_k) mod P over the Mersenne prime P = 2^31−1.
+# a_k ≤ P−1 and base < 2^32 keep a_k·base + b_k < 2^63: exact BIGINT
+# arithmetic on both engines, no overflow, no engine-specific hash.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_affine_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) pairs from a fixed-seed 64-bit LCG —
+    literal constants, identical in the Spark plan and the oracle SQL."""
+    p = MINHASH_P
+    state = 0x5DEECE66D
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = state % (p - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % p
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     shingled: DataFrame, id_col: str, num_hashes: int = 64
 ) -> DataFrame:
     """num_hashes MinHash values per doc from (id, shingle) pairs.
 
-    Permutation k ≙ xxhash64(k, h) over the shingle's 64-bit hash h —
-    the variable-length shingle string is hashed ONCE, then each
-    permutation hashes a fixed 12-byte (int, long) pair, which is
-    several× cheaper than re-hashing the string per permutation. One
-    shuffle (groupBy id) computes all signatures via map-side partial MIN.
+    The variable-length shingle string is hashed ONCE (md5 → 32-bit
+    base), then each permutation is a two-multiply affine map over that
+    fixed-width value — cheaper than re-hashing the string per
+    permutation, and (unlike the earlier xxhash64 family) reproducible
+    outside the JVM, which is what makes the LSH pipeline
+    oracle-checkable in DuckDB. One shuffle (groupBy id) computes all
+    signatures via map-side partial MIN.
 
     A map-only array formulation (transform + array_min per permutation)
     was benchmarked and REJECTED: Spark's higher-order functions are
@@ -71,24 +98,39 @@ def minhash_signatures(
     in shuffle — and the shuffle here is already doc-cardinality thanks to
     partial aggregation.
     """
-    hashed = shingled.withColumn("__sh64", F.xxhash64(F.col("shingle")))
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    hashed = shingled.withColumn("__hb", base)
     mins = [
-        F.min(F.xxhash64(F.lit(k), F.col("__sh64"))).alias(f"mh{k}")
-        for k in range(num_hashes)
+        F.min((F.lit(a) * F.col("__hb") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{k}")
+        for k, (a, b) in enumerate(minhash_affine_constants(num_hashes))
     ]
     return hashed.groupBy(id_col).agg(*mins)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    bucket_cap: int = 4096,
 ) -> DataFrame:
     """LSH banding: equal band-hash in any band → candidate pair (id1 < id2).
 
-    Scale: the self-join key is (band_index, band_hash) — candidate
-    generation is near-linear instead of the exact form's quadratic
-    shingle-join. Degenerate buckets (boilerplate-heavy corpora) are the
-    known skew risk; AQE skew-join splitting handles moderate cases, salting
-    the band key is the escape hatch.
+    Scale: candidate generation is near-linear instead of the exact
+    form's quadratic shingle-join. Two-tier enumeration with EXACT
+    semantics at any bucket size:
+
+    * buckets ≤ ``bucket_cap``: one shuffle on (band, bh) into
+      groupBy + collect_list + in-row pair expansion — no self-join
+      (which would evaluate the signature subtree twice: HOF lambda ids
+      defeat exchange reuse) and no extra shuffles. A bucket is an LSH
+      collision group, small by construction, so this is ~all the data.
+    * buckets > ``bucket_cap`` (degenerate boilerplate that upstream
+      exact-dedup should have removed, but might not have): those rows
+      fall back to a (band, bh)-keyed distributed SELF-JOIN — quadratic
+      in the bucket, but spread across tasks by the shuffle (AQE
+      skew-split applies) instead of one collect_list row OOMing a task.
+      The cap bounds TASK MEMORY, not recall — no pairs are dropped.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -109,18 +151,22 @@ def lsh_candidate_pairs(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
         ).alias("e"),
     ).select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
-    # bucket-grouping form, NOT a self-join: one shuffle on (band, bh),
-    # then in-bucket pair enumeration as an array expression. A self-join
-    # would evaluate the signature subtree twice — Spark cannot reuse the
-    # exchange because higher-order-function lambda ids defeat plan
-    # canonicalization — and shuffle the exploded table two more times.
-    # collect_list is safe here: a bucket is an LSH collision group, small
-    # by construction (a mega-bucket means near-identical boilerplate docs,
-    # which exact-dedup should have removed upstream).
-    buckets = (
-        exploded.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .where(F.size("ids") > 1)
+    # persist: consumed by both tiers; without it the signature
+    # aggregation (the expensive subtree — HOF lambdas upstream defeat
+    # exchange reuse) would re-run per branch.
+    exploded = exploded.persist()
+    # bucket size via an unordered window over the same (band, bh)
+    # partitioning the enumeration groupBy needs — one shuffle serves the
+    # count, the branch predicate, and the collect_list.
+    from pyspark.sql import Window
+
+    sized = exploded.withColumn(
+        "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+    )
+
+    small = sized.where((F.col("__bn") > 1) & (F.col("__bn") <= bucket_cap))
+    buckets = small.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
     )
     n = F.size("ids")
     pair_structs = F.flatten(
@@ -135,11 +181,18 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
-        .distinct()
+    small_pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")
     )
+
+    big = sized.where(F.col("__bn") > bucket_cap)
+    a = big.select("band", "bh", F.col(id_col).alias("id1"))
+    b = big.select("band", "bh", F.col(id_col).alias("id2"))
+    big_pairs = (
+        a.join(b, ["band", "bh"]).where(F.col("id1") < F.col("id2")).select("id1", "id2")
+    )
+
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def shingle_array_from_words(words: Column, n: int = 3) -> Column:

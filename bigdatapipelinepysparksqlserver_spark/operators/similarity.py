@@ -84,31 +84,39 @@ def brute_force_topk(
     )
 
 
+def hyperplane_constants(dim: int, bits: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes as PLAIN FLOAT LITERALS
+    (fixed-seed 64-bit LCG, components in [-1, 1) rounded to 6 dp).
+
+    Literals — not per-row hash expressions — for two reasons: Catalyst
+    constant-folds the plane arrays (the old xxhash64-per-component form
+    recomputed dim×bits hashes per ROW inside an interpreted lambda),
+    and the same short decimal literals paste into DuckDB SQL parsing to
+    the identical doubles, which is what makes LSH bucketing
+    oracle-checkable outside the JVM.
+    """
+    state = 0xB5297A4D
+    planes = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(round(state / float(1 << 63) - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
 def hyperplane_signature(vec: Column, dim: int, bits: int = 16) -> Column:
     """Random-hyperplane LSH signature: bit_j = sign(dot(vec, r_j)) ≥ 0.
 
-    The hyperplanes are pseudo-random but DETERMINISTIC — component i of
-    plane j is derived from xxhash64(j, i) scaled to [-1, 1] — so the
-    signature is reproducible across runs/executors with no driver-side
-    randomness or broadcast of plane matrices.
+    Deterministic (literal plane matrix from :func:`hyperplane_constants`)
+    — reproducible across runs/executors AND in the DuckDB oracle, with
+    no driver-side randomness or broadcast of plane matrices.
     """
     bit_cols = []
-    for j in range(bits):
-        # deterministic pseudo-random plane component for (plane j, dim i)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: (
-                        F.xxhash64(F.lit(j), i).cast("double") / F.lit(float(1 << 63))
-                    ),
-                ),
-                lambda x, r: x.cast("double") * r,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    for j, row in enumerate(hyperplane_constants(dim, bits)):
+        plane = F.array(*[F.lit(c) for c in row])
+        proj = dot(vec, plane)
         bit_cols.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
     sig = bit_cols[0]
     for c in bit_cols[1:]:
@@ -277,27 +285,68 @@ def embedding_near_duplicates(
     dim: int = 64,
     threshold: float = 0.95,
     bits: int = 8,
+    bucket_cap: int = 256,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join.
+    """Embedding-cosine near-duplicate pairs, bucket-then-verify.
 
-    (id1 < id2, cosine ≥ threshold) — same bucket-then-verify shape as
-    MinHash dedup: the self-join key is the signature bucket, never the
-    vector, so candidate generation is near-linear for non-degenerate data.
+    (id1 < id2, cosine ≥ threshold). Two-tier candidate enumeration with
+    EXACT semantics at any bucket size:
+
+    * buckets ≤ ``bucket_cap``: groupBy(bucket) + collect_list + in-row
+      pair expansion — one shuffle, no self-join, the fast path for the
+      LSH-collision-sized buckets the signature is designed to produce.
+    * buckets > ``bucket_cap`` (degenerate boilerplate/zero-vector
+      pileups): those rows fall back to a bucket-keyed SELF-JOIN —
+      quadratic in the bucket but executed as a normal distributed
+      shuffle join (AQE skew-split applies), so no single task ever
+      materializes a mega-bucket in memory. No pairs are dropped —
+      the cap bounds TASK MEMORY, not recall.
     """
     sig = hyperplane_signature(F.col(vec_col), dim=dim, bits=bits)
     tagged = vectors.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"), sig.alias("bucket")
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
-    cands = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # bucket sizes are computed once; the tagged relation is shuffled once
+    # on bucket and reused by both tiers (same partitioning).
+    sized = tagged.join(
+        tagged.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn")), "bucket"
     )
-    scored = cands.select(
-        F.col("a.doc_id").alias("id1"),
-        F.col("b.doc_id").alias("id2"),
-        cosine(F.col("a.vec"), F.col("b.vec")).alias("cos_raw"),
+    small = sized.where(F.col("__bn") <= bucket_cap)
+    big = sized.where(F.col("__bn") > bucket_cap)
+
+    # tier 1: in-bucket array enumeration
+    buckets = small.groupBy("bucket").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "vec"))).alias("es")
+    ).where(F.size("es") > 1)
+    n = F.size("es")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("es"), i + 1).alias("p1"),
+                    F.element_at(F.col("es"), j + 1).alias("p2"),
+                ),
+            ),
+        )
+    )
+    small_pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.p1.doc_id").alias("id1"),
+        F.col("p.p2.doc_id").alias("id2"),
+        F.col("p.p1.vec").alias("v1"),
+        F.col("p.p2.vec").alias("v2"),
+    )
+
+    # tier 2: oversized buckets via distributed self-join
+    a = big.select("bucket", F.col("doc_id").alias("id1"), F.col("vec").alias("v1"))
+    b = big.select("bucket", F.col("doc_id").alias("id2"), F.col("vec").alias("v2"))
+    big_pairs = a.join(b, "bucket").where(F.col("id1") < F.col("id2")).select(
+        "id1", "id2", "v1", "v2"
+    )
+
+    scored = small_pairs.unionByName(big_pairs).select(
+        "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos_raw")
     )
     return scored.where(F.col("cos_raw") >= threshold).select(
         "id1", "id2", F.round("cos_raw", 6).alias("cosine")

@@ -1,8 +1,12 @@
 """Deduplication query surface over the ``documents`` table.
 
-Exact dedup is fully SQL-expressible (hash-groupBy) and oracle-checked;
-the probabilistic variants (MinHash-LSH, SimHash) are registered rows-only —
-DuckDB cannot reproduce Spark's hash functions bit-for-bit.
+Exact dedup is fully SQL-expressible (hash-groupBy) and oracle-checked.
+The MinHash-LSH pipeline uses an engine-portable hash family (md5-prefix
+base + affine permutations — operators/dedup.py), so the ENTIRE
+candidate→verify pipeline and the downstream connected components are
+reproduced in DuckDB SQL and oracle-checked too. Only SimHash stays
+rows-only (its 63 conditional-sum sign aggregates over xxhash64 token
+hashes are Spark-specific).
 """
 
 from __future__ import annotations
@@ -11,8 +15,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
+    MINHASH_P,
     exact_dedup_groups,
     hamming_neighbors,
+    minhash_affine_constants,
     minhash_near_duplicates,
     ngram_shingles,
     simhash_signatures,
@@ -105,25 +111,94 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# MinHash + LSH near-dup (rows-only: Spark hash functions not reproducible
-# in DuckDB) — the 100 TB-scale dedup path
+# MinHash + LSH near-dup — the 100 TB-scale dedup path. Oracle-checked:
+# the portable hash family lets DuckDB replay signatures → bands →
+# candidates → exact-Jaccard verify and land on the identical pair list.
+# (Band BUCKETING on the Spark side keys by xxhash64 of the band's minhash
+# tuple while the oracle keys by the tuple itself — same partition of docs
+# into buckets absent a 2^-64 hash collision, which the exact verify would
+# have to also pass to matter.)
 # --------------------------------------------------------------------------
 
+_MINHASH_NUM, _MINHASH_BANDS, _MINHASH_N, _MINHASH_THRESH = 64, 16, 3, 0.2
 
-@query("dedup_minhash", oracle=None, headline=True)
+
+def _minhash_cte(num_hashes: int, bands: int) -> str:
+    """Shared CTE chain computing the verified near-dup pair list in
+    DuckDB with the same portable MinHash family as the Spark operator."""
+    consts = minhash_affine_constants(num_hashes)
+    rows = num_hashes // bands
+    mh_exprs = ",\n         ".join(
+        f"MIN(({a}*hv+{b})%{MINHASH_P}) AS mh{k}" for k, (a, b) in enumerate(consts)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + "||'_'||".join(f"CAST(mh{b * rows + i} AS VARCHAR)" for i in range(rows))
+        + " AS bk FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+tok AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM tok, UNNEST(range(1, greatest(len(words) - 1, 1))) AS t(i)
+),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hv FROM sh),
+sig AS (SELECT doc_id,
+         {mh_exprs}
+        FROM h GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+   AND a.doc_id < b.doc_id
+),
+card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.id1
+  JOIN sh s2 ON s2.doc_id = c.id2 AND s1.shingle = s2.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i2.id1, i2.id2,
+         ROUND(CAST(i2.i AS DOUBLE) / (c1.n + c2.n - i2.i), 6) AS jaccard
+  FROM inter i2
+  JOIN card c1 ON i2.id1 = c1.doc_id
+  JOIN card c2 ON i2.id2 = c2.doc_id
+  WHERE CAST(i2.i AS DOUBLE) / (c1.n + c2.n - i2.i) >= {_MINHASH_THRESH}
+)"""
+
+
+MINHASH_ORACLE = (
+    "WITH" + _minhash_cte(_MINHASH_NUM, _MINHASH_BANDS)
+    + "\nSELECT id1, id2, jaccard FROM verified"
+)
+
+
+@query("dedup_minhash", oracle=MINHASH_ORACLE, headline=True)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard.
 
-    shingle → 64 minhashes (xxhash64 with per-permutation seeds) → 16 bands
-    of 4 → bucket-grouped pair enumeration (groupBy band-hash +
-    collect_list, no self-join) → per-pair array-intersection Jaccard on
-    candidate docs only. Scale: candidate generation is one shuffle on the
-    band hash and verification is candidate-proportional — near-linear for
+    shingle → 64 minhashes (portable md5+affine family) → 16 bands of 4 →
+    bucket-grouped pair enumeration (groupBy band-hash + collect_list, no
+    self-join) → per-pair array-intersection Jaccard on candidate docs
+    only. Scale: candidate generation is one shuffle on the band hash and
+    verification is candidate-proportional — near-linear for
     non-degenerate data vs the quadratic exact form.
     """
     docs = Catalog(spark, sf_dir).documents
     return minhash_near_duplicates(
-        docs, text_col="text", id_col="doc_id", threshold=0.2, num_hashes=64, bands=16
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        threshold=_MINHASH_THRESH,
+        num_hashes=_MINHASH_NUM,
+        bands=_MINHASH_BANDS,
     )
 
 
@@ -153,14 +228,33 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neighbors(sigs, id_col="doc_id", max_distance=3)
 
 
-@query("dedup_clusters", oracle=None)
+CLUSTERS_ORACLE = (
+    "WITH RECURSIVE" + _minhash_cte(_MINHASH_NUM, _MINHASH_BANDS)
+    + f""",
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM verified
+  UNION ALL
+  SELECT id2, id1 FROM verified
+),
+cnodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.id = e.a WHERE w.lbl < e.b
+)
+SELECT id AS doc_id, MIN(lbl) AS component FROM walk GROUP BY id"""
+)
+
+
+@query("dedup_clusters", oracle=CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     MinHash pair graph — (doc_id, component) where component is the
-    cluster's canonical (minimum) doc id. Rows-only check: the pair graph
-    derives from Spark-seeded xxhash64 MinHash, which DuckDB cannot
-    reproduce; the component semantics themselves are property-tested
-    against a brute-force reference in tests/test_components.py.
+    cluster's canonical (minimum) doc id. Oracle: the portable MinHash
+    pair list + a recursive min-label-reachability CTE (components are
+    engine-independent given the same edges); the distributed component
+    semantics are additionally property-tested against a brute-force
+    union-find in tests/test_components.py.
 
     This is the step pairwise dedup output actually needs — "keep one doc
     per cluster" is a component question, not a pair question (A~B, B~C

@@ -8,8 +8,9 @@ the WHOLE protocol — seeded workload, two incremental loads with
 inserts/updates/deletes in between, partition rebuild, two-sided
 reconciliation, incremental mart refresh — inside a per-call temp dir,
 and returns the run ledger + mart checksum. Deterministic (seeded
-generator, injected clocks), so rows/schema are stable across runs;
-rows-only (no SQL oracle can replay a multi-step pipeline)."""
+generator, injected clocks), so the output is a fixed table — pinned by
+a golden-snapshot oracle rather than a replaying one (no SQL can replay
+a multi-step pipeline, but it can assert the invariant end state)."""
 
 from __future__ import annotations
 
@@ -23,7 +24,21 @@ from pyspark.sql import DataFrame, SparkSession
 from .registry import query
 
 
-@query("cdc_roundtrip_demo", oracle=None)
+# Golden-snapshot oracle: the round-trip is a pure function of
+# (code, seed=42, injected clocks), so its ledger + mart output is a
+# fixed table. The oracle pins that table as literals — any drift in the
+# generator, ledger protocol, CDC rebuild, or incremental mart breaks
+# the hash loudly. INT casts match the Spark schema (int, not BIGINT).
+CDC_ROUNDTRIP_ORACLE = """
+SELECT CAST(1 AS INTEGER) AS run_id, 'SUCCESSFUL' AS pipeline_status,
+       'SUCCESSFUL' AS validation_status, CAST(154 AS INTEGER) AS mart_sales_count,
+       '10652.07' AS mart_paid_amount
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'SUCCESSFUL', 'SUCCESSFUL', CAST(154 AS INTEGER), '10652.07'
+"""
+
+
+@query("cdc_roundtrip_demo", oracle=CDC_ROUNDTRIP_ORACLE)
 def cdc_roundtrip_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-run CDC cycle: full load, then a window of inserts+updates+
     deletes; returns one row per run with ledger status, reconciliation

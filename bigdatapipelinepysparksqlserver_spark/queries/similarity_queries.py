@@ -2,9 +2,11 @@
 
 The exact brute-force variants are oracle-checked against DuckDB (both
 engines compute the dot product as a sequential double fold, so 6-dp
-rounded cosines hash-match); the LSH-bucketed variants are registered
-rows-only — the bucket assignment depends on Spark's xxhash64, which
-DuckDB cannot reproduce bit-for-bit.
+rounded cosines hash-match). The hyperplane-LSH variants are ALSO
+oracle-checked: the planes are literal constants
+(operators/similarity.py hyperplane_constants), so DuckDB reproduces the
+bucket assignment with list_dot_product sign tests. Only the IVF variant
+stays rows-only — its seeded KMeans quantizer is not replayable in SQL.
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    hyperplane_constants,
     ivf_topk,
     lsh_topk,
 )
@@ -23,6 +26,20 @@ from .registry import query
 
 N_QUERY_VECS = 8  # query set = vec_id < 8 (small side, broadcast by design)
 TOP_K = 10
+EMB_DIM = 64
+LSH_BITS = 4
+
+
+def _bucket_sql() -> str:
+    """DuckDB expression computing the same hyperplane signature as
+    hyperplane_signature(dim=EMB_DIM, bits=LSH_BITS) — sign tests of
+    dot products against the identical literal planes."""
+    terms = [
+        f"(CASE WHEN list_dot_product(emb, {plane}::DOUBLE[]) >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(hyperplane_constants(EMB_DIM, LSH_BITS))
+    ]
+    return " + ".join(terms)
 
 # --------------------------------------------------------------------------
 # exact cosine top-k (the correctness baseline for ANN)
@@ -104,11 +121,34 @@ def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# LSH-bucketed variants (rows-only: bucket ids come from Spark xxhash64)
+# LSH-bucketed variants (oracle-checked via the literal plane matrix)
 # --------------------------------------------------------------------------
 
+ANN_LSH_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, emb, {{bucket}} AS bucket FROM v
+),
+scored AS (
+  SELECT q.vec_id AS query_id,
+         e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.emb, e.emb) AS cos_raw
+  FROM sigs q JOIN sigs e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+)
+SELECT query_id, neighbor_id,
+       ROUND(cos_raw, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+       ) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
 
-@query("ann_lsh_topk", oracle=None)
+
+@query("ann_lsh_topk", oracle=ANN_LSH_ORACLE.format(bucket=_bucket_sql()))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k: bucket join then exact re-rank.
 
@@ -117,7 +157,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = Catalog(spark, sf_dir).embeddings
     q = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    return lsh_topk(emb, q, id_col="vec_id", vec_col="embedding", dim=64, k=TOP_K, bits=4)
+    return lsh_topk(
+        emb, q, id_col="vec_id", vec_col="embedding",
+        dim=EMB_DIM, k=TOP_K, bits=LSH_BITS,
+    )
 
 
 @query("ann_ivf_topk", oracle=None)
@@ -136,13 +179,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_neardup_lsh", oracle=None)
+EMB_NEARDUP_LSH_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, emb, {{bucket}} AS bucket FROM v
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+@query("emb_neardup_lsh", oracle=EMB_NEARDUP_LSH_ORACLE.format(bucket=_bucket_sql()))
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via hyperplane-LSH bucket self-join."""
+    """Embedding near-dup pairs via hyperplane-LSH bucketing (two-tier
+    capped enumeration — see embedding_near_duplicates)."""
     emb = Catalog(spark, sf_dir).embeddings
     return embedding_near_duplicates(
-        emb, id_col="vec_id", vec_col="embedding", dim=64,
-        threshold=EMB_NEARDUP_THRESHOLD, bits=4,
+        emb, id_col="vec_id", vec_col="embedding", dim=EMB_DIM,
+        threshold=EMB_NEARDUP_THRESHOLD, bits=LSH_BITS,
     )
 
 

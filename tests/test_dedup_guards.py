@@ -1,0 +1,81 @@
+"""Mega-bucket guards for the LSH paths: a degenerate boilerplate corpus
+(every doc near-identical → one giant collision bucket) must complete
+with bounded per-task memory AND return exactly the same pairs as the
+uncapped in-bucket enumeration — the cap re-routes oversized buckets to
+a distributed self-join, it never drops pairs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_shingles,
+)
+from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+    embedding_near_duplicates,
+)
+
+
+def _boilerplate_docs(spark, n=120):
+    """n docs sharing one boilerplate body (distinct trailing token so
+    exact dedup would NOT collapse them)."""
+    body = "terms of service apply to all users of this product today"
+    rows = [(i, f"{body} v{i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_mega_bucket_capped_equals_uncapped(spark):
+    docs = _boilerplate_docs(spark)
+    sh = ngram_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    sigs = minhash_signatures(sh, id_col="doc_id", num_hashes=16).persist()
+    uncapped = lsh_candidate_pairs(
+        sigs, id_col="doc_id", num_hashes=16, bands=4, bucket_cap=10_000
+    )
+    capped = lsh_candidate_pairs(
+        sigs, id_col="doc_id", num_hashes=16, bands=4, bucket_cap=8
+    )
+    a = {(r.id1, r.id2) for r in uncapped.collect()}
+    b = {(r.id1, r.id2) for r in capped.collect()}
+    sigs.unpersist()
+    # the boilerplate corpus must actually produce a mega bucket for the
+    # test to mean anything: all docs share nearly all shingles
+    assert len(a) > 1000
+    assert a == b
+
+
+def test_emb_neardup_mega_bucket_capped_equals_uncapped(spark):
+    # 90 near-identical vectors (one dominant direction) → one bucket
+    dim = 8
+    rows = [
+        (i, [1.0] * (dim - 1) + [0.001 * i])
+        for i in range(90)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(id_col="vec_id", vec_col="embedding", dim=dim, threshold=0.9, bits=2)
+    uncapped = embedding_near_duplicates(vecs, bucket_cap=10_000, **kw)
+    capped = embedding_near_duplicates(vecs, bucket_cap=8, **kw)
+    a = {(r.id1, r.id2) for r in uncapped.collect()}
+    b = {(r.id1, r.id2) for r in capped.collect()}
+    assert len(a) > 1000  # the clique actually formed
+    assert a == b
+
+
+def test_capped_path_keeps_cross_tier_semantics(spark):
+    """Buckets straddling the cap: small buckets stay on the array path,
+    big ones go to the join path, and the union covers both."""
+    # two buckets: ids 0..49 identical text A (mega), ids 100..102 text B
+    rows = [(i, "alpha beta gamma delta epsilon zeta " + "x" * 0) for i in range(50)]
+    rows += [(100 + i, "one two three four five six seven") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = ngram_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    sigs = minhash_signatures(sh, id_col="doc_id", num_hashes=16)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col="doc_id", num_hashes=16, bands=4, bucket_cap=10
+    )
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    mega = {(i, j) for i in range(50) for j in range(i + 1, 50)}
+    small = {(100, 101), (100, 102), (101, 102)}
+    assert got == mega | small
