@@ -7,9 +7,13 @@ stream, a documents corpus and an embeddings table.
 Scale note: the loader is a thin veneer over ``spark.read.parquet`` so that
 Catalyst keeps full control — predicate pushdown, column pruning and partition
 pruning all reach the parquet scan. The ONLY transformation applied eagerly is
-the nanosecond-timestamp repair (the testdata is written with
-TIMESTAMP(NANOS), which Spark's vectorized reader rejects); that repair is a
-pure projection, so pushdown of other predicates is unaffected.
+the timestamp-storage repair: driver testdata generations have stored event
+timestamps either as TIMESTAMP(NANOS) (which Spark's vectorized reader only
+accepts as raw int64 via ``nanosAsLong``) or as TIMESTAMP(MICROS,
+isAdjustedToUTC=false) → TIMESTAMP_NTZ; both are normalized to session-TZ
+TimestampType. The repair is a pure projection, so pushdown of other
+predicates is unaffected (and ``load_table_ts_window`` pushes time windows
+beneath it).
 """
 
 from __future__ import annotations
@@ -36,8 +40,10 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# columns stored as TIMESTAMP(NANOS) in the testdata parquet; read as long
-# (spark.sql.legacy.parquet.nanosAsLong) then converted to micros timestamps.
+# timestamp columns with storage-variant encodings across testdata
+# generations: TIMESTAMP(NANOS) (read as long via
+# spark.sql.legacy.parquet.nanosAsLong, then divided to micros) or
+# TIMESTAMP_NTZ (cast to session-TZ timestamp). See _repair_nano_ts.
 NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -86,15 +92,23 @@ def load_table_ts_window(
 ) -> DataFrame:
     """Time-windowed scan with the predicate pushed in the RAW domain.
 
-    The nanos→micros repair is a projection, so a filter written against
-    the repaired timestamp cannot reach parquet row-group statistics
-    (expression filters don't push; only attribute comparisons do). For
-    nanos-stored columns this helper rewrites the half-open window
-    [start, end) into the raw int64 nanosecond domain BEFORE the repair —
-    exact, because ts_us = ts_ns div 1000 is monotone and
-    ``ts_us >= A ⟺ ts_ns >= A*1000``, ``ts_us < B ⟺ ts_ns < B*1000`` —
-    restoring min/max row-group skipping on the scan. Columns stored as
-    real timestamps push down natively and take the normal path.
+    The storage repair is a projection, so a filter written against the
+    repaired timestamp cannot reach parquet row-group statistics
+    (expression filters don't push; only attribute comparisons do). Per
+    storage variant:
+
+    - nanos-as-long: the half-open window [start, end) is rewritten into
+      the raw int64 nanosecond domain BEFORE the repair — exact, because
+      ts_us = ts_ns div 1000 is monotone and ``ts_us >= A ⟺ ts_ns >=
+      A*1000``, ``ts_us < B ⟺ ts_ns < B*1000``.
+    - TIMESTAMP_NTZ: the bounds are compared in the stored NTZ domain
+      below the cast-to-session-TZ projection, as attribute predicates.
+    - already-timestamp columns push down natively post-repair.
+
+    All literal bounds are constructed TZ-INDEPENDENTLY (string→NTZ cast
+    or epoch-micros arithmetic): ``F.lit(naive_datetime)`` converts via
+    the driver OS timezone (Py4J uses time.mktime), NOT the session TZ,
+    so it would shift the window by the UTC offset on a non-UTC driver.
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -113,18 +127,29 @@ def load_table_ts_window(
     if isinstance(fields.get(ts_col), TimestampNTZType):
         # filter in the stored NTZ domain BEFORE the cast-to-session-TZ
         # projection so the comparison stays an attribute predicate and
-        # reaches parquet row-group stats; UTC session TZ makes the naive
-        # literal equivalent on both sides of the cast.
+        # reaches parquet row-group stats. String→NTZ cast: a naive
+        # datetime through F.lit would convert via the DRIVER OS timezone
+        # (not the session TZ), shifting the window on non-UTC drivers.
+        def _ntz(dt):
+            return F.lit(dt.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp_ntz")
+
         if start is not None:
-            df = df.where(F.col(ts_col) >= F.lit(start).cast("timestamp_ntz"))
+            df = df.where(F.col(ts_col) >= _ntz(start))
         if end is not None:
-            df = df.where(F.col(ts_col) < F.lit(end).cast("timestamp_ntz"))
+            df = df.where(F.col(ts_col) < _ntz(end))
         return _repair_nano_ts(df, name)
     out = _repair_nano_ts(df, name)
+    # epoch-micros literal: TZ-independent for the same reason as above
+    # (the repaired column holds the stored wall-clock interpreted as UTC)
+    def _ts(dt):
+        return F.timestamp_micros(
+            F.lit((dt - datetime(1970, 1, 1)) // timedelta(microseconds=1))
+        )
+
     if start is not None:
-        out = out.where(F.col(ts_col) >= F.lit(start))
+        out = out.where(F.col(ts_col) >= _ts(start))
     if end is not None:
-        out = out.where(F.col(ts_col) < F.lit(end))
+        out = out.where(F.col(ts_col) < _ts(end))
     return out
 
 

@@ -248,10 +248,22 @@ class JdbcSourceTables:
         )
 
     def write(self, name: str, df: DataFrame) -> None:
-        ordered = df.select([f.name for f in self.schemas[name].fields])
-        mat = self.spark.createDataFrame(ordered.collect(), self.schemas[name])
+        # cast to the canonical schema and write DISTRIBUTED — a
+        # collect()+createDataFrame round-trip here would funnel every row
+        # through the driver, the exact reference anti-pattern (SURVEY
+        # §2.1-S2) this engine removes. The eager localCheckpoint is still
+        # required: callers pass plans derived from THIS table (read →
+        # modify → overwrite), and a lazy write would truncate the source
+        # mid-read. Checkpointing materializes the partitions on the
+        # executors (not the driver) before the overwrite drops the table.
+        ordered = df.select(
+            *[
+                df[f.name].cast(f.dataType).alias(f.name)
+                for f in self.schemas[name].fields
+            ]
+        ).localCheckpoint(eager=True)
         write_jdbc(
-            mat, self.cfg, name, mode="overwrite",
+            ordered, self.cfg, name, mode="overwrite",
             create_column_types=self._varchar_ddl(name),
         )
 

@@ -146,12 +146,34 @@ class WorkloadGenerator:
         base = spark.range(1, n + 1).select(F.col("id").alias("k"))
         k = F.col("k")
         is_new_client = _u(seed, s + 10, k) < 0.35
-        # new clients get ids max_client + rank-among-new (dense, deterministic)
-        new_rank = F.sum(is_new_client.cast("int")).over(Window.orderBy("k"))
-        rows = base.select(
+        # new clients get ids max_client + rank-among-new (dense,
+        # deterministic). The prefix rank is computed DISTRIBUTED: a
+        # partition-less Window.orderBy would funnel the whole batch
+        # through one task, so instead each 4096-row block ranks locally
+        # (window partitioned by block) and block offsets — a
+        # control-plane-sized aggregate, like the max-id lookups above —
+        # are prefix-summed on the driver and broadcast back.
+        block = F.floor((k - F.lit(1)) / F.lit(4096)).cast("long")
+        flagged = base.select(
+            k, is_new_client.alias("is_new"), block.alias("blk")
+        )
+        per_blk = {
+            r["blk"]: r["c"]
+            for r in flagged.groupBy("blk")
+            .agg(F.sum(F.col("is_new").cast("int")).alias("c"))
+            .collect()
+        }
+        offs, acc = [], 0
+        for b in sorted(per_blk):
+            offs.append((b, acc))
+            acc += per_blk[b]
+        off_df = spark.createDataFrame(offs or [(0, 0)], "blk long, off long")
+        w_blk = Window.partitionBy("blk").orderBy("k")
+        new_rank = F.col("off") + F.sum(F.col("is_new").cast("int")).over(w_blk)
+        rows = flagged.join(F.broadcast(off_df), "blk").select(
             k,
             (F.lit(max_sale) + k).alias("sale_id"),
-            is_new_client.alias("is_new"),
+            F.col("is_new"),
             new_rank.alias("new_rank"),
             (F.pmod(F.xxhash64(F.lit(seed), F.lit(s + 11), k), F.lit(max(max_client, 1))) + 1)
             .alias("existing_client"),
