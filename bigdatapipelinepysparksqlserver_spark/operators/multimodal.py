@@ -12,11 +12,14 @@ The pattern for a 100 TB training-data pipeline:
 - decoded outputs are fixed-width arrays/structs so downstream ops
   (dedup, ANN) stay native.
 
-The actual codecs (PIL/opencv/ffmpeg) are NOT in this container, so the
-decode kernels are STUBS: ``decode_image_batches`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (bytes → seeded stats) exercises the full
-Spark-side path — schema, batching, partitioning — with real data flow.
+Decoder seam: ``decode_image_batches`` carries TWO kernels behind one
+schema — a REAL decoder (PIL: decode → grayscale → mean luma +
+luminance histogram feature) used when Pillow imports on the workers,
+and a deterministic SURROGATE (raw byte statistics) for environments
+without codec libraries, like this container. ``decoder="auto"``
+(default) picks per-environment; both kernels exercise the identical
+distributed path — Arrow batching, partitioning, fixed-width outputs —
+so swapping in the real codec changes no plan shape.
 """
 
 from __future__ import annotations
@@ -90,26 +93,20 @@ def attach_binary_payload(
     )
 
 
-def decode_image_batches(media: DataFrame, dim: int = 8, fake: bool = False) -> DataFrame:
-    """Decode + feature-extract via ``mapInPandas`` (Arrow batches).
+def pil_available() -> bool:
+    """Import-probe for the real image codec (Pillow)."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    Real deployment: replace the kernel body with PIL/torchvision decode
-    → resize → embed. Here the codec libraries are unavailable, so
-    ``fake=False`` raises NotImplementedError and ``fake=True`` runs a
-    DETERMINISTIC surrogate (per-payload byte statistics) that keeps the
-    whole distributed path honest: Arrow serialization of binary
-    columns, per-partition batching, fixed-width array outputs.
+        return True
+    except ImportError:
+        return False
 
-    Scale: decode cost is per-row CPU in Python workers — size
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
-    payloads fits worker memory, and partition the input by size (e.g.
-    bucket big videos separately) to avoid stragglers.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image codecs (PIL/opencv) are not installed in this environment; "
-            "pass fake=True for the deterministic surrogate decoder"
-        )
+
+def _surrogate_kernel(dim: int):
+    """Deterministic surrogate: per-payload BYTE statistics. Exercises
+    the full distributed path (Arrow binary serialization, batching,
+    fixed-width outputs) in codec-less environments."""
 
     def kernel(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import numpy as np
@@ -130,6 +127,77 @@ def decode_image_batches(media: DataFrame, dim: int = 8, fake: bool = False) -> 
                 out, columns=["media_id", "n_bytes", "mean_luma", "feature_vec"]
             )
 
+    return kernel
+
+
+def _pil_kernel(dim: int):
+    """Real decoder: PIL decode → grayscale → mean luminance + an
+    L1-normalized ``dim``-bin luminance histogram as the feature vector.
+    Payloads that fail to decode (corrupt/unsupported codec) degrade to
+    zero features instead of failing the batch — at corpus scale a
+    poison row must never kill the job."""
+
+    def kernel(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import io
+
+        import numpy as np
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload)
+                try:
+                    img = Image.open(io.BytesIO(payload)).convert("L")
+                    luma = np.asarray(img, dtype=np.uint8).ravel()
+                    mean = float(luma.mean()) if luma.size else 0.0
+                    hist = np.bincount(
+                        (luma.astype(np.int32) * dim) // 256, minlength=dim
+                    ).astype("float32")
+                    tot = hist.sum()
+                    vec = (hist / tot if tot else hist).tolist()
+                except Exception:
+                    mean, vec = 0.0, [0.0] * dim
+                out.append((mid, n, mean, vec))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_bytes", "mean_luma", "feature_vec"]
+            )
+
+    return kernel
+
+
+def decode_image_batches(
+    media: DataFrame, dim: int = 8, decoder: str = "auto"
+) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas`` (Arrow batches).
+
+    ``decoder``:
+
+    - ``"real"`` — PIL decode → grayscale → luminance features; raises
+      ImportError where Pillow is absent.
+    - ``"surrogate"`` — deterministic byte-statistics stand-in, no codec
+      dependency.
+    - ``"auto"`` — real when Pillow imports, surrogate otherwise.
+
+    Both kernels share IMAGE_FEATURES_SCHEMA and the identical plan —
+    the decoder choice swaps only the Python kernel body, so promoting
+    an environment from surrogate to real changes no Spark semantics.
+
+    Scale: decode cost is per-row CPU in Python workers — size
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
+    payloads fits worker memory, and partition the input by size (e.g.
+    bucket big videos separately) to avoid stragglers.
+    """
+    if decoder not in ("auto", "real", "surrogate"):
+        raise ValueError(f"unknown decoder: {decoder!r}")
+    if decoder == "auto":
+        decoder = "real" if pil_available() else "surrogate"
+    if decoder == "real" and not pil_available():
+        raise ImportError(
+            "decoder='real' requires Pillow; install it or use decoder='auto'"
+        )
+    kernel = _pil_kernel(dim) if decoder == "real" else _surrogate_kernel(dim)
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema=IMAGE_FEATURES_SCHEMA
     )
