@@ -126,11 +126,20 @@ def lsh_candidate_pairs(
       defeat exchange reuse) and no extra shuffles. A bucket is an LSH
       collision group, small by construction, so this is ~all the data.
     * buckets > ``bucket_cap`` (degenerate boilerplate that upstream
-      exact-dedup should have removed, but might not have): those rows
-      fall back to a (band, bh)-keyed distributed SELF-JOIN — quadratic
-      in the bucket, but spread across tasks by the shuffle (AQE
-      skew-split applies) instead of one collect_list row OOMing a task.
-      The cap bounds TASK MEMORY, not recall — no pairs are dropped.
+      exact-dedup should have removed, but might not have): their ids
+      re-explode and pair up via a (band, bh)-keyed distributed
+      SELF-JOIN — quadratic in the bucket, but spread across tasks by
+      the shuffle (AQE skew-split applies). The cap bounds TASK MEMORY,
+      not recall — no pairs are dropped.
+
+    The branch happens AFTER one aggregation (cheap: the branch point is
+    the bucket table, doc-cardinality ids, persisted) rather than via a
+    pre-aggregation size pass — the quadratic pair EXPANSION is what
+    OOMs a task at realistic degeneracy (n=10⁴ ids → ~10⁸ structs in ONE
+    row), while the id list itself is 8 bytes/doc and only stresses
+    memory at absurd (≥10⁸-doc) bucket sizes. Contrast
+    ``embedding_near_duplicates``, whose per-entry payload is a whole
+    vector — THERE the branch must happen before any collect.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -151,23 +160,17 @@ def lsh_candidate_pairs(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
         ).alias("e"),
     ).select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
-    # persist: consumed by both tiers; without it the signature
-    # aggregation (the expensive subtree — HOF lambdas upstream defeat
-    # exchange reuse) would re-run per branch.
-    exploded = exploded.persist()
-    # bucket size via an unordered window over the same (band, bh)
-    # partitioning the enumeration groupBy needs — one shuffle serves the
-    # count, the branch predicate, and the collect_list.
-    from pyspark.sql import Window
-
-    sized = exploded.withColumn(
-        "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+    # ONE aggregation builds the bucket table; persist it (it is
+    # doc-cardinality id lists, tiny) because both tiers consume it and
+    # the signature subtree above it would otherwise recompute per
+    # branch (HOF lambdas defeat exchange reuse).
+    buckets_all = (
+        exploded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+        .persist()
     )
-
-    small = sized.where((F.col("__bn") > 1) & (F.col("__bn") <= bucket_cap))
-    buckets = small.groupBy("band", "bh").agg(
-        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
-    )
+    buckets = buckets_all.where(F.size("ids") <= bucket_cap)
     n = F.size("ids")
     pair_structs = F.flatten(
         F.transform(
@@ -185,9 +188,11 @@ def lsh_candidate_pairs(
         F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")
     )
 
-    big = sized.where(F.col("__bn") > bucket_cap)
-    a = big.select("band", "bh", F.col(id_col).alias("id1"))
-    b = big.select("band", "bh", F.col(id_col).alias("id2"))
+    big = buckets_all.where(F.size("ids") > bucket_cap).select(
+        "band", "bh", F.explode("ids").alias("__id")
+    )
+    a = big.select("band", "bh", F.col("__id").alias("id1"))
+    b = big.select("band", "bh", F.col("__id").alias("id2"))
     big_pairs = (
         a.join(b, ["band", "bh"]).where(F.col("id1") < F.col("id2")).select("id1", "id2")
     )
