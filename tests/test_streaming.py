@@ -302,3 +302,76 @@ def test_foreach_batch_incremental_mart_end_to_end(spark, tmp_path):
     full = sorted(map(tuple, mart_sales_agg_df(lake.read(), refresh).collect()))
     inc = sorted(map(tuple, mart.sales_agg(refresh).collect()))
     assert full == inc and len(full) > 0
+
+
+def test_watermark_drops_late_data_append_mode(spark, tmp_path):
+    """Late-data semantics, the part complete-mode tests can't see:
+    in APPEND mode a window is emitted once its end falls behind the
+    watermark, and events arriving after that are DROPPED — never
+    re-emitted, never crashing the query. Two sequential availableNow
+    runs over one checkpoint: run 1 closes hour 10; run 2 delivers a
+    straggler into hour 10 plus a fresh event, and must emit nothing
+    for the closed window."""
+    schema = "event_id long, ts timestamp, event_type string, amount double"
+    src_dir = tmp_path / "late_src"
+    ckpt = str(tmp_path / "late_ckpt")
+    sink_dir = str(tmp_path / "late_sink")
+    out_schema = "hour_start timestamp, event_type string, event_count long, amount_sum double"
+
+    def run(_name):
+        # file sink, not memory: the memory sink cannot RESUME from a
+        # checkpoint, and resuming is exactly what this test exercises.
+        # Reads back the CUMULATIVE emitted rows.
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        q = (
+            streaming_hourly_agg(stream)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.schema(out_schema).parquet(sink_dir).collect()
+        out = {}
+        for r in rows:
+            key = (r.hour_start, r.event_type)
+            assert key not in out, f"window {key} emitted more than once"
+            out[key] = (r.event_count, r.amount_sum)
+        return out
+
+    # NOTE: batches append part-files into ONE flat directory — the file
+    # source does not discover nested subdirectories.
+    batch1 = [
+        (1, datetime(2024, 1, 1, 10, 5), "purchase", 10.0),
+        (2, datetime(2024, 1, 1, 10, 40), "purchase", 20.0),
+        (3, datetime(2024, 1, 1, 12, 5), "view", 1.0),  # watermark → 11:55
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(str(src_dir))
+    got1 = run("late_run1")
+    # availableNow runs a flush batch after the data batch, so hour 10
+    # (end 11:00 < watermark 11:55) finalizes within run 1; hour 12 is
+    # still open and withheld (append semantics)
+    assert got1 == {(datetime(2024, 1, 1, 10), "purchase"): (2, 30.0)}
+
+    batch2 = [
+        (4, datetime(2024, 1, 1, 10, 30), "purchase", 999.0),  # LATE straggler
+        (5, datetime(2024, 1, 1, 13, 10), "view", 2.0),  # watermark → 13:00
+    ]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(src_dir))
+    got2 = run("late_run2")
+    # THE MONEY ASSERTION: the straggler (10:30 < checkpointed watermark
+    # 11:55) is dropped before the aggregate — the finalized hour-10 row
+    # still reads (2, 30.0), no 999, and run()'s uniqueness check proves
+    # it was not re-emitted. The advancing watermark closes hour 12.
+    assert got2 == {
+        (datetime(2024, 1, 1, 10), "purchase"): (2, 30.0),
+        (datetime(2024, 1, 1, 12), "view"): (1, 1.0),
+    }
+
+    batch3 = [(6, datetime(2024, 1, 1, 14, 10), "view", 3.0)]
+    spark.createDataFrame(batch3, schema).write.mode("append").parquet(str(src_dir))
+    got3 = run("late_run3")
+    assert got3[(datetime(2024, 1, 1, 13), "view")] == (1, 2.0)
+    assert got3[(datetime(2024, 1, 1, 10), "purchase")] == (2, 30.0)
