@@ -28,18 +28,27 @@ N_QUERY_VECS = 8  # query set = vec_id < 8 (small side, broadcast by design)
 TOP_K = 10
 EMB_DIM = 64
 LSH_BITS = 4
+LSH_TABLES = 4
 
 
-def _bucket_sql() -> str:
-    """DuckDB expression computing the same hyperplane signature as
-    hyperplane_signature(dim=EMB_DIM, bits=LSH_BITS) — sign tests of
-    dot products against the identical literal planes."""
-    terms = [
-        f"(CASE WHEN list_dot_product(emb, {plane}::DOUBLE[]) >= 0"
-        f" THEN {1 << j} ELSE 0 END)"
-        for j, plane in enumerate(hyperplane_constants(EMB_DIM, LSH_BITS))
-    ]
-    return " + ".join(terms)
+def _sigs_cte() -> str:
+    """DuckDB CTE body reproducing hyperplane_buckets(dim=EMB_DIM,
+    bits=LSH_BITS, tables=LSH_TABLES): one (vec_id, table, bucket) row
+    per table, bucket = sign-test sum against the identical literal
+    planes (table t uses plane block [t*bits, (t+1)*bits))."""
+    all_planes = hyperplane_constants(EMB_DIM, LSH_BITS * LSH_TABLES)
+    selects = []
+    for t in range(LSH_TABLES):
+        block = all_planes[t * LSH_BITS : (t + 1) * LSH_BITS]
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {plane}::DOUBLE[]) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(block)
+        )
+        selects.append(
+            f"  SELECT vec_id, emb, {t} AS tbl, {terms} AS bucket FROM v"
+        )
+    return "\nUNION ALL\n".join(selects)
 
 # --------------------------------------------------------------------------
 # exact cosine top-k (the correctness baseline for ANN)
@@ -129,14 +138,20 @@ WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 sigs AS (
-  SELECT vec_id, emb, {{bucket}} AS bucket FROM v
+{{sigs}}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs e ON q.tbl = e.tbl AND q.bucket = e.bucket
+   AND q.vec_id <> e.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
 ),
 scored AS (
-  SELECT q.vec_id AS query_id,
-         e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.emb, e.emb) AS cos_raw
-  FROM sigs q JOIN sigs e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
-  WHERE q.vec_id < {N_QUERY_VECS}
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(vq.emb, ve.emb) AS cos_raw
+  FROM cand c
+  JOIN v vq ON vq.vec_id = c.query_id
+  JOIN v ve ON ve.vec_id = c.neighbor_id
 )
 SELECT query_id, neighbor_id,
        ROUND(cos_raw, 6) AS cosine,
@@ -148,18 +163,20 @@ QUALIFY rank <= {TOP_K}
 """
 
 
-@query("ann_lsh_topk", oracle=ANN_LSH_ORACLE.format(bucket=_bucket_sql()))
+@query("ann_lsh_topk", oracle=ANN_LSH_ORACLE.format(sigs=_sigs_cte()))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k: bucket join then exact re-rank.
+    """Multi-table hyperplane-LSH approximate top-k: bucket joins (one
+    8-byte key per table) then exact re-rank over the table-deduped
+    candidate set.
 
-    Scale: replaces the brute-force full scan with an 8-byte bucket-key
-    join; vectors are signed once during the scan (pure projection).
+    Scale: replaces the brute-force full scan with bucket-key joins;
+    vectors are signed once during the scan (pure projection).
     """
     emb = Catalog(spark, sf_dir).embeddings
     q = emb.where(F.col("vec_id") < N_QUERY_VECS)
     return lsh_topk(
         emb, q, id_col="vec_id", vec_col="embedding",
-        dim=EMB_DIM, k=TOP_K, bits=LSH_BITS,
+        dim=EMB_DIM, k=TOP_K, bits=LSH_BITS, tables=LSH_TABLES,
     )
 
 
@@ -184,23 +201,30 @@ WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 sigs AS (
-  SELECT vec_id, emb, {{bucket}} AS bucket FROM v
+{{sigs}}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id1, b.vec_id AS id2,
-       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
-FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_NEARDUP_THRESHOLD}
+SELECT c.id1, c.id2,
+       ROUND(list_cosine_similarity(v1.emb, v2.emb), 6) AS cosine
+FROM cand c
+JOIN v v1 ON v1.vec_id = c.id1
+JOIN v v2 ON v2.vec_id = c.id2
+WHERE list_cosine_similarity(v1.emb, v2.emb) >= {EMB_NEARDUP_THRESHOLD}
 """
 
 
-@query("emb_neardup_lsh", oracle=EMB_NEARDUP_LSH_ORACLE.format(bucket=_bucket_sql()))
+@query("emb_neardup_lsh", oracle=EMB_NEARDUP_LSH_ORACLE.format(sigs=_sigs_cte()))
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via hyperplane-LSH bucketing (two-tier
-    capped enumeration — see embedding_near_duplicates)."""
+    """Embedding near-dup pairs via multi-table hyperplane-LSH bucketing
+    (two-tier capped enumeration — see embedding_near_duplicates)."""
     emb = Catalog(spark, sf_dir).embeddings
     return embedding_near_duplicates(
         emb, id_col="vec_id", vec_col="embedding", dim=EMB_DIM,
-        threshold=EMB_NEARDUP_THRESHOLD, bits=LSH_BITS,
+        threshold=EMB_NEARDUP_THRESHOLD, bits=LSH_BITS, tables=LSH_TABLES,
     )
 
 
