@@ -55,3 +55,21 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(map(str, ivf_topk(emb, q, n_centroids=8, n_probe=2, k=5).collect()))
     b = sorted(map(str, ivf_topk(emb, q, n_centroids=8, n_probe=2, k=5).collect()))
     assert a == b
+
+
+def test_multi_table_lsh_recall_floor(spark, emb):
+    """Amplification regression guard: 4-table LSH must beat the
+    single-table recall collapse (0.125 @ bits=4) by a wide margin.
+    Floor set below the measured 0.39 to absorb data drift, high enough
+    to catch a plane/table regression."""
+    q = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, q, dim=64, k=10, bits=4, tables=4).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.25, f"multi-table LSH recall collapsed: {recall:.3f}"
