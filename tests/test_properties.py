@@ -163,3 +163,46 @@ def test_range_join_equals_bruteforce(spark, lefts, rights, span_s):
         if rk == lk and lt - lo <= rt < lt
     )
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcdefgh ", min_size=1, max_size=30),
+            min_size=1, max_size=8, unique=True,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_portable_minhash_matches_python_reference(spark, shingle_sets):
+    """The engine-portable MinHash family (md5-hex-prefix base + affine
+    permutations) must agree with an independent pure-Python evaluation
+    — this is the contract that makes the DuckDB oracle able to replay
+    LSH candidate generation bit-for-bit."""
+    import hashlib
+
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_affine_constants,
+        minhash_signatures,
+    )
+
+    num_hashes = 8
+    consts = minhash_affine_constants(num_hashes)
+
+    def py_base(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = [(i, sh) for i, shs in enumerate(shingle_sets) for sh in shs]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        r["doc_id"]: [r[f"mh{k}"] for k in range(num_hashes)]
+        for r in minhash_signatures(df, id_col="doc_id", num_hashes=num_hashes).collect()
+    }
+    for i, shs in enumerate(shingle_sets):
+        expect = [
+            min((a * py_base(sh) + b) % MINHASH_P for sh in shs)
+            for a, b in consts
+        ]
+        assert got[i] == expect
