@@ -304,13 +304,17 @@ def minhash_near_duplicates(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 63
+    df: DataFrame, text_col: str, id_col: str, bits: int = 60
 ) -> DataFrame:
-    """63-bit SimHash per document from distinct-word hashes.
+    """60-bit SimHash per document from distinct-word hashes.
 
-    bit_i(sig) = sign of Σ_tokens (±1 by bit_i(xxhash64(token))); computed as
-    `bits` conditional SUM aggregates in a single groupBy — one shuffle, all
-    map-side combinable. 63 bits keeps the signature in a signed BIGINT.
+    bit_i(sig) = sign of Σ_tokens (±1 by bit_i(h(token))); computed as
+    `bits` conditional SUM aggregates in a single groupBy — one shuffle,
+    all map-side combinable. The token hash is the ENGINE-PORTABLE
+    60-bit md5-hex-prefix (15 hex chars → BIGINT, same construction as
+    the MinHash base but wider), so the whole signature — and the
+    Hamming-blocked pair search over it — replays exactly in DuckDB SQL;
+    60 bits also keeps the signature in a signed BIGINT.
     """
     # hash BEFORE the distinct: the (id, token) dedup shuffle then carries
     # fixed 8-byte hashes instead of variable-length token strings, and the
@@ -319,7 +323,12 @@ def simhash_signatures(
         df.select(
             F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok")
         )
-        .select(F.col(id_col), F.xxhash64(F.col("tok")).alias("__h"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("__h"),
+        )
         .distinct()
     )
     h = F.col("__h")

@@ -202,25 +202,79 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signature per document (rows-only check).
+_SIMHASH_BITS = 60
 
-    Candidate pairs = identical signature prefix buckets; emits the signature
-    table (doc_id, simhash) — the join-side primitive for hamming-distance
-    dedup at scale.
+
+def _simhash_cte(bits: int) -> str:
+    """CTE chain reproducing simhash_signatures in DuckDB: portable
+    60-bit md5-prefix token hash → per-bit ±1 sums → sign bits."""
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN ((hv >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    sig = "\n         + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+stok AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS hv
+  FROM (SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS tok
+        FROM documents) t
+),
+ssum AS (SELECT doc_id,
+         {sums}
+        FROM stok GROUP BY doc_id),
+ssig AS (SELECT doc_id,
+         CAST({sig} AS BIGINT) AS simhash
+        FROM ssum)"""
+
+
+SIMHASH_ORACLE = (
+    "WITH" + _simhash_cte(_SIMHASH_BITS) + "\nSELECT doc_id, simhash FROM ssig"
+)
+
+
+@query("dedup_simhash", oracle=SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document (oracle-checked: the
+    portable md5-prefix token hash makes the signature replayable in
+    DuckDB bit-for-bit).
+
+    Emits the signature table (doc_id, simhash) — the join-side
+    primitive for hamming-distance dedup at scale.
     """
     docs = Catalog(spark, sf_dir).documents
     return simhash_signatures(docs, text_col="text", id_col="doc_id")
 
 
-@query("dedup_simhash_pairs", oracle=None)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3 (rows-only check).
+SIMHASH_PAIRS_ORACLE = (
+    "WITH" + _simhash_cte(_SIMHASH_BITS)
+    + """,
+blocks AS (
+  SELECT doc_id, simhash, t.b AS blk,
+         (simhash >> (t.b * 16)) & 65535 AS val
+  FROM ssig, UNNEST([0, 1, 2, 3]) AS t(b)
+),
+scand AS (
+  SELECT DISTINCT a.doc_id AS id1, a.simhash AS h1,
+                  b.doc_id AS id2, b.simhash AS h2
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming_distance
+FROM scand WHERE bit_count(xor(h1, h2)) <= 3"""
+)
 
-    Scale: pigeonhole blocking — the self-join key is a 16-bit signature
-    block (4 joins, each near-linear for non-degenerate data), then a
-    bit_count verify; signatures are 8 bytes/doc so the shuffle never
+
+@query("dedup_simhash_pairs", oracle=SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (oracle-checked
+    via the same portable signature + pigeonhole blocking in SQL).
+
+    Scale: pigeonhole blocking — the bucket key is a 16-bit signature
+    block (bucket-grouped, no self-join of the signature subtree), then
+    a bit_count verify; signatures are 8 bytes/doc so the shuffle never
     carries text.
     """
     docs = Catalog(spark, sf_dir).documents
