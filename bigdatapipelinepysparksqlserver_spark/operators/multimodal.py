@@ -118,8 +118,12 @@ def _surrogate_kernel(dim: int):
                 buf = np.frombuffer(payload, dtype=np.uint8)
                 n = int(buf.size)
                 mean = float(buf.mean()) if n else 0.0
-                # deterministic "embedding": bucketed byte histogram, L1-normalized
-                hist = np.bincount(buf % dim, minlength=dim).astype("float32")
+                # deterministic "embedding": bucketed byte histogram,
+                # L1-normalized. Math in FLOAT64 (storage narrows to the
+                # schema's float32): exact-count ÷ exact-count in double
+                # is reproducible arithmetic an external oracle can
+                # replay, where float32 intermediate math is not.
+                hist = np.bincount(buf % dim, minlength=dim).astype("float64")
                 tot = hist.sum()
                 vec = (hist / tot if tot else hist).tolist()
                 out.append((mid, n, mean, vec))

@@ -1,9 +1,14 @@
 """Multimodal query surface over `documents` (payload = text bytes).
 
 The metadata path (binary length stats, frame-sampling plan) is
-SQL-expressible and oracle-checked; the Pandas-UDF decode path is
-rows-only (DuckDB has no Arrow-UDF twin) but runs the REAL mapInPandas
-pipeline with the deterministic surrogate decoder.
+SQL-expressible and oracle-checked. The Pandas-UDF decode path runs the
+REAL mapInPandas pipeline with the deterministic surrogate decoder —
+`media_decode_features` keeps the production shape (array feature
+column, rows-only), while `media_decode_check` is its oracle-checked
+twin: same kernel, exploded to scalar rows, with DuckDB recomputing the
+byte statistics from hex(BLOB) and replicating the float32 storage
+narrowing via REAL casts — so the whole Arrow batch path (binary
+serialization, per-partition batching, schema) is value-verified.
 """
 
 from __future__ import annotations
@@ -59,6 +64,68 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
     return decode_image_batches(media, dim=8, decoder="surrogate")
+
+
+MEDIA_DECODE_CHECK_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, CAST(text AS BLOB) AS payload FROM documents
+),
+b AS (
+  SELECT media_id,
+         CAST(('0x' || substr(hex(payload), 2 * t.i - 1, 2)) AS INTEGER) AS byte
+  FROM m, UNNEST(range(1, octet_length(payload) + 1)) AS t(i)
+),
+stats AS (
+  SELECT media_id,
+         CAST(CAST(AVG(byte) AS REAL) AS DOUBLE) AS mean_luma
+  FROM b GROUP BY media_id
+),
+hist AS (
+  SELECT media_id, byte % 8 AS pos, COUNT(*) AS c
+  FROM b GROUP BY 1, 2
+),
+tot AS (SELECT media_id, SUM(c) AS tot FROM hist GROUP BY 1),
+grid AS (
+  SELECT m.media_id, octet_length(m.payload) AS n, t.p AS pos
+  FROM m, UNNEST(range(0, 8)) AS t(p)
+)
+SELECT g.media_id,
+       CAST(g.n AS BIGINT) AS n_bytes,
+       COALESCE(s.mean_luma, 0.0) AS mean_luma,
+       CAST(g.pos AS INTEGER) AS dim,
+       CAST(CAST(COALESCE(h.c, 0) / CAST(COALESCE(t.tot, 1) AS DOUBLE) AS REAL)
+            AS DOUBLE) AS feature
+FROM grid g
+LEFT JOIN stats s ON s.media_id = g.media_id
+LEFT JOIN hist h ON h.media_id = g.media_id AND h.pos = g.pos
+LEFT JOIN tot t ON t.media_id = g.media_id
+"""
+
+
+@query("media_decode_check", oracle=MEDIA_DECODE_CHECK_ORACLE)
+def media_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of the decode path: the SAME mapInPandas
+    surrogate kernel, exploded to (media_id, n_bytes, mean_luma, dim,
+    feature) scalar rows so the driver canon can hash it. The oracle
+    recomputes every byte statistic from hex(BLOB) in DuckDB and
+    narrows through REAL to replicate the schema's float32 storage —
+    end-to-end value verification of Arrow binary serialization,
+    batching, and the kernel arithmetic."""
+    docs = Catalog(spark, sf_dir).documents
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    feats = decode_image_batches(media, dim=8, decoder="surrogate")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+        F.posexplode("feature_vec").alias("dim", "feature"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "mean_luma",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("feature").cast("double").alias("feature"),
+    )
 
 
 FRAME_PLAN_ORACLE = """
