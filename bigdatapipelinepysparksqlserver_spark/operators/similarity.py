@@ -399,3 +399,96 @@ def embedding_near_duplicates(
     return scored.where(F.col("cos_raw") >= threshold).select(
         "id1", "id2", F.round("cos_raw", 6).alias("cosine")
     )
+
+
+def ivf_codebook_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF approximate top-k with an EXTERNALLY-TRAINED codebook — the
+    production IVF shape (the quantizer is trained offline and versioned
+    as an artifact; :func:`ivf_topk` is the train-inline variant).
+
+    The codebook (cell, centroid) is collected driver-side — it is
+    model-scale by contract, exactly what a KMeans model broadcast would
+    ship — and baked into the assignment expression as literal arrays:
+    cell(v) = argmax_c cosine(v, centroid_c), ties to the lowest cell.
+    Assignment is therefore a PURE PROJECTION computed during the scan —
+    no shuffle, no 16× row inflation through an exchange — and, being
+    literal arithmetic, it is replayable by the DuckDB oracle (cosine is
+    scale-invariant, so raw centroids work unnormalized).
+
+    Scale: one scan of the vectors table (assign), a bucket join on the
+    8-byte cell id against the broadcast (query × probe) list, exact
+    re-rank on candidates only.
+    """
+    cells = [
+        (int(r[cell_col]), [float(x) for x in r[cent_col]])
+        for r in codebook.select(cell_col, cent_col).collect()
+    ]
+    cells.sort()
+
+    def argmax_cell(vec: Column) -> Column:
+        # greatest over (cosine, -cell) structs → highest cosine, ties
+        # to the LOWEST cell id (matches the oracle's ORDER BY ... cell ASC)
+        structs = [
+            F.struct(
+                cosine(vec, F.array(*[F.lit(x) for x in cent])).alias("c"),
+                F.lit(-cell).alias("nc"),
+            )
+            for cell, cent in cells
+        ]
+        return (-F.greatest(*structs)["nc"]).cast("int")
+
+    def probe_cells(vec: Column) -> Column:
+        # top-n_probe cells as an array: sort (cosine, -cell) structs
+        # descending, take the prefix
+        structs = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(x) for x in cent])).alias("c"),
+                    F.lit(-cell).alias("nc"),
+                )
+                for cell, cent in cells
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(structs)), 1, n_probe)
+        return F.transform(top, lambda s: (-s["nc"]).cast("int"))
+
+    assigned = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        argmax_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cands = (
+        assigned.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank"
+        )
+    )

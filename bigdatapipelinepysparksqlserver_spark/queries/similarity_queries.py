@@ -217,6 +217,76 @@ WHERE list_cosine_similarity(v1.emb, v2.emb) >= {EMB_NEARDUP_THRESHOLD}
 """
 
 
+IVF_N_CELLS = 16
+IVF_N_PROBE = 4
+
+ANN_IVF_CODEBOOK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cb AS (SELECT vec_id AS cell, emb AS cent FROM v WHERE vec_id < {IVF_N_CELLS}),
+asg AS (
+  SELECT v.vec_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.cell ASC
+         ) AS rn
+  FROM v, cb c
+),
+assigned AS (SELECT vec_id AS neighbor_id, cell FROM asg WHERE rn = 1),
+qprobe AS (
+  SELECT v.vec_id AS query_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.cell ASC
+         ) AS rn
+  FROM v, cb c WHERE v.vec_id < {N_QUERY_VECS}
+),
+probes AS (SELECT query_id, cell FROM qprobe WHERE rn <= {IVF_N_PROBE}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(q.emb, n.emb) AS cos_raw
+  FROM cand c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN v n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+       ) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+@query("ann_ivf_codebook_topk", oracle=ANN_IVF_CODEBOOK_ORACLE)
+def ann_ivf_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with an externally-supplied codebook (here: the first 16
+    embeddings as a deterministic stand-in for an offline-trained
+    quantizer — the production shape, where the codebook is a versioned
+    artifact). Assignment is argmax-cosine over literal centroids — a
+    pure scan-side projection — so the entire index+search pipeline is
+    oracle-checked; the train-inline KMeans variant (`ann_ivf_topk`)
+    stays rows-only because the training itself is not replayable in
+    SQL."""
+    from ..operators.similarity import ivf_codebook_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    codebook = emb.where(F.col("vec_id") < IVF_N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_codebook_topk(
+        emb, q, codebook, id_col="vec_id", vec_col="embedding",
+        n_probe=IVF_N_PROBE, k=TOP_K,
+    )
+
+
 @query("emb_neardup_lsh", oracle=EMB_NEARDUP_LSH_ORACLE.format(sigs=_sigs_cte()))
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via multi-table hyperplane-LSH bucketing

@@ -92,7 +92,7 @@ def test_no_cartesian_products_anywhere(spark):
 def test_no_python_row_udfs_in_relational_surface(spark):
     """Zero-Python-UDF policy (§2.10): BatchEvalPython must not appear in
     any plan; ArrowEvalPython/MapInPandas only in the multimodal decode."""
-    allowed_arrow = {"media_decode_features"}
+    allowed_arrow = {"media_decode_features", "media_decode_check"}
     offenders = []
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.fn(spark, SF))
