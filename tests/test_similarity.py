@@ -7,6 +7,7 @@ import pytest
 
 from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
     brute_force_topk,
+    ivf_codebook_topk,
     ivf_topk,
     lsh_topk,
 )
@@ -42,9 +43,13 @@ def test_approximate_results_are_subset_quality(spark, emb):
         (r.query_id, r.neighbor_id): r.cosine
         for r in brute_force_topk(emb, q, k=500).collect()
     }
+    codebook = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
     for approx_df in (
         lsh_topk(emb, q, dim=64, k=5, bits=4),
         ivf_topk(emb, q, n_centroids=8, n_probe=3, k=5),
+        ivf_codebook_topk(emb, q, codebook, n_probe=3, k=5),
     ):
         for r in approx_df.collect():
             assert exact[(r.query_id, r.neighbor_id)] == r.cosine
