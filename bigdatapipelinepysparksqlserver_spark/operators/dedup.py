@@ -107,6 +107,57 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*mins)
 
 
+def grouped_pair_enumeration(
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    bucket_cap: int = 4096,
+) -> DataFrame:
+    """Enumerate (id1 < id2) co-occurrence pairs per bucket — one row per
+    (bucket, pair) — with the two-tier mega-bucket guard.
+
+    Input: (bucket_cols..., id) rows. One (bucket) shuffle builds the
+    bucket table (persisted: multiple consumers, and upstream subtrees
+    with HOF lambdas defeat exchange reuse); buckets ≤ ``bucket_cap``
+    expand pairs in-row, larger ones re-explode into a distributed
+    bucket-keyed self-join so no single task materializes a quadratic
+    expansion. Consumers dedup (LSH candidates) or count (exact
+    intersection sizes) downstream.
+    """
+    buckets_all = (
+        keyed.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+        .persist()
+    )
+    buckets = buckets_all.where(F.size("ids") <= bucket_cap)
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i + 1).alias("id1"),
+                    F.element_at(F.col("ids"), j + 1).alias("id2"),
+                ),
+            ),
+        )
+    )
+    small_pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")
+    )
+    big = buckets_all.where(F.size("ids") > bucket_cap).select(
+        *bucket_cols, F.explode("ids").alias("__id")
+    )
+    a = big.select(*bucket_cols, F.col("__id").alias("id1"))
+    b = big.select(*bucket_cols, F.col("__id").alias("id2"))
+    big_pairs = (
+        a.join(b, bucket_cols).where(F.col("id1") < F.col("id2")).select("id1", "id2")
+    )
+    return small_pairs.unionByName(big_pairs)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -160,44 +211,9 @@ def lsh_candidate_pairs(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
         ).alias("e"),
     ).select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
-    # ONE aggregation builds the bucket table; persist it (it is
-    # doc-cardinality id lists, tiny) because both tiers consume it and
-    # the signature subtree above it would otherwise recompute per
-    # branch (HOF lambdas defeat exchange reuse).
-    buckets_all = (
-        exploded.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .where(F.size("ids") > 1)
-        .persist()
-    )
-    buckets = buckets_all.where(F.size("ids") <= bucket_cap)
-    n = F.size("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, n - 1),
-                lambda j: F.struct(
-                    F.element_at(F.col("ids"), i + 1).alias("id1"),
-                    F.element_at(F.col("ids"), j + 1).alias("id2"),
-                ),
-            ),
-        )
-    )
-    small_pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")
-    )
-
-    big = buckets_all.where(F.size("ids") > bucket_cap).select(
-        "band", "bh", F.explode("ids").alias("__id")
-    )
-    a = big.select("band", "bh", F.col("__id").alias("id1"))
-    b = big.select("band", "bh", F.col("__id").alias("id2"))
-    big_pairs = (
-        a.join(b, ["band", "bh"]).where(F.col("id1") < F.col("id2")).select("id1", "id2")
-    )
-
-    return small_pairs.unionByName(big_pairs).distinct()
+    return grouped_pair_enumeration(
+        exploded, ["band", "bh"], id_col, bucket_cap=bucket_cap
+    ).distinct()
 
 
 def shingle_array_from_words(words: Column, n: int = 3) -> Column:

@@ -85,20 +85,24 @@ WHERE CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter) >= 0.2
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity pairs above a threshold.
 
-    Scale: this exact form is quadratic in docs sharing a shingle — it is the
-    correctness baseline. The scale path is ``dedup_minhash`` (LSH banding
-    prunes the candidate space to near-linear); both share the shingling op.
+    Scale: the PAIR COUNT is inherently quadratic in docs sharing a
+    shingle — this is the correctness baseline; ``dedup_minhash`` is the
+    near-linear scale path. The shuffle plan is not quadratic though:
+    intersection sizes come from bucket-grouped pair enumeration (one
+    shuffle on the shingle, in-bucket expansion with the shared
+    mega-bucket guard) instead of a shingle-equality self-join, which
+    would scan and shuffle the shingle relation twice.
     """
     docs = Catalog(spark, sf_dir).documents
     sh = ngram_shingles(docs, text_col="text", id_col="doc_id", n=3).select(
         "doc_id", "shingle"
     ).distinct()
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    from ..operators.dedup import grouped_pair_enumeration
+
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        grouped_pair_enumeration(sh, ["shingle"], "doc_id")
+        .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
