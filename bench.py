@@ -30,15 +30,17 @@ def main() -> None:
     warm = REGISTRY["mart_client_count"].fn(spark, sf_dir)
     warm.collect()
 
-    # two passes per query, report the min: first execution of a plan pays
+    # three passes per query, report the min: first execution of a plan pays
     # one-time JVM/codegen compilation that a long-lived cluster amortizes;
-    # steady-state is the number that scales.
+    # steady-state is the number that scales, and min-of-3 kills the
+    # single-sample scheduling noise that made r2↔r3 per-query deltas
+    # unreadable (±15-20% swings on ~1 s queries).
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         if not spec.headline:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             spec.fn(spark, sf_dir).collect()
             best = min(best, time.time() - t0)

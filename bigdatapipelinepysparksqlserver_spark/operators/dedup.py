@@ -38,20 +38,23 @@ def ngram_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
     elimination, so an inlined ``split(...)`` expression would re-split
     the document once per ``element_at`` — n re-splits per shingle,
     measured ~10× slower at n=8. A bound column reference is O(1).
+
+    Built as one ``F.expr`` string: the Python-lambda HOF form costs
+    dozens of Py4J round-trips per plan build (construction latency was
+    measured to DOMINATE this operator's warm wall time — ~1.3 s of the
+    2.2 s total was driver-side Column construction, not execution).
     """
-    words = F.col("__words")
-    idx = F.sequence(F.lit(0), F.size(words) - n)  # 0-based start positions
-
-    def gram(i: Column) -> Column:
-        parts = [F.element_at(words, i + k + 1) for k in range(n)]  # element_at is 1-based
-        return F.concat_ws(" ", *parts)
-
-    shingles = F.when(F.size(words) >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(__words, i + {k + 1})" for k in range(n)
+    ) + ")"
+    shingles = (
+        f"CASE WHEN size(__words) >= {n} THEN "
+        f"transform(sequence(0, size(__words) - {n}), i -> {gram}) "
+        "ELSE CAST(array() AS array<string>) END"
     )
     return df.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__words")
-    ).select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    ).select(F.col(id_col), F.explode(F.expr(shingles)).alias("shingle"))
 
 
 # Engine-portable MinHash family: base(s) = first 8 hex chars of md5(s)
@@ -100,8 +103,12 @@ def minhash_signatures(
     """
     base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     hashed = shingled.withColumn("__hb", base)
+    # one F.expr per aggregate (JVM-side parse), not Column arithmetic:
+    # 64 Python-built min((a*hb+b)%P) Columns cost ~500 Py4J round-trips
+    # (~0.7 s) per plan build — measured as the largest single
+    # contributor to this operator's warm wall time.
     mins = [
-        F.min((F.lit(a) * F.col("__hb") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{k}")
+        F.expr(f"min(({a}L * __hb + {b}L) % {MINHASH_P}L)").alias(f"mh{k}")
         for k, (a, b) in enumerate(minhash_affine_constants(num_hashes))
     ]
     return hashed.groupBy(id_col).agg(*mins)
@@ -124,6 +131,13 @@ def grouped_pair_enumeration(
     expansion. Consumers dedup (LSH candidates) or count (exact
     intersection sizes) downstream.
     """
+    # persist: two consumers (small/big branch) — no explicit unpersist
+    # because the operator returns a LAZY plan over both branches; the
+    # cache block's lifetime is owned by the returned DataFrame and freed
+    # by Spark's ContextCleaner once it is garbage collected (same
+    # contract as the candidate-pair persist in minhash_near_duplicates).
+    # Callers that invoke the operator repeatedly in one session and need
+    # deterministic memory should unpersist via spark.catalog.clearCache.
     buckets_all = (
         keyed.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
@@ -131,18 +145,11 @@ def grouped_pair_enumeration(
         .persist()
     )
     buckets = buckets_all.where(F.size("ids") <= bucket_cap)
-    n = F.size("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, n - 1),
-                lambda j: F.struct(
-                    F.element_at(F.col("ids"), i + 1).alias("id1"),
-                    F.element_at(F.col("ids"), j + 1).alias("id2"),
-                ),
-            ),
-        )
+    pair_structs = F.expr(
+        "flatten(transform(sequence(0, size(ids) - 2), "
+        "i -> transform(sequence(i + 1, size(ids) - 1), "
+        "j -> struct(element_at(ids, i + 1) AS id1, "
+        "element_at(ids, j + 1) AS id2))))"
     )
     small_pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
         F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")
@@ -198,19 +205,19 @@ def lsh_candidate_pairs(
             "a remainder would silently drop trailing minhash columns"
         )
     rows_per_band = num_hashes // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band{b}"
-        )
+    # stack() unpivots all bands in ONE parsed expression — same plan as
+    # the explode-of-struct-array form but without bands×struct-arity
+    # Py4J calls at build time.
+    stack_args = ", ".join(
+        f"{b}, xxhash64("
+        + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
         for b in range(bands)
-    ]
-    banded = signatures.select(F.col(id_col), *band_cols)
-    exploded = banded.select(
+    )
+    exploded = signatures.select(
         F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
-        ).alias("e"),
-    ).select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+        F.expr(f"stack({bands}, {stack_args})").alias("band", "bh"),
+    )
     return grouped_pair_enumeration(
         exploded, ["band", "bh"], id_col, bucket_cap=bucket_cap
     ).distinct()
@@ -223,16 +230,18 @@ def shingle_array_from_words(words: Column, n: int = 3) -> Column:
     ``words`` must be a bound column reference, not an inline ``split``
     expression — HOF lambdas are interpreted without common-subexpression
     elimination, so an inline split re-executes per element (see
-    :func:`ngram_shingles`).
+    :func:`ngram_shingles`). Built as one parsed expression to keep plan
+    construction off the Py4J hot path.
     """
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-
-    def gram(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)])
-
-    return F.when(
-        F.size(words) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array().cast("array<string>"))
+    w = words._jc.toString()  # column name, e.g. "__words"
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at({w}, i + {k + 1})" for k in range(n)
+    ) + ")"
+    return F.expr(
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({w}) - {n}), i -> {gram})) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
 
 
 def pairwise_jaccard(
@@ -301,10 +310,11 @@ def minhash_near_duplicates(
     cands = lsh_candidate_pairs(
         sigs, id_col=id_col, num_hashes=num_hashes, bands=bands
     ).persist()
-    cand_ids = (
-        cands.select(F.col("id1").alias(id_col))
-        .union(cands.select(F.col("id2").alias(id_col)))
-        .distinct()
+    # one explode pass, no distinct: the semi-join's broadcast hash set
+    # dedups build-side keys itself, so a distinct here would add an
+    # exchange just to shrink an already-tiny broadcast payload.
+    cand_ids = cands.select(
+        F.explode(F.array(F.col("id1"), F.col("id2"))).alias(id_col)
     )
     # verify cost must be proportional to CANDIDATES, not corpus: prune the
     # docs table to candidate ids (broadcast semi-join reaches the parquet
@@ -347,20 +357,20 @@ def simhash_signatures(
         )
         .distinct()
     )
-    h = F.col("__h")
+    # F.expr per aggregate / one folded expr for the sign recombination:
+    # the Column-arithmetic form costs ~bits×6 Py4J round-trips per plan
+    # build (see minhash_signatures for the measurement).
     sums = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"b{i}"
-        )
+        F.expr(
+            f"sum(CASE WHEN (shiftright(__h, {i}) & 1L) = 1L THEN 1 ELSE -1 END)"
+        ).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = tokens.groupBy(id_col).agg(*sums)
-    sig = reduce(
-        lambda acc, i: acc + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)),
-        range(1, bits),
-        F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}L ELSE 0L END)" for i in range(bits)
     )
-    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return agg.select(F.col(id_col), F.expr(sig).cast("long").alias("simhash"))
 
 
 def hamming_neighbors(signatures: DataFrame, id_col: str, max_distance: int = 3) -> DataFrame:
@@ -377,39 +387,23 @@ def hamming_neighbors(signatures: DataFrame, id_col: str, max_distance: int = 3)
     structs so id1 < id2 falls out of the enumeration order; the final
     distinct dedups pairs that collide in several blocks.
     """
+    stack_args = ", ".join(
+        f"{b}, shiftright(simhash, {b * 16}) & 65535L" for b in range(4)
+    )
     exploded = signatures.select(
-        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("e"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("blk"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("k"),
+        F.expr(f"struct({id_col} AS id, simhash AS sh)").alias("e"),
+        F.expr(f"stack(4, {stack_args})").alias("blk", "val"),
     )
     buckets = (
-        exploded.groupBy("k.blk", "k.val")
+        exploded.groupBy("blk", "val")
         .agg(F.array_sort(F.collect_list("e")).alias("es"))
         .where(F.size("es") > 1)
     )
-    n = F.size("es")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, n - 1),
-                lambda j: F.struct(
-                    F.element_at(F.col("es"), i + 1).alias("p1"),
-                    F.element_at(F.col("es"), j + 1).alias("p2"),
-                ),
-            ),
-        )
+    pair_structs = F.expr(
+        "flatten(transform(sequence(0, size(es) - 2), "
+        "i -> transform(sequence(i + 1, size(es) - 1), "
+        "j -> struct(element_at(es, i + 1) AS p1, "
+        "element_at(es, j + 1) AS p2))))"
     )
     pairs = (
         buckets.select(F.explode(pair_structs).alias("p"))

@@ -226,90 +226,77 @@ def ivf_topk(
 
     The alternative scale path to hyperplane LSH: centroids ADAPT to the
     data distribution (better cell balance on clustered embeddings than
-    data-oblivious hyperplanes). Training runs on the vectors table via
-    Spark ML KMeans (seeded, deterministic); assignment is one pass; the
-    search joins on an 8-byte cell id like the LSH bucket join. Recall
-    is tuned by n_probe; at 100 TB the centroid model is megabytes and
-    broadcasts, so assignment never shuffles vectors.
+    data-oblivious hyperplanes). Since round 4 this is a thin
+    TRAIN-THEN-DELEGATE wrapper: it trains the coarse quantizer (seeded
+    Spark ML KMeans over L2-normalized vectors) and hands the resulting
+    codebook to :func:`ivf_codebook_topk`, so the search path is ONE
+    implementation regardless of where the codebook came from. The
+    production shape trains offline (``tools/train_ivf_codebook.py``)
+    and versions the codebook as an artifact; use this wrapper only for
+    ad-hoc/exploratory searches where retraining per query is acceptable.
+    """
+    codebook = train_ivf_codebook(
+        vectors, vec_col=vec_col, n_centroids=n_centroids, seed=seed
+    )
+    return ivf_codebook_topk(
+        vectors,
+        queries,
+        codebook,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_probe=n_probe,
+        k=k,
+    )
+
+
+def train_ivf_codebook(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Train the IVF coarse quantizer: seeded KMeans over L2-normalized
+    vectors → (cell, centroid array<double>) codebook DataFrame.
+
+    L2-normalization makes Euclidean KMeans approximate spherical
+    k-means (||â−b̂||² = 2−2·cos on unit vectors), matching the
+    argmax-cosine assignment :func:`ivf_codebook_topk` performs.
+    Centroid components are rounded to 6 dp so a codebook serialized to
+    text (the versioned-artifact path) reproduces the exact same doubles
+    when pasted into an oracle SQL literal.
+
+    Scale: one fit over the (sampled, in production) vectors table; the
+    codebook is model-sized by construction.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
-    # L2-normalize BEFORE clustering (spherical k-means approximation):
-    # cells are assigned by Euclidean distance (KMeans.transform) but
-    # probed by cosine — on unit vectors the two orderings agree
-    # (||a−b||² = 2−2·cos), so normalization is what makes the
-    # assign-metric and probe-metric consistent for unnormalized inputs.
-    # The exact re-rank below still uses the RAW vectors.
     # The cast array and its norm are PROJECTED to columns before the
     # transform lambda: interpreted HOF bodies get no common-subexpression
     # elimination, so inlining them would redo the O(d) cast + aggregate
     # per element — O(d²) per row.
-    pre = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("neighbor_vec"),
-        F.col(vec_col).cast("array<double>").alias("__arr"),
-    ).withColumn(
+    pre = vectors.select(F.col(vec_col).cast("array<double>").alias("__arr")).withColumn(
         "__norm",
         F.sqrt(F.aggregate(F.col("__arr"), F.lit(0.0), lambda a, x: a + x * x)),
     )
     feat = pre.select(
-        "neighbor_id",
-        "neighbor_vec",
         array_to_vector(
             F.transform(F.col("__arr"), lambda x: x / F.col("__norm"))
-        ).alias("features"),
+        ).alias("features")
     )
     # random init (seeded, deterministic): k-means|| init costs ~2 extra
     # distributed passes, pointless precision for a COARSE quantizer whose
     # cell boundaries only gate recall, not correctness of the re-rank.
-    km = KMeans(k=n_centroids, seed=seed, maxIter=8, initMode="random")
-    model = km.fit(feat.select("features"))
-    assigned = model.transform(feat).select(
-        "neighbor_id", "neighbor_vec", F.col("prediction").alias("cell")
-    )
-
-    # query → its n_probe nearest centroids (tiny driver-side model math)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    cent_df = feat.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], ["cell", "centroid"]
-    ).select("cell", F.col("centroid").cast("array<float>").alias("centroid"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
-    q_cells = (
-        q.crossJoin(F.broadcast(cent_df))
-        .select(
-            "query_id", "query_vec", "cell",
-            cosine(F.col("query_vec"), F.col("centroid")).alias("cdist"),
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("cdist").desc(), F.col("cell")
-                )
-            ),
-        )
-        .where(F.col("rk") <= n_probe)
-        .select("query_id", "query_vec", "cell")
-    )
-
-    cands = assigned.join(F.broadcast(q_cells), "cell").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = cands.select(
-        "query_id", "neighbor_id",
-        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank")
-    )
+    km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, initMode="random")
+    model = km.fit(feat)
+    cells = [
+        (i, [round(float(x), 6) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    return vectors.sparkSession.createDataFrame(
+        cells, ["cell", "centroid"]
+    ).select("cell", F.col("centroid").cast("array<double>").alias("centroid"))
 
 
 def embedding_near_duplicates(
@@ -434,43 +421,64 @@ def ivf_codebook_topk(
         for r in codebook.select(cell_col, cent_col).collect()
     ]
     cells.sort()
+    if not cells:
+        raise ValueError("ivf_codebook_topk: empty codebook (no cells)")
 
-    def argmax_cell(vec: Column) -> Column:
-        # greatest over (cosine, -cell) structs → highest cosine, ties
-        # to the LOWEST cell id (matches the oracle's ORDER BY ... cell ASC)
-        structs = [
-            F.struct(
-                cosine(vec, F.array(*[F.lit(x) for x in cent])).alias("c"),
-                F.lit(-cell).alias("nc"),
-            )
-            for cell, cent in cells
-        ]
-        return (-F.greatest(*structs)["nc"]).cast("int")
-
-    def probe_cells(vec: Column) -> Column:
-        # top-n_probe cells as an array: sort (cosine, -cell) structs
-        # descending, take the prefix
-        structs = F.array(
-            *[
-                F.struct(
-                    cosine(vec, F.array(*[F.lit(x) for x in cent])).alias("c"),
-                    F.lit(-cell).alias("nc"),
-                )
-                for cell, cent in cells
-            ]
+    # One parsed expression per projection (not per-cell Column
+    # arithmetic: cells × dim literal lifts cost thousands of Py4J
+    # round-trips per plan build — see minhash_signatures for the
+    # measurement). Each cell contributes a (cosine, -cell) struct whose
+    # cosine mirrors :func:`cosine` exactly (same fold shape, same
+    # left-to-right double order), with the centroid as a literal array —
+    # Catalyst constant-folds the centroid norm at plan time.
+    def cell_struct(cell: int, cent: list[float]) -> str:
+        arr = "array(" + ", ".join(f"{x!r}D" for x in cent) + ")"
+        dot = (
+            f"aggregate(zip_with(__v, {arr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
         )
-        top = F.slice(F.reverse(F.array_sort(structs)), 1, n_probe)
-        return F.transform(top, lambda s: (-s["nc"]).cast("int"))
+        cnorm = (
+            f"sqrt(aggregate(transform({arr}, x -> x * x), 0.0D, "
+            "(acc, v) -> acc + v))"
+        )
+        return f"struct({dot} / (__vnorm * {cnorm}) AS c, {-cell} AS nc)"
 
-    assigned = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("neighbor_vec"),
-        argmax_cell(F.col(vec_col)).alias("cell"),
+    structs = ", ".join(cell_struct(cell, cent) for cell, cent in cells)
+    # greatest() needs ≥ 2 args; a 1-cell codebook is a constant assignment
+    if len(cells) == 1:
+        argmax = f"{cells[0][0]}"
+    else:
+        argmax = f"CAST(-greatest({structs}).nc AS INT)"
+    probe = (
+        f"transform(slice(reverse(array_sort(array({structs}))), 1, {n_probe}), "
+        "s -> CAST(-s.nc AS INT))"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    vnorm = (
+        "sqrt(aggregate(transform(__v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
+
+    assigned = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("neighbor_vec"),
+            F.col(vec_col).alias("__v"),
+        )
+        .withColumn("__vnorm", F.expr(vnorm))
+        .select(
+            "neighbor_id", "neighbor_vec", F.expr(argmax).alias("cell")
+        )
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            F.col(vec_col).alias("__v"),
+        )
+        .withColumn("__vnorm", F.expr(vnorm))
+        .select(
+            "query_id", "query_vec", F.explode(F.expr(probe)).alias("cell")
+        )
     )
     cands = (
         assigned.join(F.broadcast(q), "cell")

@@ -36,6 +36,47 @@ class SingleFlightError(RuntimeError):
     Airflow max_active_runs=1, README.md:70; we enforce it in-engine)."""
 
 
+def run_with_retries(
+    fn,
+    retries: int = 2,
+    retry_delay_seconds: float = 10.0,
+    sleep=None,
+):
+    """Bounded-retry runner — the reference's Airflow task policy
+    (``retries=2, retry_delay=10s``, dags/sales_pipeline_dag.py:5-8)
+    brought in-engine so a scheduler is not required for C5 parity.
+
+    ``fn`` is a zero-arg callable wrapping one pipeline cycle (e.g.
+    ``lambda: run_pipeline_1(spark, src, lake, ledger, now=clock())``).
+    Transient failures re-invoke it up to ``retries`` more times after
+    ``retry_delay_seconds``; the retry interacts correctly with the
+    ledger state machine because each failed attempt writes its FAILED
+    row and the next attempt's ``purge_failed`` erases it — so a
+    run that eventually succeeds leaves exactly ONE (SUCCESSFUL) row.
+
+    :class:`SingleFlightError` is NEVER retried: a live concurrent run
+    holds the ledger, and hammering it from a second seat is precisely
+    what the single-flight gate exists to prevent (under Airflow
+    ``max_active_runs=1`` the second run would not have started at all).
+
+    ``sleep`` is injectable for tests (defaults to ``time.sleep``).
+    """
+    import time as _time
+
+    do_sleep = _time.sleep if sleep is None else sleep
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except SingleFlightError:
+            raise
+        except Exception:
+            attempt += 1
+            if attempt > retries:
+                raise
+            do_sleep(retry_delay_seconds)
+
+
 def run_pipeline_1(
     spark: SparkSession,
     src: SourceTables,
@@ -134,57 +175,121 @@ def mart_sales_agg_df(lake_df: DataFrame, refresh: datetime) -> DataFrame:
 
 
 class MartPublisher:
-    """Staging → final atomic swap (M4+M5, load_sales_mart.py:51-53,
-    :92-102): write the fresh snapshot to ``<table>_staging``, then swap
-    it into place with directory renames — readers of ``final_path``
-    never observe a half-written snapshot (the lake-native analog of the
-    reference's BEGIN TRAN; TRUNCATE; INSERT; COMMIT)."""
+    """Staging → final atomic publish (M4+M5, load_sales_mart.py:51-53,
+    :92-102) via VERSIONED SNAPSHOT DIRECTORIES and an atomically-renamed
+    pointer file — the lake-native equivalent of the reference's single
+    transaction (no dirty reads AND no downtime, README.md:76).
 
-    def __init__(self, root: str):
+    Layout::
+
+        <root>/<table>_staging/         # M4 truncate-and-load target
+        <root>/<table>/v<N>/            # immutable published snapshots
+        <root>/<table>/_CURRENT         # pointer: name of the live vN
+
+    ``publish`` renames staging → ``v<N+1>`` (invisible to readers: the
+    pointer still names ``v<N>``), then atomically replaces ``_CURRENT``
+    via write-temp + ``os.rename``. Readers resolve the pointer and read
+    an immutable directory, so there is NO instant at which the live
+    path is missing or half-written — unlike the r3 two-rename swap,
+    which had an honest sub-millisecond path-not-found window between
+    rename(final→old) and rename(staging→final).
+
+    Crash safety (every step idempotent, validated by the kill-point
+    test): die after the vN rename → orphan snapshot, pointer unchanged,
+    next publish allocates vN+1 past it and GC reaps it; die after the
+    pointer rename → fully published, only GC remains. ``retain``
+    previous snapshots stay on disk for in-flight readers that resolved
+    the pointer just before a publish (retain=1 covers one publish
+    cycle; raise it if readers can straddle several)."""
+
+    POINTER = "_CURRENT"
+
+    def __init__(self, root: str, retain: int = 1):
         self.root = root
+        self.retain = retain
 
     def staging_path(self, table: str) -> str:
         return os.path.join(self.root, f"{table}_staging")
 
-    def final_path(self, table: str) -> str:
+    def table_root(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    def _versions(self, table: str) -> list[int]:
+        root = self.table_root(table)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def current_version(self, table: str) -> "int | None":
+        ptr = os.path.join(self.table_root(table), self.POINTER)
+        try:
+            with open(ptr) as f:
+                name = f.read().strip()
+        except FileNotFoundError:
+            return None
+        return int(name[1:]) if name.startswith("v") and name[1:].isdigit() else None
+
+    def final_path(self, table: str) -> str:
+        """Resolve the pointer to the live immutable snapshot directory."""
+        cur = self.current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"mart table {table} has no published snapshot")
+        return os.path.join(self.table_root(table), f"v{cur}")
 
     def write_staging(self, table: str, df: DataFrame) -> None:
         """M4 — truncate-and-load staging (overwrite = truncate+append)."""
         df.write.mode("overwrite").parquet(self.staging_path(table))
 
     def publish(self, table: str) -> None:
-        """M5 — snapshot swap via two renames.
-
-        Honest semantics: POSIX has no multi-directory atomic swap, so
-        there is a sub-millisecond window between rename(final→old) and
-        rename(staging→final) where ``final`` does not exist — a reader
-        in that instant sees path-not-found (never a HALF-WRITTEN
-        snapshot; each rename is itself atomic). A crash inside the
-        window is self-healing: the next publish (or ``recover``) puts
-        the ``.old`` snapshot back before swapping.
-        """
-        staging, final = self.staging_path(table), self.final_path(table)
+        """M5 — rename staging to the next version dir (readers still on
+        the pointer's version), then atomically swap the pointer."""
+        staging = self.staging_path(table)
         if not os.path.isdir(staging):
             raise FileNotFoundError(f"no staging snapshot for {table}")
-        self.recover(table)
-        old = final + ".old"
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        if os.path.isdir(final):
-            os.rename(final, old)
-        os.rename(staging, final)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        root = self.table_root(table)
+        os.makedirs(root, exist_ok=True)
+        versions = self._versions(table)
+        nxt = (versions[-1] + 1) if versions else 1
+        os.rename(staging, os.path.join(root, f"v{nxt}"))
+        # atomic pointer swap: write-temp + rename (POSIX rename replaces
+        # the target atomically; readers see either the old or new name)
+        tmp = os.path.join(root, f".{self.POINTER}.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v{nxt}")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(root, self.POINTER))
+        self._gc(table, nxt)
+
+    def _gc(self, table: str, current: int) -> None:
+        """Reap snapshots older than ``retain`` behind the live one, and
+        orphans ahead of it (from publishes that died before the pointer
+        swap). Never touches the live version."""
+        root = self.table_root(table)
+        for v in self._versions(table):
+            if v != current and (v < current - self.retain or v > current):
+                shutil.rmtree(os.path.join(root, f"v{v}"), ignore_errors=True)
 
     def recover(self, table: str) -> None:
-        """Crash recovery: a publish killed between its two renames leaves
-        ``<table>.old`` but no ``<table>`` — restore the previous snapshot
-        so readers see data again. No-op otherwise."""
-        final = self.final_path(table)
-        old = final + ".old"
-        if not os.path.isdir(final) and os.path.isdir(old):
-            os.rename(old, final)
+        """Crash recovery — retained for API parity: the pointer design
+        has no broken intermediate state to repair (an orphan vN dir is
+        invisible to readers and reaped by the next publish's GC), so
+        this is a no-op unless the pointer names a missing dir (manual
+        deletion), in which case it falls back to the newest complete
+        snapshot."""
+        cur = self.current_version(table)
+        root = self.table_root(table)
+        if cur is not None and not os.path.isdir(os.path.join(root, f"v{cur}")):
+            versions = [v for v in self._versions(table) if v != cur]
+            if versions:
+                tmp = os.path.join(root, f".{self.POINTER}.tmp")
+                with open(tmp, "w") as f:
+                    f.write(f"v{versions[-1]}")
+                os.rename(tmp, os.path.join(root, self.POINTER))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.final_path(table))

@@ -4,9 +4,10 @@ Exact dedup is fully SQL-expressible (hash-groupBy) and oracle-checked.
 The MinHash-LSH pipeline uses an engine-portable hash family (md5-prefix
 base + affine permutations — operators/dedup.py), so the ENTIRE
 candidate→verify pipeline and the downstream connected components are
-reproduced in DuckDB SQL and oracle-checked too. Only SimHash stays
-rows-only (its 63 conditional-sum sign aggregates over xxhash64 token
-hashes are Spark-specific).
+reproduced in DuckDB SQL and oracle-checked too. The SimHash family is
+likewise oracle-checked: its portable 60-bit md5-prefix token hash makes
+both the signature table and the Hamming-blocked pair search replayable
+in DuckDB bit-for-bit (SIMHASH_ORACLE / SIMHASH_PAIRS_ORACLE).
 """
 
 from __future__ import annotations
@@ -93,7 +94,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     mega-bucket guard) instead of a shingle-equality self-join, which
     would scan and shuffle the shingle relation twice.
     """
-    docs = Catalog(spark, sf_dir).documents
+    docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
     sh = ngram_shingles(docs, text_col="text", id_col="doc_id", n=3).select(
         "doc_id", "shingle"
     ).distinct()
@@ -195,7 +196,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification is candidate-proportional — near-linear for
     non-degenerate data vs the quadratic exact form.
     """
-    docs = Catalog(spark, sf_dir).documents
+    docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
     return minhash_near_duplicates(
         docs,
         text_col="text",
@@ -248,7 +249,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits the signature table (doc_id, simhash) — the join-side
     primitive for hamming-distance dedup at scale.
     """
-    docs = Catalog(spark, sf_dir).documents
+    docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
     return simhash_signatures(docs, text_col="text", id_col="doc_id")
 
 
@@ -281,7 +282,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bit_count verify; signatures are 8 bytes/doc so the shuffle never
     carries text.
     """
-    docs = Catalog(spark, sf_dir).documents
+    docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
     sigs = simhash_signatures(docs, text_col="text", id_col="doc_id")
     return hamming_neighbors(sigs, id_col="doc_id", max_distance=3)
 
@@ -325,7 +326,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import connected_components_star, minhash_near_duplicates
 
-    docs = Catalog(spark, sf_dir).documents
+    docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
     pairs = minhash_near_duplicates(
         docs, text_col="text", id_col="doc_id", threshold=0.2, num_hashes=64, bands=16
     )

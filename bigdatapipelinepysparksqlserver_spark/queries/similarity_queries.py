@@ -5,8 +5,12 @@ engines compute the dot product as a sequential double fold, so 6-dp
 rounded cosines hash-match). The hyperplane-LSH variants are ALSO
 oracle-checked: the planes are literal constants
 (operators/similarity.py hyperplane_constants), so DuckDB reproduces the
-bucket assignment with list_dot_product sign tests. Only the IVF variant
-stays rows-only — its seeded KMeans quantizer is not replayable in SQL.
+bucket assignment with list_dot_product sign tests. The IVF variants are
+oracle-checked too: `ann_ivf_topk` searches against the offline-trained
+versioned codebook artifact whose 6-dp centroid literals replay in SQL,
+and `ann_ivf_codebook_topk` demonstrates the caller-supplied-codebook
+shape. (Inline KMeans training exists only in the `ivf_topk` operator
+wrapper, outside any registered query path.)
 """
 
 from __future__ import annotations
@@ -180,19 +184,104 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk", oracle=None)
+def _load_ivf_artifact() -> dict:
+    """Versioned offline-trained codebook (tools/train_ivf_codebook.py)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts",
+        "ivf_codebook_v1.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _ivf_artifact_oracle(n_probe: int) -> str:
+    """Oracle for the artifact-codebook IVF search: the 6-dp centroid
+    literals paste into DuckDB as the exact doubles the Spark plan uses,
+    so index build (argmax assignment), probe list, and re-rank all
+    replay in SQL."""
+    art = _load_ivf_artifact()
+    rows = ",\n        ".join(
+        f"({cell}, [" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[])"
+        for cell, cent in sorted((int(c), v) for c, v in art["centroids"].items())
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cb (cell, cent) AS (
+  SELECT * FROM (VALUES
+        {rows}) t
+),
+asg AS (
+  SELECT v.vec_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.cell ASC
+         ) AS rn
+  FROM v, cb c
+),
+assigned AS (SELECT vec_id AS neighbor_id, cell FROM asg WHERE rn = 1),
+qprobe AS (
+  SELECT v.vec_id AS query_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.cell ASC
+         ) AS rn
+  FROM v, cb c WHERE v.vec_id < {N_QUERY_VECS}
+),
+probes AS (SELECT query_id, cell FROM qprobe WHERE rn <= {n_probe}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(q.emb, n.emb) AS cos_raw
+  FROM cand c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN v n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+       ) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+IVF_ARTIFACT_N_PROBE = 6
+
+
+@query("ann_ivf_topk", oracle=_ivf_artifact_oracle(IVF_ARTIFACT_N_PROBE))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: seeded k-means coarse quantizer, 6-probe
-    search, exact cosine re-rank. The data-adaptive alternative to
-    ``ann_lsh_topk`` — centroid cells balance on clustered embeddings
-    where oblivious hyperplanes don't. n_probe is the recall/cost dial:
-    on this near-uniform synthetic data 6/16 probes ≈ 0.71 recall@10
-    (real clustered embeddings concentrate neighbors far more)."""
+    """IVF approximate top-k against the OFFLINE-TRAINED versioned
+    codebook artifact (tools/train_ivf_codebook.py): no training in the
+    query path — assignment is an argmax-cosine projection over literal
+    centroids during the scan, then a cell-id bucket join and exact
+    re-rank. The data-adaptive alternative to ``ann_lsh_topk`` —
+    centroid cells balance on clustered embeddings where oblivious
+    hyperplanes don't; n_probe is the recall/cost dial. Fully
+    oracle-checked since the artifact's 6-dp literals replay in SQL
+    (the inline-KMeans trainer is `operators/similarity.py ivf_topk`,
+    now itself a train-then-delegate wrapper over the same search)."""
+    from ..operators.similarity import ivf_codebook_topk
+
+    art = _load_ivf_artifact()
     emb = Catalog(spark, sf_dir).embeddings
+    codebook = spark.createDataFrame(
+        sorted((int(c), v) for c, v in art["centroids"].items()),
+        ["cell", "centroid"],
+    ).select("cell", F.col("centroid").cast("array<double>").alias("centroid"))
     q = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    return ivf_topk(
-        emb, q, id_col="vec_id", vec_col="embedding",
-        n_centroids=16, n_probe=6, k=TOP_K,
+    return ivf_codebook_topk(
+        emb, q, codebook, id_col="vec_id", vec_col="embedding",
+        n_probe=IVF_ARTIFACT_N_PROBE, k=TOP_K,
     )
 
 

@@ -157,6 +157,42 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 
 
+# Upper bound for the small-scan parallelism normalizer: scans whose total
+# file bytes exceed this are left alone (they already split into enough
+# tasks; an extra exchange would shuffle real data volume for nothing).
+SMALL_SCAN_BYTES = 256 * 1024 * 1024
+
+
+def parallelize_small_scan(
+    spark: SparkSession, df: DataFrame, path: str, key: str
+) -> DataFrame:
+    """Restore task parallelism for tiny single-split files feeding
+    CPU-amplifying operators (shingle explode × 64 minhash aggregates,
+    per-token simhash sums, …).
+
+    A parquet file with one row group is one scan task no matter how many
+    cores the cluster has, so a map-side-heavy stage downstream runs
+    serially — a pure small-input artifact (at production scale the scan
+    has thousands of row groups and this helper is a no-op via the byte
+    gate). When the file(s) under ``path`` total < ``SMALL_SCAN_BYTES``,
+    hash-repartition on ``key`` to the default parallelism: the exchange
+    moves only the tiny input once, and every downstream map stage runs
+    wide. Hash (not round-robin) partitioning keeps the exchange
+    deterministic without the local sort round-robin needs.
+    """
+    total = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+    else:
+        return df
+    if total >= SMALL_SCAN_BYTES:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+
+
 class Catalog:
     """Lazy per-table accessor: ``Catalog(spark, sf_dir).orders`` etc."""
 
@@ -169,6 +205,17 @@ class Catalog:
         if name not in self._cache:
             self._cache[name] = load_table(self._spark, self._sf_dir, name)
         return self._cache[name]
+
+    def parallel_table(self, name: str, key: str) -> DataFrame:
+        """:func:`parallelize_small_scan` wrapper — use for tables feeding
+        CPU-amplifying operators (dedup signature passes); plain
+        ``table()`` everywhere else so map-only queries stay exchange-free."""
+        return parallelize_small_scan(
+            self._spark,
+            self.table(name),
+            os.path.join(self._sf_dir, f"{name}.parquet"),
+            key,
+        )
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLE_NAMES:

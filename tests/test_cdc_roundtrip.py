@@ -218,3 +218,72 @@ def test_failed_run_writes_failed_and_restart_recovers(spark, env, monkeypatch):
     assert rep["validation"].status == SUCCESSFUL
     rows = [r for r in ledger.read().collect()]
     assert len(rows) == 1 and rows[0].pipeline_status == "SUCCESSFUL"
+
+
+def test_transient_failure_succeeds_on_retry(spark, env, monkeypatch):
+    """run_with_retries — the reference's Airflow retry policy
+    (retries=2, retry_delay=10s, dags/sales_pipeline_dag.py:5-8):
+    attempt 1 fails transiently (FAILED ledger row), attempt 2 purges it
+    and succeeds — exactly one SUCCESSFUL row remains, and the
+    configured delay is honored between attempts."""
+    import bigdatapipelinepysparksqlserver_spark.pipelines as P
+    from bigdatapipelinepysparksqlserver_spark.pipelines import run_with_retries
+
+    src, gen, lake, ledger = env
+    gen.insert_sales(30, batch=1, now=T1, spread_days=5)
+
+    real_run = P.IncrementalLoader.run
+    calls = {"n": 0}
+
+    def flaky(self, prev, cur):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient extract failure")
+        return real_run(self, prev, cur)
+
+    monkeypatch.setattr(P.IncrementalLoader, "run", flaky)
+    slept: list = []
+    rep = run_with_retries(
+        lambda: run_pipeline_1(spark, src, lake, ledger, now=T1),
+        retries=2,
+        retry_delay_seconds=10,
+        sleep=slept.append,
+    )
+    assert calls["n"] == 2 and slept == [10]
+    assert rep["validation"].status == SUCCESSFUL
+    rows = ledger.read().collect()
+    assert len(rows) == 1 and rows[0].pipeline_status == "SUCCESSFUL"
+
+
+def test_retries_exhausted_reraises_and_single_flight_not_retried(spark, env, monkeypatch):
+    import bigdatapipelinepysparksqlserver_spark.pipelines as P
+    from bigdatapipelinepysparksqlserver_spark.pipelines import run_with_retries
+
+    src, gen, lake, ledger = env
+    gen.insert_sales(10, batch=1, now=T1, spread_days=5)
+
+    def always_boom(self, prev, cur):
+        raise RuntimeError("permanent failure")
+
+    monkeypatch.setattr(P.IncrementalLoader, "run", always_boom)
+    slept: list = []
+    with pytest.raises(RuntimeError, match="permanent"):
+        run_with_retries(
+            lambda: run_pipeline_1(spark, src, lake, ledger, now=T1),
+            retries=2,
+            retry_delay_seconds=10,
+            sleep=slept.append,
+        )
+    assert slept == [10, 10]  # 3 attempts total, 2 delays
+
+    # SingleFlightError short-circuits: no sleeps, no extra attempts
+    attempts = {"n": 0}
+
+    def flight(*a, **k):
+        attempts["n"] += 1
+        raise SingleFlightError("run [1] still RUNNING")
+
+    slept2: list = []
+    with pytest.raises(SingleFlightError):
+        run_with_retries(flight, retries=2, retry_delay_seconds=10, sleep=slept2.append)
+    assert attempts["n"] == 1 and slept2 == []

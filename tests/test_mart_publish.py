@@ -57,10 +57,12 @@ def test_publish_swap_atomicity(spark, tmp_path):
     rep = run_pipeline_2(spark, lake, mart, REFRESH)
     assert rep["published"] == ["sales_history_1", "sales_history_2"]
     assert mart.read(spark, "sales_history_1").count() == 2
+    assert mart.current_version("sales_history_1") == 1
 
     # second publish replaces the snapshot wholesale (truncate semantics)
     run_pipeline_2(spark, lake, mart, REFRESH)
     assert mart.read(spark, "sales_history_1").count() == 2
+    assert mart.current_version("sales_history_1") == 2
     # no staging leftovers after publish
     import os
 
@@ -71,3 +73,113 @@ def test_publish_without_staging_raises(spark, tmp_path):
     mart = MartPublisher(str(tmp_path / "mart"))
     with pytest.raises(FileNotFoundError):
         mart.publish("sales_history_1")
+
+
+def test_publish_retains_previous_snapshot_and_gcs_older(spark, tmp_path):
+    """retain=1: the previous version stays for in-flight readers; older
+    ones are reaped."""
+    import os
+
+    lake = _lake(spark, tmp_path)
+    mart = MartPublisher(str(tmp_path / "mart"), retain=1)
+    for _ in range(3):
+        run_pipeline_2(spark, lake, mart, REFRESH)
+    root = mart.table_root("sales_history_1")
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert dirs == ["v2", "v3"]  # live + one retained, v1 reaped
+    assert mart.current_version("sales_history_1") == 3
+
+
+def test_reader_never_sees_missing_path_during_publishes(spark, tmp_path):
+    """The reference's transactional guarantee (load_sales_mart.py:92-102,
+    README.md:76): no downtime for readers. Hammer read() from a thread
+    while publishing repeatedly — every read must succeed and return a
+    complete snapshot."""
+    import threading
+
+    lake = _lake(spark, tmp_path)
+    mart = MartPublisher(str(tmp_path / "mart"))
+    run_pipeline_2(spark, lake, mart, REFRESH)  # v1 live
+
+    stop = threading.Event()
+    failures: list = []
+    reads = [0]
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                n = mart.read(spark, "sales_history_1").count()
+                assert n == 2, f"partial snapshot: {n} rows"
+                reads[0] += 1
+            except Exception as e:  # noqa: BLE001 — collect for the main thread
+                failures.append(e)
+                return
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        for _ in range(8):
+            mart.write_staging(
+                "sales_history_1", mart_client_count_df(lake.read(), REFRESH)
+            )
+            mart.publish("sales_history_1")
+    finally:
+        stop.set()
+        t.join()
+    assert not failures, f"reader failed during publish: {failures[0]}"
+    assert reads[0] > 0, "hammer thread never completed a read"
+
+
+def test_publish_crash_between_version_rename_and_pointer_swap(spark, tmp_path, monkeypatch):
+    """Kill-point: die after staging→vN rename but before the pointer
+    swap. Readers stay on the old version; the next publish allocates
+    past the orphan and GC reaps it."""
+    import os
+
+    lake = _lake(spark, tmp_path)
+    mart = MartPublisher(str(tmp_path / "mart"))
+    run_pipeline_2(spark, lake, mart, REFRESH)  # v1 live
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        real_rename(src, dst)
+        if "/v2" in dst.replace(os.sep, "/"):
+            raise RuntimeError("simulated crash after version rename")
+
+    mart.write_staging("sales_history_1", mart_client_count_df(lake.read(), REFRESH))
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        mart.publish("sales_history_1")
+    monkeypatch.undo()
+
+    # pointer untouched → readers still on v1, orphan v2 invisible
+    assert mart.current_version("sales_history_1") == 1
+    assert mart.read(spark, "sales_history_1").count() == 2
+    mart.recover("sales_history_1")  # no-op by design
+    assert mart.current_version("sales_history_1") == 1
+
+    # next cycle publishes v3 past the orphan and GC reaps v1 and v2
+    mart.write_staging("sales_history_1", mart_client_count_df(lake.read(), REFRESH))
+    mart.publish("sales_history_1")
+    assert mart.current_version("sales_history_1") == 3
+    assert mart.read(spark, "sales_history_1").count() == 2
+    dirs = sorted(
+        d for d in os.listdir(mart.table_root("sales_history_1")) if d.startswith("v")
+    )
+    assert dirs == ["v2", "v3"]  # v2 retained (previous), v1 reaped
+
+
+def test_recover_falls_back_when_pointer_names_missing_dir(spark, tmp_path):
+    import os
+    import shutil
+
+    lake = _lake(spark, tmp_path)
+    mart = MartPublisher(str(tmp_path / "mart"))
+    run_pipeline_2(spark, lake, mart, REFRESH)
+    mart.write_staging("sales_history_1", mart_client_count_df(lake.read(), REFRESH))
+    mart.publish("sales_history_1")  # v2 live, v1 retained
+    shutil.rmtree(os.path.join(mart.table_root("sales_history_1"), "v2"))
+    mart.recover("sales_history_1")
+    assert mart.current_version("sales_history_1") == 1
+    assert mart.read(spark, "sales_history_1").count() == 2
