@@ -41,6 +41,10 @@ def main() -> None:
             continue
         best = float("inf")
         for _ in range(3):
+            # the dedup/LSH operators persist() intermediates: without
+            # clearing, runs 2-3 would time a CACHE HIT of run 1's blocks
+            # rather than the operator, silently flattering the min
+            spark.catalog.clearCache()
             t0 = time.time()
             spec.fn(spark, sf_dir).collect()
             best = min(best, time.time() - t0)

@@ -329,6 +329,76 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_near_duplicates_collapsed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact-collapse → MinHash near-dup on DISTINCT texts — the
+    boilerplate-proof production shape of :func:`minhash_near_duplicates`.
+
+    The adversarial input for pairwise near-dup is a mega-cluster of
+    IDENTICAL boilerplate (cookie banners, license headers): k identical
+    docs land in the same LSH buckets and force C(k,2) candidate pairs —
+    the mega-bucket guard bounds task memory but the WORK stays quadratic,
+    because the pair contract demands quadratic output. Collapsing exact
+    duplicates first (md5 groupBy — one fixed-width-key shuffle) reduces
+    the cluster to ONE representative, so the LSH/verify stages only ever
+    see distinct texts: cost becomes linear in distinct docs, which is the
+    scaling a 100 TB crawl (30–50 % exact-dup by most published crawl
+    stats) actually needs.
+
+    Returns GROUP-level matches: (rep1, rep2, jaccard, count1, count2)
+    where repN is the canonical (min) id of an exact-dup group and countN
+    its member size. Pairwise output over members is deliberately NOT
+    re-expanded — within-group pairs are jaccard=1.0 by construction and
+    cross-group member pairs all share their groups' jaccard, so the
+    group-level row carries the same information in O(groups) instead of
+    O(members²) rows. (For truly NEAR-identical mega-clusters — perturbed
+    boilerplate, no two docs byte-equal — quadratic candidate work is
+    information-theoretically forced by the pair contract; the production
+    tool there is the cluster view (``connected_components_star``) fed by
+    a banding config tuned so one exact verify per bucket edge suffices,
+    and the mega-bucket guard keeps those tasks memory-bounded.)
+    """
+    # min(text) == the group's one distinct text (all members byte-equal);
+    # min, not first(), so the representative row is deterministic in any
+    # engine — the oracle SQL uses the same MIN.
+    groups = df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("__h")).agg(
+        F.min(id_col).alias(id_col),
+        F.min(text_col).alias(text_col),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    reps = groups.select(id_col, text_col).persist()
+    counts = groups.select(F.col(id_col).alias("__rid"), "__cnt")
+    pairs = minhash_near_duplicates(
+        reps,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    return (
+        pairs.join(counts.withColumnRenamed("__rid", "id1"), "id1")
+        .withColumnRenamed("__cnt", "count1")
+        .join(counts.withColumnRenamed("__rid", "id2"), "id2")
+        .withColumnRenamed("__cnt", "count2")
+        .select(
+            F.col("id1").alias("rep1"),
+            F.col("id2").alias("rep2"),
+            "jaccard",
+            "count1",
+            "count2",
+        )
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bits: int = 60
 ) -> DataFrame:

@@ -307,81 +307,48 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     bits: int = 8,
     tables: int = 4,
-    bucket_cap: int = 256,
+    bucket_cap: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, multi-table
     bucket-then-verify (see :func:`hyperplane_buckets` for the
     amplification math).
 
-    (id1 < id2, cosine ≥ threshold). Two-tier candidate enumeration with
-    EXACT semantics at any bucket size:
+    (id1 < id2, cosine ≥ threshold). Candidate enumeration is ID-ONLY:
+    buckets carry (table, bucket, id) rows into the shared two-tier
+    :func:`~..operators.dedup.grouped_pair_enumeration` (in-row expansion
+    under ``bucket_cap``, distributed self-join above it — task memory
+    bounded, no recall loss), and the VECTORS rejoin only at the verify
+    stage, by id, candidate-proportionally. An earlier formulation
+    collected the vectors into the buckets and shuffled (v1, v2) through
+    the pair expansion AND the cross-table dedup — ~70 bytes/pair of key
+    vs ~550 of payload; the r4 sf1 scale rehearsal measured that as the
+    one super-linear cliff in the suite (>40x wall at 10x data). Keys
+    travel, payloads stay put.
 
-    * buckets ≤ ``bucket_cap``: groupBy(bucket) + collect_list + in-row
-      pair expansion — one shuffle, no self-join, the fast path for the
-      LSH-collision-sized buckets the signature is designed to produce.
-    * buckets > ``bucket_cap`` (degenerate boilerplate/zero-vector
-      pileups): those rows fall back to a bucket-keyed SELF-JOIN —
-      quadratic in the bucket but executed as a normal distributed
-      shuffle join (AQE skew-split applies), so no single task ever
-      materializes a mega-bucket in memory. No pairs are dropped —
-      the cap bounds TASK MEMORY, not recall.
+    Parameter note for 100 TB: ``bits`` must grow ~log2(N / wanted
+    bucket size) — with FIXED bits the bucket count is constant, so
+    candidate pairs grow quadratically in N no matter how the plan is
+    shaped. The engine keeps bits explicit (never derived from a count
+    scan) because the plane matrix is part of the query's identity — the
+    DuckDB oracle replays it as literals.
     """
+    from .dedup import grouped_pair_enumeration
+
     tb = hyperplane_buckets(F.col(vec_col), dim=dim, bits=bits, tables=tables)
     tagged = vectors.select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"),
-        F.explode(tb).alias("tb"),
-    ).select("doc_id", "vec", "tb.table", "tb.bucket")
-    # bucket sizes are computed once; the tagged relation is shuffled once
-    # on (table, bucket) and reused by both tiers (same partitioning).
-    sized = tagged.join(
-        tagged.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("__bn")),
-        ["table", "bucket"],
-    )
-    small = sized.where(F.col("__bn") <= bucket_cap)
-    big = sized.where(F.col("__bn") > bucket_cap)
-
-    # tier 1: in-bucket array enumeration
-    buckets = small.groupBy("table", "bucket").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "vec"))).alias("es")
-    ).where(F.size("es") > 1)
-    n = F.size("es")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, n - 1),
-                lambda j: F.struct(
-                    F.element_at(F.col("es"), i + 1).alias("p1"),
-                    F.element_at(F.col("es"), j + 1).alias("p2"),
-                ),
-            ),
-        )
-    )
-    small_pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.p1.doc_id").alias("id1"),
-        F.col("p.p2.doc_id").alias("id2"),
-        F.col("p.p1.vec").alias("v1"),
-        F.col("p.p2.vec").alias("v2"),
-    )
-
-    # tier 2: oversized buckets via distributed self-join
-    a = big.select(
-        "table", "bucket", F.col("doc_id").alias("id1"), F.col("vec").alias("v1")
-    )
-    b = big.select(
-        "table", "bucket", F.col("doc_id").alias("id2"), F.col("vec").alias("v2")
-    )
-    big_pairs = (
-        a.join(b, ["table", "bucket"])
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "v1", "v2")
-    )
-
-    # dedup across tables BEFORE the O(d) cosine — a pair colliding in
-    # several tables verifies once
-    pairs = small_pairs.unionByName(big_pairs).dropDuplicates(["id1", "id2"])
-    scored = pairs.select(
-        "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos_raw")
+        F.col(id_col).alias("doc_id"), F.explode(tb).alias("tb")
+    ).select("doc_id", "tb.table", "tb.bucket")
+    # a pair colliding in several tables must verify once: dedup the
+    # 16-byte id pairs BEFORE the O(d) cosine
+    pairs = grouped_pair_enumeration(
+        tagged, ["table", "bucket"], "doc_id", bucket_cap=bucket_cap
+    ).dropDuplicates(["id1", "id2"])
+    v1 = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    scored = (
+        pairs.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos_raw"))
     )
     return scored.where(F.col("cos_raw") >= threshold).select(
         "id1", "id2", F.round("cos_raw", 6).alias("cosine")

@@ -128,9 +128,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_NUM, _MINHASH_BANDS, _MINHASH_N, _MINHASH_THRESH = 64, 16, 3, 0.2
 
 
-def _minhash_cte(num_hashes: int, bands: int) -> str:
+def _minhash_cte(num_hashes: int, bands: int, source: str = "documents") -> str:
     """Shared CTE chain computing the verified near-dup pair list in
-    DuckDB with the same portable MinHash family as the Spark operator."""
+    DuckDB with the same portable MinHash family as the Spark operator.
+    ``source`` is the relation/CTE holding (doc_id, text)."""
     consts = minhash_affine_constants(num_hashes)
     rows = num_hashes // bands
     mh_exprs = ",\n         ".join(
@@ -143,7 +144,7 @@ def _minhash_cte(num_hashes: int, bands: int) -> str:
         for b in range(bands)
     )
     return f"""
-tok AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+tok AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM {source}),
 sh AS (
   SELECT DISTINCT doc_id,
          words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
@@ -198,6 +199,46 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
     return minhash_near_duplicates(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        threshold=_MINHASH_THRESH,
+        num_hashes=_MINHASH_NUM,
+        bands=_MINHASH_BANDS,
+    )
+
+
+COLLAPSED_MINHASH_ORACLE = (
+    """WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text, COUNT(*) AS cnt
+  FROM documents GROUP BY md5(text)
+),"""
+    + _minhash_cte(_MINHASH_NUM, _MINHASH_BANDS, source="reps")
+    + """
+SELECT v.id1 AS rep1, v.id2 AS rep2, v.jaccard,
+       c1.cnt AS count1, c2.cnt AS count2
+FROM verified v
+JOIN reps c1 ON v.id1 = c1.doc_id
+JOIN reps c2 ON v.id2 = c2.doc_id"""
+)
+
+
+@query("dedup_minhash_collapsed", oracle=COLLAPSED_MINHASH_ORACLE)
+def dedup_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-collapse → MinHash near-dup on distinct texts: group-level
+    matches (rep1, rep2, jaccard, count1, count2).
+
+    The boilerplate-proof production shape: a k-sized cluster of IDENTICAL
+    docs collapses to one representative before LSH, so candidate work is
+    linear in DISTINCT texts where plain pairwise near-dup is forced into
+    C(k,2) pairs (see operators/dedup.py
+    ``minhash_near_duplicates_collapsed`` for the full scale argument and
+    tools/skew_bench.py for the measured adversarial-corpus numbers).
+    """
+    from ..operators.dedup import minhash_near_duplicates_collapsed
+
+    docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
+    return minhash_near_duplicates_collapsed(
         docs,
         text_col="text",
         id_col="doc_id",

@@ -29,6 +29,15 @@ from .registry import query
 # fixed table. The oracle pins that table as literals — any drift in the
 # generator, ledger protocol, CDC rebuild, or incremental mart breaks
 # the hash loudly. INT casts match the Spark schema (int, not BIGINT).
+#
+# The snapshot is NOT the only line of defense (a literal pin would
+# enshrine an existing bug as "correct"): two invariants are recomputed
+# independently on every run — (1) `validation_status` comes from the
+# two-sided reconciliation (source-side vs lake-side aggregates computed
+# by separate scans, plans/reconcile.py), and (2) the mart totals are
+# asserted inline against a FULL recompute from the lake before the
+# snapshot row is even built (AssertionError on divergence below). The
+# literals therefore pin only generator determinism + protocol statuses.
 CDC_ROUNDTRIP_ORACLE = """
 SELECT CAST(1 AS INTEGER) AS run_id, 'SUCCESSFUL' AS pipeline_status,
        'SUCCESSFUL' AS validation_status, CAST(154 AS INTEGER) AS mart_sales_count,

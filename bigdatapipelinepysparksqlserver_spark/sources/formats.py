@@ -79,10 +79,25 @@ def read_csv(
         opts["timestampFormat"] = timestamp_format
     lines = spark.read.text(path)
     if header:
-        # header lines (one per input file) parse as corrupt; drop the
-        # EXACT header string instead — cheap literal comparison
-        header_line = delimiter.join(f.name for f in schema.fields)
-        lines = lines.where(F.col("value") != F.lit(header_line))
+        # Header lines (one per input file) would otherwise parse as
+        # corrupt rows. Match them structurally, not as one exact string:
+        # split on the delimiter, strip whitespace and surrounding quotes
+        # per field, compare case-insensitively against the schema's field
+        # names in order. This recognizes the common export variants
+        # (quoted headers, padded fields, case drift) that an exact-literal
+        # compare would leak into quarantine. A DATA row whose every field
+        # equals the corresponding column name is indistinguishable from a
+        # header by construction and is dropped — the documented contract
+        # (no CSV dialect can distinguish them without file offsets).
+        delim_re = "".join(
+            f"\\{c}" if c in r".\^$*+?()[]{}|" else c for c in delimiter
+        )
+        norm = F.expr(
+            f"transform(split(value, '{delim_re}'),"
+            " x -> lower(regexp_replace(trim(x), '^\"|\"$', '')))"
+        )
+        header_arr = F.array(*[F.lit(f.name.lower()) for f in schema.fields])
+        lines = lines.where(norm != header_arr)
     parsed = F.from_csv(F.col("value"), _ddl(schema), opts)
     return _parse_text(lines, parsed, schema)
 

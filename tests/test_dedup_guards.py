@@ -46,6 +46,47 @@ def test_minhash_mega_bucket_capped_equals_uncapped(spark):
     assert a == b
 
 
+def test_collapsed_minhash_boilerplate_linear_and_equivalent(spark):
+    """Exact-collapse variant: a k-sized cluster of IDENTICAL docs must
+    (a) reach the LSH stage as ONE representative (linear work), and
+    (b) report group-level matches equivalent to pairwise near-dup run
+    on the distinct texts, carrying member counts."""
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        minhash_near_duplicates,
+        minhash_near_duplicates_collapsed,
+    )
+
+    # 200 copies of boilerplate A, 3 copies of a near-dup variant B
+    # (A and B share most shingles), 2 unrelated docs
+    a = "terms of service apply to all users of this product today always"
+    b = "terms of service apply to all users of this product today never"
+    rows = [(i, a) for i in range(200)]
+    rows += [(500 + i, b) for i in range(3)]
+    rows += [(900, "completely different content about gardens and rivers flowing"),
+             (901, "unrelated sentence regarding mathematics and pure abstract logic")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = minhash_near_duplicates_collapsed(
+        docs, text_col="text", id_col="doc_id", threshold=0.2,
+        num_hashes=16, bands=4,
+    ).collect()
+    # one group-level match: rep(A)=0 (count 200) ~ rep(B)=500 (count 3)
+    assert [(r.rep1, r.rep2, r.count1, r.count2) for r in got] == [(0, 500, 200, 3)]
+
+    # equivalence: same pair list as pairwise near-dup over distinct texts
+    distinct = spark.createDataFrame(
+        [(0, a), (500, b), (900, rows[-2][1]), (901, rows[-1][1])],
+        "doc_id long, text string",
+    )
+    ref = minhash_near_duplicates(
+        distinct, text_col="text", id_col="doc_id", threshold=0.2,
+        num_hashes=16, bands=4,
+    ).collect()
+    assert {(r.id1, r.id2, r.jaccard) for r in ref} == {
+        (r.rep1, r.rep2, r.jaccard) for r in got
+    }
+
+
 def test_emb_neardup_mega_bucket_capped_equals_uncapped(spark):
     # 90 near-identical vectors (one dominant direction) → one bucket
     dim = 8

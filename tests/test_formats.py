@@ -98,6 +98,25 @@ def test_corrupt_rows_quarantined_not_fatal(spark, tmp_path):
     assert "not json" in quarantined[0][CORRUPT_COL]
 
 
+def test_csv_header_variants_dropped(spark, tmp_path):
+    """Quoted / padded / case-drifted headers are recognized as headers
+    (dropped), not leaked into quarantine as corrupt rows."""
+    p = tmp_path / "hdrcsv"
+    p.mkdir()
+    (p / "quoted.csv").write_text(
+        '"event_id","user_id","event_type","value"\n1,10,click,1.5\n'
+    )
+    (p / "padded.csv").write_text(
+        "event_id, user_id, event_type, value\n2,20,view,2.5\n"
+    )
+    (p / "upper.csv").write_text(
+        "Event_Id,User_Id,Event_Type,Value\n3,30,click,3.5\n"
+    )
+    clean, bad = split_corrupt(read_csv(spark, str(p), EVENT_SCHEMA))
+    assert bad.count() == 0
+    assert {r.event_id for r in clean.collect()} == {1, 2, 3}
+
+
 def test_csv_malformed_numeric_quarantined(spark, tmp_path):
     p = tmp_path / "badcsv"
     p.mkdir()
