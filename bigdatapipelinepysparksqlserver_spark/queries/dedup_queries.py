@@ -328,6 +328,70 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neighbors(sigs, id_col="doc_id", max_distance=3)
 
 
+DEDUP_APPLY_ORACLE = (
+    """WITH RECURSIVE reps AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+  FROM documents GROUP BY md5(text)
+),"""
+    + _minhash_cte(_MINHASH_NUM, _MINHASH_BANDS, source="reps")
+    + """,
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM verified
+  UNION ALL
+  SELECT id2, id1 FROM verified
+),
+cnodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.id = e.a WHERE w.lbl < e.b
+),
+comp AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN reps r ON d.doc_id = r.doc_id
+WHERE NOT EXISTS (
+  SELECT 1 FROM comp c WHERE c.id = d.doc_id AND c.id != c.component
+)"""
+)
+
+
+@query("dedup_apply", oracle=DEDUP_APPLY_ORACLE)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that USES dedup output: the surviving corpus after full
+    deduplication — exact-collapse (md5 groups keep their min-id
+    canonical), then MinHash near-dup clustering over the distinct
+    texts, keeping one canonical doc per cluster. Returns the surviving
+    (doc_id, lang, n_chars) rows.
+
+    Scale: exact collapse is one fixed-width-key shuffle; the near-dup
+    stages only ever see DISTINCT texts (boilerplate-proof, see
+    ``minhash_near_duplicates_collapsed``); the final keep-filter is two
+    anti-joins on 8-byte ids (the drop lists are duplicate-count-sized,
+    broadcast at realistic dup rates, plain shuffle joins beyond).
+    """
+    from ..operators.dedup import connected_components_star, minhash_near_duplicates
+
+    docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
+    groups = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("__h")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
+    )
+    reps = groups.select("doc_id", "text").persist()
+    pairs = minhash_near_duplicates(
+        reps, text_col="text", id_col="doc_id",
+        threshold=_MINHASH_THRESH, num_hashes=_MINHASH_NUM, bands=_MINHASH_BANDS,
+    )
+    comp = connected_components_star(pairs)
+    drop_cluster_members = comp.where(
+        F.col("doc_id") != F.col("component")
+    ).select("doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(reps.select("doc_id"), "doc_id", "left_semi")
+        .join(drop_cluster_members, "doc_id", "left_anti")
+    )
+
+
 CLUSTERS_ORACLE = (
     "WITH RECURSIVE" + _minhash_cte(_MINHASH_NUM, _MINHASH_BANDS)
     + f""",

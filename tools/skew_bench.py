@@ -67,6 +67,13 @@ def _time(fn, runs=2):
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Per-task heap parity with a production executor: local[32] runs 32
+    # concurrent tasks inside ONE heap, so the default 8g gives 250 MB a
+    # task — a third of what a typical 4-core/4-8 GB executor provides,
+    # and the adversarial corpora legitimately need task-normal working
+    # memory (the guard bounds PER-TASK memory; it cannot conjure heap
+    # the JVM doesn't have). 24g/32 tasks = 750 MB/task.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark("skew-bench")
     root = tempfile.mkdtemp(prefix="skew_bench_")
     try:
