@@ -199,28 +199,39 @@ def lsh_candidate_pairs(
     ``embedding_near_duplicates``, whose per-entry payload is a whole
     vector — THERE the branch must happen before any collect.
     """
+    exploded = band_rows(signatures, id_col, num_hashes, bands)
+    return grouped_pair_enumeration(
+        exploded, ["band", "bh"], id_col, bucket_cap=bucket_cap
+    ).distinct()
+
+
+def band_rows(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Unpivot a signature table to (id, band, band-hash) rows — the LSH
+    bucket key relation shared by self-dedup (pair enumeration) and
+    incremental dedup (batch-probe join).
+
+    stack() unpivots all bands in ONE parsed expression — same plan as
+    the explode-of-struct-array form but without bands×struct-arity
+    Py4J calls at build time.
+    """
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
             "a remainder would silently drop trailing minhash columns"
         )
     rows_per_band = num_hashes // bands
-    # stack() unpivots all bands in ONE parsed expression — same plan as
-    # the explode-of-struct-array form but without bands×struct-arity
-    # Py4J calls at build time.
     stack_args = ", ".join(
         f"{b}, xxhash64("
         + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
         + ")"
         for b in range(bands)
     )
-    exploded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.expr(f"stack({bands}, {stack_args})").alias("band", "bh"),
     )
-    return grouped_pair_enumeration(
-        exploded, ["band", "bh"], id_col, bucket_cap=bucket_cap
-    ).distinct()
 
 
 def shingle_array_from_words(words: Column, n: int = 3) -> Column:
@@ -321,6 +332,86 @@ def minhash_near_duplicates(
     # scan), then each pair fetches its two shingle sets by id join and
     # intersects row-locally.
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    pairs = pairwise_jaccard(
+        cand_docs, cands, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    )
+    return pairs.where(F.col("jaccard") >= threshold).select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_near_duplicates_incremental(
+    base: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental corpus dedup: near-dup pairs introduced by a NEW
+    batch against an existing base corpus (and within the batch) —
+    without ever enumerating base-base pairs.
+
+    This is how a 100 TB corpus is actually deduplicated day to day:
+    re-running self-dedup over base+batch re-pays the whole corpus's
+    candidate enumeration for a 0.1 % delta. Here the batch's band rows
+    PROBE the corpus bucket relation with a bucket-keyed join whose
+    build side is the (small) batch — broadcast by AQE under the
+    threshold, plain shuffle join beyond — so candidate work is
+    O(batch × bucket hit size), linear in the batch. A mega bucket in
+    the base costs bucket_size candidates per probing batch doc —
+    linear, not quadratic, so no cap tier is needed on this path.
+
+    In production the base's signature/band relation is a STORED
+    artifact maintained alongside the corpus (computed once per doc at
+    ingest — exactly this function's ``band_rows(minhash_signatures(…))``
+    subtree); this operator recomputes it from ``base`` so the call is
+    self-contained and oracle-checkable.
+
+    Returns (id1 < id2, jaccard ≥ threshold) pairs where at least one
+    side is a batch doc — exactly the restriction of
+    :func:`minhash_near_duplicates` over base ∪ batch to pairs touching
+    the batch (LSH candidacy of a pair is pairwise, so probing only
+    batch buckets loses nothing; equality is pytest-asserted).
+    """
+    b_sides = batch.select(F.col(id_col), F.col(text_col))
+    a_sides = base.select(F.col(id_col), F.col(text_col))
+    sig_batch = minhash_signatures(
+        ngram_shingles(b_sides, text_col, id_col, n=shingle_n),
+        id_col=id_col, num_hashes=num_hashes,
+    )
+    sig_base = minhash_signatures(
+        ngram_shingles(a_sides, text_col, id_col, n=shingle_n),
+        id_col=id_col, num_hashes=num_hashes,
+    )
+    probe = band_rows(sig_batch, id_col, num_hashes, bands).select(
+        "band", "bh", F.col(id_col).alias("__pid")
+    ).persist()
+    build = band_rows(sig_base, id_col, num_hashes, bands).select(
+        "band", "bh", F.col(id_col).alias("__cid")
+    ).unionByName(probe.select("band", "bh", F.col("__pid").alias("__cid")))
+    # no broadcast HINT: the probe side is small by contract but not by
+    # construction — AQE broadcasts it when it is actually under the
+    # threshold and falls back to a bucket-keyed shuffle join when a
+    # giant backfill batch arrives, which is the correct plan there
+    cands = (
+        probe
+        .join(build, ["band", "bh"])
+        .where(F.col("__pid") != F.col("__cid"))
+        .select(
+            F.least("__pid", "__cid").alias("id1"),
+            F.greatest("__pid", "__cid").alias("id2"),
+        )
+        .distinct()
+        .persist()
+    )
+    docs = a_sides.unionByName(b_sides)
+    cand_ids = cands.select(
+        F.explode(F.array(F.col("id1"), F.col("id2"))).alias(id_col)
+    )
+    cand_docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
     pairs = pairwise_jaccard(
         cand_docs, cands, text_col=text_col, id_col=id_col, shingle_n=shingle_n
     )

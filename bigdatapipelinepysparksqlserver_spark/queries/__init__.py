@@ -49,11 +49,15 @@ _GRADED_PREFIX = (
     # event analytics + semi-structured + percentiles
     "event_funnel", "cohort_retention", "event_gaps", "json_props_agg",
     "price_percentiles",
-    # dedup family (exact → quadratic baseline → LSH scale path → clusters)
+    # dedup family (exact → quadratic baseline → LSH scale path →
+    # clusters → end-to-end surviving corpus; doc_fingerprint ceded its
+    # slot to dedup_apply in r4 — the text family keeps 4 in-window reps
+    # and the fingerprint stays oracle-backed past the cap)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_clusters",
+    "dedup_apply",
     # text analysis
     "text_token_count", "text_quality_score", "text_repetition_score",
-    "doc_fingerprint", "text_language_id",
+    "text_language_id",
     # training-data ops
     "sample_documents", "doc_chunks", "scrub_pii", "decontaminate",
     "doc_pack_plan", "quality_classifier_score", "chunk_span_dups",

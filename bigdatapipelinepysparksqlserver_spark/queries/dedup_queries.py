@@ -328,6 +328,43 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neighbors(sigs, id_col="doc_id", max_distance=3)
 
 
+_INCR_BATCH_SOURCE = "src0"
+
+INCREMENTAL_MINHASH_ORACLE = (
+    "WITH" + _minhash_cte(_MINHASH_NUM, _MINHASH_BANDS)
+    + f"""
+SELECT v.id1, v.id2, v.jaccard FROM verified v
+WHERE EXISTS (SELECT 1 FROM documents d
+              WHERE d.doc_id = v.id1 AND d.source = '{_INCR_BATCH_SOURCE}')
+   OR EXISTS (SELECT 1 FROM documents d
+              WHERE d.doc_id = v.id2 AND d.source = '{_INCR_BATCH_SOURCE}')"""
+)
+
+
+@query("dedup_incremental", oracle=INCREMENTAL_MINHASH_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: near-dup pairs a NEW batch (source='src0')
+    introduces against the existing corpus (the other 19 sources) plus
+    within itself — candidate work linear in the BATCH, base-base pairs
+    never enumerated (see ``minhash_near_duplicates_incremental``).
+
+    The oracle replays full self-dedup over the whole corpus and
+    restricts to pairs touching the batch — LSH candidacy is pairwise,
+    so the batch-probe plan computes exactly that restriction without
+    the full enumeration.
+    """
+    from ..operators.dedup import minhash_near_duplicates_incremental
+
+    docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
+    batch = docs.where(F.col("source") == _INCR_BATCH_SOURCE)
+    base = docs.where(F.col("source") != _INCR_BATCH_SOURCE)
+    return minhash_near_duplicates_incremental(
+        base, batch, text_col="text", id_col="doc_id",
+        threshold=_MINHASH_THRESH, num_hashes=_MINHASH_NUM,
+        bands=_MINHASH_BANDS,
+    )
+
+
 DEDUP_APPLY_ORACLE = (
     """WITH RECURSIVE reps AS (
   SELECT MIN(doc_id) AS doc_id, MIN(text) AS text

@@ -139,3 +139,64 @@ def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
     )
+
+
+SOURCE_ROLLUP_ORACLE = r"""
+WITH scored AS (
+  SELECT source, md5(text) AS th,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+    ROUND(
+      0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE))
+    + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+             / CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE))
+    + 0.3 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 64.0, 1.0)
+    , 6) AS quality_score
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT th) AS n_distinct_texts,
+  ROUND(1.0 - CAST(COUNT(DISTINCT th) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+  ROUND(AVG(quality_score), 6) AS avg_quality,
+  ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens
+FROM scored
+GROUP BY source
+"""
+
+
+@query("source_quality_rollup", oracle=SOURCE_ROLLUP_ORACLE)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scoreboard: doc count, exact-dup rate, mean
+    quality score, mean token count — the roll-up a crawl pipeline uses
+    to allocate/blocklist sources before heavy processing.
+
+    Scale: ONE scan — the quality features, the md5 text hash and the
+    source key ride the same projection (``keep=`` threading, no second
+    scan + self-join), then a source-keyed agg whose count-distinct is
+    the standard two-phase Expand; shuffle cardinality is
+    sources x distinct-hash, never corpus rows of text.
+    """
+    docs = Catalog(spark, sf_dir).documents.withColumn(
+        "__th", F.md5(F.col("text").cast("binary"))
+    )
+    scored = quality_scores(docs, text_col="text", id_col="doc_id",
+                            keep=("source", "__th"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__th").alias("n_distinct_texts"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("__th").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
+        )
+    )

@@ -87,6 +87,43 @@ def test_collapsed_minhash_boilerplate_linear_and_equivalent(spark):
     }
 
 
+def test_incremental_equals_filtered_full(spark):
+    """Batch-probe incremental dedup must equal full self-dedup over
+    base ∪ batch restricted to pairs touching the batch (LSH candidacy
+    is pairwise — probing only batch buckets loses nothing)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        minhash_near_duplicates,
+        minhash_near_duplicates_incremental,
+    )
+
+    tmpl = "the quick brown fox jumps over the lazy dog number {} end"
+    base_rows = [(i, tmpl.format(i % 7)) for i in range(60)]
+    batch_rows = [(100 + i, tmpl.format(i % 5)) for i in range(10)]
+    batch_rows += [(200, "entirely novel content with no relatives anywhere here")]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    inc = minhash_near_duplicates_incremental(
+        base, batch, text_col="text", id_col="doc_id", threshold=0.2,
+        num_hashes=16, bands=4,
+    ).collect()
+    full = minhash_near_duplicates(
+        base.unionByName(batch), text_col="text", id_col="doc_id",
+        threshold=0.2, num_hashes=16, bands=4,
+    ).collect()
+    batch_ids = {r[0] for r in batch_rows}
+    expected = {
+        (r.id1, r.id2, r.jaccard)
+        for r in full
+        if r.id1 in batch_ids or r.id2 in batch_ids
+    }
+    got = {(r.id1, r.id2, r.jaccard) for r in inc}
+    assert got == expected
+    assert expected  # the corpus actually produced cross/within-batch dups
+    # and base-base pairs exist in full but are correctly absent here
+    assert any(r.id1 not in batch_ids and r.id2 not in batch_ids for r in full)
+
+
 def test_emb_neardup_mega_bucket_capped_equals_uncapped(spark):
     # 90 near-identical vectors (one dominant direction) → one bucket
     dim = 8
