@@ -52,6 +52,26 @@ def test_minhash_verify_is_candidate_pruned(spark):
     assert "collect_list" in plan  # bucket-grouped pair enumeration
 
 
+def test_source_rollup_single_scan(spark):
+    """source_quality_rollup claims ONE scan of documents — the quality
+    features, the md5 hash and the source key must ride the same
+    projection, not a second scan + self-join."""
+    plan = plan_of(REGISTRY["source_quality_rollup"].fn(spark, SF))
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_incremental_dedup_probe_shape(spark):
+    """dedup_incremental's candidate join must be bucket-keyed (band,
+    bh) — never a cartesian/BNLJ — and the base side must feed exactly
+    two scans of documents (signature subtree + verify doc fetch), not
+    a per-band or per-side explosion."""
+    plan = plan_of(REGISTRY["dedup_incremental"].fn(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # band/bh join key visible in some join (sort-merge or broadcast-hash)
+    assert "band" in plan and "bh" in plan
+
+
 def test_lake_partition_pruning(spark, tmp_path):
     lake = LakeTable(spark, str(tmp_path / "lake"))
     lake.write_full(
