@@ -534,51 +534,56 @@ def simhash_signatures(
     return agg.select(F.col(id_col), F.expr(sig).cast("long").alias("simhash"))
 
 
-def hamming_neighbors(signatures: DataFrame, id_col: str, max_distance: int = 3) -> DataFrame:
+def hamming_neighbors(
+    signatures: DataFrame,
+    id_col: str,
+    max_distance: int = 3,
+    bucket_cap: int = 2048,
+) -> DataFrame:
     """SimHash pairs within a Hamming radius, bucketed by 16-bit sub-blocks.
 
     Pigeonhole: two 64-bit signatures within distance 3 share at least one
     of four 16-bit blocks exactly — bucket per block, enumerate in-bucket
     pairs, then verify with bit_count.
 
-    Scale: bucket-grouped like :func:`lsh_candidate_pairs` — the
-    alternative (4 self-joins of the signature relation) evaluates the
-    signature aggregation 8× and shuffles it 8×; here the (block, value)
-    explode shuffles ONCE into buckets. (id, simhash) pairs are sorted
-    structs so id1 < id2 falls out of the enumeration order; the final
-    distinct dedups pairs that collide in several blocks.
+    Scale: (block, value) rows go through the SHARED two-tier
+    :func:`grouped_pair_enumeration` carrying IDS ONLY (in-row expansion
+    under ``bucket_cap``, distributed self-join above — a hot block value
+    never materializes a quadratic struct array in one task), then the
+    8-byte signatures REJOIN for the bit_count verify,
+    candidate-proportionally. The alternatives both lose at scale: 4
+    self-joins of the signature relation evaluate and shuffle the
+    signature aggregation 8×, and the pre-r4 struct-collect form carried
+    (id, simhash) payload structs through the bucket rows with no
+    mega-bucket tier. The final distinct (inside the enumeration +
+    here via dropDuplicates on id pairs) dedups pairs colliding in
+    several blocks before the verify.
     """
+    # persist: the signature relation now has THREE consumers (block
+    # explode + both verify rejoin sides) and its subtree is a full
+    # token-explode aggregation — without the cache it would recompute
+    # per consumer (projection-different parents defeat ReuseExchange).
+    # Same ContextCleaner-owned lifetime contract as the minhash
+    # candidate persist above; the cached relation is 9 bytes/doc.
+    signatures = signatures.persist()
     stack_args = ", ".join(
         f"{b}, shiftright(simhash, {b * 16}) & 65535L" for b in range(4)
     )
     exploded = signatures.select(
-        F.expr(f"struct({id_col} AS id, simhash AS sh)").alias("e"),
+        F.col(id_col),
         F.expr(f"stack(4, {stack_args})").alias("blk", "val"),
     )
-    buckets = (
-        exploded.groupBy("blk", "val")
-        .agg(F.array_sort(F.collect_list("e")).alias("es"))
-        .where(F.size("es") > 1)
-    )
-    pair_structs = F.expr(
-        "flatten(transform(sequence(0, size(es) - 2), "
-        "i -> transform(sequence(i + 1, size(es) - 1), "
-        "j -> struct(element_at(es, i + 1) AS p1, "
-        "element_at(es, j + 1) AS p2))))"
-    )
-    pairs = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(
-            F.col("p.p1.id").alias("id1"),
-            F.col("p.p2.id").alias("id2"),
-            F.col("p.p1.sh").alias("sh1"),
-            F.col("p.p2.sh").alias("sh2"),
-        )
-        .distinct()
-    )
+    pairs = grouped_pair_enumeration(
+        exploded, ["blk", "val"], id_col, bucket_cap=bucket_cap
+    ).dropDuplicates(["id1", "id2"])
+    s1 = signatures.select(F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"))
+    s2 = signatures.select(F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"))
     dist = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
-    return pairs.where(dist <= max_distance).select(
-        "id1", "id2", dist.alias("hamming_distance")
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .where(dist <= max_distance)
+        .select("id1", "id2", dist.alias("hamming_distance"))
     )
 
 

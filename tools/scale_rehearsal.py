@@ -60,6 +60,12 @@ def main() -> None:
     base = os.environ.get("SCALE_BASE", "/root/testdata/sf0.1")
     scaled = os.environ.get("SCALE_TARGET", "/root/repo/.scaled/sf1")
     factor = float(os.environ.get("SCALE_FACTOR", "10"))
+    # per-task heap parity with a production executor (see
+    # tools/skew_bench.py): local[32] shares ONE heap across 32
+    # concurrent tasks, and the default 8 g gives each a third of a
+    # normal executor's working memory — the scaled corpora then OOM in
+    # shuffle buffers exactly as an undersized executor would.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     if os.environ.get("SCALE_QUERIES"):
         names = os.environ["SCALE_QUERIES"].split(",")
     else:
