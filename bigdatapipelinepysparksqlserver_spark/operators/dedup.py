@@ -340,6 +340,32 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_band_store(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: (id, band, bh) rows.
+
+    This is the artifact a production corpus maintains alongside the
+    documents (computed once per doc at ingest, appended per batch):
+    incremental dedup then probes it directly instead of re-hashing the
+    whole base corpus per batch — see
+    :func:`minhash_near_duplicates_incremental` (``base_bands=``) and
+    ``streaming.cdc.foreach_batch_online_corpus_dedup`` for the
+    continuously-maintained form. Fixed-width rows (8 B id + band int +
+    8 B hash), bands× the corpus cardinality.
+    """
+    sigs = minhash_signatures(
+        ngram_shingles(docs, text_col=text_col, id_col=id_col, n=shingle_n),
+        id_col=id_col, num_hashes=num_hashes,
+    )
+    return band_rows(sigs, id_col, num_hashes, bands)
+
+
 def minhash_near_duplicates_incremental(
     base: DataFrame,
     batch: DataFrame,
@@ -349,6 +375,7 @@ def minhash_near_duplicates_incremental(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    base_bands: "DataFrame | None" = None,
 ) -> DataFrame:
     """Incremental corpus dedup: near-dup pairs introduced by a NEW
     batch against an existing base corpus (and within the batch) —
@@ -366,9 +393,11 @@ def minhash_near_duplicates_incremental(
 
     In production the base's signature/band relation is a STORED
     artifact maintained alongside the corpus (computed once per doc at
-    ingest — exactly this function's ``band_rows(minhash_signatures(…))``
-    subtree); this operator recomputes it from ``base`` so the call is
-    self-contained and oracle-checkable.
+    ingest — :func:`minhash_band_store`, appended per accepted batch):
+    pass it as ``base_bands`` and the base corpus is never re-hashed —
+    per-batch cost is then O(batch) hashing + a bucket join against the
+    fixed-width index. With ``base_bands=None`` the index is recomputed
+    from ``base``, keeping the call self-contained and oracle-checkable.
 
     Returns (id1 < id2, jaccard ≥ threshold) pairs where at least one
     side is a batch doc — exactly the restriction of
@@ -378,18 +407,16 @@ def minhash_near_duplicates_incremental(
     """
     b_sides = batch.select(F.col(id_col), F.col(text_col))
     a_sides = base.select(F.col(id_col), F.col(text_col))
-    sig_batch = minhash_signatures(
-        ngram_shingles(b_sides, text_col, id_col, n=shingle_n),
-        id_col=id_col, num_hashes=num_hashes,
-    )
-    sig_base = minhash_signatures(
-        ngram_shingles(a_sides, text_col, id_col, n=shingle_n),
-        id_col=id_col, num_hashes=num_hashes,
-    )
-    probe = band_rows(sig_batch, id_col, num_hashes, bands).select(
-        "band", "bh", F.col(id_col).alias("__pid")
-    ).persist()
-    build = band_rows(sig_base, id_col, num_hashes, bands).select(
+    if base_bands is None:
+        base_bands = minhash_band_store(
+            a_sides, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        )
+    probe = minhash_band_store(
+        b_sides, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    ).select("band", "bh", F.col(id_col).alias("__pid")).persist()
+    build = base_bands.select(
         "band", "bh", F.col(id_col).alias("__cid")
     ).unionByName(probe.select("band", "bh", F.col("__pid").alias("__cid")))
     # no broadcast HINT: the probe side is small by contract but not by

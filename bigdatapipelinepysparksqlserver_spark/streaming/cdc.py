@@ -243,6 +243,114 @@ def foreach_batch_incremental_mart(
     return _sink
 
 
+def foreach_batch_online_corpus_dedup(
+    store_path: str,
+    threshold: float = 0.2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: continuously-deduplicated corpus ingestion.
+
+    The streaming form of :func:`~..operators.dedup.
+    minhash_near_duplicates_incremental` — each micro-batch of documents
+    (doc_id, text) is near-dup-probed against everything accepted so
+    far, survivors are appended, and the corpus's LSH band index is
+    maintained as a first-class stored artifact:
+
+    - ``{store}/docs/batch=N``  — accepted (doc_id, text)
+    - ``{store}/bands/batch=N`` — their (doc_id, band, bh) index rows
+
+    Per-batch cost is O(batch) hashing + one bucket join against the
+    fixed-width index — the base corpus is NEVER re-hashed (the index
+    is what makes this viable at 100 TB: re-hashing the base per batch
+    would be O(corpus) per micro-batch forever).
+
+    Accept rule: a batch doc is dropped iff it near-dups an
+    already-accepted doc, or a smaller-id doc of the SAME batch (greedy
+    pairwise over id1 < id2). Guarantee: NO two accepted docs are
+    near-duplicates — the invariant the batch `dedup_apply` query
+    establishes once, maintained online. Like component-canonical
+    dedup, the failure mode is one-sided: a doc can be dropped because
+    of a neighbor that was itself dropped (over-drop, never a kept
+    near-dup pair).
+
+    Exactly-once: both writes go to ``batch=N`` subdirectories in
+    overwrite mode, so a micro-batch replay after a crash rewrites the
+    same directories to the same content (the accept decision is a pure
+    function of the store state before batch N, which replays
+    identically because batch N's own dirs are overwritten, not
+    appended).
+    """
+    import os
+
+    from ..operators.dedup import (
+        minhash_band_store,
+        minhash_near_duplicates_incremental,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text")
+        if docs.isEmpty():
+            return
+        docs = docs.persist()
+        docs_dir = os.path.join(store_path, "docs")
+        bands_dir = os.path.join(store_path, "bands")
+        # exclude THIS batch's dirs so a replay recomputes against the
+        # same base state it saw the first time
+        have_store = os.path.isdir(docs_dir) and any(
+            d.startswith("batch=") and d != f"batch={batch_id}"
+            for d in os.listdir(docs_dir)
+        )
+        if have_store:
+            base = spark.read.parquet(docs_dir).where(
+                F.col("batch") != batch_id
+            ).select("doc_id", "text")
+            base_bands = spark.read.parquet(bands_dir).where(
+                F.col("batch") != batch_id
+            ).select("doc_id", "band", "bh")
+        else:
+            base = spark.createDataFrame([], "doc_id long, text string")
+            base_bands = spark.createDataFrame(
+                [], "doc_id long, band int, bh long"
+            )
+        pairs = minhash_near_duplicates_incremental(
+            base, docs, text_col="text", id_col="doc_id",
+            threshold=threshold, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, base_bands=base_bands,
+        )
+        base_ids = base.select(F.col("doc_id").alias("bid"))
+        # drop the batch side of every base-batch pair, and the larger
+        # id of every batch-batch pair
+        p = pairs.join(
+            base_ids.withColumnRenamed("bid", "id1"), "id1", "left_semi"
+        ).select(F.col("id2").alias("doc_id"))
+        q = pairs.join(
+            base_ids.withColumnRenamed("bid", "id2"), "id2", "left_semi"
+        ).select(F.col("id1").alias("doc_id"))
+        bb = (
+            pairs.join(base_ids.withColumnRenamed("bid", "id1"), "id1", "left_anti")
+            .join(base_ids.withColumnRenamed("bid", "id2"), "id2", "left_anti")
+            .select(F.col("id2").alias("doc_id"))
+        )
+        drops = p.unionByName(q).unionByName(bb).distinct()
+        accepted = docs.join(drops, "doc_id", "left_anti").persist()
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"batch={batch_id}")
+        )
+        minhash_band_store(
+            accepted, "text", "doc_id",
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        ).write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"batch={batch_id}")
+        )
+        docs.unpersist()
+        accepted.unpersist()
+
+    return _sink
+
+
 def streaming_running_totals(
     events: DataFrame,
     key_col: str = "user_id",

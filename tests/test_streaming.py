@@ -375,3 +375,69 @@ def test_watermark_drops_late_data_append_mode(spark, tmp_path):
     got3 = run("late_run3")
     assert got3[(datetime(2024, 1, 1, 13), "view")] == (1, 2.0)
     assert got3[(datetime(2024, 1, 1, 10), "purchase")] == (2, 30.0)
+
+
+def test_online_corpus_dedup_across_microbatches(spark, tmp_path):
+    """Continuously-deduplicated corpus ingestion: batch 2's near-dup of
+    a batch-1 ACCEPTED doc is rejected via the STORED band index (the
+    base corpus is not re-hashed), within-batch dups drop the larger
+    id, and the final store holds no near-dup pair."""
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_online_corpus_dedup,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog every single day"
+    a_nd = "the quick brown fox jumps over the lazy dog every single night"
+    b = "completely different material about rivers mountains and quiet valleys"
+    c = "a third unrelated document concerning abstract algebra and topology"
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_src"
+    # batch 1: a + its near-dup (within-batch) + b
+    spark.createDataFrame(
+        [(1, a), (2, a_nd), (3, b)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    # batch 2: another near-dup of a (cross-batch) + c
+    spark.createDataFrame(
+        [(10, a_nd), (11, c)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    store = str(tmp_path / "corpus_store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_online_corpus_dedup(
+                store, threshold=0.2, num_hashes=16, bands=4
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+    kept = spark.read.parquet(f"{store}/docs")
+    kept_ids = {r.doc_id for r in kept.collect()}
+    # 2 dropped (within-batch near-dup of 1), 10 dropped (cross-batch
+    # near-dup of accepted 1), b and c novel
+    assert kept_ids == {1, 3, 11}
+    # store invariant: NO near-dup pair among accepted docs
+    assert (
+        minhash_near_duplicates(
+            kept.select("doc_id", "text"), text_col="text", id_col="doc_id",
+            threshold=0.2, num_hashes=16, bands=4,
+        ).count()
+        == 0
+    )
+    # the band index covers exactly the accepted docs
+    bands_ids = {
+        r.doc_id for r in spark.read.parquet(f"{store}/bands").collect()
+    }
+    assert bands_ids == kept_ids

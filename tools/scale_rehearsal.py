@@ -23,7 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY  # noqa: E402
 from bigdatapipelinepysparksqlserver_spark.session import get_spark  # noqa: E402
 
-EXTRAS = ("dedup_simhash_pairs", "emb_neardup_lsh", "ann_lsh_topk")
+EXTRAS = (
+    "dedup_simhash_pairs",
+    "emb_neardup_lsh",
+    "ann_lsh_topk",
+    "dedup_incremental",
+)
 
 
 def _time_queries(spark, sf_dir: str, names: list[str], runs: int = 3):
