@@ -38,6 +38,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query; probabilistic/
-    hash-seeded ops (MinHash, SimHash, hyperplane LSH) are rows-only."""
+    """DuckDB twins for 91 of 94 queries — including the full
+    MinHash/SimHash/hyperplane-LSH pipelines via engine-portable hash
+    families. The 3 rows-only entries each have a measured reason
+    (HLL off-by-one, approx-top-k tie selection, array-shaped Arrow
+    decode output whose scalar twin IS oracle-checked)."""
     return oracle_queries()
