@@ -355,6 +355,87 @@ def embedding_near_duplicates(
     )
 
 
+# ---------------------------------------------------------------------------
+# Shared IVF assignment expression builders. One parsed expression per
+# projection (not per-cell Column arithmetic: cells × dim literal lifts
+# cost thousands of Py4J round-trips per plan build — see
+# minhash_signatures for the measurement). Each cell contributes a
+# (cosine, -cell) struct whose cosine mirrors :func:`cosine` exactly
+# (same fold shape, same left-to-right double order), with the centroid
+# as a literal array — Catalyst constant-folds the centroid norm at plan
+# time. Ties resolve to the LOWEST cell (max of -cell).
+# ---------------------------------------------------------------------------
+
+_IVF_VNORM_SQL = (
+    "sqrt(aggregate(transform(__v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "0.0D, (acc, v) -> acc + v))"
+)
+
+
+def _collect_codebook(codebook, cell_col: str, cent_col: str, who: str):
+    cells = [
+        (int(r[cell_col]), [float(x) for x in r[cent_col]])
+        for r in codebook.select(cell_col, cent_col).collect()
+    ]
+    cells.sort()
+    if not cells:
+        raise ValueError(f"{who}: empty codebook (no cells)")
+    return cells
+
+
+def _ivf_cell_structs(cells) -> str:
+    def cell_struct(cell: int, cent: list[float]) -> str:
+        arr = "array(" + ", ".join(f"{x!r}D" for x in cent) + ")"
+        dot = (
+            f"aggregate(zip_with(__v, {arr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+        )
+        cnorm = (
+            f"sqrt(aggregate(transform({arr}, x -> x * x), 0.0D, "
+            "(acc, v) -> acc + v))"
+        )
+        return f"struct({dot} / (__vnorm * {cnorm}) AS c, {-cell} AS nc)"
+
+    return ", ".join(cell_struct(cell, cent) for cell, cent in cells)
+
+
+def _ivf_argmax_sql(cells) -> str:
+    # greatest() needs ≥ 2 args; a 1-cell codebook is a constant assignment
+    if len(cells) == 1:
+        return f"{cells[0][0]}"
+    return f"CAST(-greatest({_ivf_cell_structs(cells)}).nc AS INT)"
+
+
+def _ivf_probe_sql(cells, n_probe: int) -> str:
+    return (
+        f"transform(slice(reverse(array_sort(array({_ivf_cell_structs(cells)}))), "
+        f"1, {n_probe}), s -> CAST(-s.nc AS INT))"
+    )
+
+
+def _ivf_py_scores(vec: list[float], cells) -> list[tuple[float, int]]:
+    """Driver-side twin of the cell-struct cosine: SAME left-to-right
+    double fold as the SQL aggregate, so the python argmax/probe picks
+    exactly the cells the scan-side expression would."""
+    import math
+
+    vn = 0.0
+    for x in vec:
+        vn += float(x) * float(x)
+    vn = math.sqrt(vn)
+    out = []
+    for cell, cent in cells:
+        dot = 0.0
+        for x, y in zip(vec, cent):
+            dot += float(x) * y
+        cn = 0.0
+        for y in cent:
+            cn += y * y
+        cn = math.sqrt(cn)
+        out.append((dot / (vn * cn), cell))
+    return out
+
+
 def ivf_codebook_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -383,47 +464,10 @@ def ivf_codebook_topk(
     8-byte cell id against the broadcast (query × probe) list, exact
     re-rank on candidates only.
     """
-    cells = [
-        (int(r[cell_col]), [float(x) for x in r[cent_col]])
-        for r in codebook.select(cell_col, cent_col).collect()
-    ]
-    cells.sort()
-    if not cells:
-        raise ValueError("ivf_codebook_topk: empty codebook (no cells)")
-
-    # One parsed expression per projection (not per-cell Column
-    # arithmetic: cells × dim literal lifts cost thousands of Py4J
-    # round-trips per plan build — see minhash_signatures for the
-    # measurement). Each cell contributes a (cosine, -cell) struct whose
-    # cosine mirrors :func:`cosine` exactly (same fold shape, same
-    # left-to-right double order), with the centroid as a literal array —
-    # Catalyst constant-folds the centroid norm at plan time.
-    def cell_struct(cell: int, cent: list[float]) -> str:
-        arr = "array(" + ", ".join(f"{x!r}D" for x in cent) + ")"
-        dot = (
-            f"aggregate(zip_with(__v, {arr}, (x, y) -> "
-            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
-        )
-        cnorm = (
-            f"sqrt(aggregate(transform({arr}, x -> x * x), 0.0D, "
-            "(acc, v) -> acc + v))"
-        )
-        return f"struct({dot} / (__vnorm * {cnorm}) AS c, {-cell} AS nc)"
-
-    structs = ", ".join(cell_struct(cell, cent) for cell, cent in cells)
-    # greatest() needs ≥ 2 args; a 1-cell codebook is a constant assignment
-    if len(cells) == 1:
-        argmax = f"{cells[0][0]}"
-    else:
-        argmax = f"CAST(-greatest({structs}).nc AS INT)"
-    probe = (
-        f"transform(slice(reverse(array_sort(array({structs}))), 1, {n_probe}), "
-        "s -> CAST(-s.nc AS INT))"
-    )
-    vnorm = (
-        "sqrt(aggregate(transform(__v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "0.0D, (acc, v) -> acc + v))"
-    )
+    cells = _collect_codebook(codebook, cell_col, cent_col, "ivf_codebook_topk")
+    argmax = _ivf_argmax_sql(cells)
+    probe = _ivf_probe_sql(cells, n_probe)
+    vnorm = _IVF_VNORM_SQL
 
     assigned = (
         vectors.select(
@@ -456,6 +500,98 @@ def ivf_codebook_topk(
         "query_id",
         "neighbor_id",
         cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+def write_ivf_partitioned(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+) -> None:
+    """Cell-partitioned vector store: assign each vector to its IVF cell
+    (argmax-cosine against the codebook, a pure scan-side projection)
+    and write ``partitionBy(cell)`` — the DISK layout of an IVF index.
+
+    At 100 TB this is what makes ANN probes cheap: a search that probes
+    ``n_probe`` of ``n_cells`` cells reads only those PARTITION
+    DIRECTORIES (Hive-style partition pruning — the scan never lists,
+    opens, or decodes the other cells' files). The codebook is the same
+    versioned artifact the query side uses, so assignment here and probe
+    selection there agree by construction.
+    """
+    cells = _collect_codebook(codebook, cell_col, cent_col, "write_ivf_partitioned")
+    assigned = (
+        vectors.select(
+            F.col(id_col), F.col(vec_col), F.col(vec_col).alias("__v")
+        )
+        .withColumn("__vnorm", F.expr(_IVF_VNORM_SQL))
+        .select(id_col, vec_col, F.expr(_ivf_argmax_sql(cells)).alias("cell"))
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_partitioned_topk(
+    spark,
+    store_path: str,
+    queries: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF top-k over a :func:`write_ivf_partitioned` store, probing via
+    PARTITION PRUNING: only the probed cells' directories are scanned.
+
+    The query set is collected driver-side (it is the broadcast-small
+    side by contract — same rule as the codebook) and each query's
+    ``n_probe`` cells are computed with :func:`_ivf_py_scores`, whose
+    double arithmetic folds left-to-right exactly like the scan-side SQL
+    — so the probe set here matches what the projection-assignment
+    search (:func:`ivf_codebook_topk`) would probe, and the two return
+    identical results (pytest-asserted). The union of probe cells
+    becomes a LITERAL ``cell IN (…)`` predicate on the partition column
+    → Hive partition pruning at the file-listing level, visible as
+    ``PartitionFilters`` in the executed plan.
+    """
+    cells = _collect_codebook(codebook, cell_col, cent_col, "ivf_partitioned_topk")
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        scores = _ivf_py_scores(list(r[vec_col]), cells)
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        for _, cell in scores[:n_probe]:
+            probe_rows.append((int(r[id_col]), cell, [float(x) for x in r[vec_col]]))
+    probe_cells = sorted({c for _, c, _ in probe_rows})
+    store = spark.read.parquet(store_path).where(F.col("cell").isin(probe_cells))
+    q_df = spark.createDataFrame(
+        probe_rows, f"query_id long, cell int, query_vec array<double>"
+    )
+    cands = (
+        store.join(F.broadcast(q_df), "cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("query_vec"), F.col(vec_col)).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()

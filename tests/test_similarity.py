@@ -78,3 +78,37 @@ def test_multi_table_lsh_recall_floor(spark, emb):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.25, f"multi-table LSH recall collapsed: {recall:.3f}"
+
+
+def test_ivf_partitioned_store_prunes_and_matches(spark, emb, tmp_path):
+    """The cell-partitioned vector store must (a) return EXACTLY the
+    projection-assignment search's results (the driver-side probe twin
+    folds doubles in the same order as the scan-side SQL), and (b) scan
+    ONLY the probed cells' partition directories (PartitionFilters)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        ivf_codebook_topk,
+        ivf_partitioned_topk,
+        write_ivf_partitioned,
+    )
+
+    codebook = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    q = emb.where(F.col("vec_id") < 8)
+    store = str(tmp_path / "ivf_store")
+    write_ivf_partitioned(emb, codebook, store)
+
+    got = ivf_partitioned_topk(
+        spark, store, q, codebook, n_probe=4, k=10
+    )
+    want = ivf_codebook_topk(emb, q, codebook, n_probe=4, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    # pruning is real: the store fanned out into more cell dirs than the
+    # probe set can touch, so the IN-filter excludes actual directories
+    import os
+
+    n_cells_on_disk = len([d for d in os.listdir(store) if d.startswith("cell=")])
+    assert n_cells_on_disk > 4
