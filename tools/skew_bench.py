@@ -115,6 +115,45 @@ def main() -> None:
         out["exact_collapsed"] = _time(run_collapsed("exact"))
         out["near_pairwise_bigbranch"] = _time(run_pairwise("near"), runs=1)
 
+        # embedding-side twin: a clone cluster of identical vectors all
+        # landing in one hyperplane bucket per table — the big branch of
+        # the shared guard carries the forced-quadratic pairs with
+        # bounded task memory (the vector payloads rejoin only at the
+        # cosine verify, per the r4 id-only re-shape)
+        from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+            embedding_near_duplicates,
+        )
+
+        base_emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        clone = [float((i * 37 % 101) / 101.0 - 0.5) for i in range(64)]
+        max_vid = base_emb.agg(F.max("vec_id")).first()[0]
+        emb_skew = base_emb.unionByName(
+            spark.range(1, 2001)
+            .select((F.col("id") + max_vid).alias("vec_id"))
+            .withColumn(
+                "embedding",
+                F.expr(
+                    "transform(sequence(1, 64), j -> CAST("
+                    + "element_at(array("
+                    + ", ".join(str(x) for x in clone)
+                    + "), j) AS FLOAT))"
+                ),
+            )
+        )
+        p = os.path.join(root, "emb_skew")
+        emb_skew.repartition(8).write.parquet(p)
+
+        def run_emb():
+            df = spark.read.parquet(p)
+            return embedding_near_duplicates(
+                df, id_col="vec_id", vec_col="embedding", dim=64,
+                threshold=0.4, bits=4, tables=4,
+            ).count()
+
+        out["emb_clone_cluster"] = _time(run_emb, runs=1)
+
         ratio = out["exact_collapsed"][0] / max(out["clean_collapsed"][0], 1e-9)
         print(json.dumps({
             "metric": "skew_bench",
