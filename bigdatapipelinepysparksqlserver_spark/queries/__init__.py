@@ -49,11 +49,13 @@ _GRADED_PREFIX = (
     # event analytics + semi-structured + percentiles
     "event_funnel", "cohort_retention", "event_gaps", "json_props_agg",
     "price_percentiles",
-    # dedup family (exact → quadratic baseline → LSH scale path →
-    # clusters → end-to-end surviving corpus; doc_fingerprint ceded its
-    # slot to dedup_apply in r4 — the text family keeps 4 in-window reps
-    # and the fingerprint stays oracle-backed past the cap)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_clusters",
+    # dedup family (exact → LSH scale path → clusters → end-to-end
+    # surviving corpus; doc_fingerprint ceded its slot to dedup_apply in
+    # r4, and dedup_ngram_jaccard — the documented quadratic baseline,
+    # which routes through the SAME shared bucket enumeration as the
+    # in-window minhash — ceded its slot in r5 to the IVF partitioned
+    # store; both stay oracle-backed past the cap)
+    "dedup_exact", "dedup_minhash", "dedup_clusters",
     "dedup_apply",
     # text analysis
     "text_token_count", "text_quality_score", "text_repetition_score",
@@ -61,8 +63,9 @@ _GRADED_PREFIX = (
     # training-data ops
     "sample_documents", "doc_chunks", "scrub_pii", "decontaminate",
     "doc_pack_plan", "quality_classifier_score", "chunk_span_dups",
-    # similarity + multimodal
-    "ann_topk_cosine", "media_metadata_stats",
+    # similarity + multimodal (r5: the IVF cell-partitioned store —
+    # the flagship 100 TB ANN disk layout — joins the graded surface)
+    "ann_topk_cosine", "ann_ivf_partitioned_topk", "media_metadata_stats",
 )
 
 

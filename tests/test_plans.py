@@ -123,6 +123,75 @@ def test_no_python_row_udfs_in_relational_surface(spark):
     assert offenders == []
 
 
+def test_ivf_partitioned_probe_prunes_to_probed_cells(spark):
+    """The graded IVF-store query's probe scan must show PartitionFilters
+    carrying EXACTLY the probed cells (cell IN (...)) — the contract that
+    makes the store's disk layout a real index at 100 TB: non-probed cell
+    directories are excluded at file-listing time, never opened."""
+    import re
+
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        _collect_codebook,
+        _ivf_py_scores,
+    )
+    from bigdatapipelinepysparksqlserver_spark.queries.similarity_queries import (
+        IVF_ARTIFACT_N_PROBE,
+        N_QUERY_VECS,
+        _load_ivf_artifact,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+    def partition_filter_cells(plan: str) -> set[int]:
+        assert "PartitionFilters: [" in plan
+        tail = plan.split("PartitionFilters: [")[1]
+        m = re.search(r"cell#\d+ (?:INSET ([\d, ]+)|IN \(([\d,\s]+)\))", tail[:400])
+        assert m, f"no cell IN-list in PartitionFilters: {tail[:400]}"
+        return {
+            int(x) for x in (m.group(1) or m.group(2)).split(",") if x.strip()
+        }
+
+    df = REGISTRY["ann_ivf_partitioned_topk"].fn(spark, SF)
+    plan_cells = partition_filter_cells(plan_of(df))
+
+    # independently recompute the expected probe set with the driver twin
+    art = _load_ivf_artifact()
+    cells = sorted((int(c), [float(x) for x in v]) for c, v in art["centroids"].items())
+    q = (
+        Catalog(spark, SF).embeddings
+        .where(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    expected = set()
+    for r in q:
+        scores = _ivf_py_scores(list(r.embedding), cells)
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        expected.update(c for _, c in scores[:IVF_ARTIFACT_N_PROBE])
+    assert plan_cells == expected
+
+    # pruning is REAL, not just present: a 1-query / n_probe=2 probe of
+    # the same store must carry a strict subset of the cells — non-probed
+    # directories excluded at file-listing time
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        ivf_partitioned_topk,
+    )
+    from bigdatapipelinepysparksqlserver_spark.queries.similarity_queries import (
+        _ivf_store_path,
+    )
+
+    emb = Catalog(spark, SF).embeddings
+    codebook = spark.createDataFrame(cells, ["cell", "centroid"]).select(
+        "cell", F.col("centroid").cast("array<double>").alias("centroid")
+    )
+    narrow = ivf_partitioned_topk(
+        spark, _ivf_store_path(SF), emb.where(F.col("vec_id") == 0),
+        codebook, n_probe=2, k=5,
+    )
+    narrow_cells = partition_filter_cells(plan_of(narrow))
+    assert len(narrow_cells) == 2
+    assert narrow_cells < {c for c, _ in cells}
+
+
 def test_topk_plans_as_take_ordered(spark):
     plan = plan_of(REGISTRY["top_customers"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort
