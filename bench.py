@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from bigdatapipelinepysparksqlserver_spark.caching import release_caches  # noqa: E402
 from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY  # noqa: E402
 from bigdatapipelinepysparksqlserver_spark.session import get_spark  # noqa: E402
 
@@ -52,12 +53,14 @@ def main() -> None:
         for _ in range(2):
             spark.catalog.clearCache()
             spec.fn(spark, sf_dir).collect()
+            release_caches()  # drain the scope registry (blocks already evicted)
         best = float("inf")
         for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.time()
             spec.fn(spark, sf_dir).collect()
             best = min(best, time.time() - t0)
+            release_caches()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

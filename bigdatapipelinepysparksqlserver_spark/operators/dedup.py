@@ -14,6 +14,8 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from ..caching import scoped_persist
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate groups keyed by md5(text).
@@ -131,18 +133,15 @@ def grouped_pair_enumeration(
     expansion. Consumers dedup (LSH candidates) or count (exact
     intersection sizes) downstream.
     """
-    # persist: two consumers (small/big branch) — no explicit unpersist
-    # because the operator returns a LAZY plan over both branches; the
-    # cache block's lifetime is owned by the returned DataFrame and freed
-    # by Spark's ContextCleaner once it is garbage collected (same
-    # contract as the candidate-pair persist in minhash_near_duplicates).
-    # Callers that invoke the operator repeatedly in one session and need
-    # deterministic memory should unpersist via spark.catalog.clearCache.
-    buckets_all = (
+    # persist: two consumers (small/big branch) — the operator returns a
+    # LAZY plan over both branches, so it cannot unpersist eagerly.
+    # Lifecycle is owned by the caching scope (caching.py): the harness
+    # calls release_caches() after materializing the consuming query,
+    # keeping memory flat across repeated invocations in one session.
+    buckets_all = scoped_persist(
         keyed.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") > 1)
-        .persist()
     )
     buckets = buckets_all.where(F.size("ids") <= bucket_cap)
     pair_structs = F.expr(
@@ -314,13 +313,12 @@ def minhash_near_duplicates(
     shingled = ngram_shingles(df, text_col=text_col, id_col=id_col, n=shingle_n)
     sigs = minhash_signatures(shingled, id_col=id_col, num_hashes=num_hashes)
     # persist: two consumers (doc prune + verify) must not recompute the
-    # LSH subtree. No explicit unpersist — the operator returns a lazy
-    # plan referencing cands, so eager unpersist would defeat the cache;
-    # the block is freed by Spark's ContextCleaner when the returned
-    # DataFrame is garbage collected (bounded, per-call lifetime).
-    cands = lsh_candidate_pairs(
-        sigs, id_col=id_col, num_hashes=num_hashes, bands=bands
-    ).persist()
+    # LSH subtree. The operator returns a lazy plan referencing cands, so
+    # eager unpersist would defeat the cache — lifecycle is owned by the
+    # caching scope (caching.py, released by the harness post-collect).
+    cands = scoped_persist(
+        lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+    )
     # one explode pass, no distinct: the semi-join's broadcast hash set
     # dedups build-side keys itself, so a distinct here would add an
     # exchange just to shrink an already-tiny broadcast payload.
@@ -404,6 +402,15 @@ def minhash_near_duplicates_incremental(
     :func:`minhash_near_duplicates` over base ∪ batch to pairs touching
     the batch (LSH candidacy of a pair is pairwise, so probing only
     batch buckets loses nothing; equality is pytest-asserted).
+
+    PRECONDITION: base and batch doc ids must be DISJOINT. A re-ingested
+    doc sharing a base id would be excluded from candidacy against its
+    old version by the ``__pid != __cid`` self-filter, and the
+    base∪batch docs relation would carry duplicate ids into the verify
+    joins, duplicating pair rows. This is the natural contract of an
+    append-only ingest (the streaming sink assigns fresh ids per batch
+    and relies on it); updates-in-place need a delete+reinsert under a
+    NEW id, exactly as the CDC lake path does.
     """
     b_sides = batch.select(F.col(id_col), F.col(text_col))
     a_sides = base.select(F.col(id_col), F.col(text_col))
@@ -412,10 +419,12 @@ def minhash_near_duplicates_incremental(
             a_sides, text_col, id_col,
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         )
-    probe = minhash_band_store(
-        b_sides, text_col, id_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-    ).select("band", "bh", F.col(id_col).alias("__pid")).persist()
+    probe = scoped_persist(
+        minhash_band_store(
+            b_sides, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        ).select("band", "bh", F.col(id_col).alias("__pid"))
+    )
     build = base_bands.select(
         "band", "bh", F.col(id_col).alias("__cid")
     ).unionByName(probe.select("band", "bh", F.col("__pid").alias("__cid")))
@@ -423,7 +432,7 @@ def minhash_near_duplicates_incremental(
     # construction — AQE broadcasts it when it is actually under the
     # threshold and falls back to a bucket-keyed shuffle join when a
     # giant backfill batch arrives, which is the correct plan there
-    cands = (
+    cands = scoped_persist(
         probe
         .join(build, ["band", "bh"])
         .where(F.col("__pid") != F.col("__cid"))
@@ -432,13 +441,17 @@ def minhash_near_duplicates_incremental(
             F.greatest("__pid", "__cid").alias("id2"),
         )
         .distinct()
-        .persist()
     )
     docs = a_sides.unionByName(b_sides)
     cand_ids = cands.select(
         F.explode(F.array(F.col("id1"), F.col("id2"))).alias(id_col)
     )
-    cand_docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # no broadcast HINT on the semi-join either (unlike the self-dedup
+    # path, whose candidate set is corpus-bounded): candidates here scale
+    # with the batch, and this function explicitly contemplates giant
+    # backfill batches — a forced broadcast would OOM exactly then. AQE
+    # broadcasts when the candidate list is actually small.
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
     pairs = pairwise_jaccard(
         cand_docs, cands, text_col=text_col, id_col=id_col, shingle_n=shingle_n
     )
@@ -491,7 +504,7 @@ def minhash_near_duplicates_collapsed(
         F.min(text_col).alias(text_col),
         F.count(F.lit(1)).alias("__cnt"),
     )
-    reps = groups.select(id_col, text_col).persist()
+    reps = scoped_persist(groups.select(id_col, text_col))
     counts = groups.select(F.col(id_col).alias("__rid"), "__cnt")
     pairs = minhash_near_duplicates(
         reps,
@@ -590,9 +603,9 @@ def hamming_neighbors(
     # explode + both verify rejoin sides) and its subtree is a full
     # token-explode aggregation — without the cache it would recompute
     # per consumer (projection-different parents defeat ReuseExchange).
-    # Same ContextCleaner-owned lifetime contract as the minhash
-    # candidate persist above; the cached relation is 9 bytes/doc.
-    signatures = signatures.persist()
+    # Lifecycle owned by the caching scope (caching.py); the cached
+    # relation is 9 bytes/doc.
+    signatures = scoped_persist(signatures)
     stack_args = ", ".join(
         f"{b}, shiftright(simhash, {b * 16}) & 65535L" for b in range(4)
     )

@@ -16,7 +16,6 @@ Clock injection throughout (SURVEY §7.5 risk 3).
 from __future__ import annotations
 
 import os
-import shutil
 from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
@@ -187,12 +186,23 @@ class MartPublisher:
         <root>/<table>/_CURRENT         # pointer: name of the live vN
 
     ``publish`` renames staging → ``v<N+1>`` (invisible to readers: the
-    pointer still names ``v<N>``), then atomically replaces ``_CURRENT``
-    via write-temp + ``os.rename``. Readers resolve the pointer and read
-    an immutable directory, so there is NO instant at which the live
-    path is missing or half-written — unlike the r3 two-rename swap,
-    which had an honest sub-millisecond path-not-found window between
-    rename(final→old) and rename(staging→final).
+    pointer still names ``v<N>``), then atomically replaces ``_CURRENT``.
+    Readers resolve the pointer and read an immutable directory, so
+    there is NO instant at which the live path is missing or
+    half-written — unlike the r3 two-rename swap, which had an honest
+    sub-millisecond path-not-found window between rename(final→old) and
+    rename(staging→final).
+
+    All filesystem operations go through a :class:`~.sources.fs.
+    SnapshotFS` seam with an EXPLICIT atomicity contract (r4 verdict
+    item 1): only the pointer replacement must be atomic; the
+    staging→vN directory rename may be a copy+delete (object stores)
+    because no reader can resolve vN until the pointer names it. The
+    default is :class:`~.sources.fs.LocalFS` (POSIX/HDFS rename); an
+    S3-style deployment supplies a pointer-object conditional-put
+    implementation — see ``sources/fs.py`` for the full contract, and
+    the reader-hammer test runs against the non-atomic-rename
+    ``ObjectStoreSimFS`` to prove the protocol needs nothing more.
 
     Crash safety (every step idempotent, validated by the kill-point
     test): die after the vN rename → orphan snapshot, pointer unchanged,
@@ -204,9 +214,12 @@ class MartPublisher:
 
     POINTER = "_CURRENT"
 
-    def __init__(self, root: str, retain: int = 1):
+    def __init__(self, root: str, retain: int = 1, fs: "SnapshotFS | None" = None):
+        from .sources.fs import LocalFS, SnapshotFS  # noqa: F811
+
         self.root = root
         self.retain = retain
+        self.fs: SnapshotFS = fs if fs is not None else LocalFS()
 
     def staging_path(self, table: str) -> str:
         return os.path.join(self.root, f"{table}_staging")
@@ -216,20 +229,18 @@ class MartPublisher:
 
     def _versions(self, table: str) -> list[int]:
         root = self.table_root(table)
-        if not os.path.isdir(root):
+        if not self.fs.is_dir(root):
             return []
         return sorted(
             int(d[1:])
-            for d in os.listdir(root)
+            for d in self.fs.list_dir(root)
             if d.startswith("v") and d[1:].isdigit()
         )
 
     def current_version(self, table: str) -> "int | None":
         ptr = os.path.join(self.table_root(table), self.POINTER)
-        try:
-            with open(ptr) as f:
-                name = f.read().strip()
-        except FileNotFoundError:
+        name = self.fs.read_pointer(ptr)
+        if name is None:
             return None
         return int(name[1:]) if name.startswith("v") and name[1:].isdigit() else None
 
@@ -246,23 +257,19 @@ class MartPublisher:
 
     def publish(self, table: str) -> None:
         """M5 — rename staging to the next version dir (readers still on
-        the pointer's version), then atomically swap the pointer."""
+        the pointer's version — safe even if the rename is a visible
+        copy+delete), then atomically swap the pointer."""
         staging = self.staging_path(table)
-        if not os.path.isdir(staging):
+        if not self.fs.is_dir(staging):
             raise FileNotFoundError(f"no staging snapshot for {table}")
         root = self.table_root(table)
-        os.makedirs(root, exist_ok=True)
+        self.fs.makedirs(root)
         versions = self._versions(table)
         nxt = (versions[-1] + 1) if versions else 1
-        os.rename(staging, os.path.join(root, f"v{nxt}"))
-        # atomic pointer swap: write-temp + rename (POSIX rename replaces
-        # the target atomically; readers see either the old or new name)
-        tmp = os.path.join(root, f".{self.POINTER}.tmp")
-        with open(tmp, "w") as f:
-            f.write(f"v{nxt}")
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(root, self.POINTER))
+        self.fs.rename_dir(staging, os.path.join(root, f"v{nxt}"))
+        # the ONLY step that must be atomic (SnapshotFS.set_pointer
+        # contract): readers see either the old or the new version name
+        self.fs.set_pointer(os.path.join(root, self.POINTER), f"v{nxt}")
         self._gc(table, nxt)
 
     def _gc(self, table: str, current: int) -> None:
@@ -272,7 +279,7 @@ class MartPublisher:
         root = self.table_root(table)
         for v in self._versions(table):
             if v != current and (v < current - self.retain or v > current):
-                shutil.rmtree(os.path.join(root, f"v{v}"), ignore_errors=True)
+                self.fs.rmtree(os.path.join(root, f"v{v}"))
 
     def recover(self, table: str) -> None:
         """Crash recovery — retained for API parity: the pointer design
@@ -283,13 +290,12 @@ class MartPublisher:
         snapshot."""
         cur = self.current_version(table)
         root = self.table_root(table)
-        if cur is not None and not os.path.isdir(os.path.join(root, f"v{cur}")):
+        if cur is not None and not self.fs.is_dir(os.path.join(root, f"v{cur}")):
             versions = [v for v in self._versions(table) if v != cur]
             if versions:
-                tmp = os.path.join(root, f".{self.POINTER}.tmp")
-                with open(tmp, "w") as f:
-                    f.write(f"v{versions[-1]}")
-                os.rename(tmp, os.path.join(root, self.POINTER))
+                self.fs.set_pointer(
+                    os.path.join(root, self.POINTER), f"v{versions[-1]}"
+                )
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.final_path(table))

@@ -24,6 +24,7 @@ from ..operators.dedup import (
     ngram_shingles,
     simhash_signatures,
 )
+from ..caching import scoped_persist
 from ..sources.catalog import Catalog
 from .registry import query
 
@@ -413,7 +414,7 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("__h")).agg(
         F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
     )
-    reps = groups.select("doc_id", "text").persist()
+    reps = scoped_persist(groups.select("doc_id", "text"))
     pairs = minhash_near_duplicates(
         reps, text_col="text", id_col="doc_id",
         threshold=_MINHASH_THRESH, num_hashes=_MINHASH_NUM, bands=_MINHASH_BANDS,

@@ -1,0 +1,141 @@
+"""Filesystem seam for the snapshot-publish protocol (M5).
+
+``MartPublisher`` publishes through this interface instead of raw
+``os`` calls so the protocol's correctness argument is explicit about
+WHICH operations must be atomic — and so a deployment whose mart root
+lives on an object store can supply an implementation honoring the same
+contract instead of silently degrading.
+
+Atomicity contract
+------------------
+
+* ``set_pointer`` — **REQUIRED atomic** (all-or-nothing visibility): a
+  concurrent ``read_pointer`` must observe either the previous content
+  or the new content, never a missing, empty, or partial pointer. This
+  is the ONLY operation the no-dirty-read guarantee rests on.
+
+  - Local/POSIX (and HDFS): write-temp + fsync + ``rename`` — POSIX
+    rename replaces the target atomically.
+  - S3-style object stores: a single ``PutObject`` of the (tiny)
+    pointer object IS atomic at the object level (readers get the old
+    or the new version, never bytes of both), which satisfies THIS
+    contract; use a conditional put (``If-Match`` on the previous
+    ETag / ``If-None-Match: *`` for the first publish) when multiple
+    publishers may race, so a lost-update cannot silently drop a
+    publish. Never implement the pointer as a multipart upload or a
+    copy+delete of a staging key.
+
+* ``rename_dir`` — **NOT required atomic.** The protocol only renames
+  the staging directory to a version directory that no reader can
+  resolve yet (the pointer still names the previous version), so a
+  copy+delete emulation with arbitrarily long visible intermediate
+  states is safe. This is exactly what makes the pointer design
+  object-store-portable where the r3 two-rename swap (rename the LIVE
+  path) was not.
+
+* ``rmtree`` — best-effort; only ever applied to snapshot directories
+  that the pointer no longer (or never did) name.
+
+``ObjectStoreSimFS`` simulates the object-store behavior (non-atomic
+copy+delete renames, atomic pointer puts) so tests can prove the
+reader-hammer invariant holds through the seam, not just on POSIX.
+
+Note: the snapshot DATA is written by Spark through its own Hadoop
+FileSystem (``df.write.parquet``), outside this seam — that write
+targets the staging directory, which readers cannot resolve, so its
+visibility semantics don't participate in the protocol.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+class SnapshotFS:
+    """Abstract seam — see the module docstring for the contract."""
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list_dir(self, path: str) -> list[str]:
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def rename_dir(self, src: str, dst: str) -> None:
+        """Move a directory. NOT required atomic (see module docstring)."""
+        raise NotImplementedError
+
+    def rmtree(self, path: str) -> None:
+        raise NotImplementedError
+
+    def set_pointer(self, path: str, content: str) -> None:
+        """Atomically replace the pointer file's content. REQUIRED
+        atomic: concurrent readers see old or new, never partial."""
+        raise NotImplementedError
+
+    def read_pointer(self, path: str) -> "str | None":
+        """Pointer content, or None if it does not exist yet."""
+        raise NotImplementedError
+
+
+class LocalFS(SnapshotFS):
+    """POSIX implementation — also correct on HDFS-mounted paths (HDFS
+    rename is atomic within a namespace)."""
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list_dir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def rename_dir(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def set_pointer(self, path: str, content: str) -> None:
+        # write-temp + fsync + rename: POSIX rename replaces the target
+        # atomically, so a concurrent read_pointer never sees a torn write
+        tmp = os.path.join(
+            os.path.dirname(path), f".{os.path.basename(path)}.tmp"
+        )
+        with open(tmp, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    def read_pointer(self, path: str) -> "str | None":
+        try:
+            with open(path) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+
+class ObjectStoreSimFS(LocalFS):
+    """Object-store behavior simulation for tests: ``rename_dir`` is
+    copy-then-delete with every intermediate state visible to concurrent
+    listers/readers (what S3A/GCS connectors actually do for directory
+    "renames"), while ``set_pointer`` stays atomic (what a single
+    PutObject of the pointer object provides). The publish protocol must
+    stay dirty-read-free under exactly this asymmetry — proven by the
+    reader-hammer test running against this class."""
+
+    def rename_dir(self, src: str, dst: str) -> None:
+        os.makedirs(dst, exist_ok=True)  # dst visible & empty first
+        for root, dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            troot = dst if rel == "." else os.path.join(dst, rel)
+            for d in dirs:
+                os.makedirs(os.path.join(troot, d), exist_ok=True)
+            for fn in files:
+                shutil.copy2(os.path.join(root, fn), os.path.join(troot, fn))
+        shutil.rmtree(src)

@@ -289,6 +289,23 @@ def foreach_batch_online_corpus_dedup(
         minhash_near_duplicates_incremental,
     )
 
+    def _prior_batches(spark, path: str, batch_id: int) -> bool:
+        """True iff the store already holds batches other than this one
+        — through the Hadoop FileSystem API, so the check honors the
+        path's ACTUAL scheme (HDFS/S3A/local all work; a driver-local
+        os.listdir would silently return False forever on any non-local
+        store, breaking the no-accepted-near-dup invariant per batch)."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        hfs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not hfs.exists(hpath):
+            return False
+        return any(
+            st.getPath().getName().startswith("batch=")
+            and st.getPath().getName() != f"batch={batch_id}"
+            for st in hfs.listStatus(hpath)
+        )
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         docs = batch_df.select("doc_id", "text")
@@ -299,10 +316,7 @@ def foreach_batch_online_corpus_dedup(
         bands_dir = os.path.join(store_path, "bands")
         # exclude THIS batch's dirs so a replay recomputes against the
         # same base state it saw the first time
-        have_store = os.path.isdir(docs_dir) and any(
-            d.startswith("batch=") and d != f"batch={batch_id}"
-            for d in os.listdir(docs_dir)
-        )
+        have_store = _prior_batches(spark, docs_dir, batch_id)
         if have_store:
             base = spark.read.parquet(docs_dir).where(
                 F.col("batch") != batch_id

@@ -157,3 +157,35 @@ def test_capped_path_keeps_cross_tier_semantics(spark):
     mega = {(i, j) for i in range(50) for j in range(i + 1, 50)}
     small = {(100, 101), (100, 102), (101, 102)}
     assert got == mega | small
+
+
+def test_scoped_cache_lifecycle_keeps_memory_flat(spark):
+    """Repeated dedup/LSH invocations in one session must not accumulate
+    cached partitions: every operator-internal persist is registered in
+    the caching scope, and release_caches() after materialization
+    returns the session to zero persistent RDDs (r4 verdict item 3 —
+    the ContextCleaner-reliance replaced by an explicit owner)."""
+    from bigdatapipelinepysparksqlserver_spark.caching import release_caches
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    # start from a clean slate (other tests may have left scoped caches)
+    release_caches()
+    spark.catalog.clearCache()
+    assert n_cached() == 0
+
+    docs = _boilerplate_docs(spark, n=40)
+    for _ in range(3):
+        out = minhash_near_duplicates(
+            docs, text_col="text", id_col="doc_id",
+            threshold=0.5, num_hashes=16, bands=4,
+        )
+        assert out.count() > 0  # materialize (fills the scoped caches)
+        assert n_cached() > 0   # the operator did cache intermediates
+        released = release_caches()
+        assert released >= 2    # candidate pairs + bucket table at least
+        assert n_cached() == 0  # ...and the scope freed ALL of them

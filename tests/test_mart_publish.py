@@ -90,15 +90,22 @@ def test_publish_retains_previous_snapshot_and_gcs_older(spark, tmp_path):
     assert mart.current_version("sales_history_1") == 3
 
 
-def test_reader_never_sees_missing_path_during_publishes(spark, tmp_path):
+@pytest.mark.parametrize("fs_cls", ["LocalFS", "ObjectStoreSimFS"])
+def test_reader_never_sees_missing_path_during_publishes(spark, tmp_path, fs_cls):
     """The reference's transactional guarantee (load_sales_mart.py:92-102,
     README.md:76): no downtime for readers. Hammer read() from a thread
     while publishing repeatedly — every read must succeed and return a
-    complete snapshot."""
+    complete snapshot. Parametrized over the FS seam: ObjectStoreSimFS
+    makes every directory rename a visibly-incomplete copy+delete (the
+    S3A/GCS behavior) while keeping only the pointer put atomic — the
+    exact asymmetry sources/fs.py contracts — and the invariant must
+    hold there too."""
     import threading
 
+    from bigdatapipelinepysparksqlserver_spark.sources import fs as fsmod
+
     lake = _lake(spark, tmp_path)
-    mart = MartPublisher(str(tmp_path / "mart"))
+    mart = MartPublisher(str(tmp_path / "mart"), fs=getattr(fsmod, fs_cls)())
     run_pipeline_2(spark, lake, mart, REFRESH)  # v1 live
 
     stop = threading.Event()

@@ -38,6 +38,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bigdatapipelinepysparksqlserver_spark.caching import release_caches  # noqa: E402
 from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY  # noqa: E402
 from bigdatapipelinepysparksqlserver_spark.session import get_spark  # noqa: E402
 
@@ -148,6 +149,10 @@ def main() -> int:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
             continue
+        finally:
+            # scoped operator persists (dedup/LSH) are done once the
+            # result is materialized — keep the sweep's memory flat
+            release_caches()
         if spec.oracle is None:
             n = len(srows) if exact else len(spdf)
             print(f"rows  {name}: {n} rows ({time.time()-t0:.1f}s)")
