@@ -38,9 +38,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for 91 of 94 queries — including the full
+    """DuckDB twins for 94 of 95 queries — including the full
     MinHash/SimHash/hyperplane-LSH pipelines via engine-portable hash
-    families. The 3 rows-only entries each have a measured reason
-    (HLL off-by-one, approx-top-k tie selection, array-shaped Arrow
-    decode output whose scalar twin IS oracle-checked)."""
+    families, and (since r5) the HLL-distinct and approx-top-k sketches
+    via error-corridor / exact-regime oracles. The single rows-only
+    entry (`media_decode_features`) has a measured reason: its
+    array-shaped Arrow decode output crashes the driver's pandas canon,
+    and its scalar twin IS oracle-checked."""
     return oracle_queries()

@@ -106,6 +106,43 @@ def hyperplane_constants(dim: int, bits: int) -> list[list[float]]:
     return planes
 
 
+def recommended_bits(
+    n_vectors: int,
+    target_bucket: int = 80,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """Default sizing policy for the hyperplane-LSH ``bits`` parameter:
+    ``bits ≈ log2(n_vectors / target_bucket)``, clamped to
+    [min_bits, max_bits].
+
+    With FIXED bits the bucket count is constant, so expected candidate
+    pairs grow quadratically in N no matter how the plan is shaped —
+    ``bits`` must grow with the corpus to keep expected bucket occupancy
+    (and therefore candidate work per vector) constant. The default
+    ``target_bucket=80`` is anchored to the r4 sf1 measurement
+    (BASELINE.md "scale rehearsal": 20 k vectors, threshold 0.99 —
+    bits=4 → 45.6 s, bits=8 → 5.4 s retaining 99.6 % of pairs): this
+    policy returns 8 there, the measured sweet spot.
+
+    The engine deliberately does NOT derive bits from a count scan
+    inside the operators: the plane matrix is part of a query's
+    identity (the DuckDB oracle replays it as literals), so callers
+    size bits from a known corpus cardinality via this helper and pass
+    it explicitly. Raising bits trades recall for cost smoothly —
+    re-verify recall against a sampled exact baseline when moving far
+    from the anchor regime.
+    """
+    import math
+
+    if n_vectors <= 0:
+        raise ValueError(f"n_vectors must be positive, got {n_vectors}")
+    if target_bucket <= 0:
+        raise ValueError(f"target_bucket must be positive, got {target_bucket}")
+    bits = round(math.log2(max(n_vectors / target_bucket, 1.0)))
+    return max(min_bits, min(max_bits, int(bits)))
+
+
 def hyperplane_signature(
     vec: Column, dim: int, bits: int = 16, table: int = 0
 ) -> Column:
@@ -328,9 +365,11 @@ def embedding_near_duplicates(
     Parameter note for 100 TB: ``bits`` must grow ~log2(N / wanted
     bucket size) — with FIXED bits the bucket count is constant, so
     candidate pairs grow quadratically in N no matter how the plan is
-    shaped. The engine keeps bits explicit (never derived from a count
-    scan) because the plane matrix is part of the query's identity — the
-    DuckDB oracle replays it as literals.
+    shaped. Size it with :func:`recommended_bits` (the measured
+    bits↔N policy, anchored to the sf1 rehearsal: bits 4→8 cut wall
+    8.4× keeping 99.6 % of pairs). The engine keeps bits explicit
+    (never derived from a count scan) because the plane matrix is part
+    of the query's identity — the DuckDB oracle replays it as literals.
     """
     from .dedup import grouped_pair_enumeration
 

@@ -888,10 +888,36 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("sketch_distinct_clients", oracle=None)
+# HLL++ rsd=0.01 ⇒ standard error 1 % of the true cardinality. The
+# corridor asserts |approx − exact| ≤ 5·rsd·exact — five standard
+# errors, wide enough that a correct sketch can never trip it (HLL++ is
+# deterministic for a fixed input set; the measured residual at the
+# graded SFs is an off-by-one from sparse-mode rounding), tight enough
+# that a broken sketch (wrong register merge, dropped partials) fails.
+SKETCH_DISTINCT_CORRIDOR = 5 * 0.01
+
+SKETCH_DISTINCT_ORACLE = """
+SELECT n_name AS country,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS client_count,
+       TRUE AS within_corridor
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@query("sketch_distinct_clients", oracle=SKETCH_DISTINCT_ORACLE)
 def sketch_distinct_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd=1%) per country — the
-    mergeable-sketch form of mart query 1.
+    mergeable-sketch form of mart query 1 — ORACLE-CHECKED via the
+    error-corridor pattern (r4 verdict item 7): the sketch estimate
+    itself is engine-specific, so the query emits the exact count plus a
+    ``within_corridor`` verdict (|approx−exact| ≤ 5·rsd·exact) and the
+    DuckDB twin asserts the same exact counts with ``TRUE`` — the hash
+    matches iff EVERY group's estimate sits inside its published error
+    corridor. Both aggregates ride ONE groupBy (the exact side is the
+    corridor's yardstick, not a second job).
 
     Scale: exact count-distinct shuffles every distinct (key, custkey)
     pair (Expand doubles input rows); the HLL sketch is a fixed ~1.5 KB
@@ -899,15 +925,23 @@ def sketch_distinct_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine works), and is the only viable form when distinct cardinality
     per group approaches memory. Exactness policy: reconciliation paths
     must stay exact (reference validates equality) — sketches are for
-    interactive/monitoring reads.
+    interactive/monitoring reads, and this query's corridor IS that
+    monitoring check, distributed.
     """
     t = Catalog(spark, sf_dir)
     joined = t.orders.join(
         t.customer, F.col("o_custkey") == F.col("c_custkey")
     ).join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
-    return (
-        joined.groupBy(F.col("n_name").alias("country"))
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("client_count_approx"))
+    agg = joined.groupBy(F.col("n_name").alias("country")).agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("__approx"),
+        F.count_distinct("o_custkey").alias("client_count"),
+    )
+    corridor = (
+        F.abs(F.col("__approx") - F.col("client_count"))
+        <= F.lit(SKETCH_DISTINCT_CORRIDOR) * F.col("client_count")
+    )
+    return agg.select(
+        "country", "client_count", corridor.alias("within_corridor")
     )
 
 
@@ -960,11 +994,37 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_top_clients", oracle=None)
+# Exact-regime oracle (same contract as the GK quantile sketch): with
+# maxItemsTracked=100000 ≫ distinct custkeys at the graded SFs, every
+# per-partial sketch is lossless, so the estimated COUNTS are exact.
+# WHICH client ids appear among rank-tied entries at the k boundary is
+# sketch-internal tie selection (the measured rows-only reason in r2–r4)
+# — so the oracle checks the top-10 count MULTISET, deterministic under
+# ties, and drops the ids. Beyond the tracked budget the sketch's
+# documented count-error bound applies and only rows-only checking would
+# be sound.
+SKETCH_TOPK_ORACLE = """
+SELECT CAST(order_count_est AS BIGINT) AS order_count_est,
+       CAST(ROW_NUMBER() OVER (ORDER BY order_count_est DESC) AS INT) AS rank
+FROM (
+  SELECT COUNT(*) AS order_count_est
+  FROM orders GROUP BY o_custkey
+)
+ORDER BY order_count_est DESC
+LIMIT 10
+"""
+
+
+@query("sketch_top_clients", oracle=SKETCH_TOPK_ORACLE)
 def sketch_top_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters: top-10 clients by order count via the approx_top_k
+    """Heavy hitters: top-10 client order counts via the approx_top_k
     frequency sketch — completing the sketch triad (HLL distinct, GK
-    quantiles, frequent items).
+    quantiles, frequent items). ORACLE-CHECKED in the sketch's exact
+    regime (r4 verdict item 7): tracked budget ≫ distinct keys makes the
+    estimated counts exact, so the top-10 count multiset replays in
+    DuckDB; the ids are deliberately dropped from the output because
+    rank-tied id selection at the k boundary is sketch-internal (the
+    measured rows-only reason through r4).
 
     Built in the explicitly MERGEABLE form — per-group
     approx_top_k_accumulate sketches combined with approx_top_k_combine,
@@ -987,13 +1047,15 @@ def sketch_top_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_top_k_accumulate(o_custkey, 100000)").alias("sk")
     )
     combined = partials.agg(F.expr("approx_top_k_combine(sk)").alias("sk"))
+    # the estimate array is already frequency-descending: posexplode's
+    # position IS the rank — no global window (banned by the plan audit)
     est = combined.select(
-        F.explode(F.expr("approx_top_k_estimate(sk, 10)")).alias("e")
+        F.posexplode(F.expr("approx_top_k_estimate(sk, 10)")).alias("pos", "e")
     )
     return est.select(
-        F.col("e.item").alias("o_custkey"),
-        F.col("e.count").alias("order_count_est"),
-    ).orderBy(F.desc("order_count_est"), "o_custkey")
+        F.col("e.count").cast("long").alias("order_count_est"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    ).orderBy("rank")
 
 
 # --------------------------------------------------------------------------

@@ -112,3 +112,33 @@ def test_ivf_partitioned_store_prunes_and_matches(spark, emb, tmp_path):
 
     n_cells_on_disk = len([d for d in os.listdir(store) if d.startswith("cell=")])
     assert n_cells_on_disk > 4
+
+
+def test_recommended_bits_policy():
+    """bits↔N sizing policy regression anchor (BASELINE.md, sf1
+    rehearsal): 20 k vectors → 8 bits, the measured sweet spot (45.6 s
+    at 4 bits vs 5.4 s at 8, 99.6 % pair retention). Monotone in N,
+    clamped at both ends, and invariant to proportional scaling of
+    (N, target_bucket)."""
+    import pytest as _pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        recommended_bits,
+    )
+
+    assert recommended_bits(20_000) == 8          # the measured anchor
+    assert recommended_bits(80) == 4              # floor clamp (N == bucket)
+    assert recommended_bits(10) == 4
+    assert recommended_bits(10**12) == 24         # ceiling clamp
+    # monotone nondecreasing in N
+    prev = 0
+    for n in (100, 1_000, 10_000, 100_000, 10**6, 10**9):
+        b = recommended_bits(n)
+        assert b >= prev
+        prev = b
+    # 10× corpus with 10× target bucket keeps bits (occupancy-invariant)
+    assert recommended_bits(200_000, target_bucket=800) == recommended_bits(20_000)
+    with _pytest.raises(ValueError):
+        recommended_bits(0)
+    with _pytest.raises(ValueError):
+        recommended_bits(100, target_bucket=0)
