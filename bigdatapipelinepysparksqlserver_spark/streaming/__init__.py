@@ -7,6 +7,7 @@
 
 from .cdc import (  # noqa: F401
     foreach_batch_incremental_mart,
+    foreach_batch_incremental_mart_publish,
     foreach_batch_online_corpus_dedup,
     foreach_batch_partition_overwrite,
     streaming_dedup,

@@ -243,6 +243,50 @@ def foreach_batch_incremental_mart(
     return _sink
 
 
+def foreach_batch_incremental_mart_publish(
+    lake: LakeTable,
+    partials,
+    publisher,
+    now_fn: Callable[[], "object"],
+    tables: tuple = ("sales_history_1", "sales_history_2"),
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink closing the FULL reference loop continuously:
+    micro-batch → lake partition overwrite → incremental mart partials →
+    staging write → TRANSACTIONAL publish, per batch.
+
+    ``publisher`` is anything exposing ``write_staging(table, df)`` +
+    ``publish(table)`` — the directory-snapshot :class:`~..pipelines.
+    MartPublisher` or the database-transaction :class:`~..sources.jdbc.
+    JdbcMartPublisher` (the reference's actual SQL Server protocol,
+    exercised against embedded Derby in tests). ``now_fn`` supplies the
+    refresh stamp per batch (clock injection, SURVEY §7.5).
+
+    Idempotent per batch like the underlying sink (C4): a replay
+    rewrites the same partitions, recomputes the same partials, and the
+    publish is truncate-and-fill of state that is a pure function of the
+    lake — convergent, not duplicating. Per-batch cost stays ∝ change
+    set: the partials refresh only touched partitions, and the mart
+    aggregate read off the partials is partial-table-sized.
+    """
+    inner = foreach_batch_incremental_mart(lake, partials, transform=transform)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        inner(batch_df, batch_id)
+        out = transform(batch_df) if transform else batch_df
+        if out.isEmpty():
+            return
+        refresh = now_fn()
+        if "sales_history_1" in tables:
+            publisher.write_staging("sales_history_1", partials.client_count(refresh))
+            publisher.publish("sales_history_1")
+        if "sales_history_2" in tables:
+            publisher.write_staging("sales_history_2", partials.sales_agg(refresh))
+            publisher.publish("sales_history_2")
+
+    return _sink
+
+
 def foreach_batch_online_corpus_dedup(
     store_path: str,
     threshold: float = 0.2,

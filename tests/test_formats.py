@@ -129,3 +129,28 @@ def test_csv_malformed_numeric_quarantined(spark, tmp_path):
     clean, bad = split_corrupt(read_csv(spark, str(p), EVENT_SCHEMA))
     assert {r.event_id for r in clean.collect()} == {1, 2}
     assert bad.count() == 1
+
+
+def test_csv_quoted_field_containing_delimiter_pinned(spark, tmp_path):
+    """Pin the header-match's behavior on QUOTED data fields containing
+    the delimiter (r4 advice #4): the structural header match splits raw
+    lines quote-UNAWARE, so a row like ``3,30,"click,extra",4.5`` splits
+    into 5 fragments — which can never equal the 4-element header array,
+    so the row is correctly KEPT and then parsed by the quote-AWARE
+    from_csv into 4 fields. The quote-unaware split only ever misfires
+    toward keeping too much, never dropping a data row — and a kept
+    header fragment row would surface in quarantine, not vanish."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "quotedcsv"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        'event_id,user_id,event_type,value\n'
+        '1,10,click,1.5\n'
+        '3,30,"click,extra",4.5\n'
+    )
+    clean, bad = split_corrupt(read_csv(spark, str(p), EVENT_SCHEMA))
+    rows = {r.event_id: r.event_type for r in clean.collect()}
+    assert bad.count() == 0
+    # quote-aware parse: the delimiter inside quotes is field CONTENT
+    assert rows == {1: "click", 3: "click,extra"}
