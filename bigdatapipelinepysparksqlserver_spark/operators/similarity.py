@@ -143,6 +143,40 @@ def recommended_bits(
     return max(min_bits, min(max_bits, int(bits)))
 
 
+def recommended_cells(
+    n_vectors: int,
+    min_cells: int = 16,
+    max_cells: int = 1 << 18,
+) -> int:
+    """Default IVF cell-count policy: ``n_cells ≈ √N`` (the standard
+    inverted-file sizing — cells and per-cell postings both grow as √N,
+    balancing quantizer cost against probe cost), clamped and rounded
+    to a power of two for stable partition layouts.
+
+    Why it matters for the cell-PARTITIONED store: a probe reads
+    ``probe_union/n_cells`` of the data, so pruning only pays while the
+    probe union is a small fraction of the cells. Measured at sf1
+    (20 k vectors, BASELINE.md r5 note): with 16 cells an 8-query ×
+    6-probe batch unions to 14/16 cells — 87 % scanned, pruning
+    degenerate; with 64 cells (this policy gives 128 ≈ √20000·, same
+    regime) the same batch reads 35.6 % and a single query 9.6 %, with
+    the probe 2.5× faster than scan-assignment. At 10⁹ vectors the
+    policy gives ~32 k cells: a 32-probe query reads ~0.1 % of the
+    store — the number that makes ANN on 100 TB of embeddings I/O-
+    feasible at all.
+    """
+    if n_vectors <= 0:
+        raise ValueError(f"n_vectors must be positive, got {n_vectors}")
+    target = max(1.0, n_vectors ** 0.5)
+    cells = 1
+    while cells < target:
+        cells <<= 1
+    # round to the NEAREST power of two, not the ceiling
+    if cells > 1 and (cells - target) > (target - cells // 2):
+        cells >>= 1
+    return max(min_cells, min(max_cells, cells))
+
+
 def hyperplane_signature(
     vec: Column, dim: int, bits: int = 16, table: int = 0
 ) -> Column:
@@ -573,14 +607,62 @@ def write_ivf_partitioned(
     selection there agree by construction.
     """
     cells = _collect_codebook(codebook, cell_col, cent_col, "write_ivf_partitioned")
-    assigned = (
+    ivf_assign(vectors, cells, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    cells,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cell) — argmax-cosine cell assignment against a
+    collected codebook (``cells`` = sorted (cell, centroid) tuples from
+    :func:`_collect_codebook`), as a pure scan-side projection."""
+    return (
         vectors.select(
             F.col(id_col), F.col(vec_col), F.col(vec_col).alias("__v")
         )
         .withColumn("__vnorm", F.expr(_IVF_VNORM_SQL))
         .select(id_col, vec_col, F.expr(_ivf_argmax_sql(cells)).alias("cell"))
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_store_append_batch(
+    vectors: DataFrame,
+    cells: list,
+    path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append one ingest batch to a GROWING cell-partitioned vector
+    store: assign the batch's vectors (same codebook projection as
+    :func:`write_ivf_partitioned`) and overwrite ``{path}/batch=N``
+    partitioned by cell.
+
+    Layout ``batch=N/cell=C/``: partition discovery reads both levels,
+    so a probe's ``cell IN (…)`` predicate still prunes at the
+    file-listing level inside every batch directory — the store keeps
+    its index property as it grows, with no rewrite of prior batches.
+    Overwriting the batch's OWN directory (never appending files into
+    shared cell dirs) makes a replay of batch N idempotent — the
+    exactly-once pattern the streaming corpus-dedup store uses.
+
+    ``cells`` is the COLLECTED versioned codebook (sorted
+    (cell, centroid) tuples — model-sized by contract); it must be the
+    same artifact the probes use: mixing codebooks across batches would
+    break the assignment↔probe agreement that makes pruning lossless.
+    Re-training (cell drift) is a full :func:`write_ivf_partitioned`
+    rebuild under a new store version.
+    """
+    if not cells:
+        raise ValueError("ivf_store_append_batch: empty codebook")
+    ivf_assign(vectors, cells, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/batch={batch_id}")
 
 
 def ivf_partitioned_topk(

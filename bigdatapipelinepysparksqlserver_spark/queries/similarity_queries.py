@@ -439,6 +439,67 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+sigs AS (
+{{sigs}}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.id1, c.id2
+  FROM cand c
+  JOIN v v1 ON v1.vec_id = c.id1
+  JOIN v v2 ON v2.vec_id = c.id2
+  WHERE list_cosine_similarity(v1.emb, v2.emb) >= {EMB_NEARDUP_THRESHOLD}
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM verified
+  UNION ALL
+  SELECT id2, id1 FROM verified
+),
+cnodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.id = e.a WHERE w.lbl < e.b
+)
+SELECT id AS vec_id, MIN(lbl) AS component FROM walk GROUP BY id
+"""
+
+
+@query("emb_neardup_clusters", oracle=EMB_CLUSTERS_ORACLE.format(sigs=_sigs_cte()))
+def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS: connected components over the
+    verified hyperplane-LSH pair graph — (vec_id, component) with
+    component = the cluster's canonical (minimum) vec id. The embedding
+    twin of ``dedup_clusters``: "keep one exemplar per semantic
+    near-dup cluster" is a component question, not a pair question, and
+    this is the step that turns ``emb_neardup_lsh``'s pair list into a
+    usable curation verdict (drop every member whose id ≠ component).
+
+    Scale: pair generation is the id-only bucketed path (shared
+    two-tier guard, vectors rejoin only at the verify); components use
+    the diameter-independent large/small-star contraction — the same
+    pieces already proven at sf1/sf3, composed. Oracle: the literal
+    plane matrix replays bucketing in DuckDB, then a recursive
+    min-label-reachability CTE recomputes the components.
+    """
+    from ..operators.dedup import connected_components_star
+
+    emb = Catalog(spark, sf_dir).embeddings
+    pairs = embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", dim=EMB_DIM,
+        threshold=EMB_NEARDUP_THRESHOLD, bits=LSH_BITS, tables=LSH_TABLES,
+    )
+    return connected_components_star(pairs).withColumnRenamed("doc_id", "vec_id")
+
+
 CENTROID_ORACLE = """
 SELECT label,
        CAST(t.i AS INT) AS dim,

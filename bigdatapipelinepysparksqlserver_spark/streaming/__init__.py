@@ -8,6 +8,7 @@
 from .cdc import (  # noqa: F401
     foreach_batch_incremental_mart,
     foreach_batch_incremental_mart_publish,
+    foreach_batch_ivf_store_upsert,
     foreach_batch_online_corpus_dedup,
     foreach_batch_partition_overwrite,
     streaming_dedup,

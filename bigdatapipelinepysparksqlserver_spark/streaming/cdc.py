@@ -287,6 +287,43 @@ def foreach_batch_incremental_mart_publish(
     return _sink
 
 
+def foreach_batch_ivf_store_upsert(
+    store_path: str,
+    codebook_cells: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: continuously-growing IVF cell-partitioned
+    vector store — the streaming ingest path of the ANN disk layout
+    (``operators.similarity.write_ivf_partitioned`` is the batch build,
+    ``ivf_partitioned_topk`` the probe; this maintains the store as new
+    embeddings arrive).
+
+    Each micro-batch is cell-assigned with the SAME versioned codebook
+    the probes use (``codebook_cells`` = (cell, centroid) tuples, the
+    collected artifact — model-sized by contract) and lands as
+    ``batch=N/cell=C`` partitions: probes keep pruning at the
+    file-listing level as the store grows, prior batches are never
+    rewritten, and a micro-batch replay overwrites its OWN batch
+    directory (exactly-once, same pattern as the corpus-dedup store).
+    """
+    from ..operators.similarity import ivf_store_append_batch
+
+    cells = sorted((int(c), [float(x) for x in v]) for c, v in codebook_cells)
+    if not cells:
+        raise ValueError("foreach_batch_ivf_store_upsert: empty codebook")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        vecs = batch_df.select(id_col, vec_col)
+        if vecs.isEmpty():
+            return
+        ivf_store_append_batch(
+            vecs, cells, store_path, batch_id, id_col=id_col, vec_col=vec_col
+        )
+
+    return _sink
+
+
 def foreach_batch_online_corpus_dedup(
     store_path: str,
     threshold: float = 0.2,

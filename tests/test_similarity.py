@@ -142,3 +142,26 @@ def test_recommended_bits_policy():
         recommended_bits(0)
     with _pytest.raises(ValueError):
         recommended_bits(100, target_bucket=0)
+
+
+def test_recommended_cells_policy():
+    """IVF cell-count sizing: ~sqrt(N) rounded to a power of two,
+    clamped — with the sf1 measurement as the regime anchor (see
+    BASELINE.md r5 IVF-store note)."""
+    import pytest as _pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        recommended_cells,
+    )
+
+    assert recommended_cells(20_000) == 128          # sqrt(20000)=141 -> 128
+    assert recommended_cells(100) == 16              # floor clamp
+    assert recommended_cells(10**9) == 32_768        # sqrt(1e9)=31623 -> 32768
+    assert recommended_cells(10**12) == 1 << 18      # ceiling clamp
+    prev = 0
+    for n in (1_000, 10_000, 10**6, 10**8, 10**10):
+        c = recommended_cells(n)
+        assert c >= prev and (c & (c - 1)) == 0      # monotone, power of two
+        prev = c
+    with _pytest.raises(ValueError):
+        recommended_cells(0)

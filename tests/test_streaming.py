@@ -626,3 +626,66 @@ def test_streaming_mart_composes_with_jdbc_transactional_publish(spark, tmp_path
     assert got == want and len(got) > 0
     # and the staging table holds the same snapshot (truncate-and-fill)
     assert publisher.read(spark, publisher.staging_name("sales_history_2")).count() == len(want)
+
+
+def test_streaming_ivf_store_grows_and_keeps_pruning(spark, tmp_path):
+    """Continuously-growing ANN store: embeddings streamed in ≥2
+    micro-batches through foreach_batch_ivf_store_upsert land as
+    batch=N/cell=C partitions. A probe over the grown store must (a)
+    return exactly what the projection-assignment search returns over
+    the SAME vectors, and (b) still prune: PartitionFilters carries the
+    probed cells, excluding real cell directories in every batch."""
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        ivf_codebook_topk,
+        ivf_partitioned_topk,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_ivf_store_upsert,
+    )
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings.select(
+        "vec_id", "embedding"
+    )
+    codebook_df = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    cells = [(r.cell, list(r.centroid)) for r in codebook_df.collect()]
+
+    # two micro-batches covering the whole table, via a real file stream
+    src = tmp_path / "vec_src"
+    emb.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(str(src / "f1"))
+    emb.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(str(src / "f2"))
+    store = str(tmp_path / "ivf_stream_store")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_ivf_store_upsert(store, cells)
+        )
+        .option("checkpointLocation", str(tmp_path / "ivf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+    stored = spark.read.parquet(store)
+    assert stored.count() == emb.count()          # nothing lost across batches
+    assert stored.select("batch").distinct().count() >= 2
+
+    queries = emb.where(F.col("vec_id") < 6)
+    got = ivf_partitioned_topk(
+        spark, store, queries, codebook_df, n_probe=4, k=8
+    )
+    want = ivf_codebook_topk(emb, queries, codebook_df, n_probe=4, k=8)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:300]
