@@ -300,6 +300,26 @@ class MartPublisher:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.final_path(table))
 
+    def list_versions(self, table: str) -> "list[int]":
+        """All snapshot versions on disk, oldest first (live + retained
+        + any orphans a crashed publish left — see ``_gc``)."""
+        return self._versions(table)
+
+    def read_version(self, spark: SparkSession, table: str, version: int) -> DataFrame:
+        """Time travel: read a specific retained snapshot — the
+        versioned layout gives mart time travel for free (snapshots are
+        immutable; ``retain`` controls how far back readers can go).
+        The reference's transactional mart had exactly one generation;
+        this is the lake-native upgrade: publish N, diff N against N−1,
+        roll back by pointing a reader (or ``set_pointer``) at N−1."""
+        path = os.path.join(self.table_root(table), f"v{version}")
+        if not self.fs.is_dir(path):
+            raise FileNotFoundError(
+                f"mart table {table} has no snapshot v{version} "
+                f"(on disk: {self._versions(table)})"
+            )
+        return spark.read.parquet(path)
+
 
 def run_pipeline_2(
     spark: SparkSession, lake: LakeTable, mart: MartPublisher, now: datetime

@@ -173,10 +173,13 @@ def test_scoped_cache_lifecycle_keeps_memory_flat(spark):
     def n_cached() -> int:
         return spark.sparkContext._jsc.getPersistentRDDs().size()
 
-    # start from a clean slate (other tests may have left scoped caches)
+    # baseline, not zero: earlier tests in a shared session may hold
+    # localCheckpoint RDDs, which are persistent-RDD entries that
+    # catalog.clearCache does not (and must not) touch — the scope owns
+    # only the operator persists, so assert the DELTA returns to base.
     release_caches()
     spark.catalog.clearCache()
-    assert n_cached() == 0
+    base = n_cached()
 
     docs = _boilerplate_docs(spark, n=40)
     for _ in range(3):
@@ -184,8 +187,8 @@ def test_scoped_cache_lifecycle_keeps_memory_flat(spark):
             docs, text_col="text", id_col="doc_id",
             threshold=0.5, num_hashes=16, bands=4,
         )
-        assert out.count() > 0  # materialize (fills the scoped caches)
-        assert n_cached() > 0   # the operator did cache intermediates
+        assert out.count() > 0     # materialize (fills the scoped caches)
+        assert n_cached() > base   # the operator did cache intermediates
         released = release_caches()
-        assert released >= 2    # candidate pairs + bucket table at least
-        assert n_cached() == 0  # ...and the scope freed ALL of them
+        assert released >= 2       # candidate pairs + bucket table at least
+        assert n_cached() == base  # ...and the scope freed ALL of them

@@ -190,3 +190,35 @@ def test_recover_falls_back_when_pointer_names_missing_dir(spark, tmp_path):
     mart.recover("sales_history_1")
     assert mart.current_version("sales_history_1") == 1
     assert mart.read(spark, "sales_history_1").count() == 2
+
+
+def test_snapshot_time_travel_reads_retained_version(spark, tmp_path):
+    """The versioned layout gives mart time travel for free: after two
+    publishes with different content, read_version(v1) returns the OLD
+    snapshot while read() serves the new one; unknown versions raise
+    with the on-disk inventory."""
+    import pyspark.sql.functions as F
+
+    lake = _lake(spark, tmp_path)
+    mart = MartPublisher(str(tmp_path / "mart"), retain=1)
+    run_pipeline_2(spark, lake, mart, REFRESH)  # v1
+
+    # second publish with visibly different content (one extra paid row)
+    from datetime import datetime as dt
+
+    extra = spark.createDataFrame(
+        [(9, dt(2024, 2, 2), "40.00", 9, "F", 3, "cap", "S", "green",
+          None, 202402, "ES")],
+        "id long, sale_date timestamp, paid string, client_id long, gender string, "
+        "product_id long, product string, size string, color string, "
+        "updated_date timestamp, year_month int, country string",
+    ).withColumn("paid", F.col("paid").cast("decimal(18,2)"))
+    lake.overwrite_partitions(lake.read().unionByName(extra))
+    run_pipeline_2(spark, lake, mart, REFRESH)  # v2
+
+    assert mart.list_versions("sales_history_2") == [1, 2]
+    v1 = mart.read_version(spark, "sales_history_2", 1)
+    live = mart.read(spark, "sales_history_2")
+    assert live.count() == v1.count() + 1   # the new row is only in v2
+    with pytest.raises(FileNotFoundError, match=r"v9.*\[1, 2\]"):
+        mart.read_version(spark, "sales_history_2", 9)
