@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for 94 of 95 queries — including the full
+    """DuckDB twins for 95 of 96 queries — including the full
     MinHash/SimHash/hyperplane-LSH pipelines via engine-portable hash
     families, and (since r5) the HLL-distinct and approx-top-k sketches
     via error-corridor / exact-regime oracles. The single rows-only
