@@ -207,6 +207,93 @@ def decode_image_batches(
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_width", IntegerType(), False),
+        StructField("out_height", IntegerType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def resize_image_batches(
+    media: DataFrame, width: int = 32, height: int = 32, decoder: str = "auto"
+) -> DataFrame:
+    """Resize via ``mapInPandas`` — the batch-transform shape of the
+    multimodal pipeline (decode → transform → RE-ENCODED binary out),
+    complementing :func:`decode_image_batches` (decode → features out).
+
+    ``decoder="real"`` (PIL): decode → bilinear resize to
+    (width, height) → grayscale raw-byte payload of exactly
+    width×height bytes; undecodable payloads degrade to a zero payload
+    of the right size (poison rows must never kill a corpus job).
+    ``"surrogate"``: deterministic byte resample — ``np.resize`` tiles/
+    truncates the raw payload to width×height bytes — exercising the
+    identical distributed path (Arrow binary in AND out, fixed-size
+    output contract) with no codec dependency. ``"auto"`` picks per
+    environment; the plan is identical either way.
+
+    Scale: same contract as decode — per-row Python CPU behind an Arrow
+    batch boundary; size ``arrow.maxRecordsPerBatch`` against payload
+    size, pre-partition by size class to avoid stragglers. Output
+    payloads are FIXED-SIZE by construction, so downstream batching
+    (training shards, tensor packing) needs no per-row length handling.
+    """
+    if decoder not in ("auto", "real", "surrogate"):
+        raise ValueError(f"unknown decoder: {decoder!r}")
+    if decoder == "auto":
+        decoder = "real" if pil_available() else "surrogate"
+    if decoder == "real" and not pil_available():
+        raise ImportError(
+            "decoder='real' requires Pillow; install it or use decoder='auto'"
+        )
+    n_out = width * height
+
+    def surrogate(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                resized = np.resize(buf, n_out) if buf.size else np.zeros(
+                    n_out, dtype=np.uint8
+                )
+                out.append((mid, width, height, resized.tobytes()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "out_width", "out_height", "payload"]
+            )
+
+    def real(batches):
+        import io
+
+        import numpy as np
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = Image.open(io.BytesIO(payload)).convert("L").resize(
+                        (width, height), Image.BILINEAR
+                    )
+                    body = np.asarray(img, dtype=np.uint8).tobytes()
+                except Exception:
+                    body = bytes(n_out)
+                out.append((mid, width, height, body))
+            yield pd.DataFrame(
+                out, columns=["media_id", "out_width", "out_height", "payload"]
+            )
+
+    kernel = real if decoder == "real" else surrogate
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 16
 ) -> DataFrame:

@@ -83,3 +83,43 @@ def test_frame_plan_clamps(spark):
         frames[r.media_id].append((r.frame_index, r.frame_ts_ms))
     assert sorted(frames[1]) == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]  # capped at 4
     assert sorted(frames[2]) == [(0, 0)]  # sub-second duration → 1 frame
+
+
+def test_resize_fixed_size_deterministic(media, spark):
+    """resize_image_batches: every output payload is EXACTLY w×h bytes
+    (the fixed-size contract downstream tensor packing relies on),
+    deterministic across runs, one row per input, via MapInPandas —
+    including the empty payload (zero-filled, not dropped/crashed)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.multimodal import (
+        resize_image_batches,
+    )
+
+    out = resize_image_batches(media, width=4, height=3, decoder="surrogate")
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert (r.out_width, r.out_height) == (4, 3)
+        assert len(r.payload) == 12
+    # surrogate = np.resize tiling of the raw bytes — verifiable driver-side
+    assert rows[2].payload == (b"abc" * 4)          # 3 bytes tiled to 12
+    assert rows[1].payload == b"hello worldh"  # 11 bytes tiled to 12
+    assert rows[3].payload == bytes(12)              # empty -> zero-filled
+    # deterministic across executions
+    again = {r.media_id: r.payload for r in
+             resize_image_batches(media, width=4, height=3, decoder="surrogate").collect()}
+    assert {k: v.payload for k, v in rows.items()} == again
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_resize_decoder_validation(media):
+    from bigdatapipelinepysparksqlserver_spark.operators.multimodal import (
+        pil_available,
+        resize_image_batches,
+    )
+
+    with pytest.raises(ValueError, match="unknown decoder"):
+        resize_image_batches(media, decoder="nope")
+    if not pil_available():
+        with pytest.raises(ImportError, match="Pillow"):
+            resize_image_batches(media, decoder="real")
