@@ -919,14 +919,19 @@ def sketch_distinct_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
     corridor. Both aggregates ride ONE groupBy (the exact side is the
     corridor's yardstick, not a second job).
 
-    Scale: exact count-distinct shuffles every distinct (key, custkey)
-    pair (Expand doubles input rows); the HLL sketch is a fixed ~1.5 KB
-    per group regardless of cardinality, merges associatively (map-side
-    combine works), and is the only viable form when distinct cardinality
-    per group approaches memory. Exactness policy: reconciliation paths
-    must stay exact (reference validates equality) — sketches are for
-    interactive/monitoring reads, and this query's corridor IS that
-    monitoring check, distributed.
+    Honest scale note: because the corridor needs the exact count as
+    its yardstick, THIS registered query pays the exact-distinct Expand
+    shuffle alongside the sketch — it is the VALIDATION form, run at
+    scales where exact is still affordable (or on a sample). The
+    production approx-only forms — a bare ``approx_count_distinct``
+    projection, and the persisted re-aggregatable HLL partials in
+    `plans/mart_incremental.py` (`client_count_sketched`) — carry no
+    exact twin; their contract is exactly the corridor this query
+    demonstrates: fixed ~1.5 KB per group regardless of cardinality,
+    associative merge, the only viable shape when per-group distinct
+    cardinality approaches memory. Exactness policy unchanged:
+    reconciliation paths stay exact (reference validates equality);
+    sketches serve interactive/monitoring reads.
     """
     t = Catalog(spark, sf_dir)
     joined = t.orders.join(

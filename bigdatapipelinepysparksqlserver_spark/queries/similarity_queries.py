@@ -288,15 +288,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_store_path(sf_dir: str) -> str:
-    """Deterministic per-sf_dir location for the cell-partitioned vector
-    store (under the system temp root — the engine never writes inside
-    the read-only testdata tree)."""
+    """Per-(user, process, sf_dir) location for the cell-partitioned
+    vector store, under the system temp root — the engine never writes
+    inside the read-only testdata tree. uid in the root dir avoids the
+    shared-/tmp permission trap (another user owning the parent); pid
+    in the leaf isolates concurrent runs (bench vs checker vs parallel
+    pytest), whose overwrite would otherwise race a sibling's lazy
+    probe plan. Within one process the path is stable, which is what
+    the plan-audit test relies on to re-probe the registered query's
+    store."""
     import hashlib
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    uid = getattr(os, "getuid", lambda: 0)()
     return os.path.join(
-        tempfile.gettempdir(), "bdppss_ivf_store", f"{os.path.basename(sf_dir.rstrip('/'))}_{tag}"
+        tempfile.gettempdir(),
+        f"bdppss_ivf_store_u{uid}",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{tag}_p{os.getpid()}",
     )
 
 

@@ -23,6 +23,7 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..caching import release_caches
 from ..sources.lake import LakeTable
 
 
@@ -230,15 +231,19 @@ def foreach_batch_incremental_mart(
     import-light).
     """
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> bool:
+        # returns whether the batch wrote anything (Spark ignores the
+        # return value; the publish wrapper composes on it so emptiness
+        # and the transform are evaluated exactly ONCE per batch)
         out = transform(batch_df) if transform else batch_df
         if out.isEmpty():
-            return
+            return False
         lake.overwrite_partitions(out)
         changed = [
             r.year_month for r in out.select("year_month").distinct().collect()
         ]
         partials.refresh(changed)
+        return True
 
     return _sink
 
@@ -272,10 +277,8 @@ def foreach_batch_incremental_mart_publish(
     inner = foreach_batch_incremental_mart(lake, partials, transform=transform)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        inner(batch_df, batch_id)
-        out = transform(batch_df) if transform else batch_df
-        if out.isEmpty():
-            return
+        if not inner(batch_df, batch_id):
+            return  # empty batch: inner already evaluated that, once
         refresh = now_fn()
         if "sales_history_1" in tables:
             publisher.write_staging("sales_history_1", partials.client_count(refresh))
@@ -442,6 +445,13 @@ def foreach_batch_online_corpus_dedup(
         )
         docs.unpersist()
         accepted.unpersist()
+        # drain the scoped persists the incremental-dedup operator
+        # registered on THIS (stream-execution) thread: both writes are
+        # done, and without the release a long-running stream would
+        # accumulate two pinned caches per micro-batch forever — the
+        # scope registry holds strong references, so not even the
+        # ContextCleaner could reclaim them.
+        release_caches()
 
     return _sink
 

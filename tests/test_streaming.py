@@ -513,9 +513,16 @@ def test_online_dedup_invariant_under_randomized_batch_orderings(spark, tmp_path
         store = str(tmp_path / f"store_seed{seed}")
         shutil.rmtree(store, ignore_errors=True)
         sink = foreach_batch_online_corpus_dedup(store, **kw)
+        from bigdatapipelinepysparksqlserver_spark.caching import release_caches
+
+        release_caches()  # reset this thread's scope before the sinks
         for bid, chunk in enumerate(batches):
             if chunk:
                 sink(spark.createDataFrame(chunk, schema), bid)
+        # cache-leak regression: the sink must DRAIN its own scoped
+        # persists per batch (a long-running stream would otherwise pin
+        # two caches per micro-batch forever)
+        assert release_caches() == 0, f"seed {seed}: sink leaked scoped caches"
 
         kept = spark.read.parquet(f"{store}/docs").select("doc_id", "text")
         kept_ids = {r.doc_id for r in kept.collect()}
