@@ -165,15 +165,16 @@ def recommended_cells(
     store — the number that makes ANN on 100 TB of embeddings I/O-
     feasible at all.
     """
+    import math
+
     if n_vectors <= 0:
         raise ValueError(f"n_vectors must be positive, got {n_vectors}")
     target = max(1.0, n_vectors ** 0.5)
-    cells = 1
-    while cells < target:
-        cells <<= 1
-    # round to the NEAREST power of two, not the ceiling
-    if cells > 1 and (cells - target) > (target - cells // 2):
-        cells >>= 1
+    # round the EXPONENT (log-space nearest): guarantees the chosen
+    # power of two is within a factor √2 of √N — linear-space nearest
+    # violates that near geometric midpoints (hypothesis-caught:
+    # N=32769 → linear picks 128 with √N/128 ≈ 1.4143 > √2)
+    cells = 1 << max(0, round(math.log2(target)))
     return max(min_cells, min(max_cells, cells))
 
 

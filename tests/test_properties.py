@@ -206,3 +206,38 @@ def test_portable_minhash_matches_python_reference(spark, shingle_sets):
             for a, b in consts
         ]
         assert got[i] == expect
+
+
+@given(n=st.integers(min_value=1, max_value=10**14),
+       target=st.integers(min_value=1, max_value=10**6))
+def test_recommended_bits_properties(n, target):
+    """Sizing policy invariants for ANY (N, target_bucket): result in
+    clamp range, and expected bucket occupancy N/2^bits lands within
+    [target/2, target*2] whenever no clamp binds (round-to-nearest
+    exponent error is at most a factor √2 < 2)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        recommended_bits,
+    )
+
+    b = recommended_bits(n, target_bucket=target)
+    assert 4 <= b <= 24
+    unclamped = recommended_bits(n, target_bucket=target, min_bits=0, max_bits=10**6)
+    if unclamped == b:  # no clamp bound → occupancy within 2x of target
+        occ = n / (1 << b)
+        assert target / 2 <= occ <= target * 2 or n <= target
+
+
+@given(n=st.integers(min_value=1, max_value=10**14))
+def test_recommended_cells_properties(n):
+    """Cells are a power of two within the clamp range, and when no
+    clamp binds the cell count is within a factor √2 of √N."""
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        recommended_cells,
+    )
+
+    c = recommended_cells(n)
+    assert 16 <= c <= (1 << 18)
+    assert (c & (c - 1)) == 0
+    if 16 < c < (1 << 18):
+        assert c / (n ** 0.5) <= 2 ** 0.5 + 1e-9
+        assert (n ** 0.5) / c <= 2 ** 0.5 + 1e-9
