@@ -364,6 +364,53 @@ def minhash_band_store(
     return band_rows(sigs, id_col, num_hashes, bands)
 
 
+def minhash_band_store_bucketed(
+    spark,
+    docs: DataFrame,
+    table: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    num_buckets: int = 32,
+    path: "str | None" = None,
+) -> DataFrame:
+    """The band index as a BUCKETED catalog table — the disk layout that
+    removes the base-side shuffle from every future incremental probe.
+
+    :func:`minhash_near_duplicates_incremental` joins batch band rows
+    against the base index on (band, bh). With the index stored as a
+    plain parquet file both sides shuffle per probe — at 100 TB the base
+    side is ``bands × corpus`` rows and re-shuffling it per ingest batch
+    is the dominant cost of the join. Bucketing the store by (band, bh)
+    (the hash partitioning baked into the file layout) makes
+    the stored side Exchange-FREE at probe time: only the batch-sized
+    probe side shuffles, so per-batch join cost is O(batch) network no
+    matter how large the corpus index grows. Paid once at ingest, like
+    all bucketing (see ``sources.lake.write_bucketed_table``). Bucketed
+    AND sorted on (band, bh) — both join keys, as Spark's co-partition
+    check requires — so the sort-merge probe reads pre-sorted buckets.
+
+    Returns the re-read table DataFrame, ready to pass as
+    ``base_bands=``. Appending a new accepted batch = re-write of the
+    table (or insertInto for true appends); the streaming form keeps
+    per-batch directories instead because exactly-once replay needs
+    batch-scoped overwrites.
+    """
+    from ..sources.lake import write_bucketed_table
+
+    store = minhash_band_store(
+        docs, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    write_bucketed_table(
+        spark, store, table, bucket_col=["band", "bh"], num_buckets=num_buckets,
+        sort_col=["band", "bh"], path=path,
+    )
+    return spark.table(table)
+
+
 def minhash_near_duplicates_incremental(
     base: DataFrame,
     batch: DataFrame,
@@ -425,16 +472,26 @@ def minhash_near_duplicates_incremental(
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         ).select("band", "bh", F.col(id_col).alias("__pid"))
     )
-    build = base_bands.select(
-        "band", "bh", F.col(id_col).alias("__cid")
-    ).unionByName(probe.select("band", "bh", F.col("__pid").alias("__cid")))
-    # no broadcast HINT: the probe side is small by contract but not by
-    # construction — AQE broadcasts it when it is actually under the
-    # threshold and falls back to a bucket-keyed shuffle join when a
-    # giant backfill batch arrives, which is the correct plan there
+    # TWO joins, not one join against (base ∪ batch): unioning the base
+    # index with the probe rows would erase the base relation's physical
+    # layout — in particular a BUCKETED band store
+    # (minhash_band_store_bucketed) joins here Exchange-free on its side,
+    # which a union would forfeit. probe×(base∪probe) ≡ (probe×base) ∪
+    # (probe×probe), and the batch-batch join is batch-sized.
+    # No broadcast HINT on either: the probe side is small by contract
+    # but not by construction — AQE broadcasts it when it is actually
+    # under the threshold and falls back to a bucket-keyed shuffle join
+    # when a giant backfill batch arrives, the correct plan there.
+    vs_base = probe.join(
+        base_bands.select("band", "bh", F.col(id_col).alias("__cid")),
+        ["band", "bh"],
+    )
+    vs_batch = probe.join(
+        probe.select("band", "bh", F.col("__pid").alias("__cid")),
+        ["band", "bh"],
+    )
     cands = scoped_persist(
-        probe
-        .join(build, ["band", "bh"])
+        vs_base.unionByName(vs_batch)
         .where(F.col("__pid") != F.col("__cid"))
         .select(
             F.least("__pid", "__cid").alias("id1"),

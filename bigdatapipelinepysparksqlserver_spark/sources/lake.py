@@ -268,9 +268,9 @@ def write_bucketed_table(
     spark: SparkSession,
     df: DataFrame,
     name: str,
-    bucket_col: str,
+    bucket_col: "str | list[str]",
     num_buckets: int,
-    sort_col: str | None = None,
+    sort_col: "str | list[str] | None" = None,
     path: str | None = None,
 ) -> None:
     """Hash-bucketed (and optionally sorted) catalog table.
@@ -283,11 +283,20 @@ def write_bucketed_table(
     this converts the fact⋈fact shuffle (the single most expensive
     operation in the pipeline) into a local merge, paid once at ingest.
     Idempotent: re-running replaces the table.
+
+    Multi-column joins: bucket by ALL the join keys (pass a list) —
+    Spark's co-partitioning check requires every cluster key by default
+    (`spark.sql.requireAllClusterKeysForCoPartition`), so a subset
+    bucketing still forces an Exchange on the stored side.
     """
+    bcols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    w = df.write.format("parquet").mode("overwrite").bucketBy(num_buckets, bucket_col)
+    w = df.write.format("parquet").mode("overwrite").bucketBy(
+        num_buckets, bcols[0], *bcols[1:]
+    )
     if sort_col is not None:
-        w = w.sortBy(sort_col)
+        scols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        w = w.sortBy(scols[0], *scols[1:])
     if path is not None:
         w = w.option("path", os.path.abspath(path))
     w.saveAsTable(name)
