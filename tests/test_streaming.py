@@ -696,3 +696,48 @@ def test_streaming_ivf_store_grows_and_keeps_pruning(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_online_dedup_replay_is_exactly_once(spark, tmp_path):
+    """The sink's exactly-once claim, exercised directly: replaying a
+    micro-batch (same df, same batch_id — what Structured Streaming does
+    after a crash before checkpoint commit) must leave the store
+    byte-identical, INCLUDING after a partial failure where the docs dir
+    was written but the bands dir was not — the accept decision is a
+    pure function of the store state excluding the batch's own dirs."""
+    import shutil
+
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_online_corpus_dedup,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog every single day"
+    docs0 = [(1, a), (2, "unrelated material about tide pools and harbors")]
+    docs1 = [(10, a.replace("day", "night")),   # near-dup of accepted 1 → drop
+             (11, "novel content regarding compilers and small passes")]
+    schema = "doc_id long, text string"
+    store = str(tmp_path / "replay_store")
+    sink = foreach_batch_online_corpus_dedup(store, threshold=0.2,
+                                             num_hashes=16, bands=4)
+    sink(spark.createDataFrame(docs0, schema), 0)
+    sink(spark.createDataFrame(docs1, schema), 1)
+
+    def snapshot():
+        kept = sorted(r.doc_id for r in spark.read.parquet(f"{store}/docs").collect())
+        bands = sorted(
+            (r.doc_id, r.band, r.bh)
+            for r in spark.read.parquet(f"{store}/bands").collect()
+        )
+        return kept, bands
+
+    before = snapshot()
+    assert before[0] == [1, 2, 11]
+
+    # full replay of batch 1
+    sink(spark.createDataFrame(docs1, schema), 1)
+    assert snapshot() == before
+
+    # crash-replay: bands/batch=1 lost after docs/batch=1 was written
+    shutil.rmtree(f"{store}/bands/batch=1")
+    sink(spark.createDataFrame(docs1, schema), 1)
+    assert snapshot() == before
