@@ -158,9 +158,9 @@ def recommended_cells(
     probe union is a small fraction of the cells. Measured at sf1
     (20 k vectors, BASELINE.md r5 note): with 16 cells an 8-query ×
     6-probe batch unions to 14/16 cells — 87 % scanned, pruning
-    degenerate; with 64 cells (this policy gives 128 ≈ √20000·, same
-    regime) the same batch reads 35.6 % and a single query 9.6 %, with
-    the probe 2.5× faster than scan-assignment. At 10⁹ vectors the
+    degenerate; with 64 cells (the same √N regime as this policy's 128
+    for √20000 ≈ 141) the same batch reads 35.6 % and a single query
+    9.6 %, with the probe 2.5× faster than scan-assignment. At 10⁹ vectors the
     policy gives ~32 k cells: a 32-probe query reads ~0.1 % of the
     store — the number that makes ANN on 100 TB of embeddings I/O-
     feasible at all.
