@@ -192,3 +192,46 @@ def test_scoped_cache_lifecycle_keeps_memory_flat(spark):
         released = release_caches()
         assert released >= 2       # candidate pairs + bucket table at least
         assert n_cached() == base  # ...and the scope freed ALL of them
+
+
+def test_incremental_dedup_giant_backfill_no_broadcast(spark):
+    """The giant-backfill contract: with broadcast disabled (forcing the
+    plan a too-big-to-broadcast batch would get — bucket-keyed shuffle
+    joins end to end), the incremental path must return exactly the
+    same pairs as the default plan. This pins the r4-advice change that
+    removed the forced broadcast hints: correctness is plan-independent,
+    so AQE is free to pick either side strategy by size."""
+    from bigdatapipelinepysparksqlserver_spark.caching import release_caches
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        minhash_near_duplicates_incremental,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog near the river today"
+    base = spark.createDataFrame(
+        [(i, f"{body} base{i}") for i in range(60)], "doc_id long, text string"
+    )
+    # "backfill" batch comparable in size to the base — the shape where a
+    # forced broadcast of batch-derived candidates would OOM at scale
+    batch = spark.createDataFrame(
+        [(1000 + i, f"{body} base{i}") for i in range(50)]
+        + [(2000, "completely unrelated content about glaciers and moraines")],
+        "doc_id long, text string",
+    )
+    kw = dict(text_col="text", id_col="doc_id", threshold=0.2,
+              num_hashes=16, bands=4)
+
+    default_pairs = sorted(
+        map(tuple, minhash_near_duplicates_incremental(base, batch, **kw).collect())
+    )
+    release_caches()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffle_pairs = sorted(
+            map(tuple, minhash_near_duplicates_incremental(base, batch, **kw).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        release_caches()
+    assert default_pairs == shuffle_pairs
+    assert len(default_pairs) >= 50  # every clone matched its base twin
