@@ -174,7 +174,7 @@ def recommended_cells(
     # power of two is within a factor √2 of √N — linear-space nearest
     # violates that near geometric midpoints (hypothesis-caught:
     # N=32769 → linear picks 128 with √N/128 ≈ 1.4143 > √2)
-    cells = 1 << max(0, round(math.log2(target)))
+    cells = 1 << round(math.log2(target))  # target ≥ 1 ⇒ exponent ≥ 0
     return max(min_cells, min(max_cells, cells))
 
 

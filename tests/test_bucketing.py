@@ -127,9 +127,10 @@ def test_bucketed_band_store_probe_exchange_free(spark, tmp_path):
             # "== Initial Plan ==" duplicate of the whole join
             return _plan(df).split("== Initial Plan ==")[0]
 
+        # all assertions read the SAME final-plan section
         plan = final_plan(j)
         store_scan = [
-            ln for ln in _plan(j).splitlines()
+            ln for ln in plan.splitlines()
             if "FileScan" in ln and "t_band_store_b" in ln
         ]
         assert store_scan and "SelectedBucketsCount" in store_scan[0], plan
@@ -138,11 +139,10 @@ def test_bucketed_band_store_probe_exchange_free(spark, tmp_path):
         # and that single Exchange partitions the PROBE side's columns,
         # not the store's (store attrs come from the table scan line)
         m = re.search(r"Exchange hashpartitioning\(band#(\d+)", plan)
-        store_attrs = re.findall(r"band#(\d+)", store_scan[0]) or re.findall(
-            r"band#(\d+)", plan.splitlines()[-2]
-        )
-        if store_attrs:  # attr ids available → the shuffled side isn't the store
-            assert m.group(1) not in store_attrs, plan
+        store_attrs = re.findall(r"band#(\d+)", store_scan[0])
+        assert store_attrs, store_scan[0]
+        assert m.group(1) not in store_attrs, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_band_store_b")  # path dies with tmp_path
         release_caches()
