@@ -113,6 +113,11 @@ def test_bucketed_band_store_probe_exchange_free(spark, tmp_path):
         # (band, bh) shuffle is the batch-sized probe side.
         import re
 
+        # drop the operator runs' scoped caches first: the cache manager
+        # would otherwise substitute InMemoryRelations (with their own
+        # nested plan printouts) into this join's plan text
+        release_caches()
+        spark.catalog.clearCache()
         probe_rows = minhash_band_store(batch, **kw).select(
             "band", "bh", F.col("doc_id").alias("__pid")
         )
@@ -123,9 +128,11 @@ def test_bucketed_band_store_probe_exchange_free(spark, tmp_path):
         j.collect()  # finalize AQE
 
         def final_plan(df) -> str:
-            # count ONLY the outer final plan: the printout appends an
-            # "== Initial Plan ==" duplicate of the whole join
-            return _plan(df).split("== Initial Plan ==")[0]
+            # strip ONLY the OUTER "== Initial Plan ==" duplicate (the
+            # LAST marker): cached subtrees print their own nested
+            # markers earlier, and cutting at the first would drop the
+            # store branch that prints after them
+            return _plan(df).rsplit("== Initial Plan ==", 1)[0]
 
         # all assertions read the SAME final-plan section
         plan = final_plan(j)
