@@ -27,18 +27,29 @@ the end of each batch) cannot have its not-yet-materialized caches
 evicted by a concurrent ``release_caches()`` on the main thread, and
 vice versa — each thread owns exactly the caches it registered, which
 is what makes the "materialize, then release" rule locally enforceable.
+
+``localCheckpoint`` needs special handling: its persistence lives at
+the RDD level, OUTSIDE the SQL CacheManager, so ``DataFrame.
+unpersist()`` on a checkpointed frame is a silent no-op (measured —
+the block survives) and ``spark.catalog.clearCache()`` never touches
+it either. :func:`tracked_local_checkpoint` captures the checkpoint's
+RDD ids at creation and frees them through the JVM's persistent-RDD
+registry, which actually releases the blocks. A freed checkpoint is
+UNEXECUTABLE (its lineage was severed — that is the point of
+checkpointing), so free only after every consumer materialized.
 """
 
 from __future__ import annotations
 
 import threading
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
 _TLS = threading.local()
 
 
-def _scoped() -> "list[DataFrame]":
+def _scoped() -> "list[Callable[[], None]]":
     lst = getattr(_TLS, "scoped", None)
     if lst is None:
         lst = _TLS.scoped = []
@@ -49,12 +60,67 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` registered for this THREAD's next
     :func:`release_caches`."""
     df = df.persist()
-    _scoped().append(df)
+    _scoped().append(df.unpersist)
     return df
 
 
+def scoped_register(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted DataFrame for this thread's next
+    :func:`release_caches` — persisting again would only emit an
+    "already cached" warning."""
+    _scoped().append(df.unpersist)
+    return df
+
+
+def tracked_local_checkpoint(df: DataFrame) -> "tuple[DataFrame, Callable[[], None]]":
+    """``df.localCheckpoint()`` with a DETERMINISTIC free handle.
+
+    Returns ``(checkpointed_df, free)``; calling ``free()`` unpersists
+    the checkpoint's RDD blocks through the JVM registry (idempotent).
+    The id capture brackets the checkpoint call, so a concurrent
+    thread's persists in that microsecond window could in principle be
+    misattributed — iterative loops run their rounds on one thread, and
+    freeing is only ever applied to rounds no future plan references.
+    """
+    sc = df.sparkSession.sparkContext
+    jsc = sc._jsc
+
+    def _ids() -> set:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = _ids()
+    ck = df.localCheckpoint()
+    new_ids = _ids() - before
+
+    def free() -> None:
+        try:
+            jmap = jsc.getPersistentRDDs()
+            for rid in new_ids:
+                h = jmap.get(rid)
+                if h is not None:
+                    h.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+    return ck, free
+
+
+def scoped_release(release: "Callable[[], None]") -> None:
+    """Register a raw release callable (e.g. a tracked checkpoint's
+    ``free``) for this thread's next :func:`release_caches`."""
+    _scoped().append(release)
+
+
+def scoped_local_checkpoint(df: DataFrame) -> DataFrame:
+    """A localCheckpoint whose blocks are freed by this thread's next
+    :func:`release_caches` (after the consuming plan materialized)."""
+    ck, free = tracked_local_checkpoint(df)
+    _scoped().append(free)
+    return ck
+
+
 def release_caches() -> int:
-    """Unpersist every cache THIS thread registered; returns how many.
+    """Release every cache THIS thread registered; returns how many.
 
     Call after materializing the consuming query (collect/write). Safe
     to call any number of times, including with zero registered caches
@@ -64,9 +130,9 @@ def release_caches() -> int:
     lst = _scoped()
     n = 0
     while lst:
-        df = lst.pop()
+        release = lst.pop()
         try:
-            df.unpersist()
+            release()
         except Exception:  # session already stopped — nothing to free
             pass
         n += 1

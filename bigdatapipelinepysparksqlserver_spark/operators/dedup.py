@@ -14,7 +14,12 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from ..caching import scoped_persist
+from ..caching import (
+    scoped_local_checkpoint,
+    scoped_persist,
+    scoped_release,
+    tracked_local_checkpoint,
+)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -718,11 +723,10 @@ def connected_components(
         F.col(id1).alias("src"), F.col(id2).alias("dst")
     ).unionByName(edges.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
     sym = sym.persist()
-    labels = (
+    labels, free_prev = tracked_local_checkpoint(
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -730,7 +734,7 @@ def connected_components(
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
+        updated, free_new = tracked_local_checkpoint(
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -741,12 +745,20 @@ def connected_components(
                 .cast("long")
                 .alias("__changed"),
             )
-        ).localCheckpoint()  # sever lineage: O(1) plan depth per round
+        )  # sever lineage: O(1) plan depth per round
         changed = updated.agg(F.sum("__changed")).first()[0] or 0
+        # round materialized (the checkpoint is eager) → free the
+        # previous round's blocks now instead of stranding one per round
+        free_prev()
+        free_prev = free_new
         labels = updated.drop("__changed")
         if changed == 0:
             break
     sym.unpersist()
+    # the returned plan projects the FINAL checkpoint — its free handle
+    # joins the caching scope (a freed checkpoint is unexecutable, so
+    # the harness releases it only after materialization)
+    scoped_release(free_prev)
     return labels
 
 
@@ -785,24 +797,30 @@ def connected_components_star(
     fingerprints ⇒ identical edge sets (sum collision odds ~2⁻⁶⁴,
     and a false stop could only return a not-yet-contracted forest,
     never a wrong merge — same over-split-only failure mode as the
-    label propagation cap). Per-round localCheckpoint severs lineage.
+    label propagation cap). Per-round localCheckpoint severs lineage;
+    each round EAGERLY materializes its checkpoint and then frees the
+    previous round's blocks (r5 — the loop used to strand one
+    edge-list-sized checkpoint per round until GC noticed). The inputs
+    the FINAL lazy plan still references (base edges, node list, last
+    round) are registered in the caching scope, released by the harness
+    after materialization — unpersisting them here would strand the
+    returned plan on lineage a localCheckpoint no longer has.
     """
-    deduped = (
+    deduped = scoped_local_checkpoint(
         edges.select(
             F.greatest(F.col(id1), F.col(id2)).alias("hi"),
             F.least(F.col(id1), F.col(id2)).alias("lo"),
         )
         .where(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint()
     )
-    nodes = (
+    nodes = scoped_persist(
         deduped.select(F.col("hi").alias("doc_id"))
         .union(deduped.select("lo"))
         .distinct()
-        .persist()
     )
     cur = deduped
+    free_prev = None  # never free deduped mid-loop: nodes reads it lazily
     prev_print: tuple = (None, None)
     for _ in range(max_iter):
         # large-star over the symmetrized edges: (v, m(u)) for v > u
@@ -822,18 +840,22 @@ def connected_components_star(
         # (m ≤ u < v): hi and all its smaller neighbors attach to the min
         m2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
         with_min = large.join(m2, "hi")
-        small = (
+        small, free_new = tracked_local_checkpoint(
             with_min.where(F.col("lo") != F.col("m"))
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
             .union(with_min.select("hi", F.col("m")))
             .distinct()
-            .localCheckpoint()
         )
         # bit_xor, not sum: order-insensitive like sum but cannot overflow
         # (ANSI mode makes a BIGINT sum of 64-bit hashes a runtime error)
         cnt, hsum = small.agg(
             F.count(F.lit(1)), F.expr("bit_xor(xxhash64(hi, lo))")
         ).first()
+        # this round's checkpoint is materialized (eager) — the PREVIOUS
+        # round's blocks are unreachable from any future plan: free now
+        if free_prev is not None:
+            free_prev()
+        free_prev = free_new
         cur = small
         if (cnt, hsum) == prev_print:
             break
@@ -843,5 +865,10 @@ def connected_components_star(
         "doc_id",
         "left",
     ).select("doc_id", F.coalesce("component", "doc_id").alias("component"))
-    nodes.unpersist()
+    # the returned LAZY plan reads nodes and cur: both stay cached until
+    # the harness releases the scope post-materialization (cur is a
+    # lineage-severed checkpoint — freeing it here would make the plan
+    # unexecutable, and nodes would silently recompute)
+    if free_prev is not None:
+        scoped_release(free_prev)
     return labels

@@ -256,16 +256,23 @@ class JdbcSourceTables:
         # modify → overwrite), and a lazy write would truncate the source
         # mid-read. Checkpointing materializes the partitions on the
         # executors (not the driver) before the overwrite drops the table.
-        ordered = df.select(
-            *[
-                df[f.name].cast(f.dataType).alias(f.name)
-                for f in self.schemas[name].fields
-            ]
-        ).localCheckpoint(eager=True)
-        write_jdbc(
-            ordered, self.cfg, name, mode="overwrite",
-            create_column_types=self._varchar_ddl(name),
+        from ..caching import tracked_local_checkpoint
+
+        ordered, free = tracked_local_checkpoint(
+            df.select(
+                *[
+                    df[f.name].cast(f.dataType).alias(f.name)
+                    for f in self.schemas[name].fields
+                ]
+            )
         )
+        try:
+            write_jdbc(
+                ordered, self.cfg, name, mode="overwrite",
+                create_column_types=self._varchar_ddl(name),
+            )
+        finally:
+            free()  # the write materialized the snapshot; free its blocks now
 
     def append(self, name: str, df: DataFrame) -> None:
         ordered = df.select([f.name for f in self.schemas[name].fields])

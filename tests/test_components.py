@@ -83,3 +83,36 @@ def test_components_equal_union_find(spark, edges):
             for r in algo(spark.createDataFrame(edges, "id1 long, id2 long")).collect()
         }
         assert got == expected, algo.__name__
+
+
+def test_star_contraction_frees_intermediate_round_checkpoints(spark):
+    """The iterative loop must not strand one checkpoint per round: after
+    running on a long chain (many contraction rounds), the persistent-RDD
+    count may exceed the baseline only by the plan's LIVE inputs (base
+    edges, node list, final round — ≤3), and release_caches() returns it
+    to baseline."""
+    from bigdatapipelinepysparksqlserver_spark.caching import release_caches
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_caches()
+    spark.catalog.clearCache()
+    base = n_cached()
+
+    # one 200-node chain → multiple star rounds (diameter-independent,
+    # but still ≥4 rounds at this length)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id1 long, id2 long"
+    )
+    out = connected_components_star(edges)
+    rows = out.collect()
+    assert {r.component for r in rows} == {0}
+    assert len(rows) == 201
+    live = n_cached() - base
+    assert 0 < live <= 3, f"stranded round checkpoints: {live} live caches"
+    release_caches()
+    assert n_cached() == base
