@@ -361,3 +361,121 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bloom_store(
+    df: DataFrame,
+    path: str,
+    key: str,
+    ndv: int,
+    extra_bloom_cols: Sequence[str] = (),
+    cluster_col: str | None = None,
+    num_files: int | None = None,
+    fpp: float = 0.01,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Point-lookup-capable corpus store: parquet with BLOOM FILTERS on
+    ``key`` (and ``extra_bloom_cols``), clustered by ``cluster_col``.
+
+    The layout answers the 100 TB ops question min/max stats cannot:
+    "fetch these K doc_ids from the corpus" when the store is kept in
+    its NATURAL cluster order (time, source, topic) so the id column is
+    scattered across every file — footer min/max spans the whole id
+    range in every row group and prunes nothing. A per-row-group bloom
+    filter (parquet-mr ``BlockSplitBloomFilter``, sized from ``ndv`` and
+    ``fpp``) lets the reader drop row groups whose filter misses the
+    probed key BEFORE decoding any page: an ``=``/``IN`` predicate reads
+    ~(matches + fpp·row_groups) groups instead of the full table. Spark's
+    scan applies this automatically — pushed ``eq``/``in`` predicates
+    reach parquet-mr's row-group filter, which consults the bloom filter
+    when footer stats can't decide (reader conf
+    ``parquet.filter.bloom.enabled``, default true).
+
+    ``ndv`` is the expected distinct count of ``key`` PER ROW GROUP (the
+    filter is per column chunk); passing the table-level NDV merely
+    oversizes the bitset — wasted footer bytes, never wrong answers.
+    Bloom filters give false POSITIVES only (an extra row group read at
+    rate ``fpp``), never false negatives, so results are always exact.
+
+    ``cluster_col`` (default: the key itself) orders rows within files.
+    Clustering by a non-key column is the bloom filter's home turf;
+    clustering by the key itself makes min/max stats do the pruning and
+    the bloom filter a cheap belt-and-braces layer for absent-key probes.
+    ``row_group_bytes`` shrinks row groups below the 128 MB default —
+    pruning granularity is the row group, so smaller groups prune finer
+    at the cost of more footer entries (tests use tiny groups to get
+    many groups from small data).
+    """
+    order = cluster_col or key
+    out = df
+    if num_files is not None:
+        out = out.repartitionByRange(num_files, F.col(order))
+    w = (
+        out.sortWithinPartitions(order)
+        .write.mode("overwrite")
+        .option(f"parquet.bloom.filter.enabled#{key}", "true")
+        .option(f"parquet.bloom.filter.expected.ndv#{key}", str(int(ndv)))
+        .option(f"parquet.bloom.filter.fpp#{key}", repr(float(fpp)))
+    )
+    for c in extra_bloom_cols:
+        w = (
+            w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            .option(f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv)))
+            .option(f"parquet.bloom.filter.fpp#{c}", repr(float(fpp)))
+        )
+    if row_group_bytes is not None:
+        w = w.option("parquet.block.size", str(int(row_group_bytes)))
+    w.parquet(path)
+
+
+def point_lookup(
+    spark: SparkSession, path: str, key: str, values: Sequence
+) -> DataFrame:
+    """Fetch the rows of a :func:`write_bloom_store` store whose ``key``
+    is in ``values`` — a plain pushed-down IN scan; the bloom/stats
+    row-group pruning happens inside the parquet reader, invisible to
+    the plan (the scan shows ``PushedFilters: [In(key, ...)]``)."""
+    return spark.read.parquet(path).where(F.col(key).isin(list(values)))
+
+
+def bloom_prune_audit(
+    spark: SparkSession, path: str, key: str, value: int
+) -> "tuple[int, int]":
+    """(surviving, total) row groups across the store's files for an
+    ``eq(key, value)`` probe, measured through parquet-mr's OWN
+    row-group filter (``ParquetFileReader.open`` with a record filter —
+    the same stats→dictionary→bloom cascade the Spark scan runs). The
+    ops-side proof that a store's layout actually prunes: surviving ≪
+    total for present keys, ~0 for absent ones.
+
+    ``value`` must be a Python int outside 32-bit range OR the probe
+    column declared INT64 with values that Py4J maps to a JVM long —
+    this helper probes via the JVM API directly. Audit/ops tooling, not
+    a query path.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    FilterApi = jvm.org.apache.parquet.filter2.predicate.FilterApi
+    FilterCompat = jvm.org.apache.parquet.filter2.compat.FilterCompat
+    pred = FilterCompat.get(FilterApi.eq(FilterApi.longColumn(key), int(value)))
+    surviving = total = 0
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            p = jvm.org.apache.hadoop.fs.Path(os.path.join(root, fname))
+            infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                p, hconf
+            )
+            plain = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+            total += plain.getRowGroups().size()
+            plain.close()
+            opts = (
+                jvm.org.apache.parquet.ParquetReadOptions.builder()
+                .withRecordFilter(pred)
+                .build()
+            )
+            filt = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile, opts)
+            surviving += filt.getRowGroups().size()
+            filt.close()
+    return surviving, total

@@ -232,3 +232,86 @@ def test_zorder_layout_skips_files_on_every_dimension(spark, tmp_path):
     z_box, _ = _files_hit(zord, box)
     assert z_box <= lin_box
     assert z_box < files // 4
+
+
+# ---------------------------------------------------------------------------
+# bloom-filtered point-lookup store
+# ---------------------------------------------------------------------------
+
+
+def _bloom_store(spark, tmp_path, cluster_col):
+    from bigdatapipelinepysparksqlserver_spark.sources.lake import (
+        write_bloom_store,
+    )
+
+    base = 1 << 33  # INT64-range ids: what a 100 TB corpus actually uses
+    n = 60_000
+    df = spark.range(n).select(
+        (F.col("id") + base).alias("doc_id"),
+        # natural cluster order (ingest time): ids land stride-1000 apart
+        # within each time bucket, so every row group's doc_id min/max
+        # spans ~the whole id range — stats prune nothing, bloom must
+        F.pmod(F.col("id"), F.lit(1000)).alias("ts_bucket"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    path = str(tmp_path / "bloom_store")
+    write_bloom_store(
+        df,
+        path,
+        key="doc_id",
+        ndv=n,
+        cluster_col=cluster_col,
+        num_files=2,
+        row_group_bytes=64 * 1024,
+    )
+    return path, base, n
+
+
+def test_bloom_store_prunes_row_groups_stats_cannot(spark, tmp_path):
+    from bigdatapipelinepysparksqlserver_spark.sources.lake import (
+        bloom_prune_audit,
+    )
+
+    path, base, n = _bloom_store(spark, tmp_path, cluster_col="ts_bucket")
+
+    # layout sanity: tiny row groups -> many groups, scattered ids
+    present, total = bloom_prune_audit(spark, path, "doc_id", base + 12_345)
+    assert total >= 20, "store must split into many row groups for the test"
+    # min/max stats alone keep every group (ids scattered by design);
+    # the bloom filter drops all but the group(s) holding the key plus
+    # at most a few false positives (fpp=0.01)
+    assert present <= max(2, total // 10)
+    absent, _ = bloom_prune_audit(spark, path, "doc_id", base + 10_000_000)
+    assert absent <= max(1, total // 20)  # false positives only
+
+
+def test_bloom_store_point_lookup_exact(spark, tmp_path):
+    from bigdatapipelinepysparksqlserver_spark.sources.lake import point_lookup
+
+    path, base, n = _bloom_store(spark, tmp_path, cluster_col="ts_bucket")
+    want = [base + 5, base + 17_000, base + 59_999]
+    miss = [base + n + 7]  # absent key: bloom may only add reads, never drop rows
+    got = point_lookup(spark, path, "doc_id", want + miss).collect()
+    assert sorted(r.doc_id for r in got) == sorted(want)
+    # the predicate reaches the parquet scan (row-group filtering input)
+    plan = point_lookup(
+        spark, path, "doc_id", want
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(doc_id" in plan
+
+
+def test_bloom_store_key_clustered_keeps_stats_pruning(spark, tmp_path):
+    """cluster_col=key: min/max stats already prune; the bloom layer must
+    not break anything and absent probes still drop every group."""
+    from bigdatapipelinepysparksqlserver_spark.sources.lake import (
+        bloom_prune_audit,
+        point_lookup,
+    )
+
+    path, base, n = _bloom_store(spark, tmp_path, cluster_col=None)
+    present, total = bloom_prune_audit(spark, path, "doc_id", base + 30_000)
+    assert present == 1  # sorted by key: stats nail it to exactly one group
+    absent, _ = bloom_prune_audit(spark, path, "doc_id", base - 1)
+    assert absent == 0
+    got = point_lookup(spark, path, "doc_id", [base, base + n - 1]).collect()
+    assert sorted(r.doc_id for r in got) == [base, base + n - 1]
