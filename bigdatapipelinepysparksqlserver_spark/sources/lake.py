@@ -479,3 +479,55 @@ def bloom_prune_audit(
             surviving += filt.getRowGroups().size()
             filt.close()
     return surviving, total
+
+
+def analyze_table(
+    spark: SparkSession,
+    name: str,
+    columns: Sequence[str] = (),
+    partition_spec: str | None = None,
+) -> None:
+    """Collect optimizer statistics for a catalog table — the missing
+    half of "let Catalyst optimize": without stats the planner only
+    knows FILE SIZES, so a selective filter on a big table still looks
+    big and a broadcast-able join side gets a sort-merge plan. ANALYZE
+    records rowCount/sizeInBytes plus per-column NDV/min/max/null-count
+    histogram inputs; with ``spark.sql.cbo.enabled`` the filter/join
+    estimators then shrink filtered relations to ~size/ndv and flip
+    them under ``autoBroadcastJoinThreshold`` — the plan change that
+    turns a fact⋈filtered-fact shuffle into a broadcast at 100 TB.
+
+    ``partition_spec`` (e.g. ``"year_month=202405"``) scopes the scan to
+    newly-loaded partitions — stats refresh cost ∝ change set, the same
+    contract as the CDC rebuild. Column stats are table-wide; refresh
+    them at the cadence selectivity drifts, not per load.
+    """
+    if partition_spec:
+        spark.sql(
+            f"ANALYZE TABLE {name} PARTITION ({partition_spec}) "
+            "COMPUTE STATISTICS"
+        )
+    else:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        collist = ", ".join(f"`{c}`" for c in columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {collist}")
+
+
+def table_stats(spark: SparkSession, name: str) -> dict:
+    """The recorded statistics, parsed from ``DESCRIBE EXTENDED``:
+    ``{"sizeInBytes": int|None, "rowCount": int|None}`` — what the
+    planner will actually use (None = never analyzed → file-size
+    fallback)."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    out: dict = {"sizeInBytes": None, "rowCount": None}
+    for r in rows:
+        if r.col_name == "Statistics":
+            # e.g. "12345 bytes, 600 rows"
+            for part in r.data_type.split(","):
+                part = part.strip()
+                if part.endswith("bytes"):
+                    out["sizeInBytes"] = int(part.split()[0])
+                elif part.endswith("rows"):
+                    out["rowCount"] = int(part.split()[0])
+    return out

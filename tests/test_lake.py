@@ -315,3 +315,81 @@ def test_bloom_store_key_clustered_keeps_stats_pruning(spark, tmp_path):
     assert absent == 0
     got = point_lookup(spark, path, "doc_id", [base, base + n - 1]).collect()
     assert sorted(r.doc_id for r in got) == [base, base + n - 1]
+
+
+# ---------------------------------------------------------------------------
+# optimizer statistics (ANALYZE TABLE → CBO)
+# ---------------------------------------------------------------------------
+
+
+def test_analyze_table_records_stats(spark, tmp_path):
+    from bigdatapipelinepysparksqlserver_spark.sources.lake import (
+        analyze_table,
+        table_stats,
+    )
+
+    name = "stats_tbl_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.range(10_000).selectExpr(
+        "id", "id % 100 AS k", "md5(CAST(id AS STRING)) AS payload"
+    ).write.saveAsTable(name)
+    try:
+        assert table_stats(spark, name)["rowCount"] is None
+        analyze_table(spark, name, columns=["k"])
+        st = table_stats(spark, name)
+        assert st["rowCount"] == 10_000
+        assert st["sizeInBytes"] and st["sizeInBytes"] > 0
+        # column stats recorded (NDV visible via DESCRIBE ... FOR COLUMNS)
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name} k").collect()
+        }
+        assert int(desc["distinct_count"]) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_cbo_stats_flip_filtered_join_to_broadcast(spark, tmp_path):
+    """The plan change stats exist for: a selective filter on a
+    file-size-big table estimates down to ~size/ndv under CBO, crossing
+    the broadcast threshold — fact⋈filtered-fact becomes a broadcast
+    join with NO hint in the query."""
+    from bigdatapipelinepysparksqlserver_spark.sources.lake import analyze_table
+
+    fact, dim = "cbo_fact_test", "cbo_dim_test"
+    for name in (fact, dim):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.range(60_000).selectExpr(
+        "id", "id % 300 AS k", "md5(CAST(id AS STRING)) AS p1"
+    ).write.saveAsTable(fact)
+    spark.range(60_000).selectExpr(
+        "id AS rid", "id % 300 AS k", "md5(CAST(id AS STRING)) AS p2"
+    ).write.saveAsTable(dim)
+
+    def plan_for():
+        q = (
+            spark.table(fact)
+            .join(spark.table(dim).where(F.col("k") == 7), "k")
+        )
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        # threshold below either table's file size, CBO on
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+
+        # no stats: planner only sees multi-MB file sizes on both sides
+        before = plan_for()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+
+        analyze_table(spark, dim, columns=["k"])
+        after = plan_for()
+        # ndv(k)=300 → filtered dim estimates ~1/300 of its size → broadcast
+        assert "BroadcastHashJoin" in after
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        for name in (fact, dim):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
