@@ -17,6 +17,29 @@ TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 STOPWORDS_REGEX = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
 
+# character-class inventories for translate()-based counting. Counting
+# "characters in class C" as length(x) - length(translate(x, C, '')) is
+# value-identical to length(regexp_replace(x, '[^C]', '')) but immune
+# to Spark's regexp_replace eval cliffs, which are wildly non-linear in
+# pattern×corpus specifics (all measured at sf10, 500 k docs, and NOT
+# explained by match counts or codegen — interpreted mode reproduces):
+#   - alpha-count + punct-count as two regexp_replace passes in ONE
+#     projection: 18.9 s, though each pass alone is 0.5-0.6 s; the same
+#     two counts via translate: 0.8 s;
+#   - the rare-match negated class [^a-z0-9 ] is ~70× slow even ALONE
+#     (37 s vs 0.57 s for [^a-z0-9]; escape/ordering variants of the
+#     space change nothing, [^0-9 ] is fast — see fingerprints() for
+#     the extraction-form fix).
+# translate is a flat per-char table lookup with none of these modes;
+# prefer it (or positive-class regexp_extract_all) in per-row hot paths.
+ALPHA_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+DIGIT_CHARS = "0123456789"
+# Java regex \s = [ \t\n\x0B\f\r] — mirrored exactly so the translate
+# form counts the same characters the old [A-Za-z0-9\s] class did
+WS_CHARS = " \t\n\x0b\f\r"
+
 
 def _ws_token_count(text: Column) -> Column:
     """Whitespace token count; empty/blank text counts 0."""
@@ -55,8 +78,15 @@ def quality_scores(
     text = F.col(text_col)
     n_chars = F.length(text)
     toks = _ws_token_count(text).cast("double")
-    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
-    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("double")
+    # translate-based counts, NOT regexp_replace: identical values (the
+    # DuckDB oracle keeps its regex form and hash-matches), but immune
+    # to the multi-regex eval cliff documented at ALPHA_CHARS — this
+    # one substitution is a measured ~10× on the whole operator
+    # (sf10: 21.5 s → 2.1 s)
+    alpha = (n_chars - F.length(F.translate(text, ALPHA_CHARS, ""))).cast("double")
+    punct = F.length(
+        F.translate(text, ALPHA_CHARS + DIGIT_CHARS + WS_CHARS, "")
+    ).cast("double")
     stops = F.size(F.regexp_extract_all(F.lower(text), F.lit(STOPWORDS_REGEX), 0)).cast(
         "double"
     )
@@ -83,12 +113,22 @@ def quality_scores(
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Normalization fingerprint: md5 of lowercased, punctuation-stripped,
     whitespace-collapsed text — catches trivially-reformatted duplicates
-    that exact hashing misses."""
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", ""), r" +", " "
-        )
+    that exact hashing misses.
+
+    The punctuation strip EXTRACTS the kept runs (``[a-z0-9 ]+`` →
+    array_join) rather than regexp_replace-ing the complement class
+    away: byte-identical output (pytest-pinned), but the rare-match
+    negated class ``[^a-z0-9 ]`` is a measured ~45× Spark eval
+    pathology at volume — sf10: 34.1 s → 0.74 s for the whole operator
+    (see ALPHA_CHARS note; the DuckDB oracle keeps the replace form and
+    hash-matches, which is itself the value-identity proof)."""
+    kept = F.array_join(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"[a-z0-9 ]+"), 0
+        ),
+        "",
     )
+    norm = F.trim(F.regexp_replace(kept, r" +", " "))
     return df.select(
         F.col(id_col),
         F.md5(norm.cast("binary")).alias("fingerprint"),
