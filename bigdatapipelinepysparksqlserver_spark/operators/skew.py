@@ -97,3 +97,52 @@ def salted_agg(
         merge_fn[spec.split(":")[0]](name).alias(name) for name, spec in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*phase2)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Pre-flight skew diagnosis for a prospective join/agg key: the
+    ``top_n`` heaviest key values with their share of the table and the
+    salt-bucket count :func:`salted_join`/:func:`salted_agg` would need
+    to bound per-task load at ``target_rows_per_task``.
+
+    One exact groupBy-count pass + a driver-side total — cost of a
+    count(*) per distinct key with map-side partial aggregation, which
+    is the same shuffle the skewed operation itself would pay, so
+    running this BEFORE a 100 TB join is cheap relative to having that
+    join stall on one reducer. The output is small (top_n rows) by
+    construction.
+
+    Columns: key value(s), ``key_rows``, ``share`` (of table rows),
+    ``skew_vs_mean`` (key_rows / mean rows per distinct key — AQE's
+    skew-join heuristic triggers around 5×), ``salt_buckets``
+    (ceil(key_rows / target_rows_per_task), 1 = no salting needed).
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    stats = counts.agg(
+        F.sum("key_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    ).first()
+    total, nkeys = stats["__total"] or 0, stats["__nkeys"] or 1
+    mean = max(float(total) / float(nkeys), 1.0)
+    return (
+        counts.orderBy(F.col("key_rows").desc(), *key_cols)
+        .limit(top_n)
+        .select(
+            *key_cols,
+            "key_rows",
+            F.round(F.col("key_rows") / F.lit(float(max(total, 1))), 6).alias(
+                "share"
+            ),
+            F.round(F.col("key_rows") / F.lit(mean), 2).alias("skew_vs_mean"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("key_rows") / F.lit(float(target_rows_per_task))),
+            )
+            .cast("int")
+            .alias("salt_buckets"),
+        )
+    )

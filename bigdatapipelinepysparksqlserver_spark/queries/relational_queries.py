@@ -1298,3 +1298,42 @@ def churned_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return active(1996, 1997).subtract(active(1997, 1998))
+
+
+# --------------------------------------------------------------------------
+# ops surface: pre-flight join-key skew diagnosis (operators/skew.py)
+# --------------------------------------------------------------------------
+
+SKEW_REPORT_ORACLE = """
+WITH c AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS key_rows FROM orders GROUP BY 1
+),
+s AS (SELECT SUM(key_rows) AS total, COUNT(*) AS nkeys FROM c)
+SELECT custkey,
+       CAST(key_rows AS BIGINT) AS key_rows,
+       ROUND(key_rows / CAST(total AS DOUBLE), 6) AS share,
+       ROUND(key_rows / (CAST(total AS DOUBLE) / nkeys), 2) AS skew_vs_mean,
+       CAST(GREATEST(1, CEIL(key_rows / 1000.0)) AS INTEGER) AS salt_buckets
+FROM c, s
+ORDER BY key_rows DESC, custkey
+LIMIT 10
+"""
+
+
+@query("skew_report_orders", oracle=SKEW_REPORT_ORACLE)
+def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnosis on the orders⋈customer join key: top-10
+    customers by order rows, each with its table share, skew-vs-mean
+    factor (AQE's skew heuristic fires ~5×), and the salt-bucket count
+    `salted_join` would need to bound per-task load (toy target of
+    1000 rows/task so the recommendation is non-trivial at test SFs).
+
+    Scale: one count-per-key shuffle with map-side partials — the same
+    exchange the join itself would pay, so the diagnosis is never more
+    expensive than one run of the operation it protects."""
+    from ..operators.skew import skew_report
+
+    orders = Catalog(spark, sf_dir).orders.select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return skew_report(orders, ["custkey"], top_n=10, target_rows_per_task=1000)

@@ -3,6 +3,8 @@
 - ``cdc`` — watermarked windowed aggregation, streaming dedup, and a
   foreachBatch partition-rebuild sink (the streaming twin of
   ``plans.incremental``).
+- ``metrics`` — a StreamingQueryListener that renders per-batch health
+  (input rows, rates, batch duration, watermark) as a DataFrame.
 """
 
 from .cdc import (  # noqa: F401
@@ -17,4 +19,8 @@ from .cdc import (  # noqa: F401
     streaming_interval_join,
     streaming_running_totals,
     streaming_sessionize,
+)
+from .metrics import (  # noqa: F401
+    StreamingHealthListener,
+    attach_health_listener,
 )

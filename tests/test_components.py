@@ -116,3 +116,23 @@ def test_star_contraction_frees_intermediate_round_checkpoints(spark):
     assert 0 < live <= 3, f"stranded round checkpoints: {live} live caches"
     release_caches()
     assert n_cached() == base
+
+
+def test_skew_report_identifies_pathological_key(spark):
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.skew import skew_report
+
+    # 9000 rows on one key, 100 spread over 100 keys
+    df = spark.range(9000).select(F.lit(7).alias("k")).unionAll(
+        spark.range(100).select((F.col("id") + 100).alias("k"))
+    )
+    rows = skew_report(df, ["k"], top_n=3, target_rows_per_task=1000).collect()
+    top = rows[0]
+    assert top.k == 7 and top.key_rows == 9000
+    assert abs(top.share - 9000 / 9100) < 1e-6
+    # mean rows/key = 9100/101; 9000 vs mean ≈ 99.9× — way past AQE's 5×
+    assert top.skew_vs_mean > 50
+    assert top.salt_buckets == 9  # ceil(9000/1000)
+    # non-skewed keys need no salting
+    assert rows[1].key_rows == 1 and rows[1].salt_buckets == 1
