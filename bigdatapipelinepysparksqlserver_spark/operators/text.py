@@ -50,14 +50,28 @@ def _ws_token_count(text: Column) -> Column:
 
 
 def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-document token counts: whitespace tokens + regex (BPE-ish) tokens."""
+    """Per-document token counts: whitespace tokens + regex (BPE-ish) tokens.
+
+    The regex-token count is DECOMPOSED instead of evaluated as the
+    ``TOKEN_REGEX`` alternation: token runs never merge across class
+    boundaries, so ``count([a-z]+ runs) + count([0-9]+ runs) + count
+    (other non-ws chars)`` equals ``len(extract_all(TOKEN_REGEX))``
+    exactly (the DuckDB oracle keeps the alternation form and
+    hash-matches — the cross-engine identity proof). Measured at sf10
+    the alternation costs 9.5 s (~1 µs/char — the wide-char-class eval
+    cliff, see ALPHA_CHARS) vs 0.95 s for run counts + a translate
+    lookup."""
     text = F.col(text_col)
+    low = F.lower(text)
+    regex_tokens = (
+        F.regexp_count(low, F.lit(r"[a-z]+"))
+        + F.regexp_count(low, F.lit(r"[0-9]+"))
+        + F.length(F.translate(low, ALPHA_CHARS + DIGIT_CHARS + WS_CHARS, ""))
+    )
     return df.select(
         F.col(id_col),
         _ws_token_count(text).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_REGEX), 0)).alias(
-            "regex_tokens"
-        ),
+        regex_tokens.alias("regex_tokens"),
     )
 
 
