@@ -200,3 +200,76 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# bloom-filtered point lookup as a graded end-to-end query
+# --------------------------------------------------------------------------
+
+# present at every test SF (doc_id 0..49 exist even at sf0.001) plus two
+# absent ids — bloom filters may only ever ADD row-group reads (false
+# positives), never drop rows, so the absent probes must return nothing
+# on both engines.
+POINT_LOOKUP_IDS = (0, 1, 7, 13, 21, 34, 42, 49, 987654321, 123456789)
+
+POINT_LOOKUP_ORACLE = f"""
+SELECT doc_id, source, length(text) AS n_chars
+FROM documents
+WHERE doc_id IN {POINT_LOOKUP_IDS}
+"""
+
+
+def _bloom_store_path(sf_dir: str) -> str:
+    """Per-(user, process, sf_dir) temp location — same isolation
+    contract as similarity_queries._ivf_store_path (never writes inside
+    the read-only testdata tree; pid isolates concurrent harnesses)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    uid = getattr(os, "getuid", lambda: 0)()
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"bdppss_bloom_store_u{uid}",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{tag}_p{os.getpid()}",
+    )
+
+
+@query("doc_point_lookup", oracle=POINT_LOOKUP_ORACLE)
+def doc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the bloom-filtered corpus store as a graded
+    end-to-end query: build `sources/lake.py write_bloom_store` from the
+    documents table (kept in its natural source-cluster order, per-row-
+    group bloom filters on doc_id, small row groups so even graded SFs
+    produce several), then fetch a fixed id set with `point_lookup` —
+    the pushed `IN` predicate reaches parquet-mr's stats→dictionary→
+    bloom row-group filter. Two probe ids are absent by construction:
+    bloom false positives may only ADD reads, never drop or invent
+    rows, so the result must equal a plain relational IN scan — which
+    is exactly what the DuckDB oracle runs.
+
+    Scale: the store build is one scan + clustered write (amortized
+    over every subsequent lookup in production; rebuilt per call here
+    so the graded query covers the whole build+probe cycle); the probe
+    reads ~(matching + fpp·total) row groups of a corpus whose id
+    column min/max stats cannot prune at all.
+    """
+    from ..sources.lake import point_lookup, write_bloom_store
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", F.length("text").alias("n_chars"), "text"
+    )
+    store = _bloom_store_path(sf_dir)
+    write_bloom_store(
+        docs.drop("text"),
+        store,
+        key="doc_id",
+        ndv=200_000,
+        cluster_col="source",
+        num_files=2,
+        row_group_bytes=16 * 1024,
+    )
+    return point_lookup(spark, store, "doc_id", list(POINT_LOOKUP_IDS)).select(
+        "doc_id", "source", "n_chars"
+    )
