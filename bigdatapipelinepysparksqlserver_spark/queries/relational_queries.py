@@ -937,9 +937,23 @@ def sketch_distinct_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = t.orders.join(
         t.customer, F.col("o_custkey") == F.col("c_custkey")
     ).join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
-    agg = joined.groupBy(F.col("n_name").alias("country")).agg(
+    # dedup-first two-level aggregation, NOT both aggregates in one
+    # groupBy: mixing the declarative count_distinct (Expand rewrite)
+    # with the imperative HLL buffer in a single aggregation measured
+    # 101.8 s at sf10 where each aggregate ALONE is 3-4 s — the Expand
+    # doubles the input rows and evicts the whole aggregation from
+    # codegen into per-row imperative HLL updates. Deduplicating
+    # (country, custkey) first, then counting rows (= exact distinct)
+    # and sketching the already-distinct keys is value-IDENTICAL on
+    # both columns (HLL is set-based — duplicates never move the
+    # estimate; asserted group-by-group at sf10) and runs in 4.8 s:
+    # one corpus shuffle with map-side partial dedup + one tiny one.
+    distinct_keys = joined.select(
+        F.col("n_name").alias("country"), "o_custkey"
+    ).distinct()
+    agg = distinct_keys.groupBy("country").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("__approx"),
-        F.count_distinct("o_custkey").alias("client_count"),
+        F.count(F.lit(1)).alias("client_count"),
     )
     corridor = (
         F.abs(F.col("__approx") - F.col("client_count"))
