@@ -966,12 +966,16 @@ def sketch_distinct_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SKETCH_QUANTILES_GRID = (0.5, 0.95, 0.99)
 
-# The GK sketch with accuracy=10000 retains every value un-compressed for
-# groups below 10000 rows, where its answer is EXACTLY the discrete
-# quantile (DuckDB quantile_disc) — verified bit-equal at the graded SFs.
-# That exact regime is the oracle contract here; beyond it the sketch's
-# documented 1/accuracy rank error applies and only rows-only checking
-# would be sound (the 100 TB path trades exactness for bounded memory).
+# The GK sketch retains every value un-compressed for groups below
+# ``accuracy`` rows, where its answer is EXACTLY the discrete quantile
+# (DuckDB quantile_disc) — verified bit-equal at the local SFs. That
+# exact regime is the oracle contract here, and accuracy=100000 sizes
+# it to cover EVERY local SF (sf0.1's largest segment is ~30 k orders;
+# the r5 sf0.1 robustness sweep caught the old accuracy=10000 leaving
+# the exact regime there). Beyond it the sketch's documented
+# 1/accuracy rank error applies and only rows-only checking would be
+# sound — the 100 TB path trades exactness for bounded memory and
+# picks accuracy from the memory budget, not the oracle.
 SKETCH_QUANTILES_ORACLE = "\nUNION ALL\n".join(
     f"""
 SELECT c_mktsegment AS segment,
@@ -991,16 +995,19 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an array<double> column is unhashable there).
 
     Scale: exact percentiles need a full sort; the GK sketch is bounded
-    memory with a declared accuracy (here 1/10000 relative rank) and
-    merges across partitions. ONE aggregate carries the whole grid (one
-    sketch per group, not one per quantile).
+    memory with a declared accuracy (here 1/100000 relative rank —
+    sized so the lossless regime covers every local SF) and merges
+    across partitions. ONE aggregate carries the whole grid (one sketch
+    per group, not one per quantile).
     """
     o = Catalog(spark, sf_dir).orders
     c = Catalog(spark, sf_dir).customer
     joined = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     sketched = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.percentile_approx(
-            F.col("o_totalprice").cast("double"), list(SKETCH_QUANTILES_GRID), 10000
+            F.col("o_totalprice").cast("double"),
+            list(SKETCH_QUANTILES_GRID),
+            100000,
         ).alias("qv")
     )
     grid = F.array(*[F.lit(q) for q in SKETCH_QUANTILES_GRID])
