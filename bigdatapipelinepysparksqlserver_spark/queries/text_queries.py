@@ -273,3 +273,84 @@ def doc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_lookup(spark, store, "doc_id", list(POINT_LOOKUP_IDS)).select(
         "doc_id", "source", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# lexical retrieval: distributed BM25 (operators/retrieval.py)
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "hash", "window", "stream")
+_BM25_K1, _BM25_B, _BM25_TOP = 1.2, 0.75, 10
+
+
+def _bm25_oracle() -> str:
+    tfs = ",\n         ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    dfs = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    # expression shapes mirror the Spark plan exactly: left-associative
+    # products, fixed-order contribution sum, same 1-b / k1+1 literals
+    norm = f"{_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n)))"
+    contribs = " + ".join(
+        f"(ln(1 + (n - df_{t} + 0.5) / (df_{t} + 0.5)) * CAST(tf_{t} AS DOUBLE)"
+        f" * {_BM25_K1 + 1.0} / (CAST(tf_{t} AS DOUBLE) + {norm}))"
+        for t in BM25_TERMS
+    )
+    greatest = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    tf_out = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ws) AS dl,
+         {tfs}
+  FROM w
+),
+st AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+         {dfs}
+  FROM base
+)
+SELECT b.doc_id, b.dl, {tf_out},
+       ROUND({contribs}, 6) AS score
+FROM base b, st
+WHERE GREATEST({greatest}) > 0
+ORDER BY score DESC, b.doc_id
+LIMIT {_BM25_TOP}
+"""
+
+
+@query("bm25_search", oracle=_bm25_oracle())
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BM25 over the corpus for a fixed probe-term set —
+    query-relevance mining without an embedding index. Corpus stats
+    (N, avgdl, per-term df) are exact-integer aggregates; idf weights
+    are driver-side scalars baked into a fixed-order scoring
+    projection, so the DuckDB oracle replays the ranking exactly
+    (ordering on the ROUNDED score with doc_id tie-break absorbs any
+    last-ulp libm divergence).
+
+    Scale: one map-side token pass computes dl and the probe-term
+    frequencies (no corpus explode — per-doc array scans of the probe
+    terms only), one scalar aggregate for the stats, one
+    candidate-filtered top-n. Probe-term count is the only multiplier.
+    """
+    from ..operators.retrieval import bm25_search as _bm25
+
+    docs = Catalog(spark, sf_dir).documents
+    return _bm25(
+        docs,
+        list(BM25_TERMS),
+        text_col="text",
+        id_col="doc_id",
+        k1=_BM25_K1,
+        b=_BM25_B,
+        top_n=_BM25_TOP,
+    )

@@ -136,3 +136,40 @@ def test_skew_report_identifies_pathological_key(spark):
     assert top.salt_buckets == 9  # ceil(9000/1000)
     # non-skewed keys need no salting
     assert rows[1].key_rows == 1 and rows[1].salt_buckets == 1
+
+
+def test_bm25_search_ranking_and_exclusion(spark):
+    import math
+
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        bm25_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat dog x"),
+            (2, "cat x y z"),
+            (3, "dog"),
+            (4, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(docs, ["cat", "dog"], top_n=10).collect()
+    got = {r.doc_id: r for r in rows}
+    assert 4 not in got  # no probe term -> not a candidate
+    assert [r.doc_id for r in rows][0] == 1  # both terms, highest tf
+
+    # mirror the formula exactly for doc 1
+    n, avgdl = 4, (4 + 4 + 1 + 2) / 4.0
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))  # df=2 for both terms
+    k1, b = 1.2, 0.75
+
+    def contrib(tf, dl):
+        return idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    expect = round(contrib(2, 4) + contrib(1, 4), 6)
+    assert abs(got[1].score - expect) < 1e-9
+    assert (got[1].tf_cat, got[1].tf_dog, got[1].dl) == (2, 1, 4)
+    # single-term docs rank by length normalization: doc3 (dl=1) beats doc2 (dl=4)
+    ids = [r.doc_id for r in rows]
+    assert ids.index(3) < ids.index(2)
