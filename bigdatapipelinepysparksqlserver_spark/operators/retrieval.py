@@ -105,3 +105,132 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(top_n)
     )
+
+
+# ---------------------------------------------------------------------------
+# persistable inverted-postings store — the repeated-search form
+# ---------------------------------------------------------------------------
+
+
+def build_postings_store(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> None:
+    """The persistable index form of :func:`bm25_search`, completing the
+    retrieval surface the way `minhash_band_store` does for dedup and
+    `write_ivf_partitioned` does for ANN: pay one corpus tokenization
+    at ingest, then every search reads only its probe terms' partitions.
+
+    Layout under ``path``:
+
+    - ``postings/bucket=B/`` — (term, id, tf) rows, partitioned by a
+      64-bit-hash term bucket: a probe's ``bucket IN (…)`` predicate
+      prunes at the file-listing level (Hive partition pruning), so a
+      k-term query reads ≤ k of ``num_buckets`` partition directories
+      no matter how large the corpus;
+    - ``doclens/`` — (id, dl) fixed-width rows (the BM25 length
+      normalization side);
+    - ``stats/`` — one row (n_docs, total_dl): exact integers, so the
+      probe side reproduces avgdl bit-for-bit.
+
+    The store is rebuilt per corpus version (same contract as the other
+    index artifacts — append via a ``batch=N`` layer if incremental
+    ingest is needed, exactly like `ivf_store_append_batch`).
+    """
+    w = docs.select(F.col(id_col).alias("id"), _words(text_col).alias("__ws"))
+    lens = w.select("id", F.size("__ws").alias("dl"))
+    postings = (
+        w.select("id", F.explode("__ws").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    lens.write.mode("overwrite").parquet(f"{path}/doclens")
+    lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_from_store(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """BM25 top-``top_n`` over a :func:`build_postings_store` store —
+    pytest-asserted equal to the corpus-scan :func:`bm25_search` (which
+    is itself DuckDB-oracle-backed, so the store path inherits the
+    cross-engine proof transitively).
+
+    Scale: the probe computes its buckets driver-side (k integers) and
+    reads ONLY those partition directories; df per term is an exact
+    count over the probed postings (term-cardinality rows, never
+    corpus); the candidate set is the probed postings' doc ids, joined
+    to fixed-width doclens. Nothing in the probe touches document text.
+    """
+    if not query_terms:
+        raise ValueError("bm25_from_store: empty query_terms")
+    terms = list(dict.fromkeys(query_terms))
+    st = spark.read.parquet(f"{path}/stats").first()
+    n = int(st["n_docs"])
+    avgdl = float(st["total_dl"]) / float(n) if n else 1.0
+    # probe buckets via the SAME hash the writer used — computed in the
+    # JVM on literal one-row data (control-plane job, k rows)
+    probe = spark.createDataFrame([(t,) for t in terms], "term string").select(
+        "term", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("b")
+    )
+    buckets = sorted({int(r["b"]) for r in probe.collect()})
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+    )
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+    idf = {
+        t: math.log(1.0 + (n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+        for t in terms
+    }
+    # pivot probe postings to one column per term (fixed-order sum, same
+    # expression shape as bm25_search)
+    pivoted = postings.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0)).alias(
+                f"tf_{t}"
+            )
+            for t in terms
+        ]
+    )
+    lens = spark.read.parquet(f"{path}/doclens")
+    cand = pivoted.join(lens, "id")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    score = None
+    for t in terms:
+        tf = F.col(f"tf_{t}").cast("double")
+        contrib = F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = contrib if score is None else score + contrib
+    return (
+        cand.select(
+            "id",
+            "dl",
+            *[F.col(f"tf_{t}") for t in terms],
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(top_n)
+    )

@@ -173,3 +173,40 @@ def test_bm25_search_ranking_and_exclusion(spark):
     # single-term docs rank by length normalization: doc3 (dl=1) beats doc2 (dl=4)
     ids = [r.doc_id for r in rows]
     assert ids.index(3) < ids.index(2)
+
+
+def test_bm25_store_probe_equals_corpus_scan(spark, tmp_path):
+    """The inverted-postings store probe must reproduce the (oracle-
+    backed) corpus-scan BM25 exactly, and read only the probe terms'
+    bucket partitions."""
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        bm25_from_store,
+        bm25_search,
+        build_postings_store,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    store = str(tmp_path / "postings_store")
+    build_postings_store(docs, store)
+    terms = ["spark", "hash", "window"]
+
+    scan = bm25_search(docs, terms, top_n=10)
+    probe = bm25_from_store(spark, store, terms, top_n=10)
+    got_scan = [
+        (r.doc_id, r.dl, r.tf_spark, r.tf_hash, r.tf_window, r.score)
+        for r in scan.collect()
+    ]
+    got_probe = [
+        (r.id, r.dl, int(r.tf_spark), int(r.tf_hash), int(r.tf_window), r.score)
+        for r in probe.collect()
+    ]
+    assert got_scan == got_probe
+    assert len(got_scan) == 10
+
+    # partition pruning: the postings scan carries the bucket IN (...)
+    # partition filter — at most one bucket per probe term
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
