@@ -241,3 +241,40 @@ def test_recommended_cells_properties(n):
     if 16 < c < (1 << 18):
         assert c / (n ** 0.5) <= 2 ** 0.5 + 1e-9
         assert (n ** 0.5) / c <= 2 ** 0.5 + 1e-9
+
+
+def test_bm25_store_equals_scan_on_randomized_corpora(spark, tmp_path):
+    """Store-probe ≡ corpus-scan BM25 over seeded randomized corpora and
+    probe sets — including terms absent from the corpus and docs with
+    no probe term (non-candidates on both paths)."""
+    import random
+
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        bm25_from_store,
+        bm25_search,
+        build_postings_store,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "x9", "q"]
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(rng.choices(vocab, k=rng.randint(1, 30))))
+                for i in range(60)
+            ],
+            "doc_id long, text string",
+        )
+        terms = rng.sample(vocab, 3) + ["missingterm"]
+        store = str(tmp_path / f"ps_{seed}")
+        build_postings_store(docs, store, num_buckets=8)
+        scan = [tuple(r) for r in bm25_search(docs, terms, top_n=15).collect()]
+        probe = [
+            tuple(r) for r in bm25_from_store(
+                spark, store, terms, top_n=15, num_buckets=8
+            ).collect()
+        ]
+        # same ids, dl, per-term tfs (cast-insensitive), same rounded scores
+        assert [(r[0], r[1], *map(int, r[2:-1]), r[-1]) for r in scan] == [
+            (r[0], r[1], *map(int, r[2:-1]), r[-1]) for r in probe
+        ], f"seed {seed} diverged"
