@@ -25,14 +25,47 @@ Tokenization matches `token_doc_freq` (lower, split on
 from __future__ import annotations
 
 import math
+import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 TOKEN_SPLIT = "[^a-z0-9]+"
 
+_TOKEN_RE = re.compile(r"[a-z0-9]+\Z")
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _checked_terms(query_terms: list[str], where: str) -> list[str]:
+    """Stable-order dedup + up-front validation of probe terms.
+
+    Terms double as column-name suffixes (``tf_<term>``) and as
+    equality literals against the lowercased tokenizer output, so a
+    term that is not itself a single lowercase token is ALWAYS a caller
+    bug: ``3.5`` would make ``F.col("tf_3.5")`` parse the dot as a
+    struct access (AnalysisException deep in the plan), and ``Spark``
+    would silently score tf=0 against the lowered tokens. Reject both
+    loudly here, with the tokenizer's own alphabet in the message.
+    """
+    if not query_terms:
+        raise ValueError(f"{where}: empty query_terms")
+    terms = list(dict.fromkeys(query_terms))
+    bad = [t for t in terms if not _TOKEN_RE.match(t or "")]
+    if bad:
+        raise ValueError(
+            f"{where}: query terms must be single lowercase tokens matching"
+            f" [a-z0-9]+ (the tokenizer's alphabet — split on {TOKEN_SPLIT!r}"
+            f" after lower()); tokenize/normalize these first: {bad!r}"
+        )
+    return terms
+
 
 def _words(text_col: str):
+    # text_col is interpolated into a SQL expression string — restrict it
+    # to a plain identifier so a malformed/hostile name can't change the
+    # expression's meaning.
+    if not _IDENT_RE.match(text_col):
+        raise ValueError(f"text_col must be a plain identifier, got {text_col!r}")
     return F.expr(
         f"filter(split(lower(trim({text_col})), '{TOKEN_SPLIT}'), x -> x != '')"
     )
@@ -54,9 +87,8 @@ def bm25_search(
     idf_t = ln(1 + (N − df_t + ½)/(df_t + ½)) — the non-negative RSJ
     form; tf saturation k1, length normalization b over dl/avgdl.
     """
-    if not query_terms:
-        raise ValueError("bm25_search: empty query_terms")
-    terms = list(dict.fromkeys(query_terms))  # stable-order dedup
+    terms = _checked_terms(query_terms, "bm25_search")
+
     def term_eq(t: str):
         # single-arg lambda: a 2-arg callable would be treated as the
         # (element, index) form and bind the index where the term goes
@@ -179,9 +211,7 @@ def bm25_from_store(
     corpus); the candidate set is the probed postings' doc ids, joined
     to fixed-width doclens. Nothing in the probe touches document text.
     """
-    if not query_terms:
-        raise ValueError("bm25_from_store: empty query_terms")
-    terms = list(dict.fromkeys(query_terms))
+    terms = _checked_terms(query_terms, "bm25_from_store")
     st = spark.read.parquet(f"{path}/stats").first()
     n = int(st["n_docs"])
     avgdl = float(st["total_dl"]) / float(n) if n else 1.0

@@ -17,6 +17,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from ..caching import scoped_persist
+
 
 def with_salt(df: DataFrame, salt_buckets: int, col_name: str = "__salt") -> DataFrame:
     """Deterministic per-row salt derived from a whole-row hash (no rand():
@@ -114,15 +116,21 @@ def skew_report(
     count(*) per distinct key with map-side partial aggregation, which
     is the same shuffle the skewed operation itself would pay, so
     running this BEFORE a 100 TB join is cheap relative to having that
-    join stall on one reducer. The output is small (top_n rows) by
-    construction.
+    join stall on one reducer. The per-key counts are persisted across
+    the operator's two consumers (the total/nkeys scalar action here
+    and the caller-materialized top-n), so the groupBy-count shuffle
+    runs ONCE — lifecycle owned by the caching scope, released by the
+    harness's post-materialization ``release_caches()``. The output is
+    small (top_n rows) by construction.
 
     Columns: key value(s), ``key_rows``, ``share`` (of table rows),
     ``skew_vs_mean`` (key_rows / mean rows per distinct key — AQE's
     skew-join heuristic triggers around 5×), ``salt_buckets``
     (ceil(key_rows / target_rows_per_task), 1 = no salting needed).
     """
-    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    counts = scoped_persist(
+        df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    )
     stats = counts.agg(
         F.sum("key_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
     ).first()

@@ -289,24 +289,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_store_path(sf_dir: str) -> str:
     """Per-(user, process, sf_dir) location for the cell-partitioned
-    vector store, under the system temp root — the engine never writes
-    inside the read-only testdata tree. uid in the root dir avoids the
-    shared-/tmp permission trap (another user owning the parent); pid
-    in the leaf isolates concurrent runs (bench vs checker vs parallel
-    pytest), whose overwrite would otherwise race a sibling's lazy
-    probe plan. Within one process the path is stable, which is what
-    the plan-audit test relies on to re-probe the registered query's
-    store."""
-    import hashlib
-    import tempfile
+    vector store with dead-sibling sweeping — see queries/storepaths.py
+    for the isolation + GC contract. Within one process the path is
+    stable, which is what the plan-audit test relies on to re-probe the
+    registered query's store."""
+    from .storepaths import process_scoped_store_path
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    uid = getattr(os, "getuid", lambda: 0)()
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"bdppss_ivf_store_u{uid}",
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{tag}_p{os.getpid()}",
-    )
+    return process_scoped_store_path("ivf_store", sf_dir)
 
 
 @query("ann_ivf_partitioned_topk", oracle=_ivf_artifact_oracle(IVF_ARTIFACT_N_PROBE))

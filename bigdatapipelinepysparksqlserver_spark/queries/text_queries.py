@@ -220,20 +220,12 @@ WHERE doc_id IN {POINT_LOOKUP_IDS}
 
 
 def _bloom_store_path(sf_dir: str) -> str:
-    """Per-(user, process, sf_dir) temp location — same isolation
-    contract as similarity_queries._ivf_store_path (never writes inside
-    the read-only testdata tree; pid isolates concurrent harnesses)."""
-    import hashlib
-    import os
-    import tempfile
+    """Per-(user, process, sf_dir) temp location with dead-sibling
+    sweeping — see queries/storepaths.py for the isolation + GC
+    contract (never writes inside the read-only testdata tree)."""
+    from .storepaths import process_scoped_store_path
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    uid = getattr(os, "getuid", lambda: 0)()
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"bdppss_bloom_store_u{uid}",
-        f"{os.path.basename(sf_dir.rstrip('/'))}_{tag}_p{os.getpid()}",
-    )
+    return process_scoped_store_path("bloom_store", sf_dir)
 
 
 @query("doc_point_lookup", oracle=POINT_LOOKUP_ORACLE)
@@ -292,8 +284,16 @@ def _bm25_oracle() -> str:
         for t in BM25_TERMS
     )
     # expression shapes mirror the Spark plan exactly: left-associative
-    # products, fixed-order contribution sum, same 1-b / k1+1 literals
-    norm = f"{_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * (CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / n)))"
+    # products, fixed-order contribution sum, same 1-b / k1+1 literals.
+    # The length term is ``(b * dl) / avgdl`` — Python's left-associative
+    # reading of retrieval.py's ``F.lit(b) * dl / F.lit(avgdl)`` — with
+    # avgdl its own parenthesized subexpression, so the IEEE operation
+    # order matches the Spark projection exactly (``b * (dl / avgdl)``
+    # is not bit-identical).
+    norm = (
+        f"{_BM25_K1} * ({1.0 - _BM25_B} + ({_BM25_B} * CAST(dl AS DOUBLE))"
+        f" / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
     contribs = " + ".join(
         f"(ln(1 + (n - df_{t} + 0.5) / (df_{t} + 0.5)) * CAST(tf_{t} AS DOUBLE)"
         f" * {_BM25_K1 + 1.0} / (CAST(tf_{t} AS DOUBLE) + {norm}))"

@@ -210,3 +210,56 @@ def test_bm25_store_probe_equals_corpus_scan(spark, tmp_path):
     # partition filter — at most one bucket per probe term
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_bm25_rejects_non_token_terms(spark):
+    """Probe terms double as tf_<term> column suffixes and equality
+    literals against lowercased tokens — anything that isn't a single
+    lowercase token must fail LOUDLY up front, not as a deep
+    AnalysisException ('3.5' → struct-access parse) or a silent tf=0
+    ('Cat' never matches lowered tokens)."""
+    import pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        bm25_search,
+    )
+
+    docs = spark.createDataFrame([(1, "cat dog")], "doc_id long, text string")
+    for bad in (["3.5"], ["Cat"], ["a b"], [""], ["ok", "not-ok"]):
+        with pytest.raises(ValueError, match="tokenize/normalize"):
+            bm25_search(docs, bad)
+    with pytest.raises(ValueError, match="empty query_terms"):
+        bm25_search(docs, [])
+    with pytest.raises(ValueError, match="plain identifier"):
+        bm25_search(docs, ["cat"], text_col="text; drop")
+
+
+def test_store_path_sweeps_dead_process_siblings(tmp_path, monkeypatch):
+    """Each process-scoped store path request garbage-collects siblings
+    owned by DEAD pids and leaves live ones alone — bounding the
+    tempdir footprint to the set of live harnesses (r5 advice: the
+    per-pid stores used to accumulate forever)."""
+    import os
+    import tempfile
+
+    from bigdatapipelinepysparksqlserver_spark.queries.storepaths import (
+        process_scoped_store_path,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    uid = getattr(os, "getuid", lambda: 0)()
+    root = tmp_path / f"bdppss_teststore_u{uid}"
+    root.mkdir()
+    dead = root / "sf0.01_abcdef1234_p999999999"  # pid can't exist (> pid_max)
+    dead.mkdir()
+    (dead / "part-0.parquet").write_bytes(b"x")
+    live = root / f"sf0.01_abcdef1234_p{os.getpid()}"
+    live.mkdir()
+    unrelated = root / "not_a_store_dir"
+    unrelated.mkdir()
+
+    path = process_scoped_store_path("teststore", "/root/testdata/sf0.01")
+    assert not dead.exists()
+    assert live.exists() and unrelated.exists()
+    assert path.startswith(str(root))
+    assert path.endswith(f"_p{os.getpid()}")
