@@ -689,6 +689,122 @@ def hamming_neighbors(
     )
 
 
+def simhash_signatures_wide(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """120-bit SimHash as TWO 60-bit words — the policy-sizable form.
+
+    The single-word :func:`simhash_signatures` caps the Hamming-blocking
+    bucket space at 2^15 per block (60 bits / 4 pigeonhole blocks), so
+    in-bucket candidate pairs grow ~N²/2^15 — quadratic past ~10⁶ docs.
+    This variant takes BOTH md5 halves (hex chars 1-15 and 16-30 → two
+    60-bit words, 120 signature bits), letting
+    :func:`hamming_neighbors_wide` widen its blocks with the corpus:
+    block width w supports bucket spaces up to 2^30, i.e. constant
+    occupancy out to ~80·2^30 ≈ 10¹¹ docs under the
+    ``recommended_bits`` policy (operators/similarity.py — the same
+    occupancy math governs both LSH families).
+
+    Same engine-portable construction as the narrow form (md5-hex
+    prefix → BIGINT, per-bit ±1 conditional sums in ONE groupBy — 120
+    map-side-combinable aggregates), so the whole wide signature
+    replays in DuckDB. Output: (id, simhash0, simhash1), word 0 =
+    hash bits 0-59, word 1 = bits 60-119.
+    """
+    tokens = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok")
+        )
+        .select(F.col(id_col), F.md5(F.col("tok")).alias("__m"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring("__m", 1, 15), 16, 10).cast("long").alias("__h0"),
+            F.conv(F.substring("__m", 16, 15), 16, 10).cast("long").alias("__h1"),
+        )
+        .distinct()
+    )
+    sums = [
+        F.expr(
+            f"sum(CASE WHEN (shiftright(__h{w}, {i}) & 1L) = 1L THEN 1 ELSE -1 END)"
+        ).alias(f"s{w}_{i}")
+        for w in (0, 1)
+        for i in range(60)
+    ]
+    agg = tokens.groupBy(id_col).agg(*sums)
+    sigs = [
+        " + ".join(
+            f"(CASE WHEN s{w}_{i} > 0 THEN {1 << i}L ELSE 0L END)" for i in range(60)
+        )
+        for w in (0, 1)
+    ]
+    return agg.select(
+        F.col(id_col),
+        F.expr(sigs[0]).cast("long").alias("simhash0"),
+        F.expr(sigs[1]).cast("long").alias("simhash1"),
+    )
+
+
+def hamming_neighbors_wide(
+    signatures: DataFrame,
+    id_col: str,
+    max_distance: int = 3,
+    block_bits: int = 15,
+    bucket_cap: int = 2048,
+) -> DataFrame:
+    """Hamming pairs over the 120-bit wide signature with POLICY-SIZED
+    block width — the scale form of :func:`hamming_neighbors`.
+
+    Four pigeonhole blocks, two per word (block i of word w = bits
+    [i·block_bits, (i+1)·block_bits), i ∈ {0,1}) — disjoint bit
+    subsets of the 120-bit signature, so distance ≤ ``max_distance``
+    (= 3) still guarantees an exact match in ≥ 1 block, for ANY block
+    width: narrower blocks only ADD candidates (verified away by the
+    full 120-bit bit_count), wider blocks shrink buckets. Size
+    ``block_bits`` with ``recommended_bits(n_docs, max_bits=30)`` —
+    bucket space 2^block_bits then grows ∝ N, keeping per-bucket
+    occupancy (and candidate pairs per doc) constant where the fixed
+    16-bit blocking's pairs grow quadratically.
+
+    Same two-tier id-only enumeration + candidate-proportional
+    signature rejoin as the narrow form.
+    """
+    if not 4 <= block_bits <= 30:
+        raise ValueError(f"block_bits must be in [4, 30], got {block_bits}")
+    signatures = scoped_persist(signatures)
+    mask = (1 << block_bits) - 1
+    stack_args = ", ".join(
+        f"{2 * w + i}, (shiftright(simhash{w}, {i * block_bits}) & {mask}L)"
+        for w in (0, 1)
+        for i in (0, 1)
+    )
+    exploded = signatures.select(
+        F.col(id_col),
+        F.expr(f"stack(4, {stack_args})").alias("blk", "val"),
+    )
+    pairs = grouped_pair_enumeration(
+        exploded, ["blk", "val"], id_col, bucket_cap=bucket_cap
+    ).dropDuplicates(["id1", "id2"])
+    s1 = signatures.select(
+        F.col(id_col).alias("id1"),
+        F.col("simhash0").alias("a0"),
+        F.col("simhash1").alias("a1"),
+    )
+    s2 = signatures.select(
+        F.col(id_col).alias("id2"),
+        F.col("simhash0").alias("b0"),
+        F.col("simhash1").alias("b1"),
+    )
+    dist = F.bit_count(F.col("a0").bitwiseXOR(F.col("b0"))) + F.bit_count(
+        F.col("a1").bitwiseXOR(F.col("b1"))
+    )
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .where(dist <= max_distance)
+        .select("id1", "id2", dist.cast("int").alias("hamming_distance"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     id1: str = "id1",

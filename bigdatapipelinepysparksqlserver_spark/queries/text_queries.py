@@ -327,6 +327,98 @@ LIMIT {_BM25_TOP}
 """
 
 
+_BM25_MAX_DF_RATIO = 0.78  # straddles the synthetic corpus's ~0.77-0.81
+# per-term dfs, so SOME probe terms drop and SOME survive at every local
+# SF — and which ones differ BY SF, exercising the guard's adaptivity
+
+
+def _bm25_guarded_oracle() -> str:
+    """bm25 oracle with the df-threshold skew guard replayed in SQL:
+    kept_t ⇔ df_t ≤ ratio·N (same double product as the Python rule),
+    dropped terms contribute literal 0 to the fixed-order score sum
+    (x + 0.0 is IEEE-exact), report tf = 0, and grant no candidacy."""
+    tfs = ",\n         ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    dfs = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    def kept(t: str) -> str:
+        return (
+            f"CAST(df_{t} AS DOUBLE) <= {_BM25_MAX_DF_RATIO} * CAST(n AS DOUBLE)"
+        )
+
+    norm = (
+        f"{_BM25_K1} * ({1.0 - _BM25_B} + ({_BM25_B} * CAST(dl AS DOUBLE))"
+        f" / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN {kept(t)} THEN"
+        f" (ln(1 + (n - df_{t} + 0.5) / (df_{t} + 0.5)) * CAST(tf_{t} AS DOUBLE)"
+        f" * {_BM25_K1 + 1.0} / (CAST(tf_{t} AS DOUBLE) + {norm}))"
+        f" ELSE 0.0 END)"
+        for t in BM25_TERMS
+    )
+    greatest = ", ".join(
+        f"CASE WHEN {kept(t)} THEN tf_{t} ELSE 0 END" for t in BM25_TERMS
+    )
+    tf_out = ", ".join(
+        f"CASE WHEN {kept(t)} THEN tf_{t} ELSE 0 END AS tf_{t}" for t in BM25_TERMS
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ws) AS dl,
+         {tfs}
+  FROM w
+),
+st AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+         {dfs}
+  FROM base
+)
+SELECT b.doc_id, b.dl, {tf_out},
+       ROUND({contribs}, 6) AS score
+FROM base b, st
+WHERE GREATEST({greatest}) > 0
+ORDER BY score DESC, b.doc_id
+LIMIT {_BM25_TOP}
+"""
+
+
+@query("bm25_search_guarded", oracle=_bm25_guarded_oracle())
+def bm25_search_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the df-threshold SKEW GUARD engaged — the graded form
+    of the retrieval skew contract: terms with df > ratio·N (corpus-df
+    stopwords, whose postings lists are the one corpus-sized object a
+    term-bucketed store holds) are dropped from scoring, candidacy,
+    and — on the store probe path, where it bounds I/O — from the
+    postings scan itself (``bm25_from_store``'s pushed ``term IN``
+    predicate; pytest-asserted with a 100 %-df adversarial term). The
+    0.78 cutoff straddles the synthetic dfs so the drop set is
+    non-empty, non-total, and DIFFERS by SF; the oracle recomputes
+    kept-ness from the same exact-integer dfs."""
+    from ..operators.retrieval import bm25_search as _bm25
+
+    docs = Catalog(spark, sf_dir).documents
+    return _bm25(
+        docs,
+        list(BM25_TERMS),
+        text_col="text",
+        id_col="doc_id",
+        k1=_BM25_K1,
+        b=_BM25_B,
+        top_n=_BM25_TOP,
+        max_df_ratio=_BM25_MAX_DF_RATIO,
+    )
+
+
 @query("bm25_search", oracle=_bm25_oracle())
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BM25 over the corpus for a fixed probe-term set —

@@ -263,3 +263,94 @@ def test_store_path_sweeps_dead_process_siblings(tmp_path, monkeypatch):
     assert live.exists() and unrelated.exists()
     assert path.startswith(str(root))
     assert path.endswith(f"_p{os.getpid()}")
+
+
+def test_postings_store_append_equals_rebuild(spark, tmp_path):
+    """Incremental ingest contract: append(A)+append(B) probe results
+    are BIT-EQUAL to a rebuild over A∪B (exact-integer stats and dfs
+    recompose across batches), and replaying a batch after a crash is
+    idempotent (overwrite-own-directory semantics)."""
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        bm25_from_store,
+        build_postings_store,
+        postings_store_append_batch,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    batch_a = docs.where(F.col("doc_id") % 2 == 0)
+    batch_b = docs.where(F.col("doc_id") % 2 == 1)
+    full = str(tmp_path / "full_store")
+    incr = str(tmp_path / "incr_store")
+    build_postings_store(docs, full)
+    postings_store_append_batch(batch_a, incr, batch_id=0)
+    postings_store_append_batch(batch_b, incr, batch_id=1)
+
+    terms = ["spark", "hash", "window"]
+    want = [tuple(r) for r in bm25_from_store(spark, full, terms, top_n=10).collect()]
+    got = [tuple(r) for r in bm25_from_store(spark, incr, terms, top_n=10).collect()]
+    assert got == want and len(got) == 10
+
+    # crash replay: re-appending batch 1 leaves the store unchanged
+    postings_store_append_batch(batch_b, incr, batch_id=1)
+    again = [tuple(r) for r in bm25_from_store(spark, incr, terms, top_n=10).collect()]
+    assert again == want
+
+
+def test_postings_store_df_guard_bounds_stopword_probe(spark, tmp_path):
+    """Skew guard: a term present in EVERY doc (corpus-sized postings —
+    the one unbounded object in a term-bucketed store) is dropped
+    before the postings scan when df > max_df_ratio·N: the pushed
+    term IN (...) predicate excludes it, probe ≡ guarded scan holds,
+    and an all-stopword probe raises instead of silently scanning."""
+    import pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        bm25_from_store,
+        bm25_search,
+        build_postings_store,
+    )
+
+    rows = [(i, f"stopword unique{i} " + ("cat " if i % 5 == 0 else "dog ")) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "guard_store")
+    build_postings_store(docs, store)
+
+    probe = bm25_from_store(
+        spark, store, ["stopword", "cat"], top_n=10, max_df_ratio=0.5
+    )
+    scan = bm25_search(
+        docs, ["stopword", "cat"], top_n=10, max_df_ratio=0.5
+    )
+    got = [(r.id, r.dl, int(r.tf_stopword), int(r.tf_cat), r.score) for r in probe.collect()]
+    want = [(r.doc_id, r.dl, r.tf_stopword, r.tf_cat, r.score) for r in scan.collect()]
+    assert got == want and len(got) == 10
+    assert all(t[2] == 0 for t in got)  # dropped term reports tf=0
+    assert all(t[3] > 0 for t in got)   # candidates come from kept term only
+
+    # the postings FileScan's pushed predicate must carry the kept term
+    # and NOT the stopword (its postings are never read)
+    import re
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln
+        for ln in plan.splitlines()
+        # identify the postings relation by its ReadSchema (Location
+        # paths are truncated in deep tmp dirs, and the pytest tmp dir
+        # NAME contains "postings", so path matching is unreliable)
+        if "FileScan" in ln
+        and "PushedFilters" in ln
+        and "ReadSchema: struct<term:string" in ln
+    ]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        pushed = re.search(r"PushedFilters: \[[^\]]*\]", ln).group(0)
+        assert "cat" in pushed and "stopword" not in pushed, pushed
+
+    with pytest.raises(ValueError, match="every probe term exceeds"):
+        bm25_from_store(spark, store, ["stopword"], max_df_ratio=0.5)
+    with pytest.raises(ValueError, match="every probe term exceeds"):
+        bm25_search(docs, ["stopword"], max_df_ratio=0.5)

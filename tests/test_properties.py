@@ -278,3 +278,105 @@ def test_bm25_store_equals_scan_on_randomized_corpora(spark, tmp_path):
         assert [(r[0], r[1], *map(int, r[2:-1]), r[-1]) for r in scan] == [
             (r[0], r[1], *map(int, r[2:-1]), r[-1]) for r in probe
         ], f"seed {seed} diverged"
+
+
+def test_lcg_components_cross_engine_exact():
+    """The SF-adaptive LSH oracles regenerate hyperplane_constants'
+    6-dp components from the same LCG inside DuckDB (similarity_queries
+    _adaptive_sigs_cte). This pins EVERY component up to the policy's
+    max (bits=24, tables=4, dim=64) byte-equal across engines — the
+    sequence is seed-deterministic and N-independent, so a green run
+    here proves the adaptive oracle's plane replay can never diverge
+    at any scale factor."""
+    import duckdb
+
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        hyperplane_constants,
+    )
+    from bigdatapipelinepysparksqlserver_spark.queries.similarity_queries import (
+        _LCG_ADD,
+        _LCG_MUL,
+        _LCG_SEED,
+    )
+
+    n = 24 * 4 * 64
+    py = [c for plane in hyperplane_constants(64, 24 * 4) for c in plane]
+    assert len(py) == n
+    rows = duckdb.sql(
+        f"""
+        WITH RECURSIVE lcg(k, state) AS (
+          SELECT 0, CAST({_LCG_SEED} AS HUGEINT)
+          UNION ALL
+          SELECT k + 1,
+                 (state * {_LCG_MUL}::HUGEINT + {_LCG_ADD}::HUGEINT)
+                   % 18446744073709551616::HUGEINT
+          FROM lcg WHERE k < {n}
+        )
+        SELECT ROUND(CAST(state AS DOUBLE) / 9223372036854775808.0 - 1.0, 6)
+        FROM lcg WHERE k >= 1 ORDER BY k
+        """
+    ).fetchall()
+    assert [r[0] for r in rows] == py
+
+
+@given(n=st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=40, deadline=None)
+def test_recommended_bits_matches_sql_formula(n):
+    """The adaptive oracles recompute recommended_bits from COUNT(*) in
+    SQL (GREATEST/LEAST/FLOOR(LOG2+0.5)); the Python policy must land
+    on the identical value for any N — this is the contract that lets
+    a policy-sized Spark query and its static oracle agree at every
+    scale factor (both the bits=…24 emb form and the max_bits=30
+    simhash block-width form)."""
+    import duckdb
+
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        recommended_bits,
+    )
+
+    for max_bits in (24, 30):
+        sql_bits = duckdb.sql(
+            f"SELECT GREATEST(4, LEAST({max_bits}, CAST(FLOOR(LOG2(GREATEST("
+            f"CAST({n} AS DOUBLE) / 80.0, 1.0)) + 0.5) AS INT)))"
+        ).fetchone()[0]
+        assert recommended_bits(n, max_bits=max_bits) == sql_bits
+
+
+def test_wide_hamming_pairs_invariant_to_block_width(spark):
+    """Pigeonhole correctness of the policy-sized blocking: the
+    verified pair set (120-bit distance <= 3) must be IDENTICAL for
+    every block width — width changes candidate cost only. Corpus is
+    built with exact dups, 1-2-token edits (near dups), and disjoint
+    docs."""
+    import pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        hamming_neighbors_wide,
+        simhash_signatures_wide,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, base.replace("kappa", "lambda")),  # near dup
+            (4, base.replace("beta", "B").replace("eta", "E")),
+            (5, "totally different words nothing shared here at all x y"),
+            (6, "one more unrelated document full of other tokens z w q"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = simhash_signatures_wide(docs, text_col="text", id_col="doc_id")
+    results = {}
+    for w in (4, 9, 15, 30):
+        rows = hamming_neighbors_wide(
+            sigs, id_col="doc_id", max_distance=3, block_bits=w
+        ).collect()
+        results[w] = sorted((r.id1, r.id2, r.hamming_distance) for r in rows)
+    assert len(set(map(tuple, results.values()))) == 1, results
+    assert (1, 2, 0) in results[4]  # the exact dup survives at distance 0
+    with pytest.raises(ValueError, match="block_bits"):
+        hamming_neighbors_wide(sigs, id_col="doc_id", block_bits=31)
+    with pytest.raises(ValueError, match="block_bits"):
+        hamming_neighbors_wide(sigs, id_col="doc_id", block_bits=3)
