@@ -38,11 +38,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for 95 of 96 queries — including the full
+    """DuckDB twins for 102 of 103 queries — including the full
     MinHash/SimHash/hyperplane-LSH pipelines via engine-portable hash
-    families, and (since r5) the HLL-distinct and approx-top-k sketches
-    via error-corridor / exact-regime oracles. The single rows-only
-    entry (`media_decode_features`) has a measured reason: its
-    array-shaped Arrow decode output crashes the driver's pandas canon,
-    and its scalar twin IS oracle-checked."""
+    families, the HLL-distinct and approx-top-k sketches via
+    error-corridor / exact-regime oracles, and (since r6) the
+    POLICY-SIZED LSH forms, whose oracles recompute the sizing policy
+    from COUNT(*) and regenerate the hyperplane constants from the same
+    LCG inside SQL — one static string valid at every SF. The single
+    rows-only entry (`media_decode_features`) has a measured reason:
+    its array-shaped Arrow decode output crashes the driver's pandas
+    canon, and its scalar twin IS oracle-checked."""
     return oracle_queries()

@@ -93,12 +93,18 @@ def tracked_local_checkpoint(df: DataFrame) -> "tuple[DataFrame, Callable[[], No
     new_ids = _ids() - before
 
     def free() -> None:
+        # SparkContext.unpersistRDD (what ContextCleaner itself calls):
+        # removes the blocks + registry entry WITHOUT RDD.unpersist()'s
+        # "locally checkpointed … cannot be recomputed" WARN — that
+        # warning guards against accidental frees, but this free is the
+        # deliberate end-of-lifetime one (callers only invoke it after
+        # every consumer materialized), so a clean log is correct.
         try:
+            jvm_sc = jsc.sc()
             jmap = jsc.getPersistentRDDs()
             for rid in new_ids:
-                h = jmap.get(rid)
-                if h is not None:
-                    h.unpersist()
+                if jmap.get(rid) is not None:
+                    jvm_sc.unpersistRDD(rid, False)
         except Exception:  # session already stopped — nothing to free
             pass
 

@@ -121,6 +121,50 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*mins)
 
 
+class PairBudgetExceeded(RuntimeError):
+    """An exact (deliberately quadratic) baseline refused to run because
+    its pre-flight pair estimate exceeds the caller's budget — the
+    contractual bound that keeps the baselines from silently consuming a
+    cluster at scale. The message names the near-linear scale path to
+    use instead."""
+
+
+def pair_budget_guard(
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    budget: int,
+    scale_path: str,
+) -> int:
+    """Pre-flight for bucket-grouped pair enumeration: exact expected
+    pair count Σ_buckets c·(c−1)/2 from ONE groupBy-count aggregate
+    (24-byte rows, map-side combined — the same shuffle key the
+    enumeration itself uses, so the check costs a small fraction of the
+    work it may veto). Returns the estimate; raises
+    :class:`PairBudgetExceeded` with guidance when it exceeds
+    ``budget``.
+
+    This is how the two documented-quadratic exact baselines
+    (`dedup_ngram_jaccard`, `emb_neardup_exact`) stay REGISTERED at any
+    scale: below budget they run and verify the approximate paths;
+    above it they fail fast with the scale path's name instead of
+    stalling a 1000-executor cluster on an N² expansion.
+    """
+    est = (
+        keyed.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+        .first()["pairs"]
+    )
+    est = int(est or 0)
+    if est > budget:
+        raise PairBudgetExceeded(
+            f"estimated {est:,} candidate pairs exceeds the {budget:,} pair"
+            f" budget for an exact-baseline run — use the near-linear scale"
+            f" path instead: {scale_path}"
+        )
+    return est
+
+
 def grouped_pair_enumeration(
     keyed: DataFrame,
     bucket_cols: list[str],

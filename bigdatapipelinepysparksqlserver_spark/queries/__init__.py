@@ -32,12 +32,22 @@ from . import pipeline_queries  # noqa: F401,E402
 GRADED_WINDOW = 50
 
 _GRADED_PREFIX = (
-    # reference core: marts, CDC windows, ledger arithmetic, SQL facade
-    "mart_client_count", "mart_sales_agg", "denormalize_join",
-    "changed_partitions", "reconcile_aggs", "next_run_id", "window_filter",
-    "year_month_partitions", "top_customers", "orders_without_lineitems",
+    # reference core: marts, CDC windows, ledger arithmetic, SQL facade.
+    # r6 rotation (VERDICT r5 #8): five long-stable, redundantly-covered
+    # entries ceded their slots so driver grading tracks the engine's
+    # center of mass — refresh_stamp (F3/F5 literal stamp), cutoff_window
+    # (F6; the in-window cdc_roundtrip_demo executes the same ledger
+    # cutoff arithmetic end-to-end), window_filter (P2; changed_partitions
+    # applies the identical half-open window on all three branches),
+    # denormalize_join (J1; both in-window marts run the same dim joins),
+    # orders_without_lineitems (anti-join; customers_with_orders keeps
+    # the semi/anti family in-window, q4/q21/q22 stay green past cap).
+    # All five remain registered + oracle-backed past the cap.
+    "mart_client_count", "mart_sales_agg",
+    "changed_partitions", "reconcile_aggs", "next_run_id",
+    "year_month_partitions", "top_customers",
     "customers_with_orders", "events_hourly_agg", "sessionize",
-    "customer_rank_by_spend", "refresh_stamp", "cutoff_window",
+    "customer_rank_by_spend",
     "sql_facade_agg",
     # temporal operators + multidimensional aggregation
     "asof_attribution", "range_error_context", "events_rollup", "events_pivot",
@@ -50,22 +60,25 @@ _GRADED_PREFIX = (
     "event_funnel", "cohort_retention", "event_gaps", "json_props_agg",
     "price_percentiles",
     # dedup family (exact → LSH scale path → clusters → end-to-end
-    # surviving corpus; doc_fingerprint ceded its slot to dedup_apply in
-    # r4, and dedup_ngram_jaccard — the documented quadratic baseline,
-    # which routes through the SAME shared bucket enumeration as the
-    # in-window minhash — ceded its slot in r5 to the IVF partitioned
-    # store; both stay oracle-backed past the cap)
+    # surviving corpus → incremental batch-vs-base probe (r6) →
+    # policy-sized SimHash blocking (r6: the graded form of the
+    # blocking-width scale contract))
     "dedup_exact", "dedup_minhash", "dedup_clusters",
-    "dedup_apply",
+    "dedup_apply", "dedup_incremental", "dedup_simhash_pairs_sized",
     # text analysis
     "text_token_count", "text_quality_score", "text_repetition_score",
     "text_language_id",
-    # training-data ops
+    # training-data ops + sketches (r6: the HLL distinct sketch joins
+    # the window — corridor-oracle-backed)
     "sample_documents", "doc_chunks", "scrub_pii", "decontaminate",
     "doc_pack_plan", "quality_classifier_score", "chunk_span_dups",
-    # similarity + multimodal (r5: the IVF cell-partitioned store —
-    # the flagship 100 TB ANN disk layout — joins the graded surface)
-    "ann_topk_cosine", "ann_ivf_partitioned_topk", "media_metadata_stats",
+    "sketch_distinct_clients",
+    # retrieval (r6: BM25 with the df-threshold skew guard engaged)
+    "bm25_search_guarded",
+    # similarity + multimodal (r5: IVF cell-partitioned store; r6: the
+    # policy-sized LSH near-dup — recommended_bits(N) as a graded query)
+    "ann_topk_cosine", "ann_ivf_partitioned_topk", "emb_neardup_lsh_sized",
+    "media_metadata_stats",
 )
 
 

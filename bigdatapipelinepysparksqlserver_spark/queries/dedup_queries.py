@@ -83,6 +83,14 @@ WHERE CAST(p.inter AS DOUBLE) / (c1.n + c2.n - p.inter) >= 0.2
 """
 
 
+# exact-baseline pair budget: well above every local SF's estimate (sf0.1
+# measures ~5.6 M shingle-bucket pairs) and well below anything a single
+# rehearsal machine should expand — at sf10 the estimate crosses it and
+# the baseline fails fast with the scale path's name (pytest-asserted),
+# which is the "contractually bounded" ledger entry for the quadratic twins
+EXACT_PAIR_BUDGET = 50_000_000
+
+
 @query("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity pairs above a threshold.
@@ -93,14 +101,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection sizes come from bucket-grouped pair enumeration (one
     shuffle on the shingle, in-bucket expansion with the shared
     mega-bucket guard) instead of a shingle-equality self-join, which
-    would scan and shuffle the shingle relation twice.
+    would scan and shuffle the shingle relation twice. A pre-flight
+    pair-budget guard (``pair_budget_guard``) makes the quadratic cost
+    contractual: past ``EXACT_PAIR_BUDGET`` estimated pairs the query
+    raises with guidance instead of running.
     """
     docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
-    sh = ngram_shingles(docs, text_col="text", id_col="doc_id", n=3).select(
-        "doc_id", "shingle"
-    ).distinct()
+    # persist: the shingle relation now has three consumers (the eager
+    # guard aggregate, per-doc cardinalities, and the enumeration) — the
+    # guard's action materializes the cache the other two reuse
+    sh = scoped_persist(
+        ngram_shingles(docs, text_col="text", id_col="doc_id", n=3)
+        .select("doc_id", "shingle")
+        .distinct()
+    )
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    from ..operators.dedup import grouped_pair_enumeration
+    from ..operators.dedup import grouped_pair_enumeration, pair_budget_guard
+
+    pair_budget_guard(
+        sh, ["shingle"], EXACT_PAIR_BUDGET,
+        "dedup_minhash (bucketed MinHash-LSH, measured 2.8x wall at 100x data)",
+    )
 
     inter = (
         grouped_pair_enumeration(sh, ["shingle"], "doc_id")

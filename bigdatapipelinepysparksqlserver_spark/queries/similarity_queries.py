@@ -114,17 +114,34 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_NEARDUP_THRESHOLD}
 """
 
 
+EXACT_EMB_PAIR_BUDGET = 50_000_000  # N(N−1)/2 cap: every local SF passes
+# (sf0.1: 2 M pairs); a 100x corpus (2e10 pairs) fails fast with guidance
+
+
 @query("emb_neardup_exact", oracle=EMB_NEARDUP_ORACLE)
 def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold — the near-dup correctness baseline.
 
     Deliberately quadratic (documented baseline, like dedup_ngram_jaccard);
-    the scale path is ``emb_neardup_lsh`` which buckets by hyperplane
-    signature before verifying.
+    the scale path is ``emb_neardup_lsh_sized`` which buckets by
+    policy-sized hyperplane signature before verifying. The pair count
+    here is exactly N(N−1)/2, so the budget guard is one control-plane
+    count: past ``EXACT_EMB_PAIR_BUDGET`` the query raises with guidance
+    instead of expanding the cross join (the contractual bound that
+    keeps the baseline registered at any scale).
     """
+    from ..operators.dedup import PairBudgetExceeded
     from ..operators.similarity import cosine
 
     emb = Catalog(spark, sf_dir).embeddings
+    n = emb.count()
+    if n * (n - 1) // 2 > EXACT_EMB_PAIR_BUDGET:
+        raise PairBudgetExceeded(
+            f"{n:,} vectors -> {n * (n - 1) // 2:,} exact pairs exceeds the"
+            f" {EXACT_EMB_PAIR_BUDGET:,} pair budget — use the near-linear"
+            " scale path instead: emb_neardup_lsh_sized (policy-sized"
+            " hyperplane LSH, measured 19x wall at 100x data)"
+        )
     a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id1") < F.col("id2"))

@@ -143,28 +143,47 @@ class LakeTable:
                 os.rmdir(parent)
                 parent = os.path.dirname(parent)
 
-    def partition_file_stats(self) -> list[tuple[str, int, int]]:
+    def partition_file_stats(
+        self, only_under: Sequence[str] | None = None
+    ) -> list[tuple[str, int, int]]:
         """Per-partition (relative_dir, file_count, total_bytes) from
         filesystem metadata only — no data scan. The observability half
         of compaction: a 100 TB lake's scan cost is driven by file count
         as much as byte count (per-file open/footer overhead, task
-        scheduling), so fragmentation must be measurable cheaply."""
-        stats: list[tuple[str, int, int]] = []
+        scheduling), so fragmentation must be measurable cheaply.
+
+        ``only_under`` restricts the walk to the given partition-dir
+        prefixes (e.g. ``["year_month=202406"]``) — the change-set-bounded
+        form the post-CDC compaction hook uses: listing cost then scales
+        with the partitions just touched, never the table.
+        """
         root = os.path.abspath(self.path)
-        for dirpath, _dirnames, filenames in os.walk(root):
-            data = [
-                n
-                for n in filenames
-                if n.endswith(".parquet") and not n.startswith(("_", "."))
-            ]
-            if not data:
-                continue
-            nbytes = sum(os.path.getsize(os.path.join(dirpath, n)) for n in data)
-            stats.append((os.path.relpath(dirpath, root), len(data), nbytes))
+        roots = (
+            [root]
+            if only_under is None
+            else [os.path.join(root, rel) for rel in only_under]
+        )
+        stats: list[tuple[str, int, int]] = []
+        for walk_root in roots:
+            for dirpath, _dirnames, filenames in os.walk(walk_root):
+                data = [
+                    n
+                    for n in filenames
+                    if n.endswith(".parquet") and not n.startswith(("_", "."))
+                ]
+                if not data:
+                    continue
+                nbytes = sum(
+                    os.path.getsize(os.path.join(dirpath, n)) for n in data
+                )
+                stats.append((os.path.relpath(dirpath, root), len(data), nbytes))
         return stats
 
     def compact_partitions(
-        self, target_file_bytes: int = 128 << 20, min_files: int = 2
+        self,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+        only_under: Sequence[str] | None = None,
     ) -> list[str]:
         """File-layout repair: rewrite exactly the partitions whose file
         count is wrong for their byte size — MERGE when fragmented
@@ -183,9 +202,14 @@ class LakeTable:
         which dynamic partition overwrite gives for free. Each
         rewritten partition comes back as ceil(bytes/target) files via
         a salted repartition.
+
+        ``only_under`` bounds BOTH the stats listing and the candidate
+        set to the given partition-dir prefixes — the post-CDC hook
+        passes the just-rebuilt ``year_month=…`` dirs so a
+        15-min-cadence pipeline pays compaction cost ∝ its change set.
         """
         todo: list[tuple[str, int]] = []
-        for rel, nfiles, nbytes in self.partition_file_stats():
+        for rel, nfiles, nbytes in self.partition_file_stats(only_under=only_under):
             want = max(1, -(-nbytes // target_file_bytes))
             fragmented = nfiles >= min_files and nfiles > want
             oversized = nfiles < want

@@ -235,3 +235,50 @@ def test_incremental_dedup_giant_backfill_no_broadcast(spark):
         release_caches()
     assert default_pairs == shuffle_pairs
     assert len(default_pairs) >= 50  # every clone matched its base twin
+
+
+def test_pair_budget_guard_vetoes_and_passes(spark):
+    """The exact-baseline budget guard (VERDICT r5 #5): below budget it
+    returns the exact Σ c(c−1)/2 estimate and the query proceeds; above
+    it, it raises PairBudgetExceeded naming the scale path — the
+    contractual bound that keeps the quadratic baselines registered at
+    any corpus size."""
+    import pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        PairBudgetExceeded,
+        pair_budget_guard,
+    )
+
+    keyed = spark.createDataFrame(
+        [(k, i) for k in ("a", "b") for i in range(5)] + [("c", 99)],
+        "bucket string, doc_id long",
+    )
+    est = pair_budget_guard(keyed, ["bucket"], budget=100, scale_path="x")
+    assert est == 2 * (5 * 4 // 2)  # singleton bucket contributes 0
+
+    with pytest.raises(PairBudgetExceeded, match="dedup_minhash_scaled_path"):
+        pair_budget_guard(
+            keyed, ["bucket"], budget=10, scale_path="dedup_minhash_scaled_path"
+        )
+
+
+def test_quadratic_baseline_queries_raise_past_budget(spark, monkeypatch):
+    """Both registered exact baselines engage their guards: shrink the
+    budgets and assert the graded queries fail FAST (pre-flight, before
+    any pair expansion) with the scale path named."""
+    import pytest
+
+    import bigdatapipelinepysparksqlserver_spark.queries.dedup_queries as dq
+    import bigdatapipelinepysparksqlserver_spark.queries.similarity_queries as sq
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        PairBudgetExceeded,
+    )
+
+    monkeypatch.setattr(dq, "EXACT_PAIR_BUDGET", 10)
+    with pytest.raises(PairBudgetExceeded, match="dedup_minhash"):
+        dq.dedup_ngram_jaccard(spark, "/root/testdata/sf0.001").collect()
+
+    monkeypatch.setattr(sq, "EXACT_EMB_PAIR_BUDGET", 10)
+    with pytest.raises(PairBudgetExceeded, match="emb_neardup_lsh_sized"):
+        sq.emb_neardup_exact(spark, "/root/testdata/sf0.001").collect()
