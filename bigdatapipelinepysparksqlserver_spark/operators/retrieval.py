@@ -191,13 +191,26 @@ def _store_relations(
     (or one ingest batch) — the shared tokenize-once step of the store
     writers. Postings are sorted by term WITHIN each bucket partition
     so parquet row-group min/max stats on ``term`` can skip a hot
-    term's neighbors (the row-group-level half of the skew guard)."""
-    w = docs.select(F.col(id_col).alias("id"), _words(text_col).alias("__ws"))
-    lens = w.select("id", F.size("__ws").alias("dl"))
+    term's neighbors (the row-group-level half of the skew guard).
+
+    Each posting row CARRIES the document's length (classic
+    postings-with-doclen layout, +4 bytes/row at build time): the probe
+    then scores candidates without ever joining the corpus-sized
+    doclens relation — measured at 5 M docs, that join dominated BOTH
+    guarded and unguarded probes (~4.5 s each) because a k-row
+    candidate set still streams every doclens row through the join;
+    with dl inline the probe's read set is exactly the probed terms'
+    postings. ``doclens`` stays in the store as the (id → dl) side
+    artifact (stats recomputation, diagnostics), just off the probe
+    path."""
+    w = docs.select(
+        F.col(id_col).alias("id"), _words(text_col).alias("__ws")
+    ).select("id", F.size("__ws").alias("dl"), F.col("__ws"))
+    lens = w.select("id", "dl")
     postings = (
-        w.select("id", F.explode("__ws").alias("term"))
+        w.select("id", "dl", F.explode("__ws").alias("term"))
         .groupBy("term", "id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
         )
@@ -232,8 +245,8 @@ def build_postings_store(
       k-term query reads ≤ k of ``num_buckets`` partition directories
       no matter how large the corpus; term-sorted within each bucket
       for row-group pruning of non-probed terms;
-    - ``doclens/`` — (id, dl) fixed-width rows (the BM25 length
-      normalization side);
+    - ``doclens/`` — (id, dl) fixed-width rows (side artifact for stats
+      recomputation/diagnostics; probes read dl from the posting rows);
     - ``stats/`` — one row (n_docs, total_dl): exact integers, so the
       probe side reproduces avgdl bit-for-bit;
     - ``termstats/bucket=B/`` — (term, df) per bucket: the probe
@@ -326,8 +339,10 @@ def bm25_from_store(
     vocabulary-sized ``termstats`` relation (bucket-pruned — never a
     scan of postings rows), summed across batches (disjoint batch
     doc-ids make the sum exact). The candidate set is the KEPT probe
-    terms' postings rows joined to fixed-width doclens; nothing in the
-    probe touches document text.
+    terms' postings rows, which carry their doc's dl inline — no join
+    against the corpus-sized doclens relation, so the probe's entire
+    read set is (probed postings + bucket-pruned termstats + one stats
+    row). Nothing in the probe touches document text.
 
     ``max_df_ratio`` is the store-side SKEW GUARD: a stopword probe
     term's postings list is corpus-sized (the one unbounded object a
@@ -379,17 +394,19 @@ def bm25_from_store(
     )
     # pivot probe postings to one column per KEPT term (fixed-order sum,
     # same expression shape as bm25_search); dropped terms keep a
-    # constant tf column for schema stability with the scan form
-    pivoted = postings.groupBy("id").agg(
+    # constant tf column for schema stability with the scan form. dl
+    # rides in the posting rows (identical for every posting of a doc),
+    # so the candidate set never joins the corpus-sized doclens relation
+    # — the probe's read set is exactly the kept terms' postings.
+    cand = postings.groupBy("id").agg(
         *[
             F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0)).alias(
                 f"tf_{t}"
             )
             for t in scored_terms
-        ]
+        ],
+        F.max("dl").alias("dl"),
     )
-    lens = spark.read.parquet(f"{path}/doclens").select("id", "dl")
-    cand = pivoted.join(lens, "id")
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
     )

@@ -419,6 +419,46 @@ def bm25_search_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_store_oracle() -> str:
+    """The store probe returns the same rows as the corpus scan (by
+    construction — per-batch exact stats, inline dl, identical
+    fixed-order scoring), so its oracle IS the scan oracle with the
+    probe's column names (id instead of doc_id)."""
+    return _bm25_oracle().replace("SELECT b.doc_id,", "SELECT b.doc_id AS id,")
+
+
+@query("bm25_store_probe", oracle=_bm25_store_oracle())
+def bm25_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the INVERTED-POSTINGS STORE as a graded end-to-end
+    query — build (tokenize once, term-bucket-partitioned postings with
+    inline dl, vocabulary-sized termstats, exact-integer stats) then
+    probe (bucket-pruned postings read, no doclens join, driver-side
+    idf literals). Grades the store path DIRECTLY against DuckDB
+    rather than transitively through the probe ≡ scan pytest: the
+    oracle is the corpus-scan BM25, which the probe must reproduce
+    bit-for-bit.
+
+    Scale: the build is one scan + partitioned write (amortized over
+    every search in production — rebuilt here per call so the graded
+    query covers the whole cycle); the probe reads ≤ k of 64 bucket
+    directories and nothing else.
+    """
+    from ..operators.retrieval import bm25_from_store, build_postings_store
+    from .storepaths import process_scoped_store_path
+
+    docs = Catalog(spark, sf_dir).documents
+    store = process_scoped_store_path("postings_store", sf_dir)
+    build_postings_store(docs, store)
+    return bm25_from_store(
+        spark,
+        store,
+        list(BM25_TERMS),
+        k1=_BM25_K1,
+        b=_BM25_B,
+        top_n=_BM25_TOP,
+    )
+
+
 @query("bm25_search", oracle=_bm25_oracle())
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BM25 over the corpus for a fixed probe-term set —
