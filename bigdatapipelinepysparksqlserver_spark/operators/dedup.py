@@ -143,19 +143,26 @@ def pair_budget_guard(
     :class:`PairBudgetExceeded` with guidance when it exceeds
     ``budget``.
 
-    This is how the two documented-quadratic exact baselines
-    (`dedup_ngram_jaccard`, `emb_neardup_exact`) stay REGISTERED at any
-    scale: below budget they run and verify the approximate paths;
-    above it they fail fast with the scale path's name instead of
-    stalling a 1000-executor cluster on an N² expansion.
+    The per-bucket term aggregates as DECIMAL(38,0) (c·(c−1), halved in
+    exact integer arithmetic on the driver) rather than SQL ``/ 2`` —
+    double division would accumulate the SUM as DOUBLE and lose integer
+    exactness past 2^53 pairs, making the returned count and the budget
+    comparison approximate exactly where the guard matters most.
+
+    This is how the fixed-parameter quadratic baselines
+    (`dedup_ngram_jaccard`, `emb_neardup_exact`, and the fixed-bits
+    LSH/SimHash twins) stay REGISTERED at any scale: below budget they
+    run and verify the approximate paths; above it they fail fast with
+    the scale path's name instead of stalling a 1000-executor cluster
+    on an N² expansion.
     """
-    est = (
+    twice = (
         keyed.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
-        .first()["pairs"]
+        .agg(F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).alias("p2"))
+        .first()["p2"]
     )
-    est = int(est or 0)
+    est = int(twice or 0) // 2
     if est > budget:
         raise PairBudgetExceeded(
             f"estimated {est:,} candidate pairs exceeds the {budget:,} pair"
@@ -685,6 +692,8 @@ def hamming_neighbors(
     id_col: str,
     max_distance: int = 3,
     bucket_cap: int = 2048,
+    pair_budget: int | None = None,
+    scale_path: str = "",
 ) -> DataFrame:
     """SimHash pairs within a Hamming radius, bucketed by 16-bit sub-blocks.
 
@@ -704,6 +713,15 @@ def hamming_neighbors(
     mega-bucket tier. The final distinct (inside the enumeration +
     here via dropDuplicates on id pairs) dedups pairs colliding in
     several blocks before the verify.
+
+    ``pair_budget``: the FIXED 16-bit block space caps buckets at 2^16
+    per block, so in-bucket candidate pairs grow ~N²/2^16 — quadratic
+    past ~10⁶ docs no matter how the plan is shaped. Passing a budget
+    runs :func:`pair_budget_guard` on the (blk, val) enumeration key
+    BEFORE any expansion, raising :class:`PairBudgetExceeded` naming
+    ``scale_path`` (the policy-width :func:`hamming_neighbors_wide`
+    form) past it — the contractual bound that keeps the fixed-width
+    form registered at any corpus size.
     """
     # persist: the signature relation now has THREE consumers (block
     # explode + both verify rejoin sides) and its subtree is a full
@@ -719,6 +737,8 @@ def hamming_neighbors(
         F.col(id_col),
         F.expr(f"stack(4, {stack_args})").alias("blk", "val"),
     )
+    if pair_budget is not None:
+        pair_budget_guard(exploded, ["blk", "val"], pair_budget, scale_path)
     pairs = grouped_pair_enumeration(
         exploded, ["blk", "val"], id_col, bucket_cap=bucket_cap
     ).dropDuplicates(["id1", "id2"])

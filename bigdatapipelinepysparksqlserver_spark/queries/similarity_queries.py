@@ -117,6 +117,13 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_NEARDUP_THRESHOLD}
 EXACT_EMB_PAIR_BUDGET = 50_000_000  # N(N−1)/2 cap: every local SF passes
 # (sf0.1: 2 M pairs); a 100x corpus (2e10 pairs) fails fast with guidance
 
+# fixed-parameter LSH twins' budget (VERDICT r6 #2): their CONSTANT
+# bucket space makes candidate pairs grow ~N²/2^bits — the r5 sf3 run of
+# emb_neardup_lsh was cut at 25 min. Same pre-flight the exact baselines
+# got: below budget the fixed twins run (every local SF passes by orders
+# of magnitude); past it they raise naming the _sized policy twin.
+FIXED_LSH_PAIR_BUDGET = 50_000_000
+
 
 @query("emb_neardup_exact", oracle=EMB_NEARDUP_ORACLE)
 def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,11 +617,17 @@ def emb_neardup_clusters_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("emb_neardup_lsh", oracle=EMB_NEARDUP_LSH_ORACLE.format(sigs=_sigs_cte()))
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via multi-table hyperplane-LSH bucketing
-    (two-tier capped enumeration — see embedding_near_duplicates)."""
+    (two-tier capped enumeration — see embedding_near_duplicates).
+    Fixed ``LSH_BITS`` keeps the bucket count constant, so the
+    pair-budget guard bounds the quadratic growth contractually; the
+    scale path is ``emb_neardup_lsh_sized``."""
     emb = Catalog(spark, sf_dir).embeddings
     return embedding_near_duplicates(
         emb, id_col="vec_id", vec_col="embedding", dim=EMB_DIM,
         threshold=EMB_NEARDUP_THRESHOLD, bits=LSH_BITS, tables=LSH_TABLES,
+        pair_budget=FIXED_LSH_PAIR_BUDGET,
+        scale_path="emb_neardup_lsh_sized (recommended_bits(N)-sized"
+        " hyperplane LSH, measured 19x wall at 100x data)",
     )
 
 
@@ -675,6 +688,9 @@ def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_near_duplicates(
         emb, id_col="vec_id", vec_col="embedding", dim=EMB_DIM,
         threshold=EMB_NEARDUP_THRESHOLD, bits=LSH_BITS, tables=LSH_TABLES,
+        pair_budget=FIXED_LSH_PAIR_BUDGET,
+        scale_path="emb_neardup_clusters_sized (recommended_bits(N)-sized"
+        " pair graph, measured 19x wall at 100x data)",
     )
     return connected_components_star(pairs).withColumnRenamed("doc_id", "vec_id")
 
