@@ -33,24 +33,29 @@ GRADED_WINDOW = 50
 
 _GRADED_PREFIX = (
     # reference core: marts, CDC windows, ledger arithmetic, SQL facade.
-    # r6 rotation (VERDICT r5 #8): five long-stable, redundantly-covered
-    # entries ceded their slots so driver grading tracks the engine's
-    # center of mass — refresh_stamp (F3/F5 literal stamp), cutoff_window
-    # (F6; the in-window cdc_roundtrip_demo executes the same ledger
-    # cutoff arithmetic end-to-end), window_filter (P2; changed_partitions
-    # applies the identical half-open window on all three branches),
-    # denormalize_join (J1; both in-window marts run the same dim joins),
-    # orders_without_lineitems (anti-join; customers_with_orders keeps
-    # the semi/anti family in-window, q4/q21/q22 stay green past cap).
-    # All five remain registered + oracle-backed past the cap.
+    # r7 rotation (VERDICT r6 #6): four more long-stable entries ceded —
+    # events_rollup + events_pivot (same Expand machinery, green since
+    # r3, events_hourly_agg keeps the events-agg family in-window),
+    # range_error_context (asof_attribution keeps the range-join family
+    # in-window), sessionize (its session_window twin ENTERS, keeping
+    # sessionization graded through the streaming-native operator).
+    # Entering: bm25_store_probe (the postings-store path graded
+    # directly), sessionize_session_window (the streaming surface's only
+    # oracle-backed entry), emb_neardup_clusters_sized (completes the
+    # policy-sized family in-window), bm25_topics (r7: batched BM25 —
+    # N topics, one corpus pass). All ceded entries remain registered +
+    # oracle-backed past the cap. (r6 rotation history: refresh_stamp,
+    # cutoff_window, window_filter, denormalize_join,
+    # orders_without_lineitems ceded, all still green past cap.)
     "mart_client_count", "mart_sales_agg",
     "changed_partitions", "reconcile_aggs", "next_run_id",
     "year_month_partitions", "top_customers",
-    "customers_with_orders", "events_hourly_agg", "sessionize",
+    "customers_with_orders", "events_hourly_agg",
+    "sessionize_session_window",
     "customer_rank_by_spend",
     "sql_facade_agg",
     # temporal operators + multidimensional aggregation
-    "asof_attribution", "range_error_context", "events_rollup", "events_pivot",
+    "asof_attribution",
     # TPC-H representatives (full-scan agg / selective join / 6-way join /
     # HAVING-semi) — the other 18 shapes are oracle-backed past the cap
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18",
@@ -73,11 +78,14 @@ _GRADED_PREFIX = (
     "sample_documents", "doc_chunks", "scrub_pii", "decontaminate",
     "doc_pack_plan", "quality_classifier_score", "chunk_span_dups",
     "sketch_distinct_clients",
-    # retrieval (r6: BM25 with the df-threshold skew guard engaged)
-    "bm25_search_guarded",
-    # similarity + multimodal (r5: IVF cell-partitioned store; r6: the
-    # policy-sized LSH near-dup — recommended_bits(N) as a graded query)
+    # retrieval (r6: BM25 with the df-threshold skew guard engaged;
+    # r7: the postings-store probe and the batched-topics form)
+    "bm25_search_guarded", "bm25_store_probe", "bm25_topics",
+    # similarity + multimodal (r5: IVF cell-partitioned store; r6-r7:
+    # the policy-sized LSH family — recommended_bits(N) as graded
+    # queries, pairs and clusters)
     "ann_topk_cosine", "ann_ivf_partitioned_topk", "emb_neardup_lsh_sized",
+    "emb_neardup_clusters_sized",
     "media_metadata_stats",
 )
 

@@ -9,12 +9,16 @@ from bigdatapipelinepysparksqlserver_spark.queries import (
     _GRADED_PREFIX,
 )
 
+# r7 rotation: sessionize → its session_window twin (streaming-native
+# operator stays flagship-graded); range_error_context ceded with
+# asof_attribution keeping the range-join family in-window.
 FLAGSHIPS = {
     "mart_client_count", "tpch_q1", "cdc_roundtrip_demo", "dq_violations",
-    "dedup_exact", "dedup_minhash", "dedup_clusters", "sessionize",
-    "asof_attribution", "range_error_context", "text_quality_score",
+    "dedup_exact", "dedup_minhash", "dedup_clusters",
+    "sessionize_session_window",
+    "asof_attribution", "text_quality_score",
     "decontaminate", "doc_pack_plan", "ann_topk_cosine",
-    "media_metadata_stats",
+    "media_metadata_stats", "bm25_topics",
 }
 
 
