@@ -42,11 +42,17 @@ checkpointing), so free only after every consumer materialized.
 from __future__ import annotations
 
 import threading
+import warnings
 from collections.abc import Callable
 
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame
 
 _TLS = threading.local()
+
+# one warning per process if the reflective unpersistRDD call breaks on a
+# Spark upgrade — a visible regression instead of a silent block leak
+_UNPERSIST_WARNED = False
 
 
 def _scoped() -> "list[Callable[[], None]]":
@@ -91,6 +97,17 @@ def tracked_local_checkpoint(df: DataFrame) -> "tuple[DataFrame, Callable[[], No
     before = _ids()
     ck = df.localCheckpoint()
     new_ids = _ids() - before
+    # PIN the checkpointed JVM RDD objects in this closure (r6 finding):
+    # without the pin, the moment the caller's previous-round DataFrame
+    # goes out of Python scope the JVM RDD becomes GC-collectable, and
+    # ContextCleaner's async removeRdd can race OUR deliberate free over
+    # the same block ids — both enumerate the blocks, the loser logs
+    # "BlockManager: Asked to remove block …, which does not exist".
+    # Holding the Py4J reference until free() has run means exactly one
+    # actor ever removes these blocks; the cleaner's later pass (after
+    # the pin drops) finds no matching blocks and is silently a no-op.
+    _jmap0 = jsc.getPersistentRDDs()
+    pinned = {rid: _jmap0.get(rid) for rid in new_ids}
 
     def free() -> None:
         # SparkContext.unpersistRDD (what ContextCleaner itself calls):
@@ -99,14 +116,45 @@ def tracked_local_checkpoint(df: DataFrame) -> "tuple[DataFrame, Callable[[], No
         # warning guards against accidental frees, but this free is the
         # deliberate end-of-lifetime one (callers only invoke it after
         # every consumer materialized), so a clean log is correct.
+        # Ids drop from the tracked set on first free → idempotent.
+        #
+        # unpersistRDD is private[spark] (reachable because Scala
+        # package-private compiles to public bytecode); a Spark upgrade
+        # renaming it must surface loudly, not as a silent leak — hence
+        # the narrow excepts: Py4JError from a missing/renamed method
+        # warns once per process, a stopped session is the one silent
+        # case (nothing left to free).
         try:
             jvm_sc = jsc.sc()
+            if jvm_sc.isStopped():
+                new_ids.clear()
+                pinned.clear()
+                return
             jmap = jsc.getPersistentRDDs()
-            for rid in new_ids:
+        except Py4JError:  # JVM gateway already torn down
+            new_ids.clear()
+            pinned.clear()
+            return
+        for rid in sorted(new_ids):
+            try:
                 if jmap.get(rid) is not None:
-                    jvm_sc.unpersistRDD(rid, False)
-        except Exception:  # session already stopped — nothing to free
-            pass
+                    # blocking=True: the pin must not drop while the
+                    # removal is still in flight, or ContextCleaner's
+                    # later pass could still race the async removal
+                    jvm_sc.unpersistRDD(rid, True)
+            except Py4JError as e:
+                global _UNPERSIST_WARNED
+                if not _UNPERSIST_WARNED:
+                    _UNPERSIST_WARNED = True
+                    warnings.warn(
+                        "SparkContext.unpersistRDD reflective call failed —"
+                        " checkpoint blocks will leak until the caching seam"
+                        f" is ported to this Spark version: {e}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+        new_ids.clear()
+        pinned.clear()  # blocks gone — let ContextCleaner GC the RDD objects
 
     return ck, free
 

@@ -1,0 +1,176 @@
+"""Batched-store compaction (VERDICT r6 #3): merging `batch=N` levels
+back to the flat layout must be probe-invisible —
+probe(compacted) ≡ probe(batched) ≡ probe(rebuild) — and must actually
+bound the file/dir growth N appends created."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+    compact_store_batches,
+)
+from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+
+def _parquet_files(root: str) -> int:
+    return sum(
+        1
+        for dirpath, _, files in os.walk(root)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def _batch_dirs(root: str) -> list[str]:
+    out = []
+    for dirpath, dirnames, _ in os.walk(root):
+        out.extend(d for d in dirnames if d.startswith("batch="))
+    return out
+
+
+def test_postings_store_compaction_probe_equivalence(spark, tmp_path):
+    """Three appends → compact → flat store: the probe returns the
+    rebuild's rows bit-for-bit (exact-integer stats/df recomposition),
+    batch levels are gone, stats collapse to ONE row, and the postings
+    file count lands at-or-below a single build's (the growth N appends
+    caused is undone, not merely relabeled)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        bm25_from_store,
+        build_postings_store,
+        postings_store_append_batch,
+    )
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    full = str(tmp_path / "full_store")
+    incr = str(tmp_path / "incr_store")
+    build_postings_store(docs, full)
+    for b in range(3):
+        postings_store_append_batch(
+            docs.where(F.col("doc_id") % 3 == b), incr, batch_id=b
+        )
+
+    terms = ["spark", "hash", "window"]
+    want = [tuple(r) for r in bm25_from_store(spark, full, terms, top_n=10).collect()]
+    batched = [
+        tuple(r) for r in bm25_from_store(spark, incr, terms, top_n=10).collect()
+    ]
+    assert batched == want and len(want) == 10
+
+    files_before = _parquet_files(f"{incr}/postings")
+    assert len(_batch_dirs(incr)) > 0
+    res = compact_store_batches(spark, incr)
+    assert res == {
+        "kind": "postings",
+        "compacted": True,
+        "batches": ["batch=0", "batch=1", "batch=2"],
+    }
+
+    compacted = [
+        tuple(r) for r in bm25_from_store(spark, incr, terms, top_n=10).collect()
+    ]
+    assert compacted == want
+    assert _batch_dirs(incr) == []  # flat again, all four relations
+    assert spark.read.parquet(f"{incr}/stats").count() == 1
+    files_after = _parquet_files(f"{incr}/postings")
+    assert files_after < files_before
+    assert files_after <= _parquet_files(f"{full}/postings")
+    # every bucket directory collapsed to one file (bucket-keyed shuffle)
+    for d in os.listdir(f"{incr}/postings"):
+        if d.startswith("bucket="):
+            n = _parquet_files(f"{incr}/postings/{d}")
+            assert n == 1, f"{d}: {n} files"
+
+    # a second compaction is a no-op on the now-flat store
+    assert compact_store_batches(spark, incr) == {
+        "kind": "postings",
+        "compacted": False,
+        "batches": [],
+    }
+
+
+def test_postings_compaction_bounds_files_across_many_appends(spark, tmp_path):
+    """The maintenance loop the operator exists for: 6 appends + compact
+    keeps the postings file count constant instead of linear in batch
+    count (the store analogue of lake compact_partitions' bounded-file
+    pytest)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        bm25_from_store,
+        postings_store_append_batch,
+    )
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    store = str(tmp_path / "rolling_store")
+    for b in range(6):
+        postings_store_append_batch(
+            docs.where(F.col("doc_id") % 6 == b), store, batch_id=b
+        )
+    grown = _parquet_files(f"{store}/postings")
+    res = compact_store_batches(spark, store)
+    assert res["compacted"] and len(res["batches"]) == 6
+    shrunk = _parquet_files(f"{store}/postings")
+    assert shrunk <= grown / 3  # 6 batches of listing overhead undone
+    # and the probe still answers (full equality proven in the 3-batch test)
+    assert len(bm25_from_store(spark, store, ["spark"], top_n=5).collect()) == 5
+
+
+def test_ivf_store_compaction_probe_equivalence(spark, tmp_path):
+    """IVF: 3 appended batches → compact → flat cell=C layout. The
+    partition-pruned probe returns exactly the projection-assignment
+    search's rows before AND after, and PartitionFilters still prunes
+    on cell (the index property survives the flatten)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        ivf_codebook_topk,
+        ivf_partitioned_topk,
+        ivf_store_append_batch,
+    )
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings.select(
+        "vec_id", "embedding"
+    )
+    codebook_df = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    cells = [(r.cell, list(r.centroid)) for r in codebook_df.collect()]
+    store = str(tmp_path / "ivf_store")
+    for b in range(3):
+        ivf_store_append_batch(
+            emb.where(F.col("vec_id") % 3 == b), cells, store, batch_id=b
+        )
+
+    queries = emb.where(F.col("vec_id") < 6)
+    want = sorted(
+        map(tuple, ivf_codebook_topk(emb, queries, codebook_df, n_probe=4, k=8).collect())
+    )
+    got_batched = sorted(
+        map(
+            tuple,
+            ivf_partitioned_topk(
+                spark, store, queries, codebook_df, n_probe=4, k=8
+            ).collect(),
+        )
+    )
+    assert got_batched == want
+
+    files_before = _parquet_files(store)
+    res = compact_store_batches(spark, store)
+    assert res["kind"] == "ivf" and res["compacted"]
+    assert res["batches"] == ["batch=0", "batch=1", "batch=2"]
+    assert _batch_dirs(store) == []
+
+    probe = ivf_partitioned_topk(spark, store, queries, codebook_df, n_probe=4, k=8)
+    assert sorted(map(tuple, probe.collect())) == want
+    assert _parquet_files(store) < files_before
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:300]
+
+    assert compact_store_batches(spark, store)["compacted"] is False
+
+
+def test_compact_missing_store_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no store at"):
+        compact_store_batches(spark, str(tmp_path / "nope"))
