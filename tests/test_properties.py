@@ -280,6 +280,139 @@ def test_bm25_store_equals_scan_on_randomized_corpora(spark, tmp_path):
         ], f"seed {seed} diverged"
 
 
+def test_postings_append_matches_duckdb_replay_under_tokenizer_drift(
+    spark, tmp_path
+):
+    """VERDICT r6 #8: the batched store's exact-integer recomposition
+    (per-batch n_docs/total_dl/df sums) exercised under unicode/casing
+    edge-case corpora, judged by an INDEPENDENT DuckDB replay of the
+    same tokenizer — not by the same-tokenizer scan alone. If Spark's
+    lower()/regex split ever tokenized a batch differently than the
+    engine's documented rule (the one code path where per-batch sums
+    could silently diverge), the replayed stats would catch it as an
+    integer mismatch, not a ranking nuance.
+
+    Edge cases: accents whose lowercase stays non-ASCII (token splits
+    AT the accent), all-caps/mixed-case twins of the same token, ß
+    (lowercase = itself, never [a-z]), CJK/emoji-only docs (dl
+    contributions of 0 from non-ASCII runs), full-width digits (NOT
+    [0-9] — ASCII classes on both engines), embedded tabs/newlines,
+    empty docs (dl=0 rows that still count in n_docs)."""
+    import random
+
+    import duckdb
+
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        bm25_from_store,
+        bm25_search,
+        postings_store_append_batch,
+    )
+
+    weird = [
+        "Café", "CAFÉ", "café", "naïve", "ALPHA", "alpha", "AlPhA", "ß",
+        "東京", "🙂", "x9", "X9", "a-b", "under_score", "tab\tsep",
+        "new\nline", "４２", "42", "Mix3d", "trail ",
+    ]
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join(rng.choices(weird, k=rng.randint(0, 12))))
+            for i in range(48)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        store = str(tmp_path / f"drift_{seed}")
+        for b in range(3):
+            postings_store_append_batch(
+                docs.where(F.col("doc_id") % 3 == b),
+                store,
+                batch_id=b,
+                num_buckets=8,
+            )
+
+        # (a) probe over the appended batches ≡ the corpus scan
+        terms = ["caf", "alpha", "x9", "42", "b", "missing"]
+        scan = [tuple(r) for r in bm25_search(docs, terms, top_n=15).collect()]
+        probe = [
+            tuple(r)
+            for r in bm25_from_store(
+                spark, store, terms, top_n=15, num_buckets=8
+            ).collect()
+        ]
+        assert [(r[0], r[1], *map(int, r[2:-1]), r[-1]) for r in scan] == [
+            (r[0], r[1], *map(int, r[2:-1]), r[-1]) for r in probe
+        ], f"seed {seed}: probe diverged from scan"
+
+        # (b) the store's summed exact integers ≡ DuckDB's replay of the
+        # documented tokenizer over the same rows
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        replay = con.sql(
+            """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            )
+            SELECT COUNT(*) AS n_docs, SUM(len(ws)) AS total_dl FROM w
+            """
+        ).fetchone()
+        st = (
+            spark.read.parquet(f"{store}/stats")
+            .agg(F.sum("n_docs"), F.sum("total_dl"))
+            .first()
+        )
+        assert (int(st[0]), int(st[1])) == (int(replay[0]), int(replay[1]))
+
+        dfs_duck = {
+            t: int(n)
+            for t, n in con.sql(
+                """
+                WITH w AS (
+                  SELECT doc_id,
+                         list_filter(
+                           string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+                  FROM documents
+                )
+                SELECT tok, COUNT(DISTINCT doc_id)
+                FROM (SELECT doc_id, UNNEST(ws) AS tok FROM w)
+                GROUP BY tok
+                """
+            ).fetchall()
+        }
+        dfs_store = {
+            r["term"]: int(r["sdf"])
+            for r in spark.read.parquet(f"{store}/termstats")
+            .groupBy("term")
+            .agg(F.sum("df").alias("sdf"))
+            .collect()
+        }
+        assert dfs_store == dfs_duck, f"seed {seed}: df recomposition diverged"
+
+        # (c) per-doc dl replay — every doc present exactly once across
+        # batches with the replayed length (empty docs included, dl=0)
+        dl_duck = {
+            int(i): int(n)
+            for i, n in con.sql(
+                """
+                SELECT doc_id,
+                       len(list_filter(
+                         string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                         x -> x <> ''))
+                FROM documents
+                """
+            ).fetchall()
+        }
+        dl_store = {
+            int(r["id"]): int(r["dl"])
+            for r in spark.read.parquet(f"{store}/doclens").collect()
+        }
+        assert dl_store == dl_duck, f"seed {seed}: dl recomposition diverged"
+        con.close()
+
+
 def test_lcg_components_cross_engine_exact():
     """The SF-adaptive LSH oracles regenerate hyperplane_constants'
     6-dp components from the same LCG inside DuckDB (similarity_queries

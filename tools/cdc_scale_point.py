@@ -18,7 +18,13 @@ What should and shouldn't be flat:
   source's date columns — linear in source rows but byte-cheap; it is
   the one term expected to grow, exactly like the reference's
   ``WHERE updated_date > ?`` table scan when SQL Server lacks an index
-  (README.md:58). The JSON separates it so the flat claim is testable.
+  (README.md:58). The JSON separates it so the flat claim is testable;
+- the FULL-INVALIDATION cycle (timed since r7) — a fixed-size scattered
+  update/delete batch whose victims are uniform over the whole history,
+  marking ~every partition changed — is expected ~LINEAR in the lake:
+  that worst case rebuilds everything by design, and the contrast
+  between its slope and the insert-only cycle's flat one IS the
+  incremental contract, measured from both sides.
 
 Usage:
     python tools/cdc_scale_point.py [--rows-base 30000] [--factor 10]
@@ -112,6 +118,33 @@ def one_scale(spark, root: str, n_rows: int) -> dict:
     rep = run_pipeline_1(spark, src, lake, ledger, now=T2)
     run2_wall = time.time() - t0
     assert rep["validation"].status == "SUCCESSFUL", rep
+
+    # the timed FULL-INVALIDATION cycle (VERDICT r6 #4): a fixed-size
+    # update/delete batch whose victims are uniform over the WHOLE
+    # history marks ~every monthly partition changed — the reference's
+    # own worst case (scattered `updated_date` rows force the
+    # `WHERE updated_date > ?` extract to rebuild everything,
+    # README.md:62). Correct CDC behavior, deliberately NOT
+    # partition-bounded: the expected contract is ~LINEAR wall in the
+    # base lake size (every partition rewrites), in contrast to the
+    # flat insert-only row above. The change batch stays fixed in
+    # absolute size across scales so the slope isolates the lake term.
+    fstamp = T2 + timedelta(hours=11)
+    gen.update_sales(batch=4, now=fstamp, p=MUTATION_UPDATES / n_rows)
+    gen.delete_sales(batch=4, now=fstamp, p=MUTATION_DELETES / n_rows)
+    loader = IncrementalLoader(
+        src.read("sales"), src.read("clients"), src.read("products"),
+        src.read("removed"), lake,
+    )
+    led = RunLedger(spark, os.path.join(root, "ledger"))
+    t3 = T2 + timedelta(hours=12)
+    inval_parts = loader.changed_partition_list(
+        led.previous_cutoff(led.next_run_id()), t3
+    )
+    t0 = time.time()
+    rep3 = run_pipeline_1(spark, src, lake, ledger, now=t3)
+    inval_wall = time.time() - t0
+    assert rep3["validation"].status == "SUCCESSFUL", rep3
     return {
         "base_rows": n_rows,
         "full_load_wall_s": round(full_wall, 2),
@@ -119,6 +152,8 @@ def one_scale(spark, root: str, n_rows: int) -> dict:
         "changed_partitions": len(parts),
         "detect_wall_s": round(detect_wall, 2),
         "run2_wall_s": round(run2_wall, 2),
+        "full_invalidation_partitions": len(inval_parts),
+        "full_invalidation_wall_s": round(inval_wall, 2),
     }
 
 
@@ -148,6 +183,12 @@ def main() -> None:
     out["factor"] = args.factor
     out["run2_ratio"] = round(
         out["scaled"]["run2_wall_s"] / max(out["base"]["run2_wall_s"], 1e-9), 2
+    )
+    # expected ~linear (every partition rebuilds); run2_ratio is the flat one
+    out["full_invalidation_ratio"] = round(
+        out["scaled"]["full_invalidation_wall_s"]
+        / max(out["base"]["full_invalidation_wall_s"], 1e-9),
+        2,
     )
     print(json.dumps(out))
 

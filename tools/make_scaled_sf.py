@@ -82,17 +82,33 @@ SHIFTS: dict[str, dict[str, str]] = {
 OUT_FILES = {"lineitem": 16, "orders": 8, "events": 8}
 
 
-def scale_dir(base: str, out: str, factor: int) -> None:
+def scale_dir(
+    base: str, out: str, factor: int, only: "list[str] | None" = None
+) -> None:
+    """``only``: restrict scaling to these tables (e.g. just
+    ``documents`` for a deep ≥300× retrieval/dedup point, where scaling
+    the full star schema would cost disk for tables the measured
+    queries never read). Strides still come from the referenced PK
+    tables, so FK consistency is preserved for whatever IS scaled."""
+    sel = list(TABLE_NAMES if only is None else only)
+    unknown = [t for t in sel if t not in TABLE_NAMES]
+    if unknown:
+        raise ValueError(f"unknown tables: {unknown}")
     spark = get_spark("make-scaled-sf")
-    tables = {t: load_table(spark, base, t) for t in TABLE_NAMES}
+    need = set(sel) | {
+        src for t in sel for src in SHIFTS.get(t, {}).values()
+    }
+    tables = {t: load_table(spark, base, t) for t in need}
     # control-plane scalars: one tiny agg per PK table
     stride = {
-        t: tables[t].agg(F.max(pk)).first()[0] + 1 for t, pk in PK_OF.items()
+        t: tables[t].agg(F.max(pk)).first()[0] + 1
+        for t, pk in PK_OF.items()
+        if t in need
     }
     os.makedirs(out, exist_ok=True)
     rep = F.explode(F.expr(f"sequence(0, {factor - 1})")).alias("rep")
 
-    for t in TABLE_NAMES:
+    for t in sel:
         df = tables[t]
         if t in ("region", "nation"):
             out_df = df
@@ -143,8 +159,15 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.scaled/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset to scale (default: all tables)",
+    )
     args = ap.parse_args()
-    scale_dir(args.base, args.out, args.factor)
+    scale_dir(
+        args.base, args.out, args.factor,
+        only=args.tables.split(",") if args.tables else None,
+    )
 
 
 if __name__ == "__main__":
