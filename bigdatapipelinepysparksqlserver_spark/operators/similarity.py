@@ -747,3 +747,131 @@ def ivf_partitioned_topk(
             "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank"
         )
     )
+
+
+def ivf_assign_with_cos(
+    vectors: DataFrame,
+    cells,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, cent_cos) — argmax-cosine cell assignment PLUS the
+    winning cosine itself, from ONE ``greatest()`` over the literal
+    cell structs (the struct already carries the cosine as its ordering
+    key; :func:`ivf_assign` throws it away, semantic dedup needs it as
+    the representative-selection score).
+
+    Same determinism contract as :func:`ivf_assign`: literal 6-dp-safe
+    centroids, left-to-right double folds, ties to the LOWEST cell —
+    all replayable in the DuckDB oracle.
+    """
+    if len(cells) == 1:
+        only = cells[0][0]
+        pre = vectors.select(
+            F.col(id_col), F.col(vec_col).alias("__v")
+        ).withColumn("__vnorm", F.expr(_IVF_VNORM_SQL))
+        return pre.select(
+            id_col,
+            F.lit(int(only)).alias("cell"),
+            F.expr(_ivf_cell_structs(cells) + ".c").alias("cent_cos"),
+        )
+    amax = f"greatest({_ivf_cell_structs(cells)})"
+    return (
+        vectors.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .withColumn("__vnorm", F.expr(_IVF_VNORM_SQL))
+        .withColumn("__amax", F.expr(amax))
+        .select(
+            id_col,
+            F.expr("CAST(-__amax.nc AS INT)").alias("cell"),
+            F.col("__amax.c").alias("cent_cos"),
+        )
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+    threshold: float = 0.4,
+    bucket_cap: int = 4096,
+    pair_budget: int | None = None,
+    scale_path: str = "",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster-partition the corpus with a coarse
+    quantizer, find near-duplicate pairs WITHIN each cluster, group them
+    into connected components, and keep ONE representative per
+    component — the member LEAST similar to its cluster centroid (the
+    paper's choice: redundant near-centroid copies go, the informative
+    outlier stays).
+
+    Returns (id, component, cent_cos, keep) — one row per member of a
+    duplicate component (singletons never appear), ``component`` = the
+    group's minimum id, ``keep`` = 1 on the representative. A curation
+    run drops every row with ``keep = 0``.
+
+    Scale: this is the embedding-dedup shape that survives 100 TB
+    BECAUSE of the cluster partition — candidate pairs are enumerated
+    per cell (two-tier capped, shared with MinHash/LSH dedup), so pair
+    work is Σ c²/2 over cell occupancies instead of N²/2, and stays
+    LINEAR in N when the codebook is sized to constant occupancy
+    (``2**recommended_bits(N)`` cells ≈ N/80 — the registered query's
+    policy). Assignment is a scan-side projection over literal
+    centroids (no shuffle); components use diameter-independent
+    star-contraction; the representative window partitions by
+    component (dup-group-sized, never global). Recall note: a pair
+    split across two cells is not examined — inherent to the
+    cluster-partition design (the paper's accepted trade); raise
+    recall with a finer threshold INSIDE cells, not more cells.
+
+    ``pair_budget`` pre-flights Σ c·(c−1)/2 on the cell key for
+    fixed-size codebooks (constant cells → quadratic growth), raising
+    past budget with ``scale_path`` naming the policy-sized form.
+    """
+    from .dedup import (
+        connected_components_star,
+        grouped_pair_enumeration,
+        pair_budget_guard,
+    )
+
+    cells = _collect_codebook(codebook, cell_col, cent_col, "semantic_dedup")
+    assigned = ivf_assign_with_cos(vectors, cells, id_col=id_col, vec_col=vec_col)
+    if pair_budget is not None:
+        pair_budget_guard(
+            assigned.select("cell"), ["cell"], pair_budget, scale_path
+        )
+    pairs = grouped_pair_enumeration(
+        assigned.select("cell", F.col(id_col).alias("doc_id")),
+        ["cell"],
+        "doc_id",
+        bucket_cap=bucket_cap,
+    )
+    v1 = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    verified = (
+        pairs.join(v1, "id1")
+        .join(v2, "id2")
+        .where(cosine(F.col("v1"), F.col("v2")) >= threshold)
+        .select("id1", "id2")
+    )
+    comp = connected_components_star(verified)
+    members = comp.join(
+        assigned.select(F.col(id_col).alias("doc_id"), "cent_cos"), "doc_id"
+    ).select(
+        "doc_id", "component", F.round("cent_cos", 6).alias("cent_cos")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("cent_cos").asc(), F.col("doc_id").asc()
+    )
+    return members.select(
+        F.col("doc_id").alias(id_col),
+        "component",
+        "cent_cos",
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("keep"),
+    )

@@ -43,13 +43,17 @@ _GRADED_PREFIX = (
     # directly), sessionize_session_window (the streaming surface's only
     # oracle-backed entry), emb_neardup_clusters_sized (completes the
     # policy-sized family in-window), bm25_topics (r7: batched BM25 —
-    # N topics, one corpus pass). All ceded entries remain registered +
+    # N topics, one corpus pass), semantic_dedup (r7: SemDeDup-style
+    # cluster-partitioned embedding dedup — top_customers cedes; the
+    # sort/top-k shape stays graded via customer_rank_by_spend in-window,
+    # the TakeOrderedAndProject plan assertion in test_plans, and the
+    # past-cap oracle). All ceded entries remain registered +
     # oracle-backed past the cap. (r6 rotation history: refresh_stamp,
     # cutoff_window, window_filter, denormalize_join,
     # orders_without_lineitems ceded, all still green past cap.)
     "mart_client_count", "mart_sales_agg",
     "changed_partitions", "reconcile_aggs", "next_run_id",
-    "year_month_partitions", "top_customers",
+    "year_month_partitions",
     "customers_with_orders", "events_hourly_agg",
     "sessionize_session_window",
     "customer_rank_by_spend",
@@ -85,7 +89,7 @@ _GRADED_PREFIX = (
     # the policy-sized LSH family — recommended_bits(N) as graded
     # queries, pairs and clusters)
     "ann_topk_cosine", "ann_ivf_partitioned_topk", "emb_neardup_lsh_sized",
-    "emb_neardup_clusters_sized",
+    "emb_neardup_clusters_sized", "semantic_dedup",
     "media_metadata_stats",
 )
 

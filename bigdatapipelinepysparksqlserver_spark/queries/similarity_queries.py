@@ -721,3 +721,98 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster-partitioned near-dup components
+# --------------------------------------------------------------------------
+
+SEMANTIC_DEDUP_MAX_BITS = 18  # 2^18 cells cap — past ~2*10^7 vectors go hierarchical
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+bitsel AS (
+  SELECT GREATEST(4, LEAST({SEMANTIC_DEDUP_MAX_BITS}, CAST(FLOOR(LOG2(GREATEST(
+           CAST(COUNT(*) AS DOUBLE) / 80.0, 1.0)) + 0.5) AS INT))) AS bits
+  FROM v
+),
+csel AS (SELECT (1::BIGINT << bits) AS c FROM bitsel),
+cb AS (SELECT vec_id AS cell, emb AS cent FROM v WHERE vec_id < (SELECT c FROM csel)),
+asg AS (
+  SELECT v.vec_id, c.cell, list_cosine_similarity(v.emb, c.cent) AS cs,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.cell ASC
+         ) AS rn
+  FROM v, cb c
+),
+assigned AS (SELECT vec_id, cell, cs AS cent_cos FROM asg WHERE rn = 1),
+cand AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.id1, c.id2
+  FROM cand c
+  JOIN v v1 ON v1.vec_id = c.id1
+  JOIN v v2 ON v2.vec_id = c.id2
+  WHERE list_cosine_similarity(v1.emb, v2.emb) >= {EMB_NEARDUP_THRESHOLD}
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM verified
+  UNION ALL SELECT id2, id1 FROM verified
+),
+cnodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.id = e.a WHERE w.lbl < e.b
+),
+comp AS (SELECT id AS vec_id, MIN(lbl) AS component FROM walk GROUP BY id),
+scored AS (
+  SELECT comp.vec_id, comp.component, ROUND(a.cent_cos, 6) AS cent_cos
+  FROM comp JOIN assigned a USING (vec_id)
+)
+SELECT vec_id, component, cent_cos,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+         PARTITION BY component ORDER BY cent_cos ASC, vec_id ASC) = 1
+         THEN 1 ELSE 0 END AS INT) AS keep
+FROM scored
+"""
+
+
+@query("semantic_dedup", oracle=SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster-partition the embeddings with a coarse quantizer, near-dup
+    pairs WITHIN cells only, connected components, keep the member
+    LEAST similar to its centroid per component — (vec_id, component,
+    cent_cos, keep), curation drops keep = 0.
+
+    POLICY-SIZED from the start: cells = ``2**recommended_bits(N)``
+    (constant ~80-vector occupancy → pair work LINEAR in N — the same
+    pinned half-away sizing contract the LSH oracles replay), with the
+    first-C embeddings as the deterministic codebook stand-in (the
+    ``ann_ivf_codebook_topk`` convention — production swaps in the
+    offline-trained versioned artifact, same argmax projection). The
+    SF-adaptive oracle recomputes C from COUNT(*) and replays
+    assignment, in-cell pair verification, star components, and the
+    min-cent-cos representative choice in one static SQL string valid
+    at every scale factor.
+    """
+    from ..operators.similarity import semantic_dedup
+
+    emb = Catalog(spark, sf_dir).embeddings
+    bits = recommended_bits(emb.count(), max_bits=SEMANTIC_DEDUP_MAX_BITS)
+    codebook = emb.where(F.col("vec_id") < (1 << bits)).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    return semantic_dedup(
+        emb,
+        codebook,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=EMB_NEARDUP_THRESHOLD,
+    )

@@ -165,3 +165,101 @@ def test_recommended_cells_policy():
         prev = c
     with _pytest.raises(ValueError):
         recommended_cells(0)
+
+
+def _vec(base, eps=0.0):
+    """64-dim unit-ish vector along a base axis with a small twist."""
+    v = [0.0] * 64
+    v[base] = 1.0
+    v[(base + 1) % 64] = eps
+    return v
+
+
+def test_semantic_dedup_keeps_least_central_member(spark):
+    """SemDeDup contract on a hand-built corpus: two centroid-aligned
+    near-dup groups + one singleton — components labeled by min id,
+    exactly one keep per component, and the keep is the member LEAST
+    similar to its cell centroid (the informative outlier), not the
+    min id."""
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        # cell 0 dup group: ids 10, 11, 12 — 12 is the most off-axis
+        (10, _vec(0, 0.01)),
+        (11, _vec(0, 0.02)),
+        (12, _vec(0, 0.40)),
+        # cell 1 dup group: ids 20, 21
+        (20, _vec(7, 0.05)),
+        (21, _vec(7, 0.10)),
+        # singleton in cell 0's orbit but dissimilar to everything
+        (30, _vec(33, 0.0)),
+    ]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codebook = spark.createDataFrame(
+        [(0, _vec(0)), (1, _vec(7)), (2, _vec(33))],
+        "cell int, centroid array<double>",
+    )
+    out = semantic_dedup(
+        vectors, codebook, threshold=0.9
+    ).orderBy("vec_id").collect()
+    by_id = {r["vec_id"]: r for r in out}
+    # singleton never appears; groups labeled by min id
+    assert 30 not in by_id
+    assert {r["vec_id"] for r in out} == {10, 11, 12, 20, 21}
+    assert all(by_id[i]["component"] == 10 for i in (10, 11, 12))
+    assert all(by_id[i]["component"] == 20 for i in (20, 21))
+    # exactly one keep per component, and it's the least-central member
+    assert [i for i in (10, 11, 12) if by_id[i]["keep"] == 1] == [12]
+    # cell-1 group: 21 (eps .10) is further from the axis centroid than 20
+    assert [i for i in (20, 21) if by_id[i]["keep"] == 1] == [21]
+    # cent_cos is the 6-dp rounded assignment cosine, descending with eps
+    assert by_id[10]["cent_cos"] > by_id[12]["cent_cos"]
+
+
+def test_semantic_dedup_cross_cell_pairs_not_examined(spark):
+    """The cluster-partition recall contract: a near-dup pair split
+    across two cells is NOT reported (the paper's accepted trade) —
+    pair enumeration must stay within cells."""
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # two nearly identical vectors sitting right between two centroids,
+    # nudged to opposite sides so argmax assigns them apart
+    a = [0.0] * 64
+    a[0], a[1] = 1.0, 0.999
+    b = [0.0] * 64
+    b[0], b[1] = 0.999, 1.0
+    vectors = spark.createDataFrame(
+        [(1, a), (2, b)], "vec_id long, embedding array<double>"
+    )
+    codebook = spark.createDataFrame(
+        [(0, _vec(0)), (1, _vec(1))], "cell int, centroid array<double>"
+    )
+    out = semantic_dedup(vectors, codebook, threshold=0.9).collect()
+    assert out == []  # cosine(a,b) ~ 0.9999 but cells differ
+
+
+def test_semantic_dedup_pair_budget_guard(spark):
+    """Fixed-codebook form honors the pair budget: a 1-cell codebook
+    concentrates all N ids in one bucket — the pre-flight must raise
+    past a shrunken budget, naming the scale path."""
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        PairBudgetExceeded,
+    )
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    vectors = spark.createDataFrame(
+        [(i, _vec(i % 4)) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    codebook = spark.createDataFrame(
+        [(0, _vec(0))], "cell int, centroid array<double>"
+    )
+    with pytest.raises(PairBudgetExceeded, match="semantic_dedup sized"):
+        semantic_dedup(
+            vectors, codebook, pair_budget=10, scale_path="semantic_dedup sized form"
+        ).collect()
