@@ -816,3 +816,125 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         threshold=EMB_NEARDUP_THRESHOLD,
     )
+
+
+# --------------------------------------------------------------------------
+# int8-quantized search: the compressed-store baseline
+# --------------------------------------------------------------------------
+
+ANN_TOPK_QUANTIZED_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+sc AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) AS s
+  FROM v
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(emb, x -> CASE WHEN s = 0 THEN 0.0
+                                       ELSE ROUND(x * 127.0 / s) END) AS qv
+  FROM sc
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.qv) AS cos_raw
+  FROM qz q JOIN qz e ON q.vec_id <> e.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+       ) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+@query("ann_topk_quantized", oracle=ANN_TOPK_QUANTIZED_ORACLE)
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 over int8-QUANTIZED embeddings — the
+    compressed-store search baseline: per-vector symmetric scalar
+    quantization (``round(x*127/max|x|)``) cuts the store's scan bytes
+    4× while cosine (scale-invariant) scores the int arrays directly.
+    The quantized dot product is EXACT in fp64 (|q| ≤ 127, 64 dims →
+    sums < 2^21), so unlike the float baseline this query's arithmetic
+    is fully order-independent — the oracle replays quantization
+    bit-exactly (both engines ROUND the identical double half-away).
+    Recall vs the float search is pytest-pinned (test_similarity)."""
+    from ..operators.similarity import quantized_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return quantized_topk(emb, q, id_col="vec_id", vec_col="embedding", k=TOP_K)
+
+
+# --------------------------------------------------------------------------
+# Lloyd-refined k-means assignment: the iterative algorithm, graded
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+
+KMEANS_REFINE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cb0 AS (SELECT vec_id AS cell, emb AS cent FROM v WHERE vec_id < {KMEANS_K}),
+a1 AS (
+  SELECT v.vec_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.cell ASC
+         ) AS rn
+  FROM v, cb0 c
+),
+asg1 AS (SELECT vec_id, cell FROM a1 WHERE rn = 1),
+m AS (
+  SELECT a.cell, CAST(t.i AS INT) AS dim,
+         ROUND(AVG(v.emb[CAST(t.i AS INT)]), 6) AS val
+  FROM asg1 a JOIN v USING (vec_id),
+       UNNEST(range(1, len(v.emb) + 1)) AS t(i)
+  GROUP BY a.cell, dim
+),
+cb1 AS (SELECT cell, LIST(val ORDER BY dim) AS cent FROM m GROUP BY cell),
+a2 AS (
+  SELECT v.vec_id, c.cell, list_cosine_similarity(v.emb, c.cent) AS cs,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.cell ASC
+         ) AS rn
+  FROM v, cb1 c
+)
+SELECT vec_id, cell, ROUND(cs, 6) AS cent_cos
+FROM a2 WHERE rn = 1
+"""
+
+
+@query("kmeans_refine_assign", oracle=KMEANS_REFINE_ORACLE)
+def kmeans_refine_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd round of spherical k-means, graded end to end:
+    deterministic init (first-K embeddings as centroids), argmax-cosine
+    assign, per-cell mean (6-dp rounded), re-assign against the refined
+    centroids — (vec_id, cell, cent_cos). The ITERATIVE-algorithm
+    surface of the engine, fully DuckDB-replayed: the oracle recomputes
+    assignment, the model-sized mean aggregate, and the second
+    assignment in SQL. Per-round driver traffic is exactly the K × dim
+    codebook (control-plane — the same unit Spark ML KMeans aggregates
+    per iteration); see ``kmeans_refine`` for the scale notes."""
+    from ..operators.similarity import (
+        _collect_codebook,
+        ivf_assign_with_cos,
+        kmeans_refine,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cb0 = emb.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    cb1 = kmeans_refine(emb, cb0, iters=1)
+    cells = _collect_codebook(cb1, "cell", "centroid", "kmeans_refine_assign")
+    out = ivf_assign_with_cos(emb, cells)
+    return out.select(
+        "vec_id", "cell", F.round("cent_cos", 6).alias("cent_cos")
+    )

@@ -85,7 +85,17 @@ def test_lake_partition_pruning(spark, tmp_path):
     assert "year_month" in plan.split("PartitionFilters")[1][:120]
 
 
-def test_no_cartesian_products_anywhere(spark):
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    """Executed-plan string per registered query, built ONCE for the
+    whole-registry hazard sweeps below — several fns run control-plane
+    jobs (counts, codebook collects, store builds) at plan-build time,
+    so per-test rebuilds double the most expensive part of this
+    module."""
+    return {name: plan_of(spec.fn(spark, SF)) for name, spec in REGISTRY.items()}
+
+
+def test_no_cartesian_products_anywhere(all_plans):
     """Every registered query except the documented brute-force ANN
     baselines must be cartesian-free. ann_ivf_topk's query×centroid
     cross join is broadcast-size by construction (n_queries × 16);
@@ -93,6 +103,7 @@ def test_no_cartesian_products_anywhere(spark):
     scalar-subquery shape)."""
     allowed = {
         "ann_topk_cosine",
+        "ann_topk_quantized",  # same broadcast query-side cross join
         "ann_lsh_topk",
         "emb_neardup_exact",
         "ann_ivf_topk",
@@ -100,22 +111,24 @@ def test_no_cartesian_products_anywhere(spark):
         "tpch_q11",  # 1-row threshold broadcast (scalar-subquery shape)
     }
     offenders = []
-    for name, spec in REGISTRY.items():
+    for name, plan in all_plans.items():
         if name in allowed:
             continue
-        plan = plan_of(spec.fn(spark, SF))
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert offenders == []
 
 
-def test_no_python_row_udfs_in_relational_surface(spark):
+def test_no_python_row_udfs_in_relational_surface(all_plans):
     """Zero-Python-UDF policy (§2.10): BatchEvalPython must not appear in
-    any plan; ArrowEvalPython/MapInPandas only in the multimodal decode."""
+    any plan; ArrowEvalPython/MapInPandas only in the multimodal decode.
+    (semantic_dedup's BLAS assignment path is MapInPandas but engages
+    only past BLAS_CELL_THRESHOLD cells — at this SF the policy-sized
+    codebook stays on the literal projection, which is what this sweep
+    asserts.)"""
     allowed_arrow = {"media_decode_features", "media_decode_check"}
     offenders = []
-    for name, spec in REGISTRY.items():
-        plan = plan_of(spec.fn(spark, SF))
+    for name, plan in all_plans.items():
         if "BatchEvalPython" in plan:
             offenders.append((name, "row-udf"))
         if ("ArrowEvalPython" in plan or "MapInPandas" in plan) and name not in allowed_arrow:
