@@ -337,3 +337,64 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cd").alias("cohort_day_index"),
         (F.col("ad") - F.col("cd")).alias("days_since"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# CUBE: nation × order-year with ALL subtotal combinations
+# --------------------------------------------------------------------------
+
+SALES_CUBE_ORACLE = """
+SELECT n_name, order_year,
+       CAST(GROUPING(n_name) * 2 + GROUPING(order_year) AS INTEGER) AS lvl,
+       COUNT(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+FROM (SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+             o.o_totalprice
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey) t
+GROUP BY CUBE (n_name, order_year)
+"""
+
+
+@query("sales_cube", oracle=SALES_CUBE_ORACLE)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (nation, order_year): every subtotal combination — detail,
+    per-nation, per-year, grand total — in one pass, completing the
+    multidimensional-agg family next to ``events_rollup`` (ROLLUP) and
+    ``events_pivot`` (PIVOT). The grouping level is computed from
+    individual GROUPING flags (engine GROUPING_ID bit orders differ).
+
+    Scale: Spark plans cube as one Expand (4 grouping sets) over rows
+    already reduced by the joins' projection — the dims join broadcast
+    (nation, customer), and partial aggregation below the exchange
+    means the shuffle carries 4× the small group domain, not 4× the
+    orders table.
+    """
+    cat = Catalog(spark, sf_dir)
+    t = (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cat.nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "o_totalprice",
+        )
+    )
+    return (
+        t.cube("n_name", "order_year")
+        .agg(
+            (F.grouping("n_name") * 2 + F.grouping("order_year"))
+            .cast("int")
+            .alias("lvl"),
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(dec("o_totalprice")).cast("double").alias("price_sum"),
+        )
+        .select("n_name", "order_year", "lvl", "order_count", "price_sum")
+    )
