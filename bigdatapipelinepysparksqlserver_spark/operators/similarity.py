@@ -1052,3 +1052,59 @@ def kmeans_refine(
             .withColumnRenamed("cell", cell_col)
         )
     return refined
+
+
+def semantic_dedup_incremental(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Incremental semantic dedup: which INCOMING embeddings duplicate
+    the stored corpus — (batch_id, corpus_id, cosine) pairs with
+    cosine ≥ threshold, batch assigned to IVF cells and compared ONLY
+    against the matching cell partitions of a
+    :func:`write_ivf_partitioned` store.
+
+    The embedding twin of the MinHash ``dedup_incremental``: daily
+    ingest probes a persistent index instead of re-enumerating
+    corpus×corpus pairs. Scale: the batch's DISTINCT probe cells — at
+    most the codebook size, a control-plane collect — become a literal
+    ``cell IN (…)`` predicate, so the store scan prunes at the
+    FILE-LISTING level (Hive partition pruning, same contract as
+    ``ivf_partitioned_topk``); probe work is Σ_probed batch_c ×
+    store_c, linear in the batch under the constant-occupancy sizing
+    policy, and batch-batch pairs are never examined (new-new dups are
+    the NEXT rebuild's in-cell problem — same division of labor as the
+    MinHash form).
+    """
+    cells = _collect_codebook(codebook, cell_col, cent_col, "semantic_dedup_incremental")
+    assigned = ivf_assign(batch, cells, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("batch_id"), F.col(vec_col).alias("batch_vec"), "cell"
+    )
+    probe_cells = sorted(
+        r["cell"] for r in assigned.select("cell").distinct().collect()
+    )
+    store = spark.read.parquet(store_path).where(F.col("cell").isin(probe_cells))
+    scored = (
+        store.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).alias("corpus_vec"),
+            "cell",
+        )
+        .join(assigned, "cell")
+        .where(F.col("batch_id") != F.col("corpus_id"))
+        .select(
+            "batch_id",
+            "corpus_id",
+            cosine(F.col("batch_vec"), F.col("corpus_vec")).alias("cos_raw"),
+        )
+    )
+    return scored.where(F.col("cos_raw") >= threshold).select(
+        "batch_id", "corpus_id", F.round("cos_raw", 6).alias("cosine")
+    )

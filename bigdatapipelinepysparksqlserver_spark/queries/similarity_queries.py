@@ -938,3 +938,89 @@ def kmeans_refine_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "cell", F.round("cent_cos", 6).alias("cent_cos")
     )
+
+
+# --------------------------------------------------------------------------
+# incremental semantic dedup: batch probes the cell-partitioned store
+# --------------------------------------------------------------------------
+
+SEM_INC_BATCH_N = 64  # incoming batch = vec_id < 64; stored corpus = the rest
+
+
+def _semantic_inc_oracle() -> str:
+    """Literal-codebook replay of the store probe: assignment for both
+    sides, then batch×corpus pairs WITHIN cells only (the store's
+    partition layout), thresholded — the probe's partition pruning is
+    a pure I/O optimization, so the oracle is partition-free."""
+    art = _load_ivf_artifact()
+    rows = ",\n        ".join(
+        f"({cell}, [" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[])"
+        for cell, cent in sorted((int(c), v) for c, v in art["centroids"].items())
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cb (cell, cent) AS (
+  SELECT * FROM (VALUES
+        {rows}) t
+),
+asg AS (
+  SELECT v.vec_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.cell ASC
+         ) AS rn
+  FROM v, cb c
+),
+assigned AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
+pairs AS (
+  SELECT b.vec_id AS batch_id, a.vec_id AS corpus_id,
+         list_cosine_similarity(vb.emb, va.emb) AS cos_raw
+  FROM assigned b
+  JOIN assigned a ON a.cell = b.cell
+  JOIN v vb ON vb.vec_id = b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  WHERE b.vec_id < {SEM_INC_BATCH_N} AND a.vec_id >= {SEM_INC_BATCH_N}
+)
+SELECT batch_id, corpus_id, ROUND(cos_raw, 6) AS cosine
+FROM pairs
+WHERE cos_raw >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+@query("semantic_dedup_incremental", oracle=_semantic_inc_oracle())
+def semantic_dedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup against the CELL-PARTITIONED store:
+    the corpus (vec_id ≥ 64) is written ``partitionBy(cell)`` under the
+    versioned artifact codebook, then the incoming batch (vec_id < 64)
+    is assigned and compared only against its cells' partition
+    directories — (batch_id, corpus_id, cosine ≥ 0.4). The embedding
+    twin of ``dedup_incremental``: ingest probes a persistent index,
+    corpus×corpus pairs are never re-enumerated, and the probe's
+    ``cell IN (…)`` predicate prunes at the file-listing level
+    (PartitionFilters — asserted in tests/test_plans.py). Graded per
+    call as build+probe, covering the whole cycle; the oracle replays
+    assignment and the within-cell batch×corpus comparison from the
+    codebook literals (pruning is I/O-only, so the oracle needs no
+    partition concept)."""
+    from ..operators.similarity import (
+        semantic_dedup_incremental,
+        write_ivf_partitioned,
+    )
+    from .storepaths import process_scoped_store_path
+
+    art = _load_ivf_artifact()
+    emb = Catalog(spark, sf_dir).embeddings
+    codebook = spark.createDataFrame(
+        sorted((int(c), v) for c, v in art["centroids"].items()),
+        ["cell", "centroid"],
+    ).select("cell", F.col("centroid").cast("array<double>").alias("centroid"))
+    store = process_scoped_store_path("semdedup_store", sf_dir)
+    write_ivf_partitioned(
+        emb.where(F.col("vec_id") >= SEM_INC_BATCH_N), codebook, store
+    )
+    batch = emb.where(F.col("vec_id") < SEM_INC_BATCH_N)
+    return semantic_dedup_incremental(
+        spark, store, batch, codebook, threshold=EMB_NEARDUP_THRESHOLD
+    )

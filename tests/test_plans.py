@@ -311,3 +311,13 @@ def test_no_single_partition_windows_anywhere(spark):
         if has_global_window(logical):
             offenders.append(name)
     assert offenders == []
+
+
+def test_semantic_incremental_probe_prunes_to_batch_cells(spark):
+    """semantic_dedup_incremental's store scan must carry the batch's
+    probe cells as PartitionFilters — ingest reads only the matching
+    cell directories of the corpus store, never the whole index."""
+    plan = plan_of(REGISTRY["semantic_dedup_incremental"].fn(spark, SF))
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "cell" in seg and "IN" in seg.upper()

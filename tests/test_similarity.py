@@ -391,3 +391,57 @@ def test_kmeans_refine_moves_centroids_and_drops_empty_cells(spark):
     assert out[1][7] == 1.0 and abs(out[1][8] - 0.2) < 1e-9
     out2 = {r["cell"]: r["centroid"] for r in kmeans_refine(vectors, cb0).collect()}
     assert out == out2
+
+
+def test_semantic_dedup_incremental_probe_semantics(spark, emb, tmp_path):
+    """Store-probe contract: (a) batch-batch pairs are never reported,
+    (b) the probe equals the partition-free within-cell comparison the
+    oracle defines, (c) a batch vector whose cell holds no corpus
+    vectors contributes nothing."""
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        _collect_codebook,
+        ivf_assign,
+        semantic_dedup_incremental,
+        write_ivf_partitioned,
+    )
+
+    codebook = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    base = emb.where(F.col("vec_id") >= 64)
+    batch = emb.where(F.col("vec_id") < 64)
+    store = str(tmp_path / "store")
+    write_ivf_partitioned(base, codebook, store)
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in semantic_dedup_incremental(
+            spark, store, batch, codebook, threshold=0.4
+        ).collect()
+    }
+    assert all(b < 64 <= c for b, c in got)
+    # partition-free reference: within-cell batch x base cosine
+    cells = _collect_codebook(codebook, "cell", "centroid", "test")
+    asg = ivf_assign(emb, cells).select("vec_id", "cell", "embedding")
+    rows = asg.collect()
+    import math
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return d / (na * nb)
+
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    want = set()
+    for members in by_cell.values():
+        for b in members:
+            if b["vec_id"] >= 64:
+                continue
+            for c in members:
+                if c["vec_id"] < 64:
+                    continue
+                if cos(b["embedding"], c["embedding"]) >= 0.4:
+                    want.add((b["vec_id"], c["vec_id"]))
+    assert got == want
