@@ -327,6 +327,25 @@ def foreach_batch_ivf_store_upsert(
     return _sink
 
 
+def _prior_batches(spark, path: str, batch_id: int) -> bool:
+    """True iff ``path`` already holds ``batch=`` levels other than this
+    one — through the Hadoop FileSystem API, so the check honors the
+    path's ACTUAL scheme (HDFS/S3A/local all work; a driver-local
+    os.listdir would silently return False forever on any non-local
+    store, breaking the no-accepted-near-dup invariant per batch).
+    Shared by the online dedup sinks (corpus and semantic)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    hfs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not hfs.exists(hpath):
+        return False
+    return any(
+        st.getPath().getName().startswith("batch=")
+        and st.getPath().getName() != f"batch={batch_id}"
+        for st in hfs.listStatus(hpath)
+    )
+
+
 def foreach_batch_online_corpus_dedup(
     store_path: str,
     threshold: float = 0.2,
@@ -372,23 +391,6 @@ def foreach_batch_online_corpus_dedup(
         minhash_band_store,
         minhash_near_duplicates_incremental,
     )
-
-    def _prior_batches(spark, path: str, batch_id: int) -> bool:
-        """True iff the store already holds batches other than this one
-        — through the Hadoop FileSystem API, so the check honors the
-        path's ACTUAL scheme (HDFS/S3A/local all work; a driver-local
-        os.listdir would silently return False forever on any non-local
-        store, breaking the no-accepted-near-dup invariant per batch)."""
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        hfs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not hfs.exists(hpath):
-            return False
-        return any(
-            st.getPath().getName().startswith("batch=")
-            and st.getPath().getName() != f"batch={batch_id}"
-            for st in hfs.listStatus(hpath)
-        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -452,6 +454,93 @@ def foreach_batch_online_corpus_dedup(
         # scope registry holds strong references, so not even the
         # ContextCleaner could reclaim them.
         release_caches()
+
+    return _sink
+
+
+def foreach_batch_online_semantic_dedup(
+    store_path: str,
+    codebook_cells: list,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: continuously semantically-deduplicated
+    embedding ingestion — the streaming form of
+    :func:`~..operators.similarity.semantic_dedup_incremental`.
+
+    Each micro-batch of vectors is cell-assigned with the versioned
+    codebook (``codebook_cells`` = collected (cell, centroid) tuples),
+    probed against the accepted store AT ITS CELLS ONLY (``cell IN
+    (…)`` → partition pruning inside every ``batch=K`` level), and
+    survivors land as ``{store}/vecs/batch=N/cell=C`` partitions.
+
+    Accept rule: a batch vector is dropped iff it has cosine ≥
+    ``threshold`` to an already-accepted vector in its cell, or to a
+    smaller-id vector of the SAME batch and cell (greedy pairwise).
+    Invariant maintained online: no two ACCEPTED vectors share a cell
+    with cosine ≥ threshold — the ``semantic_dedup`` batch query's
+    keep-set property, continuous form, with the same one-sided
+    failure mode (over-drop, never a kept near-dup pair) and the same
+    cross-cell recall trade. Exactly-once: batch N overwrites its own
+    directory, and the probe excludes ``batch = N`` rows, so a crash
+    replay recomputes against the identical base state.
+
+    Scale: per-batch cost is O(batch) assignment + one pruned
+    cell-join against the store — accepted history is never
+    re-assigned or re-scanned outside the probed cells.
+    """
+    import os
+
+    from ..operators.similarity import cosine, ivf_assign
+
+    cells = sorted((int(c), [float(x) for x in v]) for c, v in codebook_cells)
+    if not cells:
+        raise ValueError("foreach_batch_online_semantic_dedup: empty codebook")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vecs = batch_df.select(id_col, vec_col)
+        if vecs.isEmpty():
+            return
+        vecs_dir = os.path.join(store_path, "vecs")
+        assigned = ivf_assign(vecs, cells, id_col=id_col, vec_col=vec_col).persist()
+        probe_cells = sorted(
+            r["cell"] for r in assigned.select("cell").distinct().collect()
+        )
+        b1 = assigned.select(
+            F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "cell"
+        )
+        b2 = assigned.select(
+            F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "cell"
+        )
+        # within-batch greedy pairwise: the larger id of each in-cell pair
+        bb = (
+            b1.join(b2, "cell")
+            .where(F.col("id1") < F.col("id2"))
+            .where(cosine(F.col("v1"), F.col("v2")) >= threshold)
+            .select(F.col("id2").alias(id_col))
+        )
+        if _prior_batches(spark, vecs_dir, batch_id):
+            base = (
+                spark.read.parquet(vecs_dir)
+                .where(F.col("batch") != batch_id)
+                .where(F.col("cell").isin(probe_cells))
+                .select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "cell")
+            )
+            cross = (
+                base.join(b2, "cell")
+                .where(cosine(F.col("v1"), F.col("v2")) >= threshold)
+                .select(F.col("id2").alias(id_col))
+            )
+            drops = bb.unionByName(cross).distinct()
+        else:
+            drops = bb.distinct()
+        accepted = assigned.join(drops, id_col, "left_anti")
+        accepted.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(vecs_dir, f"batch={batch_id}")
+        )
+        assigned.unpersist()
 
     return _sink
 

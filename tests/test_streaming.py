@@ -786,3 +786,112 @@ def test_streaming_health_listener_captures_progress(spark, tmp_path):
         assert listener.snapshot(spark).count() == 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_online_semantic_dedup_across_microbatches(spark, tmp_path):
+    """Continuously semantically-deduplicated embedding ingestion: a
+    batch-2 near-dup of an ACCEPTED batch-1 vector is rejected via the
+    pruned cell probe, within-batch dups drop the larger id, novel
+    vectors in other cells pass, and the final store holds no in-cell
+    near-dup pair."""
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_online_semantic_dedup,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 16
+        v[axis] = 1.0
+        v[(axis + 1) % 16] = eps
+        return v
+
+    codebook = [(0, vec(0)), (1, vec(5)), (2, vec(10))]
+    schema = "vec_id long, embedding array<double>"
+    src = tmp_path / "vec_src"
+    # batch 1: axis-0 vector + its near-dup (within-batch) + axis-5 vector
+    spark.createDataFrame(
+        [(1, vec(0, 0.01)), (2, vec(0, 0.02)), (3, vec(5, 0.01))], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    # batch 2: cross-batch near-dup of accepted 1 + novel axis-10 vector
+    spark.createDataFrame(
+        [(10, vec(0, 0.03)), (11, vec(10, 0.0))], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    store = str(tmp_path / "sem_store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_online_semantic_dedup(
+                store, codebook, threshold=0.9
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "sem_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+    kept = spark.read.parquet(f"{store}/vecs")
+    rows = kept.collect()
+    kept_ids = {r.vec_id for r in rows}
+    # 2 dropped (within-batch near-dup of 1), 10 dropped (cross-batch
+    # near-dup of accepted 1), 3 and 11 novel in their cells
+    assert kept_ids == {1, 3, 11}
+    # cells recorded correctly (partition column survives the read)
+    assert {r.vec_id: r.cell for r in rows} == {1: 0, 3: 1, 11: 2}
+    # invariant: no in-cell near-dup pair among accepted vectors
+    import math
+
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(list(r.embedding))
+    for members in by_cell.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                cos = sum(x * y for x, y in zip(a, b)) / (
+                    math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b))
+                )
+                assert cos < 0.9
+
+
+def test_online_semantic_dedup_replay_is_exactly_once(spark, tmp_path):
+    """Replaying a micro-batch (same df, same batch_id) must leave the
+    semantic store identical: the accept decision excludes batch=N's own
+    rows, so the crash-replay recomputes against the same base state."""
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_online_semantic_dedup,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 16
+        v[axis] = 1.0
+        v[(axis + 1) % 16] = eps
+        return v
+
+    codebook = [(0, vec(0)), (1, vec(5))]
+    schema = "vec_id long, embedding array<double>"
+    store = str(tmp_path / "sem_replay")
+    sink = foreach_batch_online_semantic_dedup(store, codebook, threshold=0.9)
+    sink(spark.createDataFrame([(1, vec(0, 0.01)), (2, vec(5, 0.01))], schema), 0)
+    sink(
+        spark.createDataFrame([(10, vec(0, 0.02)), (11, vec(5, 0.6))], schema), 1
+    )  # 10 near-dups accepted 1 → drop; 11 far enough from 2 → keep
+
+    def snapshot():
+        return sorted(
+            (r.vec_id, r.cell)
+            for r in spark.read.parquet(f"{store}/vecs").collect()
+        )
+
+    before = snapshot()
+    assert [i for i, _ in before] == [1, 2, 11]
+    sink(
+        spark.createDataFrame([(10, vec(0, 0.02)), (11, vec(5, 0.6))], schema), 1
+    )
+    assert snapshot() == before
