@@ -552,3 +552,80 @@ def bm25_from_store(
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(top_n)
     )
+
+
+def rrf_hybrid_search(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_lex: int = 20,
+    top_vec: int = 20,
+    rrf_k: int = 60,
+    top_n: int = 10,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via Reciprocal Rank Fusion
+    (Cormack et al. 2009): fuse the BM25 ranking for ``query_terms``
+    with the cosine ranking against ``query_vec`` as ``Σ 1/(rrf_k +
+    rank)`` over the lists a doc appears in — the standard RAG-pipeline
+    first stage, robust to the two scores' incomparable scales because
+    only RANKS enter the fusion.
+
+    Returns (doc_id, lex_rank, vec_rank, rrf_score) — null rank where a
+    doc appears in only one list — top ``top_n`` by fused score with
+    doc_id tie-break. Both leg rankings order by their 6-dp-rounded
+    score (the BM25 output contract; mirrored for cosine) so ranks are
+    engine-reproducible.
+
+    Scale: each leg is its existing distributed search (BM25 corpus
+    scan/store probe; cosine scan with a LITERAL query vector —
+    constant-folded norm, no join, no shuffle of vector payloads); only
+    the two ranked lists — top_lex + top_vec ROWS, query-sized by
+    construction at any corpus size — are collected to assign ranks
+    driver-side (the same control-plane unit as the BM25 idf scalars),
+    re-literalized, and fused with one tiny full-outer equi-join. No
+    global window anywhere: the per-leg top-k lower to
+    TakeOrderedAndProject.
+    """
+    from .similarity import cosine
+
+    spark = docs.sparkSession
+    lex_rows = bm25_search(
+        docs, query_terms, text_col=text_col, id_col=doc_id_col,
+        k1=k1, b=b, top_n=top_lex, max_df_ratio=max_df_ratio,
+    ).select(doc_id_col).collect()
+    lex = [(int(r[doc_id_col]), i + 1) for i, r in enumerate(lex_rows)]
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec_rows = (
+        vectors.select(
+            F.col(vec_id_col).alias(doc_id_col),
+            F.round(cosine(F.col(vec_col), qlit), 6).alias("__cos"),
+        )
+        .orderBy(F.col("__cos").desc(), F.col(doc_id_col).asc())
+        .limit(top_vec)
+        .select(doc_id_col)
+        .collect()
+    )
+    vec = [(int(r[doc_id_col]), i + 1) for i, r in enumerate(vec_rows)]
+    l_df = spark.createDataFrame(lex, f"{doc_id_col} long, lex_rank int")
+    v_df = spark.createDataFrame(vec, f"{doc_id_col} long, vec_rank int")
+    fused = l_df.join(v_df, doc_id_col, "full_outer").select(
+        doc_id_col,
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(doc_id_col).asc()
+    ).limit(top_n)

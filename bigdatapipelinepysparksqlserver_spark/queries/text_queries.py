@@ -608,3 +608,126 @@ def bm25_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_n=_BM25_TOP,
         max_df_ratio=_BM25_MAX_DF_RATIO,
     )
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval: BM25 + query-vector cosine, Reciprocal Rank Fusion
+# --------------------------------------------------------------------------
+
+_HYBRID_QVEC_ID = 3
+_HYBRID_TOP_LEG, _HYBRID_RRF_K, _HYBRID_TOP = 20, 60, 10
+
+
+def _hybrid_oracle() -> str:
+    """RRF fusion replayed in SQL: the BM25 leg reuses the exact
+    fixed-order arithmetic of ``_bm25_oracle`` (ranked on the ROUNDED
+    score, the engine's output contract), the vector leg ranks the 6-dp
+    cosine against the literal-by-subquery query vector, and the fusion
+    is the fixed two-term sum 1/(k+lex) + 1/(k+vec)."""
+    tfs = ",\n         ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    dfs = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    norm = (
+        f"{_BM25_K1} * ({1.0 - _BM25_B} + ({_BM25_B} * CAST(dl AS DOUBLE))"
+        f" / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    contribs = " + ".join(
+        f"(ln(1 + (n - df_{t} + 0.5) / (df_{t} + 0.5)) * CAST(tf_{t} AS DOUBLE)"
+        f" * {_BM25_K1 + 1.0} / (CAST(tf_{t} AS DOUBLE) + {norm}))"
+        for t in BM25_TERMS
+    )
+    greatest = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ws) AS dl,
+         {tfs}
+  FROM w
+),
+st AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+         {dfs}
+  FROM base
+),
+scored AS (
+  SELECT b.doc_id, ROUND({contribs}, 6) AS score
+  FROM base b, st
+  WHERE GREATEST({greatest}) > 0
+),
+lex AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS INT) AS lex_rank
+  FROM scored
+  QUALIFY lex_rank <= {_HYBRID_TOP_LEG}
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+vs AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_cosine_similarity(
+           emb, (SELECT emb FROM v WHERE vec_id = {_HYBRID_QVEC_ID})), 6) AS cos
+  FROM v
+),
+vecr AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC)
+                      AS INT) AS vec_rank
+  FROM vs
+  QUALIFY vec_rank <= {_HYBRID_TOP_LEG}
+)
+SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, l.lex_rank, r.vec_rank,
+       ROUND(COALESCE(1.0 / ({_HYBRID_RRF_K} + l.lex_rank), 0.0)
+             + COALESCE(1.0 / ({_HYBRID_RRF_K} + r.vec_rank), 0.0), 6)
+         AS rrf_score
+FROM lex l FULL OUTER JOIN vecr r ON l.doc_id = r.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {_HYBRID_TOP}
+"""
+
+
+@query("hybrid_search_rrf", oracle=_hybrid_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 ranking
+    for the standard probe terms fused with the cosine ranking against
+    a query embedding (doc {_HYBRID_QVEC_ID}'s vector — documents and
+    embeddings share the id space) as Σ 1/(60 + rank) — the RAG
+    first-stage that needs no score calibration because only ranks
+    fuse. Top-10 (doc_id, lex_rank, vec_rank, rrf_score), null rank
+    where a doc appears in one list only.
+
+    Scale: both legs are the existing distributed searches (BM25
+    corpus scan; literal-query-vector cosine scan — no join, no vector
+    shuffle); only the two query-sized ranked lists are collected for
+    rank assignment (control-plane — same unit as the BM25 idf
+    scalars) and fused via one tiny full-outer equi-join. Per-leg
+    top-k lowers to TakeOrderedAndProject — no global window."""
+    from ..operators.retrieval import rrf_hybrid_search
+
+    cat = Catalog(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in cat.embeddings.where(F.col("vec_id") == _HYBRID_QVEC_ID)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    return rrf_hybrid_search(
+        cat.documents,
+        cat.embeddings,
+        list(BM25_TERMS),
+        qvec,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        top_lex=_HYBRID_TOP_LEG,
+        top_vec=_HYBRID_TOP_LEG,
+        rrf_k=_HYBRID_RRF_K,
+        top_n=_HYBRID_TOP,
+    )

@@ -431,3 +431,54 @@ def test_postings_store_df_guard_bounds_stopword_probe(spark, tmp_path):
         bm25_from_store(spark, store, ["stopword"], max_df_ratio=0.5)
     with pytest.raises(ValueError, match="every probe term exceeds"):
         bm25_search(docs, ["stopword"], max_df_ratio=0.5)
+
+
+def test_rrf_hybrid_fusion_semantics(spark):
+    """RRF contract on a hand-built corpus: a doc ranked in BOTH legs
+    outscores single-leg docs; single-leg docs carry a null rank for
+    the missing leg; the fused score is exactly 1/(k+lex) + 1/(k+vec)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        rrf_hybrid_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window functions and spark shuffles"),  # lexical hit
+            (2, "gardening tips for quiet winter mornings"),   # neither
+            (3, "spark stream processing"),                    # both legs
+            (4, "rivers and harbors"),                         # vector-only hit
+        ],
+        "doc_id long, text string",
+    )
+
+    def vec(axis):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        return v
+
+    q = vec(0)
+    vectors = spark.createDataFrame(
+        [(1, vec(5)), (2, vec(6)), (3, q),
+         (4, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.3])],
+        "vec_id long, embedding array<double>",
+    )
+    out = rrf_hybrid_search(
+        docs, vectors, ["spark", "stream"], q, top_lex=2, top_vec=2, top_n=4
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 3: lexical rank (contains both terms) + vector rank 1 → top fused
+    assert out[0]["doc_id"] == 3
+    assert by_id[3]["vec_rank"] == 1 and by_id[3]["lex_rank"] is not None
+    # doc 4: vector-only → null lex_rank; doc 1: lexical-only → null vec_rank
+    assert by_id[4]["lex_rank"] is None and by_id[4]["vec_rank"] == 2
+    assert by_id[1]["vec_rank"] is None and by_id[1]["lex_rank"] is not None
+    # doc 2 appears in neither leg
+    assert 2 not in by_id
+    # exact fused arithmetic
+    for r in out:
+        want = 0.0
+        if r["lex_rank"] is not None:
+            want += 1.0 / (60 + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            want += 1.0 / (60 + r["vec_rank"])
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
