@@ -72,7 +72,11 @@ _GRADED_PREFIX = (
     # surviving corpus → incremental batch-vs-base probe (r6) →
     # policy-sized SimHash blocking (r6: the graded form of the
     # blocking-width scale contract))
-    "dedup_exact", "dedup_minhash", "dedup_clusters",
+    # (r7 late rotation: dedup_clusters cedes — the components shape
+    # stays graded via emb_neardup_clusters_sized in-window and
+    # dedup_apply composes clusters end-to-end; hybrid_search_rrf
+    # enters with the retrieval family)
+    "dedup_exact", "dedup_minhash",
     "dedup_apply", "dedup_incremental", "dedup_simhash_pairs_sized",
     # text analysis
     "text_token_count", "text_quality_score", "text_repetition_score",
@@ -85,6 +89,7 @@ _GRADED_PREFIX = (
     # retrieval (r6: BM25 with the df-threshold skew guard engaged;
     # r7: the postings-store probe and the batched-topics form)
     "bm25_search_guarded", "bm25_store_probe", "bm25_topics",
+    "hybrid_search_rrf",
     # similarity + multimodal (r5: IVF cell-partitioned store; r6-r7:
     # the policy-sized LSH family — recommended_bits(N) as graded
     # queries, pairs and clusters)

@@ -1024,3 +1024,87 @@ def semantic_dedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFr
     return semantic_dedup_incremental(
         spark, store, batch, codebook, threshold=EMB_NEARDUP_THRESHOLD
     )
+
+
+SEMANTIC_APPLY_ORACLE = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
+),
+bitsel AS (
+  SELECT GREATEST(4, LEAST({SEMANTIC_DEDUP_MAX_BITS}, CAST(FLOOR(LOG2(GREATEST(
+           CAST(COUNT(*) AS DOUBLE) / 80.0, 1.0)) + 0.5) AS INT))) AS bits
+  FROM v
+),
+csel AS (SELECT (1::BIGINT << bits) AS c FROM bitsel),
+cb AS (SELECT vec_id AS cell, emb AS cent FROM v WHERE vec_id < (SELECT c FROM csel)),
+asg AS (
+  SELECT v.vec_id, c.cell, list_cosine_similarity(v.emb, c.cent) AS cs,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.cell ASC
+         ) AS rn
+  FROM v, cb c
+),
+assigned AS (SELECT vec_id, cell, cs AS cent_cos FROM asg WHERE rn = 1),
+cand AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.id1, c.id2
+  FROM cand c
+  JOIN v v1 ON v1.vec_id = c.id1
+  JOIN v v2 ON v2.vec_id = c.id2
+  WHERE list_cosine_similarity(v1.emb, v2.emb) >= {EMB_NEARDUP_THRESHOLD}
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM verified
+  UNION ALL SELECT id2, id1 FROM verified
+),
+cnodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.id = e.a WHERE w.lbl < e.b
+),
+comp AS (SELECT id AS vec_id, MIN(lbl) AS component FROM walk GROUP BY id),
+scored AS (
+  SELECT comp.vec_id, comp.component, ROUND(a.cent_cos, 6) AS cent_cos
+  FROM comp JOIN assigned a USING (vec_id)
+),
+drops AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY component ORDER BY cent_cos ASC, vec_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk > 1
+)
+SELECT v.vec_id, v.label
+FROM v
+WHERE v.vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
+@query("semantic_dedup_apply", oracle=SEMANTIC_APPLY_ORACLE)
+def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END semantic dedup: the surviving corpus after dropping
+    every duplicate-component member except its representative (the
+    least-centroid-similar one) — (vec_id, label) rows a curation run
+    would write back. The embedding twin of ``dedup_apply``: one
+    anti-join of the full corpus against the component drop set, which
+    is dup-sized, not corpus-sized. Same policy-sized cells and
+    SF-adaptive oracle as ``semantic_dedup``."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = Catalog(spark, sf_dir).embeddings
+    bits = recommended_bits(emb.count(), max_bits=SEMANTIC_DEDUP_MAX_BITS)
+    codebook = emb.where(F.col("vec_id") < (1 << bits)).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    members = semantic_dedup(
+        emb, codebook, id_col="vec_id", vec_col="embedding",
+        threshold=EMB_NEARDUP_THRESHOLD,
+    )
+    drops = members.where(F.col("keep") == 0).select("vec_id")
+    return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")

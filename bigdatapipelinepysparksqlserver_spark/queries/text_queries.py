@@ -731,3 +731,98 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_k=_HYBRID_RRF_K,
         top_n=_HYBRID_TOP,
     )
+
+
+# --------------------------------------------------------------------------
+# per-language adaptive quality gate: threshold = in-language median
+# --------------------------------------------------------------------------
+
+_QUALITY_EXPR = r"""
+  ROUND(
+    0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE))
+  + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+           / CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE))
+  + 0.3 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 64.0, 1.0)
+  , 6)
+"""
+
+QUALITY_GATE_BY_LANG_ORACLE = rf"""
+WITH q AS (
+  SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM documents
+),
+ls AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS score_de,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|is|in|to)\b')) AS score_en,
+    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en)\b')) AS score_es,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|de|et|est)\b')) AS score_fr
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+    CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+         WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+         WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+         WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+         ELSE 'fr' END AS predicted_lang
+  FROM ls
+),
+j AS (
+  SELECT q.doc_id, q.quality_score, l.predicted_lang
+  FROM q JOIN l USING (doc_id)
+),
+t AS (
+  SELECT predicted_lang,
+         ROUND(quantile_cont(quality_score, 0.5), 6) AS threshold
+  FROM j GROUP BY predicted_lang
+)
+SELECT j.predicted_lang, t.threshold,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN j.quality_score >= t.threshold THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM j JOIN t USING (predicted_lang)
+GROUP BY j.predicted_lang, t.threshold
+"""
+
+
+@query("quality_gate_by_lang", oracle=QUALITY_GATE_BY_LANG_ORACLE)
+def quality_gate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ADAPTIVE quality gate: the keep threshold is each
+    language's own in-corpus quality median (exact interpolated
+    percentile, Spark ``percentile`` ≡ DuckDB ``quantile_cont``, 6-dp
+    rounded on both sides so the kept-set compare is engine-identical)
+    — the curation rule that fixes what a single global cutoff gets
+    wrong on multilingual corpora, where score distributions shift per
+    language. Output: (predicted_lang, threshold, n_docs, n_kept).
+
+    Scale: two scans of documents (quality features; language argmax)
+    joined on 8-byte doc ids; the per-language thresholds are a
+    languages-sized aggregate broadcast back — no global sort, the
+    exact percentile shuffles (lang, score) pairs only.
+    """
+    from ..operators.text import language_scores, quality_scores
+
+    docs = Catalog(spark, sf_dir).documents
+    q = quality_scores(docs, text_col="text", id_col="doc_id").select(
+        "doc_id", "quality_score"
+    )
+    lang = language_scores(docs, text_col="text", id_col="doc_id").select(
+        "doc_id", "predicted_lang"
+    )
+    j = q.join(lang, "doc_id")
+    t = j.groupBy("predicted_lang").agg(
+        F.round(F.expr("percentile(quality_score, 0.5)"), 6).alias("threshold")
+    )
+    return (
+        j.join(F.broadcast(t), "predicted_lang")
+        .groupBy("predicted_lang", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("quality_score") >= F.col("threshold")).cast("long")
+            ).alias("n_kept"),
+        )
+    )

@@ -11,11 +11,14 @@ from bigdatapipelinepysparksqlserver_spark.queries import (
 
 # r7 rotation: sessionize → its session_window twin (streaming-native
 # operator stays flagship-graded); range_error_context ceded with
-# asof_attribution keeping the range-join family in-window.
+# asof_attribution keeping the range-join family in-window; late-r7,
+# dedup_clusters → semantic_dedup + hybrid_search_rrf (components stay
+# graded via emb_neardup_clusters_sized, clusters compose in
+# dedup_apply).
 FLAGSHIPS = {
     "mart_client_count", "tpch_q1", "cdc_roundtrip_demo", "dq_violations",
-    "dedup_exact", "dedup_minhash", "dedup_clusters",
-    "sessionize_session_window",
+    "dedup_exact", "dedup_minhash", "semantic_dedup",
+    "sessionize_session_window", "hybrid_search_rrf",
     "asof_attribution", "text_quality_score",
     "decontaminate", "doc_pack_plan", "ann_topk_cosine",
     "media_metadata_stats", "bm25_topics",
