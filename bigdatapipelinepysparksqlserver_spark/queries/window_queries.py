@@ -191,3 +191,50 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name", "c_custkey", "spend",
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# behavior-sequence building: per-user ordered event-type sequences
+# --------------------------------------------------------------------------
+
+_SEQ_K = 20
+
+USER_EVENT_SEQUENCES_ORACLE = f"""
+SELECT user_id,
+       array_to_string(LIST(event_type ORDER BY ts, event_id)[1:{_SEQ_K}], ' ')
+         AS seq,
+       CAST(LEAST(COUNT(*), {_SEQ_K}) AS INT) AS seq_len
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("user_event_sequences", oracle=USER_EVENT_SEQUENCES_ORACLE)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered behavior sequences — each user's first
+    {_SEQ_K} events (by (ts, event_id), a total order) rendered as an
+    event-type string: the sequence-corpus building step behind
+    behavioral/recommendation model training.
+
+    Scale: the sequence is TRUNCATED BEFORE collection — a row_number
+    window keeps rank ≤ K, so per-user state is bounded by K
+    everywhere (collect-then-slice would buffer each user's full
+    history in one aggregation row — unbounded at 100 TB). The window
+    and the groupBy share one user_id exchange (the ``sessionize``
+    pattern)."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _SEQ_K)
+    )
+    return ranked.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(rn, event_type))),"
+            " x -> x.event_type), ' ')"
+        ).alias("seq"),
+        F.count(F.lit(1)).cast("int").alias("seq_len"),
+    )

@@ -174,3 +174,48 @@ def test_ivf_store_compaction_probe_equivalence(spark, tmp_path):
 def test_compact_missing_store_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no store at"):
         compact_store_batches(spark, str(tmp_path / "nope"))
+
+
+def test_compact_semantic_streaming_store(spark, tmp_path):
+    """The online-semantic-dedup store shares the IVF batched layout
+    (vecs/batch=N/cell=C), so compact_store_batches must flatten it
+    with the kept set and cell assignments preserved — the daily-ingest
+    GC path for the streaming sink's store."""
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        compact_store_batches,
+    )
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_online_semantic_dedup,
+    )
+
+    def vec(axis, eps=0.0):
+        v = [0.0] * 16
+        v[axis] = 1.0
+        v[(axis + 1) % 16] = eps
+        return v
+
+    codebook = [(0, vec(0)), (1, vec(5)), (2, vec(10))]
+    schema = "vec_id long, embedding array<double>"
+    store = str(tmp_path / "sem_store")
+    sink = foreach_batch_online_semantic_dedup(store, codebook, threshold=0.9)
+    sink(spark.createDataFrame([(1, vec(0, 0.01)), (2, vec(5, 0.01))], schema), 0)
+    sink(spark.createDataFrame([(10, vec(10, 0.02)), (11, vec(0, 0.02))], schema), 1)
+
+    before = sorted(
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{store}/vecs").collect()
+    )
+    assert [i for i, _ in before] == [1, 2, 10]  # 11 near-dups accepted 1
+
+    info = compact_store_batches(spark, f"{store}/vecs")
+    assert info["compacted"] and info["kind"] == "ivf"
+    import os
+
+    assert not any(
+        d.startswith("batch=") for d in os.listdir(f"{store}/vecs")
+    )
+    after = sorted(
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{store}/vecs").collect()
+    )
+    assert after == before
