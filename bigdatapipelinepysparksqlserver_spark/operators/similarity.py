@@ -1108,3 +1108,148 @@ def semantic_dedup_incremental(
     return scored.where(F.col("cos_raw") >= threshold).select(
         "batch_id", "corpus_id", F.round("cos_raw", 6).alias("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): split the vector into M
+# subspaces, quantize each against its own small codebook — M log2(C)
+# bits per vector (8 bytes here vs 256 for float32·64d). The FAISS
+# workhorse compression; reconstruction = per-subspace centroid concat.
+# ---------------------------------------------------------------------------
+
+
+def pq_sub_codebooks(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+):
+    """Deterministic sub-codebooks: the first ``n_codes`` vectors'
+    slices per subspace — the ``ann_ivf_codebook_topk`` stand-in
+    convention (production trains per-subspace k-means offline, e.g.
+    via :func:`kmeans_refine` on the slices, and versions the result).
+    Returns ``[[(code, centroid_slice), …] per subspace]``; collect is
+    control-plane (n_codes rows).
+    """
+    rows = (
+        vectors.where(F.col(id_col) < n_codes)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [
+            (int(r[id_col]), [float(x) for x in r[vec_col]][s * sub : (s + 1) * sub])
+            for r in rows
+        ]
+        for s in range(m)
+    ]
+
+
+def _pq_code_expr(sub_cb, s: int, sub: int) -> str:
+    """argmin-L2 code for subspace ``s`` as one literal expression:
+    max of (-dist², -code) structs — ties to the LOWEST code, squared
+    distance (same argmin as Euclidean, no sqrt)."""
+    structs = []
+    for code, cent in sub_cb:
+        arr = "array(" + ", ".join(f"{x!r}D" for x in cent) + ")"
+        d2 = (
+            f"aggregate(zip_with(slice(__v, {s * sub + 1}, {sub}), {arr},"
+            " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " 0.0D, (acc, v) -> acc + v)"
+        )
+        structs.append(f"struct(-{d2} AS nd, {-code} AS nc)")
+    return f"CAST(-greatest({', '.join(structs)}).nc AS INT)"
+
+
+def pq_assign(
+    vectors: DataFrame,
+    sub_codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — per-subspace argmin-L2 codes, one scan,
+    all M argmins in a single projection over literal centroids."""
+    m = len(sub_codebooks)
+    sub = len(sub_codebooks[0][0][1])
+    code_exprs = ", ".join(
+        _pq_code_expr(sub_codebooks[s], s, sub) for s in range(m)
+    )
+    return vectors.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).select(id_col, F.expr(f"array({code_exprs})").alias("codes"))
+
+
+def pq_reconstruct(codes_col, sub_codebooks):
+    """array<double> reconstruction: concat of each subspace's coded
+    centroid — ``flatten(transform(codes, code → cb_s[code]))`` with
+    the codebooks as one literal array-of-array-of-arrays."""
+    cb_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cent])
+                    for _, cent in sub_cb
+                ]
+            )
+            for sub_cb in sub_codebooks
+        ]
+    )
+    m = len(sub_codebooks)
+    return F.flatten(
+        F.expr(
+            "transform(sequence(0, {m}), s -> element_at(element_at(__cb, s + 1),"
+            " element_at(codes, s + 1) + 1))".replace("{m}", str(m - 1))
+        )
+    ), cb_lit
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    sub_codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by cosine against PQ-RECONSTRUCTED corpus
+    vectors (asymmetric: raw query vs reconstructed neighbor — ADC) —
+    the search shape over a store that keeps only M small ints per
+    vector. 32× compression at 64d/M=8/C=16; recall degrades with
+    quantization error (pytest pins overlap vs exact on the synthetic
+    corpus). The scan reads codes, reconstructs in-projection from
+    literal codebooks, and reuses the brute-force top-k machinery.
+    """
+    codes = pq_assign(vectors, sub_codebooks, id_col=id_col, vec_col=vec_col)
+    recon_expr, cb_lit = pq_reconstruct(F.col("codes"), sub_codebooks)
+    recon = codes.withColumn("__cb", cb_lit).select(
+        F.col(id_col), recon_expr.alias("__recon")
+    )
+    # brute_force_topk wants one vec_col name on both sides; the query
+    # side stays RAW (asymmetric ADC) — inline the same plan shape
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    pairs = recon.select(
+        F.col(id_col).alias("neighbor_id"), F.col("__recon").alias("neighbor_vec")
+    ).crossJoin(F.broadcast(q))
+    scored = pairs.where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank"
+        )
+    )

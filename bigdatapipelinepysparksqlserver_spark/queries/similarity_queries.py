@@ -1108,3 +1108,59 @@ def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drops = members.where(F.col("keep") == 0).select("vec_id")
     return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
+# --------------------------------------------------------------------------
+# product quantization: M sub-codebooks, reconstruction-based (ADC) search
+# --------------------------------------------------------------------------
+
+PQ_M, PQ_CODES = 8, 16
+
+ANN_TOPK_PQ_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ss AS (SELECT CAST(t.s AS INT) AS s FROM range({PQ_M}) t(s)),
+cb AS (SELECT s.s, v.vec_id AS code, v.emb[s.s*8+1 : s.s*8+8] AS cent
+       FROM v, ss s WHERE v.vec_id < {PQ_CODES}),
+asg AS (
+  SELECT v.vec_id, c.s, c.cent,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id, c.s
+           ORDER BY list_distance(v.emb[c.s*8+1 : c.s*8+8], c.cent) ASC,
+                    c.code ASC) AS rn
+  FROM v JOIN cb c ON TRUE
+),
+recon AS (
+  SELECT vec_id, flatten(LIST(cent ORDER BY s)) AS remb
+  FROM asg WHERE rn = 1 GROUP BY vec_id
+),
+scored AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         list_cosine_similarity(q.emb, r.remb) AS cos_raw
+  FROM v q JOIN recon r ON q.vec_id <> r.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+  ) AS INT) AS rank
+FROM scored QUALIFY rank <= {TOP_K}
+"""
+
+
+@query("ann_topk_pq", oracle=ANN_TOPK_PQ_ORACLE)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized approximate top-k (Jégou et al. 2011): the
+    corpus is stored as 8 small ints per vector (8 sub-codebooks of 16
+    centroids — 32× compression vs float32·64d), search scores RAW
+    query against RECONSTRUCTED neighbors (asymmetric/ADC). Completes
+    the compression ladder next to int8 scalar quantization (4×) and
+    the uncompressed baselines; recall vs exact is pytest-pinned.
+    Deterministic sub-codebooks = the first-16 vectors' slices (the
+    artifact stand-in convention; production trains per-subspace
+    k-means via ``kmeans_refine`` and versions it), so assignment,
+    reconstruction, and ranking all replay in SQL."""
+    from ..operators.similarity import pq_sub_codebooks, pq_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    cbs = pq_sub_codebooks(emb, m=PQ_M, n_codes=PQ_CODES)
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return pq_topk(emb, q, cbs, id_col="vec_id", vec_col="embedding", k=TOP_K)

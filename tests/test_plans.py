@@ -104,6 +104,7 @@ def test_no_cartesian_products_anywhere(all_plans):
     allowed = {
         "ann_topk_cosine",
         "ann_topk_quantized",  # same broadcast query-side cross join
+        "ann_topk_pq",  # same, over reconstructed vectors
         "ann_lsh_topk",
         "emb_neardup_exact",
         "ann_ivf_topk",

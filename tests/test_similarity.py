@@ -445,3 +445,38 @@ def test_semantic_dedup_incremental_probe_semantics(spark, emb, tmp_path):
                 if cos(b["embedding"], c["embedding"]) >= 0.4:
                     want.add((b["vec_id"], c["vec_id"]))
     assert got == want
+
+
+def test_pq_codes_and_reconstruction_contract(spark, emb):
+    """PQ contract: codebook vectors reconstruct EXACTLY to themselves
+    (their slices are their own nearest sub-centroids → zero error),
+    codes are within [0, n_codes), and PQ top-k keeps meaningful
+    overlap with the exact search on the synthetic corpus."""
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        pq_assign,
+        pq_sub_codebooks,
+        pq_topk,
+    )
+
+    cbs = pq_sub_codebooks(emb)
+    codes = {r["vec_id"]: r["codes"] for r in pq_assign(emb, cbs).collect()}
+    assert all(0 <= c < 16 for cs in codes.values() for c in cs)
+    # a codebook vector's code in every subspace is its own id
+    for vid in range(16):
+        assert codes[vid] == [vid] * 8, (vid, codes[vid])
+    q = emb.where(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, q, k=10).collect()
+    pq = pq_topk(emb, q, cbs, k=10).collect()
+    from collections import defaultdict
+
+    e_sets, p_sets = defaultdict(set), defaultdict(set)
+    for r in exact:
+        e_sets[r["query_id"]].add(r["neighbor_id"])
+    for r in pq:
+        p_sets[r["query_id"]].add(r["neighbor_id"])
+    recalls = [
+        len(e_sets[k_] & p_sets[k_]) / len(e_sets[k_]) for k_ in e_sets
+    ]
+    # 32x compression: recall well below int8's but far above chance
+    # (10/500 = 0.02); the floor documents the measured behavior
+    assert sum(recalls) / len(recalls) >= 0.2
