@@ -1209,6 +1209,57 @@ def pq_reconstruct(codes_col, sub_codebooks):
     ), cb_lit
 
 
+def pq_assign_blas(
+    vectors: DataFrame,
+    sub_codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched PQ assignment — the SCALE path for
+    :func:`pq_assign`, whose literal-centroid projection evaluates
+    M × C interpreted HOF folds per row (128 at M=8/C=16 — the
+    steepest per-row constant in the ANN family, see BASELINE r7).
+    One numpy pass per Arrow batch: for each subspace, squared-L2 via
+    the expansion ``‖x‖² − 2x·Cᵀ + ‖c‖²`` (the ‖x‖² term is
+    argmin-invariant and dropped), argmin along the code axis.
+
+    Determinism note: the expansion's summation order differs from the
+    literal fold in low-order bits, so near-ties can flip — this path
+    is for scale regimes (no oracle replay); ties break to the LOWEST
+    code (np.argmin first-min over the ascending code axis — same
+    contract as the literal path). pytest pins full agreement with
+    :func:`pq_assign` on the synthetic corpus."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(sub_codebooks)
+    sub = len(sub_codebooks[0][0][1])
+    mats = [
+        np.array([cent for _, cent in sub_cb], dtype=np.float64)
+        for sub_cb in sub_codebooks
+    ]
+    bc = vectors.sparkSession.sparkContext.broadcast(mats)
+
+    def assign(batches):
+        cbs = bc.value
+        c2 = [(cb * cb).sum(axis=1) for cb in cbs]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for s in range(m):
+                xs = v[:, s * sub : (s + 1) * sub]
+                codes[:, s] = (c2[s] - 2.0 * (xs @ cbs[s].T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, codes array<int>"
+    )
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1216,6 +1267,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    use_blas: bool = False,
 ) -> DataFrame:
     """Approximate top-k by cosine against PQ-RECONSTRUCTED corpus
     vectors (asymmetric: raw query vs reconstructed neighbor — ADC) —
@@ -1224,8 +1276,10 @@ def pq_topk(
     quantization error (pytest pins overlap vs exact on the synthetic
     corpus). The scan reads codes, reconstructs in-projection from
     literal codebooks, and reuses the brute-force top-k machinery.
-    """
-    codes = pq_assign(vectors, sub_codebooks, id_col=id_col, vec_col=vec_col)
+    ``use_blas`` swaps the assignment for :func:`pq_assign_blas` —
+    the documented scale path once per-row HOF cost dominates."""
+    assigner = pq_assign_blas if use_blas else pq_assign
+    codes = assigner(vectors, sub_codebooks, id_col=id_col, vec_col=vec_col)
     recon_expr, cb_lit = pq_reconstruct(F.col("codes"), sub_codebooks)
     recon = codes.withColumn("__cb", cb_lit).select(
         F.col(id_col), recon_expr.alias("__recon")
