@@ -1167,6 +1167,18 @@ def _pq_code_expr(sub_cb, s: int, sub: int) -> str:
     return f"CAST(-greatest({', '.join(structs)}).nc AS INT)"
 
 
+def _pq_codes_expr(sub_codebooks) -> str:
+    """``array(code_0, …, code_{M-1})`` over a column named ``__v`` —
+    the whole PQ encoding as ONE scan-side projection expression."""
+    m = len(sub_codebooks)
+    sub = len(sub_codebooks[0][0][1])
+    return (
+        "array("
+        + ", ".join(_pq_code_expr(sub_codebooks[s], s, sub) for s in range(m))
+        + ")"
+    )
+
+
 def pq_assign(
     vectors: DataFrame,
     sub_codebooks,
@@ -1175,14 +1187,9 @@ def pq_assign(
 ) -> DataFrame:
     """(id, codes array<int>) — per-subspace argmin-L2 codes, one scan,
     all M argmins in a single projection over literal centroids."""
-    m = len(sub_codebooks)
-    sub = len(sub_codebooks[0][0][1])
-    code_exprs = ", ".join(
-        _pq_code_expr(sub_codebooks[s], s, sub) for s in range(m)
-    )
     return vectors.select(
         F.col(id_col), F.col(vec_col).alias("__v")
-    ).select(id_col, F.expr(f"array({code_exprs})").alias("codes"))
+    ).select(id_col, F.expr(_pq_codes_expr(sub_codebooks)).alias("codes"))
 
 
 def pq_reconstruct(codes_col, sub_codebooks):
@@ -1296,6 +1303,116 @@ def pq_topk(
         "query_id",
         "neighbor_id",
         cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: the two compressions composed (the FAISS IVFPQ architecture) —
+# coarse quantizer picks the cell (partition pruning bounds WHICH bytes
+# a probe reads), product quantizer compresses the payload (PQ codes
+# bound HOW MANY bytes per row). A 100 TB float32 corpus becomes ~3 TB
+# of codes, and a probe reads n_probe/n_cells of that.
+# ---------------------------------------------------------------------------
+
+
+def write_ivfpq_store(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    sub_codebooks,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+) -> None:
+    """Cell-partitioned PQ-CODED vector store: rows are (id, codes) —
+    M small ints, never the raw vector — written ``partitionBy(cell)``.
+    One scan computes BOTH quantizations as literal projections (the
+    coarse argmax-cosine cell and the per-subspace argmin-L2 codes), so
+    the build is a single pass + partitioned write with no shuffle
+    beyond the write's own partitioning.
+    """
+    cells = _collect_codebook(codebook, cell_col, cent_col, "write_ivfpq_store")
+    (
+        vectors.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .withColumn("__vnorm", F.expr(_IVF_VNORM_SQL))
+        .select(
+            id_col,
+            F.expr(_pq_codes_expr(sub_codebooks)).alias("codes"),
+            F.expr(_ivf_argmax_sql(cells)).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivfpq_topk(
+    spark,
+    store_path: str,
+    queries: DataFrame,
+    codebook: DataFrame,
+    sub_codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k over a :func:`write_ivfpq_store` store: probe cells are
+    computed driver-side (query set is broadcast-small by contract,
+    double folds match the scan-side SQL — same twin convention as
+    :func:`ivf_partitioned_topk`), the scan carries a literal
+    ``cell IN (…)`` partition-pruning predicate, neighbors are
+    RECONSTRUCTED in-projection from their PQ codes (literal
+    sub-codebooks), and scoring is asymmetric ADC: raw query vs
+    reconstructed neighbor. The probe reads n_probe of n_cells
+    partition directories AND only M ints per row — both compression
+    axes engaged.
+    """
+    cells = _collect_codebook(codebook, cell_col, cent_col, "ivfpq_topk")
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        scores = _ivf_py_scores(list(r[vec_col]), cells)
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        for _, cell in scores[:n_probe]:
+            probe_rows.append((int(r[id_col]), cell, [float(x) for x in r[vec_col]]))
+    probe_cells = sorted({c for _, c, _ in probe_rows})
+    recon_expr, cb_lit = pq_reconstruct(F.col("codes"), sub_codebooks)
+    store = (
+        spark.read.parquet(store_path)
+        .where(F.col("cell").isin(probe_cells))
+        .withColumn("__cb", cb_lit)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "cell",
+            recon_expr.alias("__recon"),
+        )
+    )
+    q_df = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, query_vec array<double>"
+    )
+    cands = (
+        store.join(F.broadcast(q_df), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("__recon")).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()

@@ -1164,3 +1164,121 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = pq_sub_codebooks(emb, m=PQ_M, n_codes=PQ_CODES)
     q = emb.where(F.col("vec_id") < N_QUERY_VECS)
     return pq_topk(emb, q, cbs, id_col="vec_id", vec_col="embedding", k=TOP_K)
+
+
+def _ivfpq_oracle(n_probe: int) -> str:
+    """Oracle for the IVFPQ store search: the IVF artifact-codebook
+    assignment/probe CTEs composed with the PQ sub-codebook
+    reconstruction — candidate set from probed cells, scored raw-query
+    vs PQ-reconstructed neighbor (asymmetric ADC), exactly the plan
+    :func:`ivfpq_topk` runs."""
+    art = _load_ivf_artifact()
+    rows = ",\n        ".join(
+        f"({cell}, [" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[])"
+        for cell, cent in sorted((int(c), v) for c, v in art["centroids"].items())
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cb (cell, cent) AS (
+  SELECT * FROM (VALUES
+        {rows}) t
+),
+ss AS (SELECT CAST(t.s AS INT) AS s FROM range({PQ_M}) t(s)),
+pcb AS (SELECT s.s, v.vec_id AS code, v.emb[s.s*8+1 : s.s*8+8] AS cent
+        FROM v, ss s WHERE v.vec_id < {PQ_CODES}),
+pasg AS (
+  SELECT v.vec_id, c.s, c.cent,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id, c.s
+           ORDER BY list_distance(v.emb[c.s*8+1 : c.s*8+8], c.cent) ASC,
+                    c.code ASC) AS rn
+  FROM v JOIN pcb c ON TRUE
+),
+recon AS (
+  SELECT vec_id, flatten(LIST(cent ORDER BY s)) AS remb
+  FROM pasg WHERE rn = 1 GROUP BY vec_id
+),
+asg AS (
+  SELECT v.vec_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.cell ASC
+         ) AS rn
+  FROM v, cb c
+),
+assigned AS (SELECT vec_id AS neighbor_id, cell FROM asg WHERE rn = 1),
+qprobe AS (
+  SELECT v.vec_id AS query_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_cosine_similarity(v.emb, c.cent) DESC, c.cell ASC
+         ) AS rn
+  FROM v, cb c WHERE v.vec_id < {N_QUERY_VECS}
+),
+probes AS (SELECT query_id, cell FROM qprobe WHERE rn <= {n_probe}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(q.emb, r.remb) AS cos_raw
+  FROM cand c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN recon r ON r.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+       ) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def _ivfpq_store_path(sf_dir: str) -> str:
+    from .storepaths import process_scoped_store_path
+
+    return process_scoped_store_path("ivfpq_store", sf_dir)
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle(IVF_ARTIFACT_N_PROBE))
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — both compression axes of a 100 TB vector store composed,
+    as one graded end-to-end query: build the cell-partitioned PQ-coded
+    store (coarse argmax-cosine cell + per-subspace argmin-L2 codes in
+    ONE scan-side projection; rows carry 8 small ints, never the raw
+    vector), then probe with ``ivfpq_topk`` — ``cell IN (probed…)``
+    prunes at the file-listing level (PartitionFilters asserted in
+    tests/test_plans.py) and neighbors are reconstructed in-projection
+    from their codes for asymmetric-ADC scoring against the raw query.
+
+    Scale: a probe reads n_probe/n_cells of the DIRECTORIES and M ints
+    per ROW — at 10⁹ × 64d float32 that is ~3 TB of codes instead of
+    ~256 GB/cell of raw vectors, with recall the PQ ladder's
+    (pytest-pinned floor vs exact). The store build is rebuilt per call
+    so the graded query covers the whole build+probe cycle.
+    """
+    from ..operators.similarity import (
+        pq_sub_codebooks,
+        ivfpq_topk,
+        write_ivfpq_store,
+    )
+
+    art = _load_ivf_artifact()
+    emb = Catalog(spark, sf_dir).embeddings
+    codebook = spark.createDataFrame(
+        sorted((int(c), v) for c, v in art["centroids"].items()),
+        ["cell", "centroid"],
+    ).select("cell", F.col("centroid").cast("array<double>").alias("centroid"))
+    cbs = pq_sub_codebooks(emb, m=PQ_M, n_codes=PQ_CODES)
+    store = _ivfpq_store_path(sf_dir)
+    write_ivfpq_store(emb, codebook, cbs, store)
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return ivfpq_topk(
+        spark, store, q, codebook, cbs,
+        id_col="vec_id", vec_col="embedding",
+        n_probe=IVF_ARTIFACT_N_PROBE, k=TOP_K,
+    )

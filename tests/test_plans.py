@@ -206,6 +206,60 @@ def test_ivf_partitioned_probe_prunes_to_probed_cells(spark):
     assert narrow_cells < {c for c, _ in cells}
 
 
+def test_ivfpq_probe_prunes_and_reads_codes_only(spark):
+    """The IVFPQ store query engages BOTH compression axes in the plan:
+    PartitionFilters carries exactly the probed cells (directory-level
+    pruning), and the store scan's column list is (id, codes, cell) —
+    the raw vector never exists in the store, so a probe reads M small
+    ints per row."""
+    import re
+
+    plan = plan_of(REGISTRY["ann_ivfpq_topk"].fn(spark, SF))
+    tail = plan.split("PartitionFilters: [")[1]
+    m = re.search(r"cell#\d+ (?:INSET ([\d, ]+)|IN \(([\d,\s]+)\))", tail[:400])
+    assert m, f"no cell IN-list in PartitionFilters: {tail[:400]}"
+    plan_cells = {
+        int(x) for x in (m.group(1) or m.group(2)).split(",") if x.strip()
+    }
+
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        _ivf_py_scores,
+    )
+    from bigdatapipelinepysparksqlserver_spark.queries.similarity_queries import (
+        IVF_ARTIFACT_N_PROBE,
+        N_QUERY_VECS,
+        _load_ivf_artifact,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+    art = _load_ivf_artifact()
+    cells = sorted(
+        (int(c), [float(x) for x in v]) for c, v in art["centroids"].items()
+    )
+    q = (
+        Catalog(spark, SF).embeddings
+        .where(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    expected = set()
+    for r in q:
+        scores = _ivf_py_scores(list(r.embedding), cells)
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        expected.update(c for _, c in scores[:IVF_ARTIFACT_N_PROBE])
+    assert plan_cells == expected
+
+    store_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "ivfpq_store" in ln
+    ]
+    assert store_scans, "no ivfpq_store scan in the plan"
+    for ln in store_scans:
+        cols = ln.split("FileScan parquet [")[1].split("]")[0]
+        assert "codes#" in cols
+        assert "embedding" not in cols
+
+
 def test_topk_plans_as_take_ordered(spark):
     plan = plan_of(REGISTRY["top_customers"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort
