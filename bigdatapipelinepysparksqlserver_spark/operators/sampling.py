@@ -18,7 +18,7 @@ checkable, unlike xxhash64 gating).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def hash_gate(key: Column, threshold_hex: str) -> Column:
@@ -93,3 +93,110 @@ def stratified_sample(
             F.col(stratum_col) == stratum, h < F.lit(thr.lower())
         ).otherwise(gate)
     return df.where(gate)
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Training-mix construction by TOKEN BUDGET: for each source in
+    ``budgets``, keep documents in deterministic md5 order until the
+    source's token budget is filled. A document is kept iff the tokens
+    accumulated BEFORE it are still under budget — so the document that
+    crosses the boundary is included (coverage ≥ budget whenever supply
+    suffices), and membership is a pure function of the corpus +
+    budgets: re-runs, backfills, and layout changes agree on every row.
+
+    Scale design — the naive form is a running-sum window partitioned
+    by source, which serializes each source through ONE task (a 10 TB
+    source = one partition). Instead, selection is split on the order
+    key's hex prefix (``n_buckets`` order-preserving buckets, since
+    fixed-width hex compares prefix-first):
+
+    1. one aggregate pass computes per-(source, bucket) token sums —
+       a sources × n_buckets relation, collected driver-side
+       (control-plane: ``budgets`` is driver-sized by contract);
+    2. the driver prefix-sums buckets per source: buckets wholly under
+       budget pass through with NO window, buckets past it are dropped
+       at the scan, and only the single BOUNDARY bucket per source —
+       1/n_buckets of that source — runs the running-sum window, offset
+       by the tokens consumed before it.
+
+    The projected (id, source, tokens, okey) relation is persisted
+    between the two passes so the text is tokenized once; the persisted
+    payload is ~40 B/row regardless of document size. Sources not in
+    ``budgets`` are dropped. Output: (id, source, tokens).
+    """
+    import math
+
+    from ..caching import scoped_persist
+
+    p = round(math.log(n_buckets, 16))
+    if 16**p != n_buckets:
+        raise ValueError(f"n_buckets must be a power of 16, got {n_buckets}")
+    sources = sorted(budgets)
+    okey = F.md5(
+        F.concat(F.lit("mix:"), F.col(id_col).cast("string")).cast("binary")
+    )
+    trimmed = F.trim(F.col(text_col))
+    tokens = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+    base = scoped_persist(
+        docs.where(F.col(source_col).isin(sources)).select(
+            F.col(id_col),
+            F.col(source_col),
+            tokens.alias("__tokens"),
+            okey.alias("__okey"),
+            F.conv(F.substring(okey, 1, p), 16, 10).cast("int").alias("__bucket"),
+        )
+    )
+    stats = (
+        base.groupBy(source_col, "__bucket")
+        .agg(F.sum("__tokens").alias("t"))
+        .collect()
+    )
+    per_src: dict = {}
+    for r in stats:
+        per_src.setdefault(r[source_col], []).append((r["__bucket"], r["t"]))
+    # first bucket whose cumulative sum exceeds the budget (exclusive
+    # prefix < budget ⇒ it contains the crossing document)
+    bnd_rows = []
+    for s, bs in per_src.items():
+        bs.sort()
+        cum = 0
+        for b, t in bs:
+            if cum + t > budgets[s]:
+                bnd_rows.append((s, b, cum, int(budgets[s])))
+                break
+            cum += t
+    spark = docs.sparkSession
+    if not bnd_rows:
+        out = base
+    else:
+        bdf = spark.createDataFrame(
+            bnd_rows, f"{source_col} string, __bnd int, __off long, __budget long"
+        )
+        j = base.join(F.broadcast(bdf), source_col, "left")
+        whole = j.where(F.col("__bnd").isNull() | (F.col("__bucket") < F.col("__bnd")))
+        w = Window.partitionBy(source_col).orderBy("__okey", id_col)
+        edge = (
+            j.where(F.col("__bucket") == F.col("__bnd"))
+            .withColumn(
+                "__pre",
+                F.sum("__tokens").over(w) - F.col("__tokens") + F.col("__off"),
+            )
+            .where(F.col("__pre") < F.col("__budget"))
+        )
+        out = whole.select(id_col, source_col, "__tokens").unionByName(
+            edge.select(id_col, source_col, "__tokens")
+        )
+    return out.select(
+        F.col(id_col), F.col(source_col), F.col("__tokens").alias("tokens")
+    )

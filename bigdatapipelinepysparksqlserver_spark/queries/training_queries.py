@@ -455,3 +455,54 @@ def chunk_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# Budgets straddle the per-source supply at every local SF (25 docs ×
+# ~100 tokens per source at sf0.01, ~10× either way at the neighbors):
+# src0 is cut mid-bucket at all SFs, src1 exhausts below budget at the
+# small SFs, src2's zero budget keeps nothing, src5 is cut deep.
+MIX_BUDGETS = {"src0": 800, "src1": 2500, "src2": 0, "src5": 5000}
+
+TOKEN_BUDGET_MIX_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+      AS tokens,
+    md5('mix:' || CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src5')
+),
+b (source, budget) AS (
+  VALUES ('src0', 800), ('src1', 2500), ('src2', 0), ('src5', 5000)
+),
+c AS (
+  SELECT d.doc_id, d.source, d.tokens, b.budget,
+    SUM(d.tokens) OVER (PARTITION BY d.source ORDER BY d.okey, d.doc_id)
+      - d.tokens AS pre
+  FROM d JOIN b ON b.source = d.source
+)
+SELECT doc_id, source, tokens FROM c WHERE pre < budget
+"""
+
+
+@query("token_budget_mix", oracle=TOKEN_BUDGET_MIX_ORACLE)
+def token_budget_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction by TOKEN BUDGET: per source, keep
+    documents in deterministic md5 order until the budget is filled
+    (the crossing document included — coverage ≥ budget when supply
+    suffices). The rate-based mix (`corpus_mix_sample`) answers "keep
+    X% of each source"; this answers the question a data-mixing recipe
+    actually states — "N billion tokens of web, M of books".
+
+    Scale: NOT a per-source running-sum window (that serializes a 10 TB
+    source through one task). Selection is split on the order key's hex
+    prefix: a sources × 256 bucket-sum aggregate is prefix-summed
+    driver-side, whole buckets pass/drop at the scan, and only the one
+    BOUNDARY bucket per source — 1/256 of it — runs the window (see
+    ``operators/sampling.py:token_budget_mix``).
+    """
+    from ..operators.sampling import token_budget_mix
+
+    docs = Catalog(spark, sf_dir).documents
+    return token_budget_mix(docs, MIX_BUDGETS)

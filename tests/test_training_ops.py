@@ -224,3 +224,62 @@ def test_pack_chunks_conserves_tokens_and_is_layout_independent(spark):
     # layout independence: same plan from a differently-partitioned input
     repacked = pack_chunks(chunks.repartition(13), budget=64).collect()
     assert sorted(map(tuple, repacked)) == sorted(map(tuple, packed))
+
+
+def test_token_budget_mix_two_pass_equals_naive_window(spark):
+    """The bucket-split two-pass selection must equal the naive
+    per-source running-sum window (pre-inclusion cumulative < budget,
+    crossing doc INCLUDED), stay deterministic across input layouts,
+    and meet the coverage contract."""
+    from pyspark.sql import Window
+
+    from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    rows = [
+        (i, " ".join(["w"] * (5 + i % 37)), f"s{i % 3}") for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    budgets = {"s0": 700, "s1": 10**9, "s2": 0}
+    got = sorted(map(tuple, token_budget_mix(docs, budgets).collect()))
+
+    okey = F.md5(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    w = Window.partitionBy("source").orderBy("okey", "doc_id")
+    bdf = spark.createDataFrame(
+        [(s, b) for s, b in budgets.items()], "source string, budget long"
+    )
+    naive = (
+        docs.select("doc_id", "source", toks.alias("tokens"), okey.alias("okey"))
+        .join(bdf, "source")
+        .withColumn("pre", F.sum("tokens").over(w) - F.col("tokens"))
+        .where(F.col("pre") < F.col("budget"))
+        .select("doc_id", "source", "tokens")
+    )
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
+
+    # coverage contract per source: s0 crosses (>= budget, and removing
+    # its last-ordered doc drops below), s1 exhausts supply, s2 empty
+    per = {}
+    for _, s, t in got:
+        per[s] = per.get(s, 0) + t
+    assert per.get("s2", 0) == 0
+    assert per["s0"] >= 700
+    all_s1 = sum(5 + i % 37 for i in range(400) if i % 3 == 1)
+    assert per["s1"] == all_s1
+
+    # layout independence
+    again = sorted(
+        map(tuple, token_budget_mix(docs.repartition(17), budgets).collect())
+    )
+    assert again == got
+
+    # n_buckets granularity must not change membership
+    coarse = sorted(
+        map(tuple, token_budget_mix(docs, budgets, n_buckets=16).collect())
+    )
+    assert coarse == got
