@@ -410,3 +410,85 @@ def classifier_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("quality_prob"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score (the
+    KenLM/CCNet filtering stage shape): train add-k-smoothed bigram
+    conditionals ON the corpus itself, score every document by its
+    mean log2 P(w_i | w_{i-1}), flag outliers downstream. Documents
+    with fewer than 2 tokens have no bigrams and are excluded.
+
+    Cross-engine determinism: per-bigram logp is computed from EXACT
+    integer counts (one double division + log2 — a fixed two-op
+    expression) and immediately scaled to an INTEGER
+    (``round(logp·10⁶)``); per-doc totals are integer sums — exact and
+    order-independent — divided once at the end. No double ever flows
+    through an unordered aggregate.
+
+    Scale: bigrams join on 60-bit md5-prefix keys (8-byte shuffle
+    rows, the repo's span-dup convention; collisions merge counts
+    identically on both engines). The exploded (doc, bg_hash,
+    ctx_hash) relation is persisted between the count pass and the
+    scoring pass — ~24 B/row regardless of text size. Counts are
+    map-side-combined; the vocabulary scalar is a control-plane
+    ``first()``.
+    """
+    from ..caching import scoped_persist
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    n = F.size(words)
+    bgs = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    h = lambda c: F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    exploded = scoped_persist(
+        df.where(n >= 2)
+        .select(F.col(id_col), F.explode(bgs).alias("__bg"))
+        .select(
+            id_col,
+            h(F.col("__bg")).alias("__bgh"),
+            h(F.split(F.col("__bg"), " ").getItem(0)).alias("__ctxh"),
+        )
+    )
+    vocab = (
+        df.select(F.explode(words).alias("__w"))
+        .agg(F.count_distinct("__w").alias("v"))
+        .first()["v"]
+    )
+    cb = exploded.groupBy("__bgh").agg(F.count(F.lit(1)).alias("__cb"))
+    cc = exploded.groupBy("__ctxh").agg(F.count(F.lit(1)).alias("__cc"))
+    logp = F.log2(
+        (F.col("__cb").cast("double") + F.lit(float(add_k)))
+        / (F.col("__cc").cast("double") + F.lit(float(add_k) * vocab))
+    )
+    milli = F.round(logp * F.lit(1000000.0), 0).cast("long")
+    scored = (
+        exploded.join(cb, "__bgh")
+        .join(cc, "__ctxh")
+        .select(id_col, milli.alias("__milli"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__milli").alias("__sum"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        F.round(
+            F.col("__sum").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_log2p"),
+    )

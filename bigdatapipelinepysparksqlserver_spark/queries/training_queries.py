@@ -506,3 +506,49 @@ def token_budget_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return token_budget_mix(docs, MIX_BUDGETS)
+
+
+BIGRAM_LM_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+),
+v AS (SELECT COUNT(DISTINCT u.w) AS vocab FROM w, UNNEST(w.ws) AS u(w)),
+bg AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15) AS BIGINT) AS bgh,
+    CAST('0x' || substr(md5(ws[i]), 1, 15) AS BIGINT) AS ctxh
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+cb AS (SELECT bgh, COUNT(*) AS c FROM bg GROUP BY bgh),
+cc AS (SELECT ctxh, COUNT(*) AS c FROM bg GROUP BY ctxh),
+m AS (
+  SELECT bg.doc_id,
+    CAST(ROUND(log2((cb.c + 1.0) / (cc.c + 1.0 * (SELECT vocab FROM v)))
+               * 1000000.0, 0) AS BIGINT) AS milli
+  FROM bg JOIN cb USING (bgh) JOIN cc USING (ctxh)
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  ROUND(CAST(SUM(milli) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_log2p
+FROM m GROUP BY doc_id
+"""
+
+
+@query("bigram_lm_score", oracle=BIGRAM_LM_ORACLE)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality scoring — the KenLM/CCNet
+    perplexity-filter stage: add-1-smoothed bigram conditionals trained
+    on the corpus itself, every document scored by mean
+    log2 P(w_i | w_{i-1}).
+
+    Determinism contract: per-bigram logp = one division + log2 over
+    EXACT integer counts, immediately integer-scaled (round(logp·10⁶));
+    per-doc totals are integer sums — no double ever crosses an
+    unordered aggregate, so both engines land on identical 6-dp
+    values. Joins ride 60-bit md5-prefix keys (8-byte shuffle rows;
+    collisions merge counts identically cross-engine).
+    """
+    from ..operators.text import bigram_lm_scores
+
+    docs = Catalog(spark, sf_dir).documents
+    return bigram_lm_scores(docs)

@@ -283,3 +283,34 @@ def test_token_budget_mix_two_pass_equals_naive_window(spark):
         map(tuple, token_budget_mix(docs, budgets, n_buckets=16).collect())
     )
     assert coarse == got
+
+
+def test_bigram_lm_scores_semantics(spark):
+    """Hand-computable LM contract: in a corpus where one doc repeats a
+    frequent bigram and another is all-novel, the repetitive doc scores
+    HIGHER (less surprising under the corpus LM); single-token docs are
+    excluded; counts are exact."""
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a b a b"),      # frequent bigrams
+            (2, "q r s t u v w x"),      # every bigram unique
+            (3, "lonely"),               # no bigram -> excluded
+        ],
+    )
+    got = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_bigrams == 7 and got[2].n_bigrams == 7
+    assert got[1].avg_log2p > got[2].avg_log2p
+    # exact integer path: rerun equals bit-for-bit, layout-independent
+    again = {
+        r.doc_id: r
+        for r in bigram_lm_scores(docs.repartition(5)).collect()
+    }
+    assert {k: (v.n_bigrams, v.avg_log2p) for k, v in got.items()} == {
+        k: (v.n_bigrams, v.avg_log2p) for k, v in again.items()
+    }
