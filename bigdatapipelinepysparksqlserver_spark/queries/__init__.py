@@ -78,12 +78,17 @@ _GRADED_PREFIX = (
     # enters with the retrieval family)
     "dedup_exact", "dedup_minhash",
     "dedup_apply", "dedup_incremental", "dedup_simhash_pairs_sized",
-    # text analysis
-    "text_token_count", "text_quality_score", "text_repetition_score",
-    "text_language_id",
+    # text analysis (r7 late rotation: text_token_count cedes — the
+    # token machinery stays graded inside token_budget_mix's oracle
+    # and the per-doc counts past-cap; bigram_lm_score enters as the
+    # corpus-trained LM quality stage)
+    "text_quality_score", "text_repetition_score",
+    "text_language_id", "bigram_lm_score",
     # training-data ops + sketches (r6: the HLL distinct sketch joins
-    # the window — corridor-oracle-backed)
-    "sample_documents", "doc_chunks", "scrub_pii", "decontaminate",
+    # the window — corridor-oracle-backed; r7 late rotation:
+    # sample_documents cedes to token_budget_mix — the budget form of
+    # the same md5-order selection, rate gate still graded past-cap)
+    "token_budget_mix", "doc_chunks", "scrub_pii", "decontaminate",
     "doc_pack_plan", "quality_classifier_score", "chunk_span_dups",
     "sketch_distinct_clients",
     # retrieval (r6: BM25 with the df-threshold skew guard engaged;
@@ -92,8 +97,12 @@ _GRADED_PREFIX = (
     "hybrid_search_rrf",
     # similarity + multimodal (r5: IVF cell-partitioned store; r6-r7:
     # the policy-sized LSH family — recommended_bits(N) as graded
-    # queries, pairs and clusters)
-    "ann_topk_cosine", "ann_ivf_partitioned_topk", "emb_neardup_lsh_sized",
+    # queries, pairs and clusters; r7 late rotation:
+    # ann_ivf_partitioned_topk cedes to ann_ivfpq_topk — the IVFPQ
+    # query grades partition pruning AND PQ payload compression in one
+    # build+probe cycle, the IVF store stays plan-asserted in
+    # test_plans and oracle-backed past-cap)
+    "ann_topk_cosine", "ann_ivfpq_topk", "emb_neardup_lsh_sized",
     "emb_neardup_clusters_sized", "semantic_dedup",
     "media_metadata_stats",
 )
