@@ -1424,3 +1424,44 @@ def ivfpq_topk(
             "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank"
         )
     )
+
+
+def ivfpq_store_append_batch(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    sub_codebooks,
+    path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+) -> None:
+    """Append one ingest batch to a growing IVFPQ store: the batch's
+    vectors get BOTH quantizations in one projection (same literal
+    codebooks as :func:`write_ivfpq_store` — mixing codebooks across
+    batches would break assignment↔probe agreement) and land under
+    ``{path}/batch=N`` partitioned by cell. Same layout/exactly-once
+    contract as :func:`ivf_store_append_batch` (two-level partition
+    discovery keeps ``cell IN (…)`` pruning inside every batch level;
+    overwriting the batch's own dir makes replays idempotent), and
+    :func:`~..operators.stores.compact_store_batches` flattens it —
+    the payload-generic cell re-home covers PQ-coded rows unchanged.
+    """
+    cells = _collect_codebook(
+        codebook, cell_col, cent_col, "ivfpq_store_append_batch"
+    )
+    if not cells:
+        raise ValueError("ivfpq_store_append_batch: empty codebook")
+    (
+        vectors.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .withColumn("__vnorm", F.expr(_IVF_VNORM_SQL))
+        .select(
+            id_col,
+            F.expr(_pq_codes_expr(sub_codebooks)).alias("codes"),
+            F.expr(_ivf_argmax_sql(cells)).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/batch={batch_id}")
+    )

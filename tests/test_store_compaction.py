@@ -219,3 +219,67 @@ def test_compact_semantic_streaming_store(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/vecs").collect()
     )
     assert after == before
+
+
+def test_ivfpq_append_probe_and_compaction_parity(spark, tmp_path):
+    """The IVFPQ store's incremental form: append(A)+append(B) probes
+    identically to rebuild(A∪B), compaction flattens batch levels with
+    identical probe results and bounded directory counts."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        ivfpq_store_append_batch,
+        ivfpq_topk,
+        pq_sub_codebooks,
+        write_ivfpq_store,
+    )
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        compact_store_batches,
+    )
+    from bigdatapipelinepysparksqlserver_spark.queries.similarity_queries import (
+        _load_ivf_artifact,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings
+    art = _load_ivf_artifact()
+    codebook = spark.createDataFrame(
+        sorted((int(c), v) for c, v in art["centroids"].items()),
+        ["cell", "centroid"],
+    ).select("cell", F.col("centroid").cast("array<double>").alias("centroid"))
+    cbs = pq_sub_codebooks(emb)
+    q = emb.where(F.col("vec_id") < 4)
+
+    flat = str(tmp_path / "flat")
+    write_ivfpq_store(emb, codebook, cbs, flat)
+    want = sorted(
+        map(tuple, ivfpq_topk(spark, flat, q, codebook, cbs, n_probe=6, k=10).collect())
+    )
+
+    batched = str(tmp_path / "batched")
+    a = emb.where(F.col("vec_id") % 2 == 0)
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    ivfpq_store_append_batch(a, codebook, cbs, batched, 0)
+    ivfpq_store_append_batch(b, codebook, cbs, batched, 1)
+    got_batched = sorted(
+        map(tuple, ivfpq_topk(spark, batched, q, codebook, cbs, n_probe=6, k=10).collect())
+    )
+    assert got_batched == want
+
+    # replay idempotence: re-appending batch 1 changes nothing
+    ivfpq_store_append_batch(b, codebook, cbs, batched, 1)
+    assert sorted(
+        map(tuple, ivfpq_topk(spark, batched, q, codebook, cbs, n_probe=6, k=10).collect())
+    ) == want
+
+    info = compact_store_batches(spark, batched)
+    assert info["kind"] == "ivf" and info["compacted"]
+    assert not any(d.startswith("batch=") for d in os.listdir(batched))
+    got_flat = sorted(
+        map(tuple, ivfpq_topk(spark, batched, q, codebook, cbs, n_probe=6, k=10).collect())
+    )
+    assert got_flat == want
+    # compacting a flat store is a no-op
+    assert compact_store_batches(spark, batched)["compacted"] is False
