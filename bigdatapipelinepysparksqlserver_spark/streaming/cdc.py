@@ -589,3 +589,77 @@ def streaming_running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def foreach_batch_token_budget_ingest(
+    store_path: str,
+    budgets: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: budget-bounded corpus ingestion — the
+    streaming form of :func:`~..operators.sampling.token_budget_mix`.
+    Each micro-batch admits documents per source until the source's
+    token budget is exhausted ACROSS the whole stream:
+
+    - ``{store}/docs/batch=N`` — accepted (id, source, tokens, text)
+
+    Accept rule: a doc is admitted iff tokens consumed by prior
+    batches PLUS the tokens of batch peers ordered before it (md5
+    order within the batch) are still under budget — so each
+    micro-batch runs the batch operator against the REMAINING budgets
+    (one sources-sized aggregate over the store computes what prior
+    batches consumed; control-plane, ``budgets`` is driver-sized by
+    contract). The crossing document is admitted (coverage ≥ budget),
+    after which the source's remaining budget clamps to 0 and every
+    later batch admits nothing for it.
+
+    Ordering note: the batch form selects in GLOBAL md5 order; the
+    online form is arrival-greedy across micro-batches (md5 order
+    within each batch) — the inherent streaming difference, same
+    budget guarantee.
+
+    Exactly-once: the accepted set is a pure function of the store
+    state before batch N (this batch's own dir is excluded from the
+    consumed sum and overwritten, not appended), so a replay after a
+    crash rewrites ``batch=N`` to identical content.
+    """
+    import os
+
+    from ..operators.sampling import token_budget_mix
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select(id_col, source_col, text_col)
+        if docs.isEmpty():
+            return
+        docs_dir = os.path.join(store_path, "docs")
+        consumed: dict = {}
+        if _prior_batches(spark, docs_dir, batch_id):
+            rows = (
+                spark.read.parquet(docs_dir)
+                .where(F.col("batch") != batch_id)
+                .groupBy(source_col)
+                .agg(F.sum("tokens").alias("t"))
+                .collect()
+            )
+            consumed = {r[source_col]: int(r["t"]) for r in rows}
+        remaining = {
+            s: max(0, int(b) - consumed.get(s, 0)) for s, b in budgets.items()
+        }
+        accepted = token_budget_mix(
+            docs,
+            remaining,
+            id_col=id_col,
+            text_col=text_col,
+            source_col=source_col,
+        )
+        (
+            accepted.join(docs.select(id_col, text_col), id_col)
+            .select(id_col, source_col, "tokens", text_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(docs_dir, f"batch={batch_id}"))
+        )
+
+    return _sink

@@ -895,3 +895,70 @@ def test_online_semantic_dedup_replay_is_exactly_once(spark, tmp_path):
         spark.createDataFrame([(10, vec(0, 0.02)), (11, vec(5, 0.6))], schema), 1
     )
     assert snapshot() == before
+
+
+def test_token_budget_ingest_across_microbatches(spark, tmp_path):
+    """Budget-bounded streaming ingestion: the budget fills across
+    micro-batches (arrival-greedy, md5 order within each batch), the
+    crossing doc is admitted once, later batches admit nothing for an
+    exhausted source, and a replayed batch rewrites identical content."""
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_token_budget_ingest,
+    )
+
+    schema = "doc_id long, source string, text string"
+    five = "a b c d e"          # 5 tokens each
+    src = tmp_path / "docs_src"
+    # s0 budget 12: batch 1 carries 10 tokens -> both admitted; batch 2
+    # starts at 10 < 12 -> its md5-first doc crosses, the rest rejected
+    spark.createDataFrame(
+        [(1, "s0", five), (2, "s0", five), (3, "s1", five)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(10, "s0", five), (11, "s0", five), (12, "s1", five)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    store = str(tmp_path / "mix_store")
+    budgets = {"s0": 12, "s1": 0}
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_token_budget_ingest(store, budgets)
+        )
+        .option("checkpointLocation", str(tmp_path / "mix_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+
+    rows = spark.read.parquet(f"{store}/docs").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert "s1" not in by_src                      # zero budget
+    got_s0 = sorted(r.doc_id for r in by_src["s0"])
+    # batch 1 fully admitted (pre-sums 0,5 < 12); batch 2 admits exactly
+    # one more (pre-sum 10 < 12 for its first-ordered doc, 15 for the next)
+    assert len(got_s0) == 3 and {1, 2} < set(got_s0)
+    assert sum(r.tokens for r in by_src["s0"]) == 15  # crossing doc included
+    assert all(r.text == five for r in rows)
+
+    # exactly-once: replaying the LAST batch rewrites identical content
+    import pyspark.sql.functions as F
+
+    last_batch = max(
+        int(r[0]) for r in spark.read.parquet(f"{store}/docs")
+        .select(F.col("batch")).distinct().collect()
+    )
+    replay_df = spark.read.parquet(str(src / "f2")) if last_batch else (
+        spark.read.parquet(str(src / "f1"))
+    )
+    before = sorted(map(tuple, spark.read.parquet(f"{store}/docs").collect()))
+    foreach_batch_token_budget_ingest(store, budgets)(replay_df, last_batch)
+    after = sorted(map(tuple, spark.read.parquet(f"{store}/docs").collect()))
+    assert after == before
