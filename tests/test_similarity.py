@@ -549,3 +549,34 @@ def test_ivfpq_recall_floor_and_store_shape(spark, emb, tmp_path):
     recalls = [len(e[k_] & p[k_]) / len(e[k_]) for k_ in e]
     # floor documents measured behavior (~0.27 at sf0.01, chance 0.02)
     assert sum(recalls) / len(recalls) >= 0.15
+
+
+def test_ivfpq_blas_build_equals_literal_store(spark, emb, tmp_path):
+    """The Arrow/numpy one-pass store build (codes + cell) must produce
+    the SAME store rows as the literal-projection build."""
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        pq_sub_codebooks,
+        write_ivfpq_store,
+    )
+    from bigdatapipelinepysparksqlserver_spark.queries.similarity_queries import (
+        _load_ivf_artifact,
+    )
+
+    art = _load_ivf_artifact()
+    codebook = spark.createDataFrame(
+        sorted((int(c), v) for c, v in art["centroids"].items()),
+        ["cell", "centroid"],
+    ).select("cell", F.col("centroid").cast("array<double>").alias("centroid"))
+    cbs = pq_sub_codebooks(emb)
+    lit_path, blas_path = str(tmp_path / "lit"), str(tmp_path / "blas")
+    write_ivfpq_store(emb, codebook, cbs, lit_path)
+    write_ivfpq_store(emb, codebook, cbs, blas_path, use_blas=True)
+    lit = sorted(
+        (r.vec_id, tuple(r.codes), r.cell)
+        for r in spark.read.parquet(lit_path).collect()
+    )
+    blas = sorted(
+        (r.vec_id, tuple(r.codes), r.cell)
+        for r in spark.read.parquet(blas_path).collect()
+    )
+    assert lit == blas
