@@ -165,14 +165,19 @@ def token_budget_mix(
     per_src: dict = {}
     for r in stats:
         per_src.setdefault(r[source_col], []).append((r["__bucket"], r["t"]))
-    # first bucket whose cumulative sum exceeds the budget (exclusive
-    # prefix < budget ⇒ it contains the crossing document)
+    # first bucket whose cumulative sum REACHES the budget: a bucket is
+    # wholly kept only while cum_end < budget — at cum_end == budget a
+    # ZERO-token row ending the bucket would sit at pre == budget, which
+    # the contract (pre < budget) drops, so the boundary window must
+    # adjudicate it (hypothesis-caught: zero-token doc under zero
+    # budget). Buckets sent to the window unnecessarily (all-positive
+    # tokens summing exactly to budget) come out identical.
     bnd_rows = []
     for s, bs in per_src.items():
         bs.sort()
         cum = 0
         for b, t in bs:
-            if cum + t > budgets[s]:
+            if cum + t >= budgets[s]:
                 bnd_rows.append((s, b, cum, int(budgets[s])))
                 break
             cum += t

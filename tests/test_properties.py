@@ -513,3 +513,57 @@ def test_wide_hamming_pairs_invariant_to_block_width(spark):
         hamming_neighbors_wide(sigs, id_col="doc_id", block_bits=31)
     with pytest.raises(ValueError, match="block_bits"):
         hamming_neighbors_wide(sigs, id_col="doc_id", block_bits=3)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # source index
+            st.integers(min_value=0, max_value=40),  # token count
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    budgets=st.tuples(
+        st.integers(min_value=0, max_value=400),
+        st.integers(min_value=0, max_value=400),
+        st.integers(min_value=0, max_value=400),
+    ),
+)
+def test_token_budget_mix_equals_sequential_reference(spark, data, budgets):
+    """Property: the bucket-split two-pass selection equals a driver-side
+    sequential reference (per source, md5 order, keep while pre-sum <
+    budget) on arbitrary corpora and budgets — including zero budgets,
+    zero-token docs, and budgets past total supply."""
+    import hashlib
+
+    from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    rows = [
+        (i, " ".join(["w"] * t) if t else "", f"s{s}")
+        for i, (s, t) in enumerate(data)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bmap = {f"s{k}": b for k, b in enumerate(budgets)}
+    got = sorted(map(tuple, token_budget_mix(docs, bmap).collect()))
+
+    # sequential reference: tokens(empty text) == 0, else whitespace count
+    def toks(t):
+        return len(t.split()) if t.strip() else 0
+
+    okey = lambda i: hashlib.md5(f"mix:{i}".encode()).hexdigest()
+    want = []
+    for s in sorted(bmap):
+        pre = 0
+        members = sorted(
+            (r for r in rows if r[2] == s), key=lambda r: (okey(r[0]), r[0])
+        )
+        for i, t, _ in members:
+            n = toks(t)
+            if pre < bmap[s]:
+                want.append((i, s, n))
+            pre += n
+    assert got == sorted(want)
