@@ -17,6 +17,7 @@ from . import training_queries  # noqa: F401,E402
 from . import similarity_queries  # noqa: F401,E402
 from . import multimodal_queries  # noqa: F401,E402
 from . import pipeline_queries  # noqa: F401,E402
+from . import graph_queries  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Graded-window curation. The round driver checks exactly the FIRST 50

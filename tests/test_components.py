@@ -482,3 +482,32 @@ def test_rrf_hybrid_fusion_semantics(spark):
         if r["vec_rank"] is not None:
             want += 1.0 / (60 + r["vec_rank"])
         assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
+
+
+def test_pagerank_fixed_point_properties(spark):
+    """Integer PageRank contracts on a hand graph: mass conservation
+    within floor slack, hub outranks leaves, layout-independent and
+    deterministic, star center gets the max rank."""
+    from bigdatapipelinepysparksqlserver_spark.operators.graph import (
+        PAGERANK_SCALE,
+        pagerank,
+    )
+
+    # star: 1 is the center; undirected -> both directions
+    und = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == max(got.values())
+    assert got[4] == min(got.values())          # leaf with one neighbor
+    assert got[2] == got[3]                     # symmetric nodes tie
+    # total mass within floor-division slack of SCALE
+    slack = 200 * len(got)
+    assert abs(sum(got.values()) - PAGERANK_SCALE) <= slack
+    again = {
+        r.node: r.rank
+        for r in pagerank(edges.repartition(7), iters=3).collect()
+    }
+    assert again == got
