@@ -238,3 +238,54 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seq"),
         F.count(F.lit(1)).cast("int").alias("seq_len"),
     )
+
+
+EVENTS_HOPPING_ORACLE = """
+WITH x AS (
+  SELECT TIMESTAMP '1970-01-01'
+           + to_seconds(900 * (CAST(floor(epoch(ts) / 900) AS BIGINT) - t.k))
+           AS window_start,
+         event_type, value
+  FROM events e, UNNEST(range(4)) t(k)
+)
+SELECT window_start, event_type, COUNT(*) AS event_count,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM x GROUP BY 1, 2
+"""
+
+
+@query("events_hopping_agg", oracle=EVENTS_HOPPING_ORACLE)
+def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) window aggregation: 1-hour windows advancing
+    every 15 minutes — each event lands in exactly 4 overlapping
+    windows (`F.window(ts, '1 hour', '15 minutes')`; the oracle
+    replays the window-assignment math as epoch arithmetic over
+    UNNEST(range(4)), in NAIVE timestamp space so no engine applies a
+    session timezone). Completes the window-shape family next to the
+    tumbling (`events_hourly_agg`) and session
+    (`sessionize_session_window`) forms; the same expression runs
+    streaming with a watermark.
+
+    Scale: Spark plans the slide as a 4-row Expand below ONE
+    aggregation — a single shuffle on (window, type) keys, partials
+    map-side-combined; state in streaming mode is bounded by
+    (horizon/slide) × key cardinality.
+    """
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
