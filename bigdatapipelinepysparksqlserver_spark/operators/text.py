@@ -492,3 +492,49 @@ def bigram_lm_scores(
             6,
         ).alias("avg_log2p"),
     )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word n-grams they SHARE — the curation diagnostic for
+    "how much of source A is recycled in source B" (exact-dup matrices
+    are usually empty; span-level overlap is where cross-source
+    contamination actually shows).
+
+    Plan: the corpus collapses to DISTINCT (source, gram-hash) pairs
+    first (one shuffle; doc multiplicity gone before any join), then a
+    hash-keyed self-join pairs sources sharing a gram — fanout per hash
+    is bounded by the SOURCE count, not the corpus. Gram hashes ride
+    the repo's 60-bit md5-prefix convention (8-byte shuffle keys,
+    collisions merge identically cross-engine).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(__ws) - {n - 1}),"
+        f" i -> array_join(slice(__ws, i, {n}), ' '))"
+    )
+    fp = (
+        df.where(F.size(words) >= n)
+        .select(F.col(source_col), words.alias("__ws"))
+        .select(source_col, F.explode(grams).alias("__g"))
+        .select(
+            source_col,
+            F.conv(F.substring(F.md5(F.col("__g").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("__h"),
+        )
+        .distinct()
+    )
+    a = fp.select(F.col(source_col).alias("source_a"), "__h")
+    b = fp.select(F.col(source_col).alias("source_b"), "__h")
+    return (
+        a.join(b, "__h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )

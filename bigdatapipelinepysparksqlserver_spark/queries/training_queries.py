@@ -552,3 +552,36 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return bigram_lm_scores(docs)
+
+
+CONTAMINATION_ORACLE = """
+WITH toks AS (
+  SELECT source, string_split(lower(trim(text)), ' ') AS ws FROM documents
+),
+fp AS (
+  SELECT DISTINCT source,
+    CAST('0x' || substr(
+      md5(list_aggregate(ws[i : i+7], 'string_agg', ' ')), 1, 15) AS BIGINT)
+      AS h
+  FROM toks, UNNEST(range(1, len(ws) - 6)) t(i)
+  WHERE len(ws) >= 8
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS shared_ngrams
+FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@query("source_contamination_matrix", oracle=CONTAMINATION_ORACLE)
+def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source span-level contamination: distinct shared 8-grams
+    per source pair. Exact-dup matrices are empty on curated corpora
+    (verified on this one); span overlap is where recycling shows —
+    the diagnostic that decides which source pair needs cross-source
+    dedup before mixing. Corpus collapses to distinct (source, gram
+    hash) before the hash-keyed self-join, so per-hash fanout is
+    bounded by the source count."""
+    from ..operators.text import source_ngram_overlap
+
+    return source_ngram_overlap(Catalog(spark, sf_dir).documents, n=8)

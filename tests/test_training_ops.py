@@ -314,3 +314,29 @@ def test_bigram_lm_scores_semantics(spark):
     assert {k: (v.n_bigrams, v.avg_log2p) for k, v in got.items()} == {
         k: (v.n_bigrams, v.avg_log2p) for k, v in again.items()
     }
+
+
+def test_source_ngram_overlap_counts_distinct_shared_grams(spark):
+    """Hand corpus: sources sharing one 8-gram count it ONCE regardless
+    of how many docs repeat it; disjoint sources never pair; pairs are
+    ordered (a < b) so each appears once."""
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        source_ngram_overlap,
+    )
+
+    span = "one two three four five six seven eight"
+    rows = [
+        (1, span + " tail_a", "sA"),
+        (2, span + " tail_b", "sA"),        # same span twice in sA
+        (3, span + " tail_c", "sB"),
+        (4, "totally different words with no shared span here at all", "sC"),
+        (5, "short text", "sD"),            # < 8 tokens -> no grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): r.shared_ngrams
+        for r in source_ngram_overlap(docs, n=8).collect()
+    }
+    assert got[("sA", "sB")] == 1          # the shared span, counted once
+    assert all(a < b for a, b in got)
+    assert not any("sC" in p or "sD" in p for p in got)
