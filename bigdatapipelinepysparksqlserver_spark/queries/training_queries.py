@@ -585,3 +585,83 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import source_ngram_overlap
 
     return source_ngram_overlap(Catalog(spark, sf_dir).documents, n=8)
+
+
+LM_PROBE_DOCS = 20
+LM_OOV_TEXT = "zzqa zzqb zzqa zzqc"  # every bigram + context unseen
+
+BIGRAM_LM_STORE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+),
+v AS (SELECT COUNT(DISTINCT u.w) AS vocab FROM w, UNNEST(w.ws) AS u(w)),
+cbg AS (
+  SELECT CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15) AS BIGINT)
+           AS bgh,
+         CAST('0x' || substr(md5(ws[i]), 1, 15) AS BIGINT) AS ctxh
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+cb AS (SELECT bgh, COUNT(*) AS c FROM cbg GROUP BY bgh),
+cc AS (SELECT ctxh, COUNT(*) AS c FROM cbg GROUP BY ctxh),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {LM_PROBE_DOCS}
+  UNION ALL SELECT -1 AS doc_id, '{LM_OOV_TEXT}' AS text
+),
+bw AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM batch
+),
+bbg AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15) AS BIGINT) AS bgh,
+    CAST('0x' || substr(md5(ws[i]), 1, 15) AS BIGINT) AS ctxh
+  FROM bw, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+m AS (
+  SELECT b.doc_id,
+    CAST(ROUND(log2(
+      (COALESCE(cb.c, 0) + 1.0)
+      / (COALESCE(cc.c, 0) + 1.0 * (SELECT vocab FROM v))
+    ) * 1000000.0, 0) AS BIGINT) AS milli
+  FROM bbg b
+  LEFT JOIN cb ON cb.bgh = b.bgh
+  LEFT JOIN cc ON cc.ctxh = b.ctxh
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  ROUND(CAST(SUM(milli) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_log2p
+FROM m GROUP BY doc_id
+"""
+
+
+@query("bigram_lm_store_probe", oracle=BIGRAM_LM_STORE_ORACLE)
+def bigram_lm_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-LM form graded end-to-end: train the bigram LM on
+    the corpus (three exact-integer relations on disk), then score an
+    ingest batch — the first 20 corpus docs PLUS a literal all-OOV doc
+    — against the STORE. The OOV doc takes the LEFT-join/COALESCE
+    branch the self-scoring query (`bigram_lm_score`) can never reach:
+    every bigram backs off to the add-1 floor log2(1/V). Build+probe
+    per call so the graded query covers the whole cycle; production
+    amortizes the build over every batch (`build_bigram_lm_store` /
+    `bigram_lm_score_from_store`).
+    """
+    from ..operators.text import (
+        bigram_lm_score_from_store,
+        build_bigram_lm_store,
+    )
+    from .storepaths import process_scoped_store_path
+
+    docs = Catalog(spark, sf_dir).documents
+    store = process_scoped_store_path("bigram_lm_store", sf_dir)
+    build_bigram_lm_store(docs, store)
+    batch = (
+        docs.where(F.col("doc_id") < LM_PROBE_DOCS)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.sparkSession.createDataFrame(
+                [(-1, LM_OOV_TEXT)], "doc_id long, text string"
+            )
+        )
+    )
+    return bigram_lm_score_from_store(spark, store, batch)

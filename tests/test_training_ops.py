@@ -340,3 +340,39 @@ def test_source_ngram_overlap_counts_distinct_shared_grams(spark):
     assert got[("sA", "sB")] == 1          # the shared span, counted once
     assert all(a < b for a, b in got)
     assert not any("sC" in p or "sD" in p for p in got)
+
+
+def test_bigram_lm_store_probe_matches_scan_and_oov_floor(spark, tmp_path):
+    """Stored-LM contract: scoring in-corpus docs from the store equals
+    the corpus-scan scorer exactly; an all-OOV doc scores the add-1
+    floor -log2(V) on every bigram."""
+    import math
+
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        bigram_lm_score_from_store,
+        bigram_lm_scores,
+        build_bigram_lm_store,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b c"),
+            (2, "c a b d e"),
+            (3, "e d c b a"),
+        ],
+    )
+    store = str(tmp_path / "lm")
+    build_bigram_lm_store(docs, store)
+    scan = sorted(map(tuple, bigram_lm_scores(docs).collect()))
+    probe = sorted(
+        map(tuple, bigram_lm_score_from_store(spark, store, docs).collect())
+    )
+    assert probe == scan
+
+    oov = _docs(spark, [(9, "zz1 zz2 zz3")])
+    got = bigram_lm_score_from_store(spark, store, oov).collect()[0]
+    vocab = 5  # a b c d e
+    floor = round(round(math.log2(1.0 / vocab) * 1e6) / 1e6, 6)
+    assert got.n_bigrams == 2
+    assert got.avg_log2p == floor
