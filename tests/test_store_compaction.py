@@ -283,3 +283,130 @@ def test_ivfpq_append_probe_and_compaction_parity(spark, tmp_path):
     assert got_flat == want
     # compacting a flat store is a no-op
     assert compact_store_batches(spark, batched)["compacted"] is False
+
+
+def test_postings_store_delete_equals_rebuild(spark, tmp_path):
+    """Right-to-be-forgotten on the postings store: after deleting B's
+    docs from a store over A∪B, every probe result equals a store built
+    from A alone — stats/termstats decremented exactly, zero-df terms
+    gone. Batched stores refuse until compacted."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        bm25_from_store,
+        build_postings_store,
+        postings_store_append_batch,
+    )
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        postings_store_delete_docs,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents.select(
+        "doc_id", "text"
+    )
+    a = docs.where(F.col("doc_id") % 3 != 0)
+    b = docs.where(F.col("doc_id") % 3 == 0)
+
+    full, only_a = str(tmp_path / "full"), str(tmp_path / "only_a")
+    build_postings_store(docs, full)
+    build_postings_store(a, only_a)
+    info = postings_store_delete_docs(spark, full, b.select("doc_id"))
+    assert info["deleted_docs"] == b.count()
+
+    terms = ["data", "spark", "row"]
+    got = sorted(map(tuple, bm25_from_store(spark, full, terms, top_n=20).collect()))
+    want = sorted(
+        map(tuple, bm25_from_store(spark, only_a, terms, top_n=20).collect())
+    )
+    assert got == want
+    # exact stats recomposition, not just ranking agreement
+    s_got = spark.read.parquet(f"{full}/stats").first()
+    s_want = spark.read.parquet(f"{only_a}/stats").first()
+    assert (s_got["n_docs"], s_got["total_dl"]) == (
+        s_want["n_docs"],
+        s_want["total_dl"],
+    )
+    ts_got = sorted(
+        map(tuple, spark.read.parquet(f"{full}/termstats").collect())
+    )
+    ts_want = sorted(
+        map(tuple, spark.read.parquet(f"{only_a}/termstats").collect())
+    )
+    assert ts_got == ts_want
+
+    batched = str(tmp_path / "batched")
+    postings_store_append_batch(a, batched, batch_id=0)
+    with pytest.raises(ValueError, match="compact"):
+        postings_store_delete_docs(spark, batched, b.select("doc_id"))
+
+
+def test_vector_store_delete_rewrites_only_affected_cells(spark, tmp_path):
+    """Vector-store deletion: untouched cells' FILES survive byte-level
+    (mtime-stable), deleted ids gone, a fully-emptied cell's directory
+    is removed, probe equals a store built without the ids."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_sub_codebooks,
+        write_ivfpq_store,
+    )
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        vector_store_delete_ids,
+    )
+    from bigdatapipelinepysparksqlserver_spark.queries.similarity_queries import (
+        _load_ivf_artifact,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings
+    art = _load_ivf_artifact()
+    codebook = spark.createDataFrame(
+        sorted((int(c), v) for c, v in art["centroids"].items()),
+        ["cell", "centroid"],
+    ).select("cell", F.col("centroid").cast("array<double>").alias("centroid"))
+    cbs = pq_sub_codebooks(emb)
+    store = str(tmp_path / "vstore")
+    write_ivfpq_store(emb, codebook, cbs, store)
+
+    # delete every vector of ONE cell (empties it) + a few scattered ids
+    full = spark.read.parquet(store)
+    one_cell = int(full.groupBy("cell").count().orderBy("count").first()["cell"])
+    cell_ids = [
+        int(r["vec_id"])
+        for r in full.where(F.col("cell") == one_cell).collect()
+    ]
+    victim_ids = sorted(set(cell_ids) | {0, 1})
+    pre_mtime = {
+        d: os.path.getmtime(os.path.join(store, d))
+        for d in os.listdir(store)
+        if d.startswith("cell=")
+    }
+    ids_df = spark.createDataFrame([(i,) for i in victim_ids], "vec_id long")
+    info = vector_store_delete_ids(spark, store, ids_df)
+    assert info["emptied_cells"] >= 1
+    assert not os.path.isdir(os.path.join(store, f"cell={one_cell}"))
+
+    after = spark.read.parquet(store)
+    assert after.where(F.col("vec_id").isin(victim_ids)).count() == 0
+    # untouched cells were not rewritten
+    survivors_ut = {
+        d: m for d, m in pre_mtime.items()
+        if os.path.isdir(os.path.join(store, d))
+        and os.path.getmtime(os.path.join(store, d)) == m
+    }
+    assert survivors_ut, "every cell was rewritten — pruning did not engage"
+
+    # probe equality vs a store built without the ids
+    clean = str(tmp_path / "clean")
+    write_ivfpq_store(
+        emb.where(~F.col("vec_id").isin(victim_ids)), codebook, cbs, clean
+    )
+    q = emb.where(F.col("vec_id") < 4)
+    got = sorted(map(tuple, ivfpq_topk(spark, store, q, codebook, cbs, k=5).collect()))
+    want = sorted(map(tuple, ivfpq_topk(spark, clean, q, codebook, cbs, k=5).collect()))
+    assert got == want
