@@ -66,8 +66,13 @@ _GRADED_PREFIX = (
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18",
     # pipeline lifecycle
     "cdc_roundtrip_demo", "dq_violations",
-    # event analytics + semi-structured + percentiles
-    "event_funnel", "cohort_retention", "event_gaps", "json_props_agg",
+    # event analytics + semi-structured + percentiles + graph (r7 late
+    # rotation: cohort_retention cedes — the event-analytics family
+    # stays graded via event_funnel/event_gaps and the past-cap oracle;
+    # part_copurchase_pagerank enters as the iterative graph-algorithm
+    # family's graded representative)
+    "event_funnel", "part_copurchase_pagerank", "event_gaps",
+    "json_props_agg",
     "price_percentiles",
     # dedup family (exact → LSH scale path → clusters → end-to-end
     # surviving corpus → incremental batch-vs-base probe (r6) →
