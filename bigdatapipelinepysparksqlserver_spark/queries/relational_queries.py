@@ -1358,3 +1358,79 @@ def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return skew_report(orders, ["custkey"], top_n=10, target_rows_per_task=1000)
+
+
+# --------------------------------------------------------------------------
+# monitoring: volume-anomaly detection over the event stream
+# --------------------------------------------------------------------------
+
+EVENT_ANOMALIES_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+  FROM hourly GROUP BY 1
+),
+scored AS (
+  SELECT h.event_type, h.hour_start, h.c AS event_count,
+    (CAST(h.c AS DOUBLE) - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+      / sqrt(CAST(s.ss AS DOUBLE) / CAST(s.n AS DOUBLE)
+             - (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+               * (CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))) AS z
+  FROM hourly h JOIN stats s USING (event_type)
+)
+SELECT event_type, hour_start, event_count, ROUND(z, 6) AS zscore
+FROM scored WHERE ABS(z) > 3.0
+"""
+
+
+@query("event_anomalies", oracle=EVENT_ANOMALIES_ORACLE)
+def event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection (the monitoring family): hours whose
+    event count deviates > 3σ from the type's own hourly distribution.
+
+    Determinism: the per-type moments are EXACT integer sums (n, Σc,
+    Σc²) — the z expression derives mean/σ from them in one fixed
+    per-row double expression (casts, two divisions, one multiply, one
+    sqrt — identical IEEE op sequence on both engines), so no double
+    ever crosses an unordered aggregate; the only aggregates are
+    integer COUNT/SUM. σ via Σc²/n − μ² is numerically fine here
+    because counts are small integers (catastrophic cancellation needs
+    μ² ≫ variance by ~2^52 — hourly event counts are nowhere near).
+
+    Scale: two aggregates (events→hourly, hourly→types) and one
+    broadcast join of the types-sized stats back onto hourly rows —
+    cost is one events scan + a (types × hours)-sized second stage.
+    """
+    ev = Catalog(spark, sf_dir).events
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sigma = F.sqrt(F.col("ss").cast("double") / nd - mu * mu)
+    z = (cd - mu) / sigma
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour_start",
+            F.col("c").alias("event_count"),
+            z.alias("__z"),
+        )
+        .where(F.abs(F.col("__z")) > 3.0)
+        .select(
+            "event_type",
+            "hour_start",
+            "event_count",
+            F.round("__z", 6).alias("zscore"),
+        )
+    )
