@@ -14,6 +14,7 @@ from .cdc import (  # noqa: F401
     foreach_batch_online_corpus_dedup,
     foreach_batch_online_semantic_dedup,
     foreach_batch_token_budget_ingest,
+    streaming_hopping_agg,
     foreach_batch_partition_overwrite,
     streaming_dedup,
     streaming_enrich,

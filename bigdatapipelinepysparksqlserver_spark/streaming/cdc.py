@@ -663,3 +663,38 @@ def foreach_batch_token_budget_ingest(
         )
 
     return _sink
+
+
+def streaming_hopping_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Watermarked HOPPING-window aggregation — the streaming twin of
+    the graded batch query `events_hopping_agg` (each event lands in
+    size/slide overlapping windows; Spark plans the slide as an Expand
+    under one aggregation). State is bounded by (watermark horizon /
+    slide) × key cardinality — the slide multiplies open-window state
+    vs the tumbling form, which is why the watermark matters more here.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), size, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("amount").alias("amount_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "amount_sum",
+        )
+    )

@@ -962,3 +962,34 @@ def test_token_budget_ingest_across_microbatches(spark, tmp_path):
     foreach_batch_token_budget_ingest(store, budgets)(replay_df, last_batch)
     after = sorted(map(tuple, spark.read.parquet(f"{store}/docs").collect()))
     assert after == before
+
+
+def test_streaming_hopping_agg_equals_batch_twin(spark, tmp_path):
+    """Real hopping-window stream (availableNow) equals the batch twin:
+    every event contributes to exactly 4 overlapping 1h/15min windows."""
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        streaming_hopping_agg,
+    )
+
+    src_dir = str(tmp_path / "hop_src")
+    _events(spark).write.parquet(src_dir)
+    stream = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    q = (
+        streaming_hopping_agg(stream)
+        .writeStream.format("memory")
+        .queryName("hopping_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hop_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select * from hopping_test").collect())
+    )
+    want = sorted(
+        map(tuple, streaming_hopping_agg(_events(spark)).collect())
+    )
+    assert got == want
+    # every event in exactly 4 windows: window-count sum = 4 × events
+    assert sum(r[2] for r in got) == 4 * len(ROWS)
