@@ -1138,6 +1138,11 @@ def pq_sub_codebooks(
         .collect()
     )
     rows.sort(key=lambda r: r[id_col])
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"pq_sub_codebooks: corpus has only {len(rows)} of the first "
+            f"{n_codes} ids — codebook would be undersized"
+        )
     dim = len(rows[0][vec_col])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
