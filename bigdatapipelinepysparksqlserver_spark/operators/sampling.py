@@ -205,3 +205,34 @@ def token_budget_mix(
     return out.select(
         F.col(id_col), F.col(source_col), F.col("__tokens").alias("tokens")
     )
+
+
+def per_group_sample_k(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank rows inside each
+    group by md5(key) and keep the first k — the "1000 docs per source
+    for human eval" draw. Uniform over the group (the hash order is
+    independent of any data column), reproducible across runs/layouts
+    (pure function of the key), and STABLE under corpus growth in the
+    sense that a row's rank only changes when earlier-hashed rows
+    arrive — unlike fraction sampling there is no threshold retuning to
+    hit a fixed evaluation budget.
+
+    Scale: one shuffle on the group key; the window is rank-truncated
+    (Spark lowers rank ≤ k to a per-partition WindowGroupLimit below
+    the exchange, so each task forwards at most k rows per group it
+    sees — never a full group sort at the driver or a global sort).
+    """
+    okey = F.md5(
+        F.concat(F.lit("gk:"), F.col(key_col).cast("string")).cast("binary")
+    )
+    w = Window.partitionBy(group_col).orderBy(okey, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

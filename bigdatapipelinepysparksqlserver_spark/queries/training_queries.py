@@ -665,3 +665,32 @@ def bigram_lm_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bigram_lm_score_from_store(spark, store, batch)
+
+
+EVAL_SAMPLE_K = 5
+
+EVAL_SAMPLE_ORACLE = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5('gk:' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rk
+  FROM documents
+) WHERE rk <= {EVAL_SAMPLE_K}
+"""
+
+
+@query("eval_sample_per_source", oracle=EVAL_SAMPLE_ORACLE)
+def eval_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (k=5 per source) — the
+    human-eval draw. Rate sampling (`sample_documents`) can't hit a
+    fixed per-group budget; rank-in-hash-order can, and Spark lowers
+    the rank ≤ k filter to a per-partition WindowGroupLimit BELOW the
+    exchange, so at most k rows per (group, task) ever shuffle."""
+    from ..operators.sampling import per_group_sample_k
+
+    docs = Catalog(spark, sf_dir).documents
+    return per_group_sample_k(docs, "source", "doc_id", EVAL_SAMPLE_K).select(
+        "doc_id", "source"
+    )
