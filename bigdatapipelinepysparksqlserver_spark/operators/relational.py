@@ -94,3 +94,59 @@ def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     then a k*numPartitions merge on the driver; no global sort shuffle.
     """
     return df.orderBy(*order).limit(k)
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    bins: int,
+) -> DataFrame:
+    """Equi-width histogram of an integer column — the profiling
+    primitive behind every distribution dashboard ("how long are my
+    documents?", "what does the quality score look like per shard?").
+
+    Out-of-range values clamp into the edge bins (a profiler must never
+    drop rows silently); NULL values are the one exception — they have
+    no magnitude to bin, produce a NULL bin id, and fall outside every
+    bin identically in Spark and DuckDB. The clamp happens BEFORE the
+    division so the
+    bin arithmetic only ever sees non-negative operands, where integer
+    ``DIV`` is identical across engines — every bin id is exact, no
+    doubles anywhere. Empty bins are emitted with ``cnt = 0`` (a
+    ``bins``-row ``spark.range`` left-joins the counts; AQE broadcasts
+    the counts side), so the output is always exactly ``bins`` rows in
+    bin order regardless of the data.
+
+    Scale: one scan-side projection, one groupBy on ≤ ``bins`` distinct
+    24-byte keys (map-side partial collapses each task to ≤ ``bins``
+    rows — the shuffle is O(tasks × bins), independent of row count),
+    then a bins-sized broadcast join. Flat at any corpus size.
+    """
+    if bins <= 0 or hi <= lo or (hi - lo) % bins:
+        raise ValueError(
+            f"need bins > 0 and (hi - lo) a positive multiple of bins; "
+            f"got lo={lo} hi={hi} bins={bins}"
+        )
+    w = (hi - lo) // bins
+    clamped = F.greatest(
+        F.lit(lo), F.least(F.lit(hi - 1), F.col(value_col).cast("bigint"))
+    )
+    counts = (
+        df.select((clamped - F.lit(lo)).alias("_off"))
+        .select(F.expr(f"_off DIV {w}").alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").alias("bin_id"))
+    return (
+        grid.join(counts, grid.bin_id == counts._b, "left")
+        .select(
+            "bin_id",
+            (F.lit(lo) + F.col("bin_id") * F.lit(w)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin_id") + F.lit(1)) * F.lit(w)).alias("bin_hi"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )

@@ -826,3 +826,50 @@ def quality_gate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_kept"),
         )
     )
+
+
+# doc-length histogram bounds: fixed literals so the oracle is one
+# static string at every SF (n_chars spans ~44-577 in the synthetic
+# corpus; the clamp makes out-of-range lengths land in the edge bins
+# rather than vanish)
+LEN_HIST_LO = 0
+LEN_HIST_HI = 640
+LEN_HIST_BINS = 16
+_LEN_W = (LEN_HIST_HI - LEN_HIST_LO) // LEN_HIST_BINS
+
+DOC_LENGTH_HISTOGRAM_ORACLE = f"""
+WITH counts AS (
+  SELECT (GREATEST({LEN_HIST_LO}, LEAST({LEN_HIST_HI - 1}, n_chars))
+          - {LEN_HIST_LO}) // {_LEN_W} AS bin_id,
+         COUNT(*) AS cnt
+  FROM documents GROUP BY 1
+)
+SELECT g.bin_id,
+       {LEN_HIST_LO} + g.bin_id * {_LEN_W} AS bin_lo,
+       {LEN_HIST_LO} + (g.bin_id + 1) * {_LEN_W} AS bin_hi,
+       COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt
+FROM range({LEN_HIST_BINS}) g(bin_id)
+LEFT JOIN counts c USING (bin_id)
+"""
+
+
+@query("doc_length_histogram", oracle=DOC_LENGTH_HISTOGRAM_ORACLE)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width document-length distribution — the corpus-profiling
+    dashboard primitive (always exactly ``LEN_HIST_BINS`` rows, empty
+    bins at zero, out-of-range lengths clamped into the edge bins).
+
+    Exactness: the clamp precedes the division, so the bin id is an
+    integer ``DIV`` on non-negative BIGINTs — identical in Spark and
+    DuckDB, no doubles anywhere in the plan.
+
+    Scale: map-side partials collapse every task to ≤ 16 rows before
+    the shuffle (O(tasks × bins) network, independent of corpus size);
+    the grid join is bins-sized. Flat at 100 TB.
+    """
+    from ..operators.relational import fixed_width_histogram
+
+    docs = Catalog(spark, sf_dir).documents
+    return fixed_width_histogram(
+        docs, "n_chars", lo=LEN_HIST_LO, hi=LEN_HIST_HI, bins=LEN_HIST_BINS
+    )
