@@ -236,3 +236,46 @@ def per_group_sample_k(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    boundaries: "Sequence[tuple[str, str | None]]",
+    label_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test corpus split: every row is labeled
+    by where ``md5(key)`` falls among ascending hex boundaries —
+    ``[("train", "f5"), ("val", "fa"), ("test", None)]`` sends ~95.7 %
+    of rows below 'f5' to train, ['f5','fa') to val, and the rest to
+    test. The last boundary must be ``None`` (catch-all), so every row
+    gets exactly one label.
+
+    Split membership is a pure function of the key — re-runs, backfills,
+    engine swaps, and incremental corpus extensions all agree on every
+    row forever, and a row can never drift between splits as the corpus
+    grows (the failure mode of ``randomSplit``, whose per-partition
+    seeding reassigns rows when file layout changes). Hex-boundary gates
+    also nest with ``hash_gate`` samples: a hash_sample of the train
+    split stays inside the train split.
+
+    Leakage note: keys should identify DEDUPLICATED content — splitting
+    near-duplicate docs by id puts the duplicates in different splits.
+    Run the dedup apply first (or key on a content fingerprint).
+
+    Scale: one scan-side CASE chain over the md5 — no shuffle, no state,
+    label cost O(1) per row at any corpus size.
+    """
+    if not boundaries or boundaries[-1][1] is not None:
+        raise ValueError("boundaries must end with a (label, None) catch-all")
+    bounds = [b for _, b in boundaries[:-1]]
+    if any(b is None for b in bounds):
+        raise ValueError("only the last boundary may be None")
+    lowered = [b.lower() for b in bounds]  # type: ignore[union-attr]
+    if lowered != sorted(lowered) or len(set(lowered)) != len(lowered):
+        raise ValueError(f"boundaries must be strictly ascending: {bounds}")
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    label = F.lit(boundaries[-1][0])
+    for lab, bound in reversed(boundaries[:-1]):
+        label = F.when(h < F.lit(bound.lower()), F.lit(lab)).otherwise(label)
+    return df.withColumn(label_col, label)

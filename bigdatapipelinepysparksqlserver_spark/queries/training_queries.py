@@ -694,3 +694,45 @@ def eval_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group_sample_k(docs, "source", "doc_id", EVAL_SAMPLE_K).select(
         "doc_id", "source"
     )
+
+
+# train/val/test hex boundaries: ~95.7% / ~2.0% / ~2.3% of md5 space
+SPLIT_BOUNDS = (("train", "f5"), ("val", "fa"), ("test", None))
+
+CORPUS_SPLIT_ORACLE = """
+WITH labeled AS (
+  SELECT source, n_chars,
+    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'f5' THEN 'train'
+         WHEN md5(CAST(doc_id AS VARCHAR)) < 'fa' THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+FROM labeled
+GROUP BY split, source
+"""
+
+
+@query("corpus_split_counts", oracle=CORPUS_SPLIT_ORACLE)
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split scoreboard — docs and chars
+    per (split, source). The split label is a pure function of the doc
+    id (``hash_split``), so the assignment survives re-runs, layout
+    changes, and corpus growth; the scoreboard is what a release
+    checklist reads to confirm val/test didn't starve on any source.
+
+    Scale: label is a scan-side CASE over one md5 (no shuffle); the
+    groupBy keys are (3 splits × sources) — map-side partials collapse
+    each task to that constant before the exchange.
+    """
+    from ..operators.sampling import hash_split
+
+    docs = Catalog(spark, sf_dir).documents
+    return hash_split(docs, "doc_id", SPLIT_BOUNDS).groupBy(
+        "split", "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_sum"),
+    )

@@ -41,3 +41,71 @@ def test_histogram_rejects_bad_params(spark, lo, hi, bins):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError):
         fixed_width_histogram(df, "x", lo=lo, hi=hi, bins=bins)
+
+
+# --- hash_split -----------------------------------------------------------
+
+import hashlib
+
+from bigdatapipelinepysparksqlserver_spark.operators.sampling import hash_split
+
+
+def _expected_split(key: int) -> str:
+    h = hashlib.md5(str(key).encode()).hexdigest()
+    if h < "f5":
+        return "train"
+    if h < "fa":
+        return "val"
+    return "test"
+
+
+def test_hash_split_matches_reference_md5(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    rows = hash_split(
+        df, "doc_id", [("train", "f5"), ("val", "fa"), ("test", None)]
+    ).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.split == _expected_split(r.doc_id), r.doc_id
+    labels = {r.split for r in rows}
+    assert labels == {"train", "val", "test"}  # 500 keys hit all three
+
+
+def test_hash_split_is_partition_independent(spark):
+    df1 = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    bounds = [("a", "80"), ("b", None)]
+    one = {r.doc_id: r.split for r in hash_split(df1, "doc_id", bounds).collect()}
+    many = {
+        r.doc_id: r.split
+        for r in hash_split(df1.repartition(17), "doc_id", bounds).collect()
+    }
+    assert one == many
+
+
+def test_hash_split_nests_with_hash_gate(spark):
+    # a hash_sample below the train boundary stays inside train
+    from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+        hash_sample,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    labeled = hash_split(df, "doc_id", [("train", "f5"), ("rest", None)])
+    sampled = {r.doc_id for r in hash_sample(df, "doc_id", "40").collect()}
+    train = {r.doc_id for r in labeled.where("split = 'train'").collect()}
+    assert sampled <= train
+
+
+@pytest.mark.parametrize(
+    "bounds",
+    [
+        [],
+        [("a", "80")],  # no catch-all
+        [("a", None), ("b", None)],  # None not last-only
+        [("a", "90"), ("b", "80"), ("c", None)],  # not ascending
+        [("a", "80"), ("b", "80"), ("c", None)],  # duplicate
+    ],
+)
+def test_hash_split_rejects_bad_boundaries(spark, bounds):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", bounds)
