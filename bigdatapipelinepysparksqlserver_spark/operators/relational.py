@@ -150,3 +150,56 @@ def fixed_width_histogram(
             F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    fingerprint_col: str,
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Dataset-versioning diff: classify every key across two corpus
+    snapshots as ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, fingerprints differ), or ``unchanged``. The
+    release-gate primitive behind "what moved between corpus v3 and
+    v4?" — counts by status are the first thing a dataset card reports,
+    and the changed/removed key lists feed downstream invalidation
+    (retrain, re-embed, re-index).
+
+    Both inputs need ``key_col`` plus a precomputed ``fingerprint_col``
+    (e.g. ``md5(text)``); ``carry_cols`` are taken from the NEW side
+    when present, falling back to the OLD side for removed keys, so
+    every output row keeps its metadata.
+
+    Scale: ONE full-outer join on the key — with 8-byte keys and
+    16-byte fingerprints the shuffle is tens of bytes per row no matter
+    how wide the corpus rows are (project before calling); status is a
+    scan-side CASE over null-ness + fingerprint equality. No window, no
+    skew surface beyond the key join itself.
+    """
+    o = old.select(
+        F.col(key_col).alias("__k"),
+        F.col(fingerprint_col).alias("__old_fp"),
+        *[F.col(c).alias(f"__old_{c}") for c in carry_cols],
+    )
+    n = new.select(
+        F.col(key_col).alias("__k"),
+        F.col(fingerprint_col).alias("__new_fp"),
+        *[F.col(c).alias(f"__new_{c}") for c in carry_cols],
+    )
+    j = o.join(n, "__k", "full_outer")
+    status = (
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") != F.col("__new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        status.alias("status"),
+        *[
+            F.coalesce(F.col(f"__new_{c}"), F.col(f"__old_{c}")).alias(c)
+            for c in carry_cols
+        ],
+    )

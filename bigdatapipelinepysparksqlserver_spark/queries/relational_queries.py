@@ -1434,3 +1434,67 @@ def event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("__z", 6).alias("zscore"),
         )
     )
+
+
+CORPUS_DIFF_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS gate,
+         md5(text) AS fp_v1, md5(text || '.v2') AS fp_v2
+  FROM documents
+),
+old AS (
+  SELECT doc_id, source, fp_v1 AS fp FROM fp WHERE gate < 'f8'
+),
+new AS (
+  SELECT doc_id, source,
+         CASE WHEN gate >= '40' AND gate < '48' THEN fp_v2 ELSE fp_v1 END AS fp
+  FROM fp WHERE gate >= '08'
+),
+diff AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         COALESCE(n.source, o.source) AS source,
+         CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n USING (doc_id)
+)
+SELECT status, source, COUNT(*) AS n_docs
+FROM diff GROUP BY status, source
+"""
+
+
+@query("corpus_snapshot_diff", oracle=CORPUS_DIFF_ORACLE)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff scoreboard: two deterministic snapshots
+    of the corpus (v1 = ids below the 'f8' gate; v2 = ids above '08',
+    with the ['40','48') band's text edited) classified per
+    (status, source) by ``snapshot_diff`` — added / removed / changed /
+    unchanged all non-empty at every SF, exercising all four branches.
+
+    Scale: fingerprints are computed scan-side BEFORE the join, so the
+    full-outer shuffle moves (8-byte id, 32-hex fp, source) — never the
+    text; the status CASE is projection-side and the scoreboard groupBy
+    collapses map-side to (4 × sources) rows per task.
+    """
+    from ..operators.relational import snapshot_diff
+
+    docs = Catalog(spark, sf_dir).documents
+    gate = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    fp_v1 = F.md5(F.col("text").cast("binary"))
+    fp_v2 = F.md5(F.concat(F.col("text"), F.lit(".v2")).cast("binary"))
+    base = docs.select(
+        "doc_id", "source", gate.alias("gate"),
+        fp_v1.alias("fp_v1"), fp_v2.alias("fp_v2"),
+    )
+    old = base.where(F.col("gate") < "f8").select(
+        "doc_id", "source", F.col("fp_v1").alias("fp")
+    )
+    new = base.where(F.col("gate") >= "08").select(
+        "doc_id", "source",
+        F.when(
+            (F.col("gate") >= "40") & (F.col("gate") < "48"), F.col("fp_v2")
+        ).otherwise(F.col("fp_v1")).alias("fp"),
+    )
+    d = snapshot_diff(old, new, "doc_id", "fp", carry_cols=("source",))
+    return d.groupBy("status", "source").agg(F.count(F.lit(1)).alias("n_docs"))

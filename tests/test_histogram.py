@@ -109,3 +109,42 @@ def test_hash_split_rejects_bad_boundaries(spark, bounds):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         hash_split(df, "doc_id", bounds)
+
+
+# --- snapshot_diff ---------------------------------------------------------
+
+from bigdatapipelinepysparksqlserver_spark.operators.relational import (
+    snapshot_diff,
+)
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2")],
+        "k long, fp string, src string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "s1"), (3, "C", "s2"), (4, "d", "s3")],
+        "k long, fp string, src string",
+    )
+    rows = {
+        r.k: (r.status, r.src)
+        for r in snapshot_diff(old, new, "k", "fp", carry_cols=("src",)).collect()
+    }
+    assert rows == {
+        1: ("removed", "s1"),
+        2: ("unchanged", "s1"),
+        3: ("changed", "s2"),
+        4: ("added", "s3"),
+    }
+
+
+def test_snapshot_diff_empty_sides(spark):
+    empty = spark.createDataFrame([], "k long, fp string")
+    some = spark.createDataFrame([(1, "x")], "k long, fp string")
+    assert [
+        (r.k, r.status) for r in snapshot_diff(empty, some, "k", "fp").collect()
+    ] == [(1, "added")]
+    assert [
+        (r.k, r.status) for r in snapshot_diff(some, empty, "k", "fp").collect()
+    ] == [(1, "removed")]
