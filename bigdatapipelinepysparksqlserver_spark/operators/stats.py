@@ -1,0 +1,79 @@
+"""Exact-moment statistics over integer-scaled columns.
+
+The cross-engine exactness pattern (shared with ``event_anomalies`` and
+the bigram LM): continuous values are integer-scaled PER ROW
+(``CAST(ROUND(v * 1e6, 0) AS BIGINT)`` — one deterministic double op
+per row, never compounded), every aggregate runs on exact integers
+(DECIMAL(38,0) sums, order-free), and the final statistic derives in
+ONE fixed-operand-order double expression per group — so Spark and a
+DuckDB oracle produce bit-identical results at any parallelism.
+
+Built-ins like ``F.corr`` are double-accumulating: their merge order
+depends on partitioning, so the last ulps differ run to run and
+engine to engine — fine for exploration, unusable under an exact
+hash-compare gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_D = "decimal(38,0)"
+
+
+def scaled_bigint(col: Column, scale: int = 1_000_000) -> Column:
+    """Integer-scale a double column: ``ROUND(col * scale, 0)`` cast to
+    BIGINT. One deterministic double op per row; everything downstream
+    is exact. Caller guarantees ``|col| * scale`` fits a BIGINT and,
+    for product moments, that the scaled pairwise products fit too
+    (|x·y| < 2^63 per row — the sums themselves are DECIMAL(38,0))."""
+    return F.round(col * F.lit(scale), 0).cast("bigint")
+
+
+def grouped_pearson_corr(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: Column,
+    y: Column,
+    alias: str = "corr",
+) -> DataFrame:
+    """Per-group Pearson correlation from exact integer moments.
+
+    ``x`` and ``y`` must already be integer (BIGINT) expressions — use
+    :func:`scaled_bigint` for continuous inputs. The six moments
+    (n, Σx, Σy, Σx², Σy², Σxy) aggregate as DECIMAL(38,0) — exact and
+    order-free — and r derives per group in one fixed double
+    expression, ROUND(…, 6). Zero-variance groups yield NULL (the
+    mathematical convention; a constant column has no correlation).
+
+    Scale: one scan-side projection + one groupBy with map-side
+    partials (six 16-byte accumulators per key) — the same shape as a
+    COUNT/SUM rollup; no second pass, no window, no join.
+    """
+    xx = x.cast(_D)
+    yy = y.cast(_D)
+    moments = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(xx).alias("__sx"),
+        F.sum(yy).alias("__sy"),
+        F.sum((x * x).cast(_D)).alias("__sxx"),
+        F.sum((y * y).cast(_D)).alias("__syy"),
+        F.sum((x * y).cast(_D)).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r = F.when(den > F.lit(0.0), F.round(num / den, 6))
+    return moments.select(
+        *keys,
+        F.col("__n").alias("n"),
+        r.alias(alias),
+    )

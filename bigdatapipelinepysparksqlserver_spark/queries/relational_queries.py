@@ -1498,3 +1498,58 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = snapshot_diff(old, new, "doc_id", "fp", carry_cols=("source",))
     return d.groupBy("status", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+EVENT_CORR_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+         CAST(ROUND(value * 1000000, 0) AS BIGINT) AS y
+  FROM events
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM m GROUP BY event_type
+)
+SELECT event_type, n,
+  CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0.0
+       THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+  END AS corr_hour_value
+FROM agg
+"""
+
+
+@query("event_value_hour_corr", oracle=EVENT_CORR_ORACLE)
+def event_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation between hour-of-day and event value
+    — "is this metric time-of-day dependent?", the monitoring question
+    next to `event_anomalies`' outlier scan. Exact-moment form
+    (``operators/stats.py``): value integer-scaled per row, six
+    DECIMAL(38,0) sums, r from ONE fixed-order double expression — so
+    the result is bit-identical at any parallelism and hash-comparable
+    against the oracle (built-in ``F.corr`` double-accumulates in merge
+    order and is neither).
+
+    Scale: one scan + one groupBy with map-side partials (six 16-byte
+    accumulators per event type); no window, no join, no second pass.
+    """
+    from ..operators.stats import grouped_pearson_corr, scaled_bigint
+
+    ev = Catalog(spark, sf_dir).events
+    return grouped_pearson_corr(
+        ev,
+        ["event_type"],
+        x=F.hour(F.col("ts")).cast("bigint"),
+        y=scaled_bigint(F.col("value")),
+        alias="corr_hour_value",
+    )

@@ -148,3 +148,62 @@ def test_snapshot_diff_empty_sides(spark):
     assert [
         (r.k, r.status) for r in snapshot_diff(some, empty, "k", "fp").collect()
     ] == [(1, "removed")]
+
+
+# --- grouped_pearson_corr --------------------------------------------------
+
+import pyspark.sql.functions as F
+
+from bigdatapipelinepysparksqlserver_spark.operators.stats import (
+    grouped_pearson_corr,
+    scaled_bigint,
+)
+
+
+def test_pearson_exact_cases(spark):
+    rows = (
+        # g=pos: y = 2x (perfect +1); g=neg: y = -x (perfect -1);
+        # g=flat: zero variance in y (NULL); g=mix: hand-computed
+        [("pos", x, 2 * x) for x in range(1, 6)]
+        + [("neg", x, -x) for x in range(1, 6)]
+        + [("flat", x, 7) for x in range(1, 6)]
+        + [("mix", 1, 2), ("mix", 2, 1), ("mix", 3, 4), ("mix", 4, 3)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {
+        r.g: (r.n, r.corr)
+        for r in grouped_pearson_corr(df, ["g"], F.col("x"), F.col("y")).collect()
+    }
+    assert got["pos"] == (5, 1.0)
+    assert got["neg"] == (5, -1.0)
+    assert got["flat"][0] == 5 and got["flat"][1] is None
+    # mix: numpy reference
+    import numpy as np
+
+    xs = np.array([1, 2, 3, 4], dtype=float)
+    ys = np.array([2, 1, 4, 3], dtype=float)
+    expected = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
+    assert got["mix"] == (4, expected)
+
+
+def test_pearson_partition_independent(spark):
+    rows = [("g", i, (i * 37) % 11) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    one = grouped_pearson_corr(df.coalesce(1), ["g"], F.col("x"), F.col("y")).collect()
+    many = grouped_pearson_corr(
+        df.repartition(13), ["g"], F.col("x"), F.col("y")
+    ).collect()
+    assert one[0].corr == many[0].corr  # bit-identical, not approx
+
+
+def test_scaled_bigint_rounding(spark):
+    df = spark.createDataFrame([(1.2345675,), (0.0,), (2.5e-7,)], "v double")
+    vals = sorted(
+        r.s for r in df.select(scaled_bigint(F.col("v")).alias("s")).collect()
+    )
+    assert vals == [0, 1234568, 1234568] or vals == [0, 0, 1234568]  # ties rare
+    # deterministic: re-run equals
+    again = sorted(
+        r.s for r in df.select(scaled_bigint(F.col("v")).alias("s")).collect()
+    )
+    assert vals == again
