@@ -279,3 +279,26 @@ def hash_split(
     for lab, bound in reversed(boundaries[:-1]):
         label = F.when(h < F.lit(bound.lower()), F.lit(lab)).otherwise(label)
     return df.withColumn(label_col, label)
+
+
+def hash_fold(
+    df: DataFrame, key_col: str, k: int, fold_col: str = "fold"
+) -> DataFrame:
+    """K-fold assignment for cross-validation: ``fold = md5_int(key)
+    mod k`` — deterministic, partition-independent, engine-portable
+    (same 60-bit md5-prefix integer the dedup family uses). Folds are
+    ~equal-sized by md5 uniformity; every key keeps its fold forever,
+    so fold i's held-out set is stable across re-runs and corpus
+    growth (a new doc joins exactly one fold and never moves).
+
+    Scale: one scan-side projection — no shuffle, no state. Train/test
+    for fold i = ``fold != i`` / ``fold == i``, both codegen filters.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return df.withColumn(fold_col, h % F.lit(k))

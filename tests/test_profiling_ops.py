@@ -1,4 +1,4 @@
-"""fixed_width_histogram: exact bins, clamping, empty-bin emission."""
+"""Profiling/curation primitives: histogram, hash_split, snapshot_diff, exact-moment corr."""
 
 import pytest
 
@@ -207,3 +207,30 @@ def test_scaled_bigint_rounding(spark):
         r.s for r in df.select(scaled_bigint(F.col("v")).alias("s")).collect()
     )
     assert vals == again
+
+
+# --- hash_fold -------------------------------------------------------------
+
+from bigdatapipelinepysparksqlserver_spark.operators.sampling import hash_fold
+
+
+def test_hash_fold_reference_and_partition_independent(spark):
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    got = {r.doc_id: r.fold for r in hash_fold(df, "doc_id", 5).collect()}
+    expected = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 5
+        for i in range(400)
+    }
+    assert got == expected
+    assert set(got.values()) == set(range(5))  # all folds hit
+    again = {
+        r.doc_id: r.fold
+        for r in hash_fold(df.repartition(11), "doc_id", 5).collect()
+    }
+    assert got == again
+
+
+def test_hash_fold_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        hash_fold(df, "doc_id", 0)
