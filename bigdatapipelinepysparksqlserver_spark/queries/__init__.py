@@ -70,8 +70,12 @@ _GRADED_PREFIX = (
     # rotation: cohort_retention cedes — the event-analytics family
     # stays graded via event_funnel/event_gaps and the past-cap oracle;
     # part_copurchase_pagerank enters as the iterative graph-algorithm
-    # family's graded representative)
-    "event_funnel", "part_copurchase_pagerank", "event_gaps",
+    # family's graded representative. r7 final rotation: event_gaps
+    # cedes — the window-function family stays graded via
+    # customer_rank_by_spend in-window and the past-cap oracle;
+    # event_value_hour_corr enters as the exact-moment statistics
+    # family's graded representative (operators/stats.py))
+    "event_funnel", "part_copurchase_pagerank", "event_value_hour_corr",
     "json_props_agg",
     "price_percentiles",
     # dedup family (exact → LSH scale path → clusters → end-to-end
@@ -93,8 +97,13 @@ _GRADED_PREFIX = (
     # training-data ops + sketches (r6: the HLL distinct sketch joins
     # the window — corridor-oracle-backed; r7 late rotation:
     # sample_documents cedes to token_budget_mix — the budget form of
-    # the same md5-order selection, rate gate still graded past-cap)
-    "token_budget_mix", "doc_chunks", "scrub_pii", "decontaminate",
+    # the same md5-order selection, rate gate still graded past-cap.
+    # r7 final rotation: doc_chunks cedes — chunking stays graded
+    # inside doc_pack_plan's composed oracle and past-cap;
+    # corpus_snapshot_diff enters as the dataset-versioning family's
+    # graded representative)
+    "token_budget_mix", "corpus_snapshot_diff", "scrub_pii",
+    "decontaminate",
     "doc_pack_plan", "quality_classifier_score", "chunk_span_dups",
     "sketch_distinct_clients",
     # retrieval (r6: BM25 with the df-threshold skew guard engaged;
