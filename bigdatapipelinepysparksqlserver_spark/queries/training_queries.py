@@ -736,3 +736,74 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars_sum"),
     )
+
+
+LEAKAGE_SAFE_SPLIT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS fp
+  FROM documents
+),
+reps AS (
+  SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp
+),
+lab AS (
+  SELECT f.doc_id, f.fp,
+    CASE WHEN md5(CAST(r.rep AS VARCHAR)) < 'f5' THEN 'train'
+         WHEN md5(CAST(r.rep AS VARCHAR)) < 'fa' THEN 'val'
+         ELSE 'test' END AS split,
+    CASE WHEN md5(CAST(f.doc_id AS VARCHAR)) < 'f5' THEN 'train'
+         WHEN md5(CAST(f.doc_id AS VARCHAR)) < 'fa' THEN 'val'
+         ELSE 'test' END AS naive
+  FROM fp f JOIN reps r USING (fp)
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT fp) AS n_groups,
+       CAST(SUM(CASE WHEN naive <> split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rerouted
+FROM lab GROUP BY split
+"""
+
+
+@query("leakage_safe_split", oracle=LEAKAGE_SAFE_SPLIT_ORACLE)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage fix: assign train/val/test by the hash of each
+    content GROUP's representative, not the doc's own id — so related
+    documents can never straddle splits (the classic corpus bug: a test
+    doc whose near-duplicate sits in train). The group key here is an
+    opening-shingle fingerprint (md5 of the first 4 tokens — a cheap
+    boilerplate-family proxy that actually groups this corpus at every
+    SF; substitute any cluster relation, e.g. `dedup_clusters` output,
+    for production near-dup semantics). Scoreboard per split: docs,
+    groups, and how many docs the group-keyed split re-routed relative
+    to the naive per-doc split (nonzero exactly when leakage WOULD have
+    happened). The no-straddle invariant itself is pytest-asserted
+    group-by-group.
+
+    Scale: fingerprints are scan-side; the groupBy-MIN and the
+    fp-equality join share one 16-byte-key shuffle layout (text never
+    moves); both split labels are scan-side CASEs over md5.
+    """
+    from ..operators.sampling import hash_split
+
+    docs = Catalog(spark, sf_dir).documents
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 4), " "
+            ).cast("binary")
+        ).alias("fp"),
+    )
+    reps = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    lab = fp.join(reps, "fp")
+    lab = hash_split(lab, "rep", SPLIT_BOUNDS, label_col="split")
+    lab = hash_split(lab, "doc_id", SPLIT_BOUNDS, label_col="naive")
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_groups"),
+        F.sum((F.col("naive") != F.col("split")).cast("long")).alias(
+            "n_rerouted"
+        ),
+    )

@@ -234,3 +234,31 @@ def test_hash_fold_rejects_bad_k(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         hash_fold(df, "doc_id", 0)
+
+
+# --- leakage-safe split ----------------------------------------------------
+
+
+def test_leakage_safe_split_never_straddles_groups(spark):
+    from bigdatapipelinepysparksqlserver_spark.queries.training_queries import (
+        SPLIT_BOUNDS,
+    )
+    from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+        hash_split,
+    )
+
+    # 60 groups x 5 clones: group-keyed split must keep every clone set
+    # in exactly one split, and the three splits must all be non-empty
+    rows = [(g * 100 + i, f"group text {g}") for g in range(60) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    reps = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    lab = hash_split(fp.join(reps, "fp"), "rep", SPLIT_BOUNDS)
+    per_group = lab.groupBy("fp").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.where("n_splits > 1").count() == 0
+    splits = {r.split for r in lab.select("split").distinct().collect()}
+    assert "train" in splits and len(splits) >= 2  # 60 groups spread out
