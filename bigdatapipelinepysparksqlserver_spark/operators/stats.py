@@ -77,3 +77,56 @@ def grouped_pearson_corr(
         F.col("__n").alias("n"),
         r.alias(alias),
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame, value_col: str, bins: int = 10
+) -> DataFrame:
+    """Equi-depth (quantile-binned) histogram — the skew-robust
+    companion to ``fixed_width_histogram``: bin edges are the exact
+    interpolated quantiles of the data, so each bin holds ~N/bins rows
+    no matter how skewed the distribution. Edges round to 6 dp before
+    any comparison (the repo's cross-engine double contract —
+    ``percentile`` ≡ DuckDB ``quantile_cont``); values sit in bin i
+    when ``edge[i] <= v < edge[i+1]``, the last bin inclusive.
+    Duplicate edges (discrete data) leave their bins empty — a value
+    equal to a run of collapsed edges fails every ``v < edge`` test and
+    lands in the bin after the run (pytest pins a 90 %-spike example).
+
+    Scale: edges come from ONE exact-percentile aggregate (a single
+    1-row relation, broadcast-cross-joined back — never collected to
+    literals, so the plan is one scan + one model-sized broadcast);
+    the bin CASE is scan-side and the final groupBy collapses map-side
+    to ≤ bins rows per task.
+    """
+    if bins <= 1:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    fracs = ", ".join(str(i / bins) for i in range(1, bins))
+    edges = df.agg(
+        F.expr(
+            f"transform(percentile({value_col}, array({fracs})),"
+            " e -> round(e, 6))"
+        ).alias("__edges")
+    )
+    v = F.col(value_col).cast("double")
+    # CASE chain from the lowest edge up: the innermost (first-built)
+    # branch is the default bins-1; each wrap claims "below edge[i] →
+    # bin i-1", so the outermost test (edge 1) wins for the smallest
+    # values — every v lands on the FIRST edge it is below
+    bin_id = F.lit(bins - 1)
+    for i in range(bins - 1, 0, -1):
+        bin_id = F.when(
+            v < F.element_at(F.col("__edges"), i), F.lit(i - 1)
+        ).otherwise(bin_id)
+    counts = (
+        df.crossJoin(F.broadcast(edges))
+        .select(bin_id.cast("bigint").alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").alias("bin_id"))
+    return (
+        grid.join(counts, "bin_id", "left")
+        .select("bin_id", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )

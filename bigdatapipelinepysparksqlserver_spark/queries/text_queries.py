@@ -873,3 +873,44 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed_width_histogram(
         docs, "n_chars", lo=LEN_HIST_LO, hi=LEN_HIST_HI, bins=LEN_HIST_BINS
     )
+
+
+DECILE_BINS = 10
+_DECILE_FRACS = ", ".join(str(i / DECILE_BINS) for i in range(1, DECILE_BINS))
+_DECILE_CASE = " ".join(
+    f"WHEN n_chars < edges[{i}] THEN {i - 1}" for i in range(1, DECILE_BINS)
+)
+
+DOC_LENGTH_DECILES_ORACLE = f"""
+WITH e AS (
+  SELECT list_transform(quantile_cont(n_chars, [{_DECILE_FRACS}]),
+                        x -> round(x, 6)) AS edges
+  FROM documents
+),
+b AS (
+  SELECT CASE {_DECILE_CASE} ELSE {DECILE_BINS - 1} END AS bin_id
+  FROM documents, e
+),
+c AS (SELECT bin_id, COUNT(*) AS cnt FROM b GROUP BY bin_id)
+SELECT g.bin_id, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt
+FROM range({DECILE_BINS}) g(bin_id) LEFT JOIN c USING (bin_id)
+"""
+
+
+@query("doc_length_deciles", oracle=DOC_LENGTH_DECILES_ORACLE)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth document-length distribution — quantile binning, the
+    skew-robust companion to `doc_length_histogram` (each bin ~N/10
+    docs regardless of how the length distribution stretches). Edges
+    are exact interpolated percentiles rounded to 6 dp on BOTH engines
+    before any comparison (``percentile`` ≡ ``quantile_cont``, the
+    contract `price_percentiles` pins).
+
+    Scale: one exact-percentile aggregate (1-row relation broadcast
+    back — never driver literals), scan-side CASE, map-side-collapsed
+    groupBy. The percentile shuffle moves (value) pairs only.
+    """
+    from ..operators.stats import equi_depth_histogram
+
+    docs = Catalog(spark, sf_dir).documents
+    return equi_depth_histogram(docs, "n_chars", bins=DECILE_BINS)

@@ -262,3 +262,38 @@ def test_leakage_safe_split_never_straddles_groups(spark):
     assert per_group.where("n_splits > 1").count() == 0
     splits = {r.split for r in lab.select("split").distinct().collect()}
     assert "train" in splits and len(splits) >= 2  # 60 groups spread out
+
+
+# --- equi_depth_histogram --------------------------------------------------
+
+from bigdatapipelinepysparksqlserver_spark.operators.stats import (
+    equi_depth_histogram,
+)
+
+
+def test_equi_depth_balanced_on_uniform_data(spark):
+    # 0..99 into 4 bins: exact quartile edges → exactly 25 per bin
+    df = spark.createDataFrame([(i,) for i in range(100)], "x long")
+    got = {r.bin_id: r.cnt for r in equi_depth_histogram(df, "x", 4).collect()}
+    assert got == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_equi_depth_skewed_data_stays_balanced(spark):
+    # heavy skew: 90 copies of 1 plus 10 spread values — equi-depth
+    # puts the mass where the data is (duplicate edges leave interior
+    # bins empty; totals always equal N)
+    rows = [(1,)] * 90 + [(v,) for v in range(100, 110)]
+    df = spark.createDataFrame(rows, "x long")
+    got = {r.bin_id: r.cnt for r in equi_depth_histogram(df, "x", 4).collect()}
+    assert sum(got.values()) == 100
+    assert len(got) == 4
+    # all three edges collapse onto the spike value (q25=q50=q75=1);
+    # `v < edge` is false at every collapsed edge, so the spike falls
+    # through to the LAST bin and the duplicate-edge bins stay empty
+    assert got == {0: 0, 1: 0, 2: 0, 3: 100}
+
+
+def test_equi_depth_rejects_bad_bins(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError):
+        equi_depth_histogram(df, "x", 1)
