@@ -1522,3 +1522,38 @@ def ivfpq_store_append_batch(
         .partitionBy("cell")
         .parquet(f"{path}/batch={batch_id}")
     )
+
+
+def embedding_dq_report(df, vec_col: str = "embedding", dim: int = 64):
+    """Vector-column data-quality audit: wrong-dimension, non-finite
+    (NaN/Inf), and zero-norm counts plus the finite norm range (6 dp).
+    Per-row square-norms fold the array left-to-right (fixed order →
+    deterministic, cross-engine identical doubles); every aggregate on
+    top is an exact integer count or an order-free MIN/MAX of rounded
+    values. One scan, one global aggregate — audit cost is a single
+    pass at any corpus size."""
+    bad = "x -> isnan(x) OR abs(x) = double('Infinity')"
+    per = df.select(
+        (F.size(vec_col) != F.lit(dim)).cast("long").alias("wrong_dim"),
+        (F.expr(f"size(filter(CAST({vec_col} AS ARRAY<DOUBLE>), {bad})) > 0"))
+        .cast("long")
+        .alias("nonfinite"),
+        F.expr(
+            f"aggregate(transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
+            " x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("sq"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("wrong_dim").alias("n_wrong_dim"),
+        F.sum("nonfinite").alias("n_nonfinite"),
+        F.sum(
+            ((F.col("nonfinite") == 0) & (F.col("sq") == 0.0)).cast("long")
+        ).alias("n_zero_norm"),
+        F.round(
+            F.min(F.when(F.col("nonfinite") == 0, F.sqrt(F.col("sq")))), 6
+        ).alias("min_norm"),
+        F.round(
+            F.max(F.when(F.col("nonfinite") == 0, F.sqrt(F.col("sq")))), 6
+        ).alias("max_norm"),
+    )

@@ -1282,3 +1282,52 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id", vec_col="embedding",
         n_probe=IVF_ARTIFACT_N_PROBE, k=TOP_K,
     )
+
+
+EMBEDDING_DQ_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id,
+    CAST(embedding AS DOUBLE[]) AS emb,
+    len(embedding) AS dim
+  FROM embeddings
+),
+per AS (
+  SELECT vec_id,
+    CASE WHEN dim <> {EMB_DIM} THEN 1 ELSE 0 END AS wrong_dim,
+    CASE WHEN len(list_filter(emb, x -> isnan(x) OR NOT isfinite(x))) > 0
+         THEN 1 ELSE 0 END AS nonfinite,
+    list_sum(list_transform(emb, x -> x * x)) AS sq
+  FROM v
+)
+SELECT COUNT(*) AS n_vectors,
+       CAST(SUM(wrong_dim) AS BIGINT) AS n_wrong_dim,
+       CAST(SUM(nonfinite) AS BIGINT) AS n_nonfinite,
+       CAST(SUM(CASE WHEN nonfinite = 0 AND sq = 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_norm,
+       ROUND(MIN(CASE WHEN nonfinite = 0 THEN sqrt(sq) END), 6) AS min_norm,
+       ROUND(MAX(CASE WHEN nonfinite = 0 THEN sqrt(sq) END), 6) AS max_norm
+FROM per
+"""
+
+
+@query("embedding_dq", oracle=EMBEDDING_DQ_ORACLE)
+def embedding_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table data-quality gate — the `dq_violations` family
+    member for vector columns: wrong dimension, non-finite components
+    (NaN/Inf), zero-norm vectors (undefined cosine), and the norm range
+    (rounded 6 dp; an unnormalized batch shows up instantly). Per-row
+    norms fold the array left-to-right in BOTH engines — the array
+    order is fixed, so each row's double sum is deterministic and
+    cross-engine identical; MIN/MAX over the rounded values is
+    order-free. Violation branches are pytest-exercised on a corrupted
+    synthetic table (wrong dim / NaN / Inf / zero vector).
+
+    Scale: one scan, scan-side array expressions (higher-order
+    functions are interpreted, acceptable for an audit pass), one
+    global aggregate with map-side partials. No shuffle beyond the
+    six-accumulator final merge.
+    """
+    from ..operators.similarity import embedding_dq_report
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return embedding_dq_report(emb, vec_col="embedding", dim=EMB_DIM)

@@ -297,3 +297,39 @@ def test_equi_depth_rejects_bad_bins(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError):
         equi_depth_histogram(df, "x", 1)
+
+
+# --- embedding_dq_report ---------------------------------------------------
+
+from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+    embedding_dq_report,
+)
+
+
+def test_embedding_dq_flags_each_violation_class(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),          # clean, norm 1
+        (2, [0.0, 0.0, 0.0]),          # zero norm
+        (3, [1.0, 2.0]),               # wrong dim (still finite, norm √5)
+        (4, [float("nan"), 0.0, 0.0]), # NaN
+        (5, [float("inf"), 0.0, 0.0]), # Inf
+        (6, [3.0, 4.0, 0.0]),          # clean, norm 5
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_dq_report(df, dim=3).collect()[0]
+    assert r.n_vectors == 6
+    assert r.n_wrong_dim == 1
+    assert r.n_nonfinite == 2
+    assert r.n_zero_norm == 1
+    assert r.min_norm == 0.0
+    assert r.max_norm == 5.0
+
+
+def test_embedding_dq_clean_table(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    r = embedding_dq_report(df, dim=2).collect()[0]
+    assert (r.n_wrong_dim, r.n_nonfinite, r.n_zero_norm) == (0, 0, 0)
+    assert (r.min_norm, r.max_norm) == (1.0, 10.0)
