@@ -606,3 +606,76 @@ def test_bigram_lm_store_probe_equals_scan_on_randomized_corpora(
         map(tuple, bigram_lm_score_from_store(spark, store, docs).collect())
     )
     assert probe == scan
+
+
+# --- hash_split / hash_fold / equi-depth (r7 profiling primitives) ---------
+
+import hashlib as _hl
+
+_KEYS = st.lists(
+    st.integers(min_value=-(2**62), max_value=2**62), min_size=1,
+    max_size=60, unique=True,
+)
+_BOUND_SETS = st.lists(
+    st.sampled_from("0123456789abcdef"), min_size=1, max_size=3, unique=True
+).map(lambda cs: sorted(cs))
+
+
+@settings(max_examples=15, deadline=None)
+@given(keys=_KEYS, bounds=_BOUND_SETS)
+def test_hash_split_total_and_reference_exact(spark, keys, bounds):
+    """Every key gets exactly ONE label, and it is the label Python's
+    own md5 assigns — for randomized keys (negatives included) and
+    randomized boundary sets of any width."""
+    from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+        hash_split,
+    )
+
+    labels = [(f"b{i}", b) for i, b in enumerate(bounds)] + [("rest", None)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.split for r in hash_split(df, "k", labels).collect()}
+    assert len(got) == len(keys)
+    for k in keys:
+        h = _hl.md5(str(k).encode()).hexdigest()
+        want = "rest"
+        for lab, b in labels[:-1]:
+            if h < b:
+                want = lab
+                break
+        assert got[k] == want, (k, h)
+
+
+@settings(max_examples=15, deadline=None)
+@given(keys=_KEYS, k=st.integers(min_value=1, max_value=9))
+def test_hash_fold_in_range_and_reference_exact(spark, keys, k):
+    from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+        hash_fold,
+    )
+
+    df = spark.createDataFrame([(key,) for key in keys], "key long")
+    got = {r.key: r.fold for r in hash_fold(df, "key", k).collect()}
+    for key in keys:
+        want = int(_hl.md5(str(key).encode()).hexdigest()[:15], 16) % k
+        assert got[key] == want
+        assert 0 <= got[key] < k
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=2,
+        max_size=80,
+    ),
+    bins=st.integers(min_value=2, max_value=8),
+)
+def test_equi_depth_partitions_every_row_exactly_once(spark, vals, bins):
+    """Mass conservation under arbitrary skew/duplicates: the bins
+    always sum to N and the output is always exactly `bins` rows."""
+    from bigdatapipelinepysparksqlserver_spark.operators.stats import (
+        equi_depth_histogram,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    rows = equi_depth_histogram(df, "x", bins).collect()
+    assert len(rows) == bins
+    assert sum(r.cnt for r in rows) == len(vals)
