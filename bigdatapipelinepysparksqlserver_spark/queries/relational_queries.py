@@ -1553,3 +1553,60 @@ def event_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         y=scaled_bigint(F.col("value")),
         alias="corr_hour_value",
     )
+
+
+TRENDING_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, event_type, cnt,
+         RANK() OVER (PARTITION BY day
+                      ORDER BY cnt DESC, event_type) AS rnk
+  FROM daily
+),
+lagged AS (
+  SELECT day, event_type, cnt, rnk,
+         LAG(rnk) OVER (PARTITION BY event_type ORDER BY day) AS prev_rnk
+  FROM ranked
+)
+SELECT day, event_type, cnt, rnk, prev_rnk,
+       CASE WHEN prev_rnk IS NOT NULL THEN prev_rnk - rnk END AS rank_delta
+FROM lagged WHERE rnk <= 3
+"""
+
+
+@query("event_type_trending", oracle=TRENDING_ORACLE)
+def event_type_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily trending board: top-3 event types per day with the rank
+    delta vs the previous day (positive = rising) — the dashboard shape
+    behind "what changed today?". Rank ties break on the type name, so
+    the board is deterministic; the lag runs over EVERY day's ranks
+    (before the top-3 filter), so a type re-entering the board still
+    shows its true previous rank.
+
+    Scale: the daily groupBy collapses map-side to (days × types) rows
+    — everything after runs on that model-sized relation; the two
+    windows (rank by day, lag by type) shuffle only those rows. The
+    corpus-sized scan appears exactly once, under the count.
+    """
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_rank = Window.partitionBy("day").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.withColumn("rnk", F.rank().over(w_rank))
+    lagged = ranked.withColumn("prev_rnk", F.lag("rnk").over(w_lag))
+    return lagged.where(F.col("rnk") <= 3).select(
+        "day", "event_type", "cnt", "rnk", "prev_rnk",
+        F.when(
+            F.col("prev_rnk").isNotNull(), F.col("prev_rnk") - F.col("rnk")
+        ).alias("rank_delta"),
+    )
