@@ -1610,3 +1610,39 @@ def event_type_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_rnk").isNotNull(), F.col("prev_rnk") - F.col("rnk")
         ).alias("rank_delta"),
     )
+
+
+HOURLY_PCTL_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("event_value_hourly_percentiles", oracle=HOURLY_PCTL_ORACLE)
+def event_value_hourly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(hour, type) p50/p95 value bands — the latency-percentile
+    dashboard shape next to `event_anomalies` (volume) and
+    `event_value_hour_corr` (time dependence). Exact interpolated
+    percentiles (``percentile`` ≡ ``quantile_cont``, 6-dp rounded both
+    engines — the `price_percentiles` contract, here per group).
+
+    Scale: one shuffle keyed (hour, type) moving bare (key, value)
+    pairs; per-group state is the group's values (bounded by the hour
+    × type cardinality of the stream). For unbounded groups the sketch
+    twin family (`sketch_price_quantiles`) is the documented scale
+    path.
+    """
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
