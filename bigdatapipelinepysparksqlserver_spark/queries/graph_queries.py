@@ -86,3 +86,95 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=PR_ITERS).select(
         F.col("node").alias("part_id"), "rank"
     )
+
+
+LIFT_MIN_SUPPORT = 2
+LIFT_TOP_K = 20
+
+COPURCHASE_LIFT_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+item AS (SELECT l_partkey, COUNT(*) AS s FROM b GROUP BY 1),
+pair AS (
+  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, COUNT(*) AS s_ab
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.s_ab, ia.s AS s_a, ib.s AS s_b,
+    ROUND((CAST(p.s_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+          / (CAST(ia.s AS DOUBLE) * CAST(ib.s AS DOUBLE)), 6) AS lift
+  FROM pair p
+  JOIN item ia ON ia.l_partkey = p.part_a
+  JOIN item ib ON ib.l_partkey = p.part_b
+  CROSS JOIN n
+  WHERE p.s_ab >= {LIFT_MIN_SUPPORT}
+)
+SELECT part_a, part_b, s_ab, s_a, s_b, lift
+FROM scored
+ORDER BY lift DESC, part_a, part_b
+LIMIT {LIFT_TOP_K}
+"""
+
+
+@query("copurchase_lift", oracle=COPURCHASE_LIFT_ORACLE)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: top-k part pairs by
+    lift = P(A∧B) / (P(A)·P(B)) with a minimum pair support — the
+    market-basket family (support/lift) as a graded query. Every count
+    is an exact integer; lift is ONE fixed-order double expression
+    ROUND(…, 6), and the top-k orders on the ROUNDED value with a
+    (part_a, part_b) tie-break so the board is deterministic
+    cross-engine.
+
+    Scale: pair enumeration self-joins baskets per order — fanout
+    bounded by basket size (TPC-H ≤ 7 items → ≤ 21 pairs/order), the
+    same contract as the PageRank edge builder; pair and item supports
+    are 8/16-byte-key groupBys with map-side partials; the order-count
+    relation is 1 row broadcast back; top-k lowers to
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    b = li.distinct()
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    x = b.alias("x")
+    y = b.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .where(F.col("s_ab") >= LIFT_MIN_SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b")
+    )
+    scored = (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "s_ab", "s_a", "s_b",
+            F.round(
+                (F.col("s_ab").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("s_a").cast("double") * F.col("s_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "part_a", "part_b"
+    ).limit(LIFT_TOP_K)
