@@ -1646,3 +1646,92 @@ def event_value_hourly_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
     )
+
+
+RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+    CAST(date_diff('day', DATE '1970-01-01',
+                   CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS r_days,
+    COUNT(*) AS f_orders,
+    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+e AS (
+  SELECT
+    list_transform(quantile_cont(r_days, [0.25, 0.5, 0.75]),
+                   x -> round(x, 6)) AS re,
+    list_transform(quantile_cont(f_orders, [0.25, 0.5, 0.75]),
+                   x -> round(x, 6)) AS fe,
+    list_transform(quantile_cont(m_cents, [0.25, 0.5, 0.75]),
+                   x -> round(x, 6)) AS me
+  FROM cust
+),
+seg AS (
+  SELECT
+    CASE WHEN r_days < re[1] THEN 1 WHEN r_days < re[2] THEN 2
+         WHEN r_days < re[3] THEN 3 ELSE 4 END AS r_q,
+    CASE WHEN f_orders < fe[1] THEN 1 WHEN f_orders < fe[2] THEN 2
+         WHEN f_orders < fe[3] THEN 3 ELSE 4 END AS f_q,
+    CASE WHEN m_cents < me[1] THEN 1 WHEN m_cents < me[2] THEN 2
+         WHEN m_cents < me[3] THEN 3 ELSE 4 END AS m_q
+  FROM cust, e
+)
+SELECT 'R' || r_q || 'F' || f_q || 'M' || m_q AS segment,
+       COUNT(*) AS n_customers
+FROM seg GROUP BY 1
+"""
+
+
+@query("customer_rfm_segments", oracle=RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation scoreboard: customers quartile-binned on
+    recency (epoch-day of last order), frequency (order count), and
+    monetary value (spend in exact cents) — the classic CRM mart shape.
+    Built scale-first: quartile THRESHOLDS come from one exact
+    percentile aggregate broadcast back (the equi-depth pattern), never
+    a global NTILE window — the suite bans partition-less windows
+    because they serialize the corpus through one task. All three axes
+    are exact integers (spend sums cents, not doubles), edges 6-dp
+    rounded on both engines before comparison.
+
+    Scale: one custkey-keyed aggregate, a 1-row broadcast, a scan-side
+    CASE per axis, and a ≤64-key scoreboard groupBy.
+    """
+    o = Catalog(spark, sf_dir).orders
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("r_days"),
+        F.count(F.lit(1)).alias("f_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).alias("m_cents"),
+    )
+    e = cust.agg(
+        *[
+            F.expr(
+                f"transform(percentile({c}, array(0.25, 0.5, 0.75)),"
+                " x -> round(x, 6))"
+            ).alias(a)
+            for c, a in (("r_days", "re"), ("f_orders", "fe"), ("m_cents", "me"))
+        ]
+    )
+
+    def quart(v: str, edges: str):
+        col = F.col(v).cast("double")
+        q = F.lit(4)
+        for i in (3, 2, 1):
+            q = F.when(col < F.element_at(F.col(edges), i), F.lit(i)).otherwise(q)
+        return q
+
+    seg = cust.crossJoin(F.broadcast(e)).select(
+        F.concat(
+            F.lit("R"), quart("r_days", "re").cast("string"),
+            F.lit("F"), quart("f_orders", "fe").cast("string"),
+            F.lit("M"), quart("m_cents", "me").cast("string"),
+        ).alias("segment")
+    )
+    return seg.groupBy("segment").agg(F.count(F.lit(1)).alias("n_customers"))

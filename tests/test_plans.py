@@ -112,6 +112,7 @@ def test_no_cartesian_products_anywhere(all_plans):
         "tpch_q11",  # 1-row threshold broadcast (scalar-subquery shape)
         "doc_length_deciles",  # 1-row percentile-edges broadcast (same shape)
         "copurchase_lift",  # 1-row order-count broadcast (same shape)
+        "customer_rfm_segments",  # 1-row quartile-edges broadcast (same shape)
     }
     offenders = []
     for name, plan in all_plans.items():
