@@ -302,3 +302,95 @@ def hash_fold(
         10,
     ).cast("bigint")
     return df.withColumn(fold_col, h % F.lit(k))
+
+
+FRAC60_SCALE = 1 << 60  # md5-prefix fraction denominator (60 bits = 15 hex)
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-weighted source mixing (the multilingual-LM recipe,
+    e.g. mT5 §3.1 / XLM-R §3): sample sources so the kept-token
+    distribution follows ``p_s^alpha`` instead of the raw corpus share
+    ``p_s`` — ``alpha < 1`` upweights low-resource sources without
+    discarding the high-resource ones entirely. Implemented as a
+    deterministic per-source KEEP RATE ``r_s ∝ p_s^(alpha-1)``
+    normalized so the smallest source keeps rate 1.0 (expected kept
+    tokens from s are then ∝ p_s · p_s^(alpha-1) = p_s^alpha — the
+    temperature distribution, achieved by downsampling only).
+
+    Membership is the md5 gate family's: a doc is kept iff its 60-bit
+    md5-prefix fraction of ``id_col`` falls under the source's rate —
+    a pure function of (corpus, alpha), stable across re-runs, layout,
+    and corpus growth; composable with `hash_split` / `hash_gate`
+    (independent hashes by construction would need salted keys; here
+    the SAME key keeps splits correlated — callers wanting independent
+    gates salt the key, as `per_group_sample_k` does with 'gk:').
+
+    Returns the per-source scoreboard (source, tokens_total, rate,
+    docs_kept, tokens_kept) — the audit artifact; apply the same gate
+    to materialize the mixed corpus.
+
+    Scale: one scan computes (id, source, ws-token count) — ~40 B/row
+    persisted across the two passes so text is tokenized once; the
+    per-source totals are a sources-sized collect (control-plane, like
+    BM25's idf literals); rates come back as a scan-side CASE chain of
+    literals (no join); the scoreboard groupBy is map-side-combined to
+    ≤ sources rows per task.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from ..caching import scoped_persist
+    from .text import _ws_token_count
+
+    toks = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("source"),
+            _ws_token_count(F.col(text_col)).cast("bigint").alias("tokens"),
+        )
+    )
+    totals = {
+        r["source"]: int(r["st"])
+        for r in toks.groupBy("source").agg(F.sum("tokens").alias("st")).collect()
+    }
+    if not totals:
+        raise ValueError("temperature_mix: empty corpus")
+    grand = float(sum(totals.values()))
+    wgt = {s: (t / grand) ** (alpha - 1.0) for s, t in totals.items()}
+    wmax = max(wgt.values())
+    rate = {s: round(w / wmax, 6) for s, w in wgt.items()}
+    thr = {s: int(r * FRAC60_SCALE) for s, r in rate.items()}
+    frac = F.conv(
+        F.substring(F.md5(F.col("id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    keep = F.lit(False)
+    for s, t in sorted(thr.items()):
+        keep = F.when(F.col("source") == s, frac < F.lit(t)).otherwise(keep)
+    board = (
+        toks.where(keep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("tokens").alias("tokens_kept"),
+        )
+    )
+    rate_col = F.lit(None).cast("double")
+    tot_col = F.lit(None).cast("bigint")
+    for s in sorted(rate):
+        rate_col = F.when(F.col("source") == s, F.lit(rate[s])).otherwise(rate_col)
+        tot_col = F.when(F.col("source") == s, F.lit(totals[s])).otherwise(tot_col)
+    return board.select(
+        "source",
+        tot_col.alias("tokens_total"),
+        rate_col.alias("rate"),
+        "docs_kept",
+        "tokens_kept",
+    )

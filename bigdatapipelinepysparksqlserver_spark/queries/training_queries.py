@@ -807,3 +807,63 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rerouted"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# temperature-weighted source mixing (the multilingual-LM sampling recipe)
+# --------------------------------------------------------------------------
+
+MIX_ALPHA = 0.3  # the mT5/XLM-R default temperature
+
+TEMPERATURE_MIX_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tokens
+  FROM documents
+),
+tot AS (
+  SELECT source, CAST(SUM(tokens) AS BIGINT) AS tokens_total FROM toks GROUP BY source
+),
+w AS (
+  SELECT source, tokens_total,
+         POW(CAST(tokens_total AS DOUBLE)
+             / SUM(CAST(tokens_total AS DOUBLE)) OVER (),
+             {MIX_ALPHA} - 1.0) AS wgt
+  FROM tot
+),
+r AS (
+  SELECT source, tokens_total, ROUND(wgt / MAX(wgt) OVER (), 6) AS rate
+  FROM w
+),
+kept AS (
+  SELECT t.source, t.tokens
+  FROM toks t JOIN r USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        < CAST(FLOOR(r.rate * 1152921504606846976.0) AS BIGINT)
+)
+SELECT r.source, r.tokens_total, r.rate,
+       COUNT(*) AS docs_kept,
+       CAST(SUM(k.tokens) AS BIGINT) AS tokens_kept
+FROM kept k JOIN r USING (source)
+GROUP BY r.source, r.tokens_total, r.rate
+"""
+
+
+@query("temperature_mix_report", oracle=TEMPERATURE_MIX_ORACLE)
+def temperature_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing at alpha=0.3 (the mT5/XLM-R
+    recipe): per-source keep rates ∝ share^(alpha-1) so kept tokens
+    follow share^alpha — low-resource sources upweighted, membership a
+    deterministic md5 gate. The scoreboard (rates, kept docs/tokens
+    per source) is the audit artifact a mixing run publishes.
+
+    Oracle is SF-adaptive: DuckDB recomputes the shares, the POW
+    weights, and the 6-dp rates from its own token sums — one static
+    string valid at every SF; the 60-bit md5-prefix gate replays with
+    FLOOR (Python int() truncates where SQL CAST rounds).
+    """
+    from ..operators.sampling import temperature_mix
+
+    docs = Catalog(spark, sf_dir).documents
+    return temperature_mix(docs, alpha=MIX_ALPHA)

@@ -289,3 +289,166 @@ def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 history build: gaps-and-islands collapse of a daily state
+# --------------------------------------------------------------------------
+
+USER_TIER_HISTORY_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT user_id, day,
+         CASE WHEN cents < 7500 THEN 'low'
+              WHEN cents < 18000 THEN 'mid'
+              ELSE 'high' END AS tier
+  FROM daily
+),
+m AS (
+  SELECT user_id, day, tier,
+         CASE WHEN LAG(tier) OVER w IS DISTINCT FROM tier
+              THEN 1 ELSE 0 END AS chg,
+         MAX(day) OVER (PARTITION BY user_id) AS last_day
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+i AS (
+  SELECT user_id, day, tier, last_day,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+)
+SELECT user_id, tier,
+       MIN(day) AS valid_from,
+       MAX(day) AS valid_to,
+       COUNT(*) AS n_days,
+       MAX(day) = MAX(last_day) AS is_current
+FROM i GROUP BY user_id, island, tier
+"""
+
+
+@query("user_tier_history", oracle=USER_TIER_HISTORY_ORACLE)
+def user_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension-history build: per-user daily activity tier
+    (exact-cents daily value sum CASE-binned low/mid/high) collapsed
+    into (valid_from, valid_to, is_current) validity runs — the
+    slowly-changing-dimension shape the reference's mart layer would
+    need the moment a tracked attribute starts changing (its
+    `updated_date` CDC detects the change; SCD2 is how the mart KEEPS
+    the old value instead of overwriting it). Run boundaries via
+    gaps-and-islands: a null-safe LAG inequality marks tier changes, a
+    running SUM of the change flags numbers the islands — no self-join,
+    no recursive scan.
+
+    Scale: two shuffles total — the (user_id, day) daily aggregate
+    (map-side combined), then ONE user_id exchange+sort shared by all
+    three window functions (LAG, running SUM, per-user MAX — same
+    partition spec, frames differ); the island collapse groups on a
+    key CONTAINING user_id, so hashpartitioning(user_id) already
+    satisfies its clustering and Catalyst plans no third exchange
+    (asserted in test_plans). State per user is one row in flight —
+    nothing buffers a user's full history.
+    """
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    tiered = daily.select(
+        "user_id",
+        "day",
+        F.when(F.col("cents") < 7500, F.lit("low"))
+        .when(F.col("cents") < 18000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    marked = tiered.select(
+        "user_id",
+        "day",
+        "tier",
+        F.sum(
+            (~F.lag("tier").over(w).eqNullSafe(F.col("tier"))).cast("int")
+        )
+        .over(run)
+        .alias("island"),
+        F.max("day").over(full).alias("last_day"),
+    )
+    # validity bounds cast to timestamp: the comparator canonicalizes
+    # DuckDB DATE as midnight datetimes, so a bare Spark date would
+    # stringify differently despite equal values
+    return marked.groupBy("user_id", "island", "tier").agg(
+        F.min("day").cast("timestamp").alias("valid_from"),
+        F.max("day").cast("timestamp").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_days"),
+        (F.max("day") == F.max("last_day")).alias("is_current"),
+    ).drop("island")
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------------
+
+EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE) /
+             SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS p_next
+FROM pairs
+"""
+
+
+@query("event_transition_matrix", oracle=EVENT_TRANSITIONS_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of event types, how often does a user's next event
+    move from one to the other, and with what conditional probability —
+    the model behind next-action prediction, funnel-leak triage, and
+    bot detection (a near-deterministic row is a scripted client).
+
+    Scale: the LEAD window shuffles events ONCE on user_id; the pair
+    groupBy map-side-combines each task to ≤ types² rows before its
+    exchange, and the row-probability normalization is a window over
+    the MODEL-SIZED (types × types) matrix — never over events. The
+    (ts, event_id) tie-break makes every transition deterministic
+    under timestamp collisions. One double division, 6-dp rounded on
+    both engines; counts stay exact integers.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_w = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row_w),
+            6,
+        ).alias("p_next"),
+    )

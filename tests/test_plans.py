@@ -314,6 +314,21 @@ def test_event_gaps_single_window_pass(spark):
     assert plan.count("Window ") == 1
 
 
+def test_user_tier_history_two_exchanges(spark):
+    """The SCD2 history build claims two shuffles total: the (user_id,
+    day) daily aggregate, then one user_id exchange+sort shared by all
+    three window functions (stacked Window operators — lag feeds the
+    running sum) AND the island collapse, whose grouping key contains
+    user_id, so hashpartitioning(user_id) already satisfies its
+    clustering distribution — a third exchange is a plan regression."""
+    plan = plan_of(REGISTRY["user_tier_history"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
+    # lag feeds the running sum, so Catalyst stacks two Window operators
+    # over ONE Sort — same partitioning, no re-exchange between them
+    assert plan.count("Window ") == 2
+    assert plan.count("+- Sort ") == 1
+
+
 def test_asof_attribution_is_union_window_not_join(spark):
     """The as-of join must plan as union+window: no join operator, one
     key shuffle — the shape that avoids per-row history explosion."""

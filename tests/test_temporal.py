@@ -108,3 +108,49 @@ def test_range_join_no_duplicate_pairs(spark):
         lower_us=-5_000_000, upper_us=0, bin_width_us=2_000_000,
     ).collect()
     assert len(got) == 1
+
+
+def test_user_tier_history_scd2_invariants(spark):
+    """SCD2 contract over real data: per user, validity runs are
+    non-overlapping and ordered, adjacent runs always CHANGE tier
+    (islands are maximal), day coverage is gapless in active days, and
+    exactly one run per user is current."""
+    from collections import defaultdict
+
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    rows = REGISTRY["user_tier_history"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        assert r["valid_from"] <= r["valid_to"]
+        assert r["n_days"] >= 1
+        by_user[r["user_id"]].append(r)
+    for runs in by_user.values():
+        runs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in runs) == 1
+        assert runs[-1]["is_current"]
+        for a, b in zip(runs, runs[1:]):
+            assert a["valid_to"] < b["valid_from"]  # non-overlapping
+            assert a["tier"] != b["tier"]  # maximal islands
+
+
+def test_event_transition_matrix_rows_are_distributions(spark):
+    """Each from_type's outgoing probabilities must sum to 1 (6-dp
+    rounding tolerance) with positive exact counts."""
+    from collections import defaultdict
+
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    rows = REGISTRY["event_transition_matrix"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    sums = defaultdict(float)
+    for r in rows:
+        assert r["n_transitions"] >= 1
+        assert 0.0 < r["p_next"] <= 1.0
+        sums[r["from_type"]] += r["p_next"]
+    for s in sums.values():
+        assert abs(s - 1.0) < 1e-4

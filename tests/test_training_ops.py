@@ -376,3 +376,81 @@ def test_bigram_lm_store_probe_matches_scan_and_oov_floor(spark, tmp_path):
     floor = round(round(math.log2(1.0 / vocab) * 1e6) / 1e6, 6)
     assert got.n_bigrams == 2
     assert got.avg_log2p == floor
+
+
+def test_temperature_mix_matches_reference_python(spark):
+    """The operator's scoreboard must equal a pure-Python reference:
+    same share^(alpha-1) rates (6-dp), same md5-prefix gate (hashlib),
+    same kept counts — and be layout-independent."""
+    import hashlib
+
+    from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+        FRAC60_SCALE,
+        temperature_mix,
+    )
+
+    rows = [
+        (i, " ".join(["w"] * (3 + i % 11)), ("big" if i % 10 < 8 else "small"))
+        for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    alpha = 0.3
+
+    toks = {i: 3 + i % 11 for i, _, _ in rows}
+    src = {i: s for i, _, s in rows}
+    totals: dict = {}
+    for i, s in src.items():
+        totals[s] = totals.get(s, 0) + toks[i]
+    grand = float(sum(totals.values()))
+    wgt = {s: (t / grand) ** (alpha - 1.0) for s, t in totals.items()}
+    wmax = max(wgt.values())
+    rate = {s: round(w / wmax, 6) for s, w in wgt.items()}
+    thr = {s: int(r * FRAC60_SCALE) for s, r in rate.items()}
+    expect: dict = {}
+    for i, s in src.items():
+        frac = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        if frac < thr[s]:
+            d, t = expect.get(s, (0, 0))
+            expect[s] = (d + 1, t + toks[i])
+
+    got = {
+        r["source"]: (
+            r["tokens_total"], r["rate"], r["docs_kept"], r["tokens_kept"]
+        )
+        for r in temperature_mix(docs, alpha).collect()
+    }
+    assert set(got) == set(expect)
+    for s in expect:
+        assert got[s] == (totals[s], rate[s], *expect[s])
+    # the smallest source is kept in full by construction
+    assert rate["small"] == 1.0 and got["small"][2:] == (
+        sum(1 for i in src if src[i] == "small"),
+        sum(toks[i] for i in src if src[i] == "small"),
+    )
+    # layout independence: the gate is a pure row function
+    re_got = {
+        r["source"]: (r["docs_kept"], r["tokens_kept"])
+        for r in temperature_mix(docs.repartition(17), alpha).collect()
+    }
+    assert re_got == {s: v[2:] for s, v in got.items()}
+
+
+def test_temperature_mix_alpha_one_is_identity_and_validates(spark):
+    """alpha=1 ⇒ every rate is 1.0 (raw distribution, nothing dropped);
+    out-of-range alpha rejected up front."""
+    import pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", f"s{i % 2}") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    rows = temperature_mix(docs, 1.0).collect()
+    assert all(r["rate"] == 1.0 for r in rows)
+    assert sum(r["docs_kept"] for r in rows) == 40
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_mix(docs, bad)
