@@ -452,3 +452,119 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_next"),
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE-framed rolling aggregate: trailing 90-day spend per customer
+# --------------------------------------------------------------------------
+
+ROLLING_SPEND_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(cents) OVER w AS BIGINT) AS spend_90d_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_90d
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("customer_rolling_spend", oracle=ROLLING_SPEND_ORACLE)
+def customer_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 90-day spend at every order — the RANGE-framed moving
+    aggregate (value-based frame over epoch-days, not a row count):
+    the velocity feature behind fraud scoring and credit exposure. A
+    ROWS frame would be wrong here — customers order at uneven
+    cadence, so "last k orders" and "last 90 days" diverge; RANGE over
+    the epoch-day key gives the calendar semantics, and peers (same
+    customer, same day) enter the frame together in both engines.
+
+    Scale: one custkey shuffle; the RANGE frame evaluates as a sliding
+    two-pointer over each sorted partition (bounded state — Spark
+    never buffers more than the 90-day span per customer). Spend sums
+    exact cents; no doubles anywhere.
+    """
+    o = Catalog(spark, sf_dir).orders
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-89, Window.currentRow)
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum("cents").over(w).alias("spend_90d_cents"),
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exponential time-decay engagement score (order-free integer accumulation)
+# --------------------------------------------------------------------------
+
+DECAY_SCORE_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(CAST(CAST(SUM(CAST(ROUND(
+           CAST(ROUND(value * 100, 0) AS BIGINT)
+           * POW(0.5, CAST(date_diff('day', CAST(ts AS DATE),
+                                     DATE '2024-02-01') AS DOUBLE) / 7.0)
+           * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / 1000000.0, 6) AS decayed_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("user_decay_score", oracle=DECAY_SCORE_ORACLE)
+def user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user: each
+    event's exact-cents value halves every 7 days of age at the
+    2024-02-01 reference point, summed per user — the recency-weighted
+    activity feature behind churn models and engagement ranking.
+
+    Determinism: a naive SUM of double contributions is
+    accumulation-order-dependent (parallelism would change the
+    result). Instead each ROW's decay expression is immediately
+    integer-scaled (ROUND(cents · 0.5^(age/7) · 1e6) as BIGINT) and
+    the aggregation runs entirely on integers — exact and order-free
+    at any parallelism; libm ULP differences between engines can only
+    matter at a per-row rounding boundary, never compound across the
+    sum (the bigram-LM pattern).
+
+    Scale: one user_id-keyed aggregate, map-side combined; the shuffle
+    carries (user_id, bigint, count) — never event payloads.
+    """
+    ev = Catalog(spark, sf_dir).events
+    age = F.datediff(
+        F.lit("2024-02-01").cast("date"), F.to_date("ts")
+    ).cast("double")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    contrib = F.round(
+        cents.cast("double") * F.pow(F.lit(0.5), age / F.lit(7.0)) * F.lit(1e6),
+        0,
+    ).cast("bigint")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(contrib).cast("double") / F.lit(1e6), 6).alias(
+            "decayed_cents"
+        ),
+    )

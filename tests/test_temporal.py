@@ -154,3 +154,95 @@ def test_event_transition_matrix_rows_are_distributions(spark):
         sums[r["from_type"]] += r["p_next"]
     for s in sums.values():
         assert abs(s - 1.0) < 1e-4
+
+
+def test_customer_rolling_spend_brute_force(spark, tmp_path):
+    """The RANGE-framed 90-day window must equal a brute-force per-row
+    recomputation (inclusive 89-days-back boundary, same-day peers in
+    frame together), on a corpus with boundary-straddling dates."""
+    from datetime import datetime
+
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    rows = []
+    dates = [
+        "2000-01-01", "2000-02-15", "2000-03-30", "2000-03-31",
+        "2000-03-31", "2000-06-30", "2000-09-27", "2000-09-28",
+    ]
+    for i, ds in enumerate(dates):
+        rows.append(
+            (
+                i + 1,
+                1 if i < 6 else 2,  # two customers
+                "O",
+                100.0 + i,
+                datetime.fromisoformat(ds + "T00:00:00"),
+                "1-URGENT",
+            )
+        )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["o_orderkey"]: (r["spend_90d_cents"], r["n_orders_90d"])
+        for r in REGISTRY["customer_rolling_spend"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    day = {
+        k + 1: datetime.fromisoformat(ds).toordinal() for k, ds in enumerate(dates)
+    }
+    cust = {k + 1: (1 if k < 6 else 2) for k in range(len(dates))}
+    cents = {k + 1: int(round((100.0 + k) * 100)) for k in range(len(dates))}
+    for k in day:
+        inc = [
+            j
+            for j in day
+            if cust[j] == cust[k] and day[k] - 89 <= day[j] <= day[k]
+        ]
+        assert got[k] == (sum(cents[j] for j in inc), len(inc)), k
+
+
+def test_user_decay_score_brute_force(spark, tmp_path):
+    """The decayed score must equal the per-row integer-scaled
+    recomputation: value halves every 7 days of age at 2024-02-01,
+    each contribution rounded at 1e-6 cents BEFORE the sum."""
+    from datetime import datetime
+
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    evs = [
+        (1, "2024-02-01T12:00:00", 7, "c", 10.0),
+        (2, "2024-01-25T00:00:00", 7, "c", 10.0),
+        (3, "2024-01-18T23:59:59", 7, "v", 40.0),
+        (4, "2024-01-29T06:00:00", 7, "v", 3.33),
+        (5, "2024-01-10T00:00:00", 8, "c", 123.45),
+    ]
+    spark.createDataFrame(
+        [
+            (eid, datetime.fromisoformat(ts), uid, et, v, "{}")
+            for eid, ts, uid, et, v in evs
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    ref = datetime.fromisoformat("2024-02-01").toordinal()
+    acc: dict = {}
+    for eid, ts, uid, et, v in evs:
+        age = ref - datetime.fromisoformat(ts).toordinal()
+        contrib = int(round(round(v * 100) * (0.5 ** (age / 7.0)) * 1e6))
+        n, s = acc.get(uid, (0, 0))
+        acc[uid] = (n + 1, s + contrib)
+
+    got = {
+        r["user_id"]: (r["n_events"], r["decayed_cents"])
+        for r in REGISTRY["user_decay_score"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        uid: (n, round(s / 1e6, 6)) for uid, (n, s) in acc.items()
+    }
