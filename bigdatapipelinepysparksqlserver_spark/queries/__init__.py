@@ -54,8 +54,18 @@ _GRADED_PREFIX = (
     # orders_without_lineitems ceded, all still green past cap.)
     "mart_client_count", "mart_sales_agg",
     "changed_partitions", "reconcile_aggs", "next_run_id",
-    "year_month_partitions",
-    "customers_with_orders", "events_hourly_agg",
+    # (r7 continuation rotation: year_month_partitions cedes — its
+    # distinct-partition-keys machinery executes inside the in-window
+    # changed_partitions oracle; customers_with_orders cedes — the
+    # semi-join family stays graded via tpch_q18's HAVING-semi
+    # in-window with q4/q21/q22 oracle-backed past-cap. Entering:
+    # user_tier_history (SCD Type-2 history build — the mart-layer
+    # dimension-versioning family's graded representative) and
+    # temperature_mix_report (temperature source mixing — the
+    # training-mix family's SF-adaptive POW-rate oracle). Both green
+    # at sf0.001/0.01/0.1 with measured 100× slopes.)
+    "user_tier_history",
+    "temperature_mix_report", "events_hourly_agg",
     "sessionize_session_window",
     "customer_rank_by_spend",
     "sql_facade_agg",
