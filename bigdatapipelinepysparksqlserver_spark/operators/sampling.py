@@ -394,3 +394,68 @@ def temperature_mix(
         "docs_kept",
         "tokens_kept",
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "ws:",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group
+    (Efraimidis & Spirakis 2006): each row draws ``u`` from its md5
+    60-bit-prefix fraction and ranks by ``u^(1/w)`` — the top-k per
+    group is then an exact weighted draw (a row's selection odds scale
+    with its weight), yet membership stays a pure function of
+    (key, weight, k): re-runs, layouts, and backfills agree on every
+    row, which ``df.sample``-style seeded draws cannot promise. The
+    ``salt`` decorrelates this draw from the other md5 gates on the
+    same key (`hash_gate` / `hash_split` nest by design; a weighted
+    draw must not).
+
+    Rows with non-positive weight are excluded (they have zero mass —
+    and ``u^(1/w)`` is undefined at w=0).
+
+    Returns the input columns + ``sample_key`` (the 12-dp-rounded rank
+    key, exposed so audits can replay the draw).
+
+    Scale: the rank ≤ k filter lowers to a per-partition
+    WindowGroupLimit BELOW the exchange (same plan shape as
+    `per_group_sample_k`), so at most k rows per (group, task) ever
+    shuffle — group size never matters.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.col(key_col).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(FRAC60_SCALE))
+    )
+    skey = F.round(
+        F.pow(frac, F.lit(1.0) / weight.cast("double")), 12
+    ).alias("sample_key")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("sample_key").desc(), F.col(key_col).asc()
+    )
+    return (
+        df.where(weight > 0)
+        .select("*", skey)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

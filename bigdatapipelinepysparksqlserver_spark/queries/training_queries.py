@@ -867,3 +867,60 @@ def temperature_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return temperature_mix(docs, alpha=MIX_ALPHA)
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis top-k)
+# --------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 10
+
+WEIGHTED_SAMPLE_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tokens
+  FROM documents
+),
+k AS (
+  SELECT doc_id, source, tokens,
+         ROUND(POW(
+           CAST(CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) AS DOUBLE)
+           / 1152921504606846976.0,
+           1.0 / CAST(tokens AS DOUBLE)), 12) AS sample_key
+  FROM t WHERE tokens > 0
+)
+SELECT source, doc_id, tokens, sample_key
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY sample_key DESC, doc_id ASC) AS rk
+  FROM k
+) WHERE rk <= {WEIGHTED_SAMPLE_K}
+"""
+
+
+@query("weighted_sample_per_source", oracle=WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted sample of 10 docs per source WITHOUT replacement
+    (Efraimidis-Spirakis u^(1/w) top-k): longer documents are
+    proportionally likelier, membership is a pure function of the
+    corpus — the draw a curation pipeline uses when "uniform by doc"
+    over-represents short documents' text distribution.
+
+    Scale: rank ≤ k lowers to WindowGroupLimit below the exchange —
+    at most k rows per (source, task) shuffle; the md5 draw and the
+    POW key are scan-side codegen expressions.
+    """
+    from ..operators.sampling import weighted_sample_k
+    from ..operators.text import _ws_token_count
+
+    docs = Catalog(spark, sf_dir).documents
+    base = docs.select(
+        "doc_id",
+        "source",
+        _ws_token_count(F.col("text")).cast("bigint").alias("tokens"),
+    )
+    return weighted_sample_k(
+        base, "source", "doc_id", F.col("tokens"), WEIGHTED_SAMPLE_K
+    ).select("source", "doc_id", "tokens", "sample_key")

@@ -454,3 +454,66 @@ def test_temperature_mix_alpha_one_is_identity_and_validates(spark):
     for bad in (0.0, -0.5, 1.5):
         with pytest.raises(ValueError, match="alpha"):
             temperature_mix(docs, bad)
+
+
+def test_weighted_sample_k_matches_reference_python(spark):
+    """The Efraimidis-Spirakis draw must equal a pure-Python reference
+    (same salted md5 fraction, same u^(1/w) key, same top-k), exclude
+    non-positive weights, and be layout-independent."""
+    import hashlib
+
+    from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+        FRAC60_SCALE,
+        weighted_sample_k,
+    )
+
+    rows = [(i, f"g{i % 3}", (0 if i % 17 == 0 else 1 + i % 29)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+
+    def key_of(i, w):
+        u = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:15], 16) / FRAC60_SCALE
+        return round(u ** (1.0 / w), 12)
+
+    expect: dict = {}
+    for i, g, w in rows:
+        if w > 0:
+            expect.setdefault(g, []).append((-key_of(i, w), i))
+    want = {
+        g: sorted(v)[:7] for g, v in expect.items()
+    }
+    got = weighted_sample_k(df, "grp", "id", F.col("w"), 7).collect()
+    by_g: dict = {}
+    for r in got:
+        by_g.setdefault(r["grp"], []).append((-r["sample_key"], r["id"]))
+    assert {g: sorted(v) for g, v in by_g.items()} == want
+    re_got = weighted_sample_k(
+        df.repartition(13), "grp", "id", F.col("w"), 7
+    ).collect()
+    assert sorted((r["grp"], r["id"]) for r in re_got) == sorted(
+        (r["grp"], r["id"]) for r in got
+    )
+
+
+def test_weighted_sample_k_plan_lowers_to_group_limit(spark):
+    """rank ≤ k must plan as WindowGroupLimit below the exchange (at
+    most k rows per group per task shuffle) — the contract that makes
+    the draw group-size-independent."""
+    from bigdatapipelinepysparksqlserver_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("grp"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    plan = (
+        weighted_sample_k(df, "grp", "id", F.col("w"), 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_k(df, "grp", "id", F.col("w"), 0)
