@@ -924,3 +924,123 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_k(
         base, "source", "doc_id", F.col("tokens"), WEIGHTED_SAMPLE_K
     ).select("source", "doc_id", "tokens", "sample_key")
+
+
+# --------------------------------------------------------------------------
+# classifier calibration: heuristic quality by model-score decile
+# --------------------------------------------------------------------------
+
+_DEC_EDGES = "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]"
+
+CALIBRATION_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+') AS arr
+        FROM documents),
+       UNNEST(arr) AS t(tok)
+  WHERE t.tok <> ''
+),
+weighted AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(token), 1, 3)) AS INT) % 61 AS DOUBLE)
+           / 30.0 - 1.0 AS w
+  FROM toks
+),
+cls AS (
+  SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-4.0 * AVG(w))), 6) AS prob
+  FROM weighted GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id,
+    ROUND(
+      0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE))
+    + 0.3 * (CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+             / CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE))
+    + 0.3 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 64.0, 1.0)
+    , 6) AS quality_score
+  FROM documents
+),
+e AS (
+  SELECT list_transform(quantile_cont(prob, {_DEC_EDGES}),
+                        x -> round(x, 6)) AS ed
+  FROM cls
+),
+b AS (
+  SELECT c.prob, q.quality_score,
+         1 + (CASE WHEN c.prob >= ed[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN c.prob >= ed[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN c.prob >= ed[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN c.prob >= ed[4] THEN 1 ELSE 0 END)
+           + (CASE WHEN c.prob >= ed[5] THEN 1 ELSE 0 END)
+           + (CASE WHEN c.prob >= ed[6] THEN 1 ELSE 0 END)
+           + (CASE WHEN c.prob >= ed[7] THEN 1 ELSE 0 END)
+           + (CASE WHEN c.prob >= ed[8] THEN 1 ELSE 0 END)
+           + (CASE WHEN c.prob >= ed[9] THEN 1 ELSE 0 END) AS decile
+  FROM cls c JOIN q USING (doc_id), e
+)
+SELECT decile,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(CAST(SUM(CAST(ROUND(prob * 1000000.0, 0) AS BIGINT))
+                  AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_prob,
+       ROUND(CAST(CAST(SUM(CAST(ROUND(quality_score * 1000000.0, 0) AS BIGINT))
+                  AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_quality
+FROM b GROUP BY decile
+"""
+
+
+@query("classifier_calibration", oracle=CALIBRATION_ORACLE)
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration table: documents binned into model-score
+    deciles (exact interpolated percentile edges of the classifier's
+    quality_prob), each decile reporting mean model score vs mean
+    HEURISTIC quality — the eval artifact that answers "is the learned
+    gate monotone against the rule-based one, and where does it
+    disagree" before a filtering threshold ships.
+
+    Determinism: both means accumulate 1e6-scaled BIGINTs of the
+    already-6-dp scores (exact, order-free — the bigram-LM pattern),
+    divided out in one fixed-order double expression; decile edges are
+    6-dp-rounded percentiles broadcast as a 1-row relation (the
+    doc_length_deciles shape — never a global NTILE window).
+
+    Scale: the classifier leg is the explode + map-side-collapsed
+    doc aggregate it always is; the heuristic leg is scan-side; the
+    doc_id join shuffles doc-sized score pairs (16 B/row), and the
+    final groupBy collapses to ≤ 10 rows per task map-side.
+    """
+    from ..operators.text import classifier_scores, quality_scores
+
+    docs = Catalog(spark, sf_dir).documents
+    cls = classifier_scores(docs, "text", "doc_id").select(
+        "doc_id", F.col("quality_prob").alias("prob")
+    )
+    q = quality_scores(docs, "text", "doc_id").select("doc_id", "quality_score")
+    edges = cls.agg(
+        F.expr(
+            f"transform(percentile(prob, array({_DEC_EDGES[1:-1]})),"
+            " x -> round(x, 6))"
+        ).alias("ed")
+    )
+    j = cls.join(q, "doc_id").crossJoin(F.broadcast(edges))
+    dec = F.lit(1)
+    for i in range(1, 10):
+        dec = dec + (F.col("prob") >= F.element_at("ed", i)).cast("int")
+    scaled = lambda c: F.round(F.col(c) * 1e6, 0).cast("bigint")  # noqa: E731
+    return (
+        j.select(dec.alias("decile"), scaled("prob").alias("ps"),
+                 scaled("quality_score").alias("qs"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("ps").cast("double") / F.lit(1e6) / F.count(F.lit(1)), 6
+            ).alias("mean_prob"),
+            F.round(
+                F.sum("qs").cast("double") / F.lit(1e6) / F.count(F.lit(1)), 6
+            ).alias("mean_quality"),
+        )
+    )

@@ -113,6 +113,7 @@ def test_no_cartesian_products_anywhere(all_plans):
         "doc_length_deciles",  # 1-row percentile-edges broadcast (same shape)
         "copurchase_lift",  # 1-row order-count broadcast (same shape)
         "customer_rfm_segments",  # 1-row quartile-edges broadcast (same shape)
+        "classifier_calibration",  # 1-row decile-edges broadcast (same shape)
     }
     offenders = []
     for name, plan in all_plans.items():

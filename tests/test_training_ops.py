@@ -517,3 +517,27 @@ def test_weighted_sample_k_plan_lowers_to_group_limit(spark):
 
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample_k(df, "grp", "id", F.col("w"), 0)
+
+
+def test_classifier_calibration_decile_contract(spark):
+    """Deciles partition the scored corpus: counts sum to the number of
+    classifier-scored docs, deciles stay in 1..10, and mean model score
+    is nondecreasing in decile (percentile binning is order-preserving)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        classifier_scores,
+    )
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        REGISTRY["classifier_calibration"].fn(spark, sf).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert rows and all(1 <= r["decile"] <= 10 for r in rows)
+    n_scored = classifier_scores(
+        Catalog(spark, sf).documents, "text", "doc_id"
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == n_scored
+    probs = [r["mean_prob"] for r in rows]
+    assert probs == sorted(probs)
