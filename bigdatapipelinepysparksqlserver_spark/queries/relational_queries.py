@@ -1735,3 +1735,69 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("segment")
     )
     return seg.groupBy("segment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit — distributional data-quality check
+# --------------------------------------------------------------------------
+
+BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+d AS (
+  SELECT cents // CAST(POW(10, LENGTH(CAST(cents AS VARCHAR)) - 1) AS BIGINT)
+         AS leading_digit
+  FROM c
+),
+n AS (
+  SELECT leading_digit, COUNT(*) AS n_values FROM d GROUP BY leading_digit
+),
+t AS (SELECT CAST(SUM(n_values) AS BIGINT) AS total FROM n)
+SELECT leading_digit, n_values,
+       ROUND(CAST(n_values AS DOUBLE) / total, 6) AS observed_p,
+       ROUND(LOG10(1.0 + 1.0 / leading_digit), 6) AS benford_p,
+       ROUND(ABS(ROUND(CAST(n_values AS DOUBLE) / total, 6)
+                 - ROUND(LOG10(1.0 + 1.0 / leading_digit), 6)), 6) AS abs_dev
+FROM n, t
+"""
+
+
+@query("benford_price_audit", oracle=BENFORD_ORACLE)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit shares vs the log10(1+1/d) expectation, with the
+    per-digit absolute deviation — the forensic data-quality screen for
+    fabricated or truncated monetary columns (a synthetic uniform price
+    distribution, like TPC-H's, FAILS it loudly — which is the audit
+    doing its job).
+
+    Determinism: the leading digit comes from exact integer CENTS via
+    decimal string length (never FLOOR(LOG10(p)) — a one-ulp-low log at
+    a decade boundary yields digit 10); shares are one fixed-order
+    double division rounded 6-dp against a 1-row total broadcast (the
+    scalar-subquery shape).
+
+    Scale: scan-side digit projection, ≤ 9-row aggregate map-side
+    combined, 1-row broadcast — nothing grows with data.
+    """
+    o = Catalog(spark, sf_dir).orders
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    d = o.select(cents.alias("cents")).select(
+        F.expr(
+            "cents div CAST(POW(10, LENGTH(CAST(cents AS STRING)) - 1)"
+            " AS BIGINT)"
+        ).alias("leading_digit")
+    )
+    n = d.groupBy("leading_digit").agg(F.count(F.lit(1)).alias("n_values"))
+    t = n.agg(F.sum("n_values").alias("total"))
+    obs = F.round(F.col("n_values").cast("double") / F.col("total"), 6)
+    exp = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("leading_digit")), 6)
+    return n.crossJoin(F.broadcast(t)).select(
+        "leading_digit",
+        "n_values",
+        obs.alias("observed_p"),
+        exp.alias("benford_p"),
+        F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+    )

@@ -11,7 +11,7 @@ the same row at timestamp collisions.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.expressions import dec
 from ..operators.temporal import asof_join, range_join
@@ -457,4 +457,64 @@ def user_activity_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "day_index",
         F.array_contains("ds", F.col("day_index")).alias("active"),
+    )
+
+
+# --------------------------------------------------------------------------
+# activity streaks: gaps-and-islands over distinct active days
+# --------------------------------------------------------------------------
+
+USER_STREAKS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS di
+  FROM events
+),
+i AS (
+  SELECT user_id, di,
+         di - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY di) AS isl
+  FROM d
+),
+s AS (
+  SELECT user_id, isl, COUNT(*) AS len FROM i GROUP BY user_id, isl
+)
+SELECT user_id,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM s GROUP BY user_id
+"""
+
+
+@query("user_streaks", oracle=USER_STREAKS_ORACLE)
+def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (longest streak, streak
+    count, total active days) — the engagement metric behind habit
+    scoring, computed with the classic day-minus-rank islands trick: a
+    run of consecutive distinct days shares ``day − row_number``, so
+    streaks fall out of ONE rank window and two subset-keyed
+    aggregates, with no self-join and no spine materialization (the
+    sibling `user_activity_spine` exists for when the gap ROWS
+    themselves are wanted).
+
+    Scale: the (user, day) distinct collapses map-side; the rank window
+    and BOTH downstream groupBys share the user_id hash partitioning
+    (grouping keys contain user_id), so the whole query is two
+    exchanges end to end — asserted in test_plans.
+    """
+    ev = Catalog(spark, sf_dir).events
+    di = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    d = ev.select("user_id", di.alias("di")).distinct()
+    w = Window.partitionBy("user_id").orderBy("di")
+    i = d.select(
+        "user_id", "di", (F.col("di") - F.row_number().over(w)).alias("isl")
+    )
+    s = i.groupBy("user_id", "isl").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
     )

@@ -114,6 +114,7 @@ def test_no_cartesian_products_anywhere(all_plans):
         "copurchase_lift",  # 1-row order-count broadcast (same shape)
         "customer_rfm_segments",  # 1-row quartile-edges broadcast (same shape)
         "classifier_calibration",  # 1-row decile-edges broadcast (same shape)
+        "benford_price_audit",  # 1-row total broadcast (same shape)
     }
     offenders = []
     for name, plan in all_plans.items():
@@ -395,3 +396,11 @@ def test_semantic_incremental_probe_prunes_to_batch_cells(spark):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters")[1][:200]
     assert "cell" in seg and "IN" in seg.upper()
+
+
+def test_user_streaks_two_exchanges(spark):
+    """Streaks claim two shuffles end to end: the (user, day) distinct,
+    then one user_id exchange for the rank window — both downstream
+    groupBys key on supersets of user_id and reuse its partitioning."""
+    plan = plan_of(REGISTRY["user_streaks"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -268,3 +268,38 @@ def test_user_activity_spine_contract(spark):
         idx = [d for d, _ in days]
         assert idx == list(range(idx[0], idx[-1] + 1))  # contiguous, no dups
         assert days[0][1] and days[-1][1]  # endpoints active
+
+
+def test_user_streaks_brute_force(spark, tmp_path):
+    """Streak stats must equal a brute-force recomputation on a corpus
+    with known gaps (multi-day streaks, singletons, duplicate events on
+    one day)."""
+    from datetime import datetime
+
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    days = {
+        1: ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-07",
+            "2024-01-08", "2024-01-20"],
+        2: ["2024-01-05"],
+        3: ["2024-01-01", "2024-01-01", "2024-01-02"],  # dup events same day
+    }
+    rows = []
+    eid = 0
+    for uid, ds in days.items():
+        for d in ds:
+            eid += 1
+            rows.append(
+                (eid, datetime.fromisoformat(d + "T10:00:00"), uid, "c", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["user_id"]: (r["n_streaks"], r["longest_streak"], r["active_days"])
+        for r in REGISTRY["user_streaks"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (3, 3, 6), 2: (1, 1, 1), 3: (1, 2, 2)}
