@@ -21,6 +21,7 @@ from .cdc import (  # noqa: F401
     streaming_hourly_agg,
     streaming_interval_join,
     streaming_running_totals,
+    streaming_transition_counts,
     streaming_sessionize,
 )
 from .metrics import (  # noqa: F401

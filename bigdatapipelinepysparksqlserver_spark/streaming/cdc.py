@@ -560,7 +560,9 @@ def streaming_running_totals(
     pair per key — O(distinct keys) memory, partitioned by the groupBy
     hash, so it scales horizontally with executors.
 
-    This is deliberately the ONLY stateful Python surface in the engine:
+    The stateful Python surface is deliberately TINY — this accumulator
+    and :func:`streaming_transition_counts` (which needs per-key
+    last-event ORDER state no native streaming aggregation holds):
     everything expressible as watermarked aggs/dedup/session_window uses
     the native operators above (JVM state store, no Python round-trip);
     Arrow batches amortize the transfer here.
@@ -583,6 +585,85 @@ def streaming_running_totals(
         )
 
     return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_transition_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming first-order transition counter: per-key (from_type,
+    to_type) pair deltas maintained across micro-batches — the online
+    form of the batch ``event_transition_matrix``. No native streaming
+    aggregation can express it (a transition needs the PREVIOUS event,
+    i.e. per-key ORDER state across batch boundaries), so this is the
+    second member of the engine's deliberately tiny
+    ``applyInPandasWithState`` surface.
+
+    State per key: the (ts, id, type) of the key's LAST event — O(1),
+    O(distinct keys) total, partitioned by the groupBy hash. Each
+    micro-batch sorts its key's rows by (ts, id), prepends the carried
+    last event, and emits one row per observed (from, to) pair with its
+    count DELTA for this batch (update-mode semantics: downstream sums
+    deltas; the test proves Σ deltas ≡ the batch LEAD-window counts).
+
+    Caveat (inherent to the online form): transitions are counted in
+    ARRIVAL order within the watermark — an event arriving after a
+    later-timestamped neighbor was already consumed cannot retract the
+    pair it split; the batch twin is the replayable exact form.
+    """
+    import pandas as pd  # local import: only the streaming path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, from_type string, to_type string, delta long"
+    )
+    state_schema = "last_ts long, last_id long, last_type string"
+
+    def update(key, pdfs, state):
+        (k,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, id_col])
+        pairs: dict = {}
+        if state.exists:
+            last_ts, last_id, last_type = state.get
+        else:
+            last_ts, last_id, last_type = (None, None, None)
+        for t, i, ty in zip(
+            rows[ts_col].astype("int64"), rows[id_col], rows[type_col]
+        ):
+            if last_type is not None:
+                pr = (last_type, ty)
+                pairs[pr] = pairs.get(pr, 0) + 1
+            last_ts, last_id, last_type = int(t), int(i), ty
+        state.update((last_ts, last_id, last_type))
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    key_col: [k] * len(pairs),
+                    "from_type": [a for a, _ in pairs],
+                    "to_type": [b for _, b in pairs],
+                    "delta": list(pairs.values()),
+                }
+            )
+
+    # ts arrives as int64 epoch-micros inside the Arrow batch when the
+    # caller casts; keep the cast here so both engines agree on order
+    src = events.select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col)).alias(ts_col),
+        F.col(id_col),
+        F.col(type_col),
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

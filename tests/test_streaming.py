@@ -7,6 +7,7 @@ import os
 from datetime import datetime
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from bigdatapipelinepysparksqlserver_spark.sources.lake import LakeTable
 from bigdatapipelinepysparksqlserver_spark.streaming import (
@@ -993,3 +994,70 @@ def test_streaming_hopping_agg_equals_batch_twin(spark, tmp_path):
     assert got == want
     # every event in exactly 4 windows: window-count sum = 4 × events
     assert sum(r[2] for r in got) == 4 * len(ROWS)
+
+
+def test_streaming_transition_counts_equal_batch_lead(spark, tmp_path):
+    """The stateful streaming transition counter must equal the batch
+    LEAD-window counts, INCLUDING transitions that span a micro-batch
+    boundary (the carried last-event state)."""
+    from collections import defaultdict
+
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        streaming_transition_counts,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    b1 = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "view"),
+        (2, datetime(2024, 1, 1, 10, 1), 1, "click"),
+        (3, datetime(2024, 1, 1, 10, 0), 2, "view"),
+    ]
+    b2 = [
+        (4, datetime(2024, 1, 1, 10, 5), 1, "buy"),     # boundary: click->buy
+        (5, datetime(2024, 1, 1, 10, 6), 2, "view"),    # boundary: view->view
+        (6, datetime(2024, 1, 1, 10, 7), 2, "buy"),
+        (7, datetime(2024, 1, 1, 10, 8), 1, "view"),
+    ]
+    src = tmp_path / "trans_src"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_transition_counts(stream)
+        .writeStream.format("memory")
+        .queryName("trans_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "trans_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+    got = defaultdict(int)
+    for r in spark.sql("SELECT * FROM trans_test").collect():
+        got[(r.from_type, r.to_type)] += r.delta
+
+    # batch twin: LEAD over the union, per user ordered by (ts, event_id)
+    allrows = spark.createDataFrame(b1 + b2, schema)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expect = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in allrows.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert dict(got) == expect
+    assert expect[("click", "buy")] == 1  # the boundary-spanning pair
