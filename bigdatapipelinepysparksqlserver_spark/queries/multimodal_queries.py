@@ -167,3 +167,56 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_index").cast("int").alias("frame_index"),
         F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# media blob dedup audit — checksum-level exact dedup for binary payloads
+# --------------------------------------------------------------------------
+
+MEDIA_DEDUP_ORACLE = """
+WITH h AS (
+  SELECT md5(text) AS hh,
+         COUNT(*) AS cnt,
+         MAX(octet_length(CAST(text AS BLOB))) AS bytes
+  FROM documents GROUP BY 1
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_media,
+       COUNT(*) AS n_distinct_payloads,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT)
+         AS dup_media,
+       CAST(SUM((cnt - 1) * bytes) AS BIGINT) AS reclaimable_bytes
+FROM h
+"""
+
+
+@query("media_dedup_audit", oracle=MEDIA_DEDUP_ORACLE)
+def media_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-level exact-dedup audit of binary media payloads: how
+    many blobs are byte-identical copies, and how many bytes a
+    content-addressable layout would reclaim — the planning query run
+    before deduplicating an image/audio store (the binary twin of the
+    text `dedup_exact`).
+
+    Scale: the scan emits (md5(payload), n_bytes) — the shuffle carries
+    16-byte hashes + a long per blob, NEVER payload bytes; the hash
+    groupBy collapses map-side, and the audit rolls up to ONE row.
+    Payloads stay in the JVM end to end (no Python, no decode).
+    """
+    docs = Catalog(spark, sf_dir).documents
+    media = attach_binary_payload(docs, id_col="doc_id", text_col="text")
+    g = media.groupBy(F.md5("payload").alias("hh")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("meta.n_bytes").alias("bytes"),
+    )
+    return g.agg(
+        F.sum("cnt").alias("n_media"),
+        F.count(F.lit(1)).alias("n_distinct_payloads"),
+        F.sum((F.col("cnt") > 1).cast("long")).alias("dup_groups"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0)
+        ).alias("dup_media"),
+        F.sum((F.col("cnt") - 1) * F.col("bytes")).alias(
+            "reclaimable_bytes"
+        ),
+    )

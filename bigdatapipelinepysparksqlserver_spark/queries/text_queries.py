@@ -7,7 +7,7 @@ ratios computed with identical operand order and ROUND(x, 6).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.text import (
     fingerprints,
@@ -914,3 +914,85 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir).documents
     return equi_depth_histogram(docs, "n_chars", bins=DECILE_BINS)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per source — corpus keyword extraction
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, t.tok
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+') AS arr
+        FROM documents),
+       UNNEST(arr) AS t(tok)
+  WHERE t.tok <> ''
+),
+tf AS (
+  SELECT source, tok AS term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT tok AS term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.source, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT source, term, tf, df, tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rk
+  FROM s
+) WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
+@query("tfidf_top_terms", oracle=TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by TF-IDF (term frequency
+    within the source × ln(N/df) corpus rarity) — the keyword-
+    extraction pass that labels what distinguishes one corpus slice
+    from the rest (source profiling, drift triage, topic naming).
+
+    Scale: the token explode feeds two map-side-combined aggregates —
+    (source, term) counts and per-term distinct-doc counts (in-doc
+    dedup via the distinct aggregate's partial collapse); N is one
+    control-plane count (the BM25 idf-literal pattern); the tf⋈df join
+    and the per-source rank run on VOCABULARY-sized relations, with
+    rank ≤ k lowering to WindowGroupLimit.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    n = docs.count()
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    s = tf.join(df_rel, "term").select(
+        "source",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .drop("rk")
+    )

