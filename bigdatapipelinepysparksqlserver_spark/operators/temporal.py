@@ -130,3 +130,120 @@ def range_join(
     lcols = [F.col("__l")[c].alias(c) for c in left.columns]
     rcols = [F.col("__r")[c].alias(f"r_{c}") for c in right.columns]
     return exact.select(*lcols, *rcols)
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Per-day peak number of concurrently-active CLOSED intervals
+    [start, end] — the sweep-line "max overlap" query (peak concurrent
+    sessions, peak open connections, max in-flight jobs). Spark has no
+    interval-stabbing primitive; the naive formulation is a running sum
+    over ONE global ordering, which is exactly the partition-less window
+    this repo's plan audits ban.
+
+    Shape — segmented prefix sum (a composition of ordinary operators,
+    no UDFs):
+
+    1. explode each interval onto the epoch-days it covers, clipping to
+       day bounds (an interval contributes to every day it is active
+       in; per-day sweeps are then self-contained — no cross-day carry
+       state);
+    2. emit +1 at clip_start and −1 at clip_end + 1µs (closed-interval
+       semantics: an interval ending at ts X and one starting at X ARE
+       concurrent at X; one starting at X+1µs is not);
+    3. running sum WITHIN (day, time-bucket) partitions — the only
+       ordered window runs over one bucket's boundaries, never a full
+       day's;
+    4. per-bucket (sum, max-prefix) roll-up, then each bucket's carry-in
+       is a ≤(buckets/day)-row cumulative window per day — control-plane
+       sized regardless of data volume;
+    5. peak(day) = max over buckets of carry_in + within-bucket
+       max-prefix.
+
+    At 100 TB the expensive steps are two shuffles (the (day, bucket)
+    window and the day roll-up); no partition ever holds more than one
+    bucket's boundary events. ``bucket_us`` trades partition count for
+    per-partition sort size (default 1 h).
+
+    Returns (day BIGINT epoch-days, active_intervals, peak_concurrent).
+    """
+    assert 0 < bucket_us <= US_PER_DAY and US_PER_DAY % bucket_us == 0
+    iv = intervals.select(
+        F.unix_micros(F.col(start_col)).alias("__s"),
+        F.unix_micros(F.col(end_col)).alias("__e"),
+    )
+    spans = iv.select(
+        "__s",
+        "__e",
+        F.expr(
+            f"explode(sequence(__s div {US_PER_DAY}, __e div {US_PER_DAY}))"
+        ).alias("day"),
+    )
+    day_start = F.col("day") * F.lit(US_PER_DAY)
+    # Both boundaries come out of ONE explode (not a self-union, which
+    # would recompute the upstream interval source twice — union branches
+    # containing windows defeat exchange reuse).
+    # orderBy(ts, delta): the −1 of an interval ending at X−1µs sorts
+    # before a +1 at X, so back-to-back intervals never double-count; the
+    # prefix MAX is invariant to the order among identical (ts, delta)
+    # rows (equal addends), so no further tie-break is needed.
+    b = spans.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.greatest(F.col("__s"), day_start).alias("ts_us"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    (
+                        F.least(
+                            F.col("__e"), day_start + F.lit(US_PER_DAY - 1)
+                        )
+                        + F.lit(1)
+                    ).alias("ts_us"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("__bd"),
+    ).select(
+        "day",
+        F.col("__bd.ts_us").alias("ts_us"),
+        F.col("__bd.delta").alias("delta"),
+        F.expr(
+            f"(__bd.ts_us - day * {US_PER_DAY}) div {bucket_us}"
+        ).alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("day", "bucket")
+        .orderBy("ts_us", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_bucket = (
+        b.withColumn("run", F.sum("delta").over(w_in))
+        .groupBy("day", "bucket")
+        .agg(
+            F.max("run").alias("max_prefix"),
+            F.sum("delta").alias("bucket_sum"),
+            F.sum((F.col("delta") > 0).cast("long")).alias("n_starts"),
+        )
+    )
+    w_carry = (
+        Window.partitionBy("day")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_carry = per_bucket.withColumn(
+        "carry", F.coalesce(F.sum("bucket_sum").over(w_carry), F.lit(0))
+    )
+    return with_carry.groupBy("day").agg(
+        F.sum("n_starts").alias("active_intervals"),
+        F.max(F.col("carry") + F.col("max_prefix")).alias("peak_concurrent"),
+    )

@@ -518,3 +518,92 @@ def user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.sum("len").alias("active_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# peak concurrency: sweep-line max overlap over sessionized intervals
+# --------------------------------------------------------------------------
+
+PEAK_CONCURRENCY_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT epoch_us(MIN(ts)) AS su, epoch_us(MAX(ts)) AS eu
+  FROM numbered GROUP BY user_id, session_id
+),
+spans AS (
+  SELECT su, eu,
+         UNNEST(generate_series(su // 86400000000, eu // 86400000000)) AS day
+  FROM sess
+),
+b AS (
+  SELECT day, GREATEST(su, day * 86400000000) AS ts_us, 1 AS delta FROM spans
+  UNION ALL
+  SELECT day, LEAST(eu, day * 86400000000 + 86399999999) + 1, -1 FROM spans
+),
+r AS (
+  SELECT day, delta,
+         SUM(delta) OVER (PARTITION BY day ORDER BY ts_us, delta
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM b
+)
+SELECT day,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS active_intervals,
+       CAST(MAX(run) AS BIGINT) AS peak_concurrent
+FROM r GROUP BY day
+"""
+
+
+@query("session_peak_concurrency", oracle=PEAK_CONCURRENCY_ORACLE)
+def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per day — the capacity-planning
+    query ("how many sessions were open at the busiest instant?") that
+    needs interval-stabbing MAX, not an hourly count. Sessions are the
+    same 30-minute-gap intervals as `sessionize`.
+
+    Scale: the oracle's formulation is ONE global running sum per day —
+    a partition-less-window shape a 1000-executor cluster serializes.
+    :func:`peak_concurrency` decomposes it into a segmented prefix sum
+    (per-(day, hour-bucket) windows + a ≤25-row carry cumulation per
+    day), so every ordered partition is one bucket's boundaries. The
+    session roll-up itself shares the user_id shuffle with the
+    sessionize window.
+    """
+    from ..operators.temporal import peak_concurrency
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            lag_ts.isNull()
+            | ((F.col("ts").cast("long") - lag_ts.cast("long")) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    return peak_concurrency(sess, "session_start", "session_end")

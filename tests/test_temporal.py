@@ -303,3 +303,101 @@ def test_user_streaks_brute_force(spark, tmp_path):
         for r in REGISTRY["user_streaks"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {1: (3, 3, 6), 2: (1, 1, 1), 3: (1, 2, 2)}
+
+
+# --------------------------------------------------------------------- sweep
+
+
+def _brute_peaks(intervals):
+    """Reference sweep: per-day peak via explicit boundary simulation."""
+    from collections import defaultdict
+
+    US_DAY = 86_400_000_000
+    bounds = defaultdict(list)
+    starts = defaultdict(int)
+    for s, e in intervals:
+        su, eu = int(s.timestamp() * 1e6), int(e.timestamp() * 1e6)
+        for day in range(su // US_DAY, eu // US_DAY + 1):
+            cs = max(su, day * US_DAY)
+            ce = min(eu, day * US_DAY + US_DAY - 1)
+            bounds[day].append((cs, 1))
+            bounds[day].append((ce + 1, -1))
+            starts[day] += 1
+    out = {}
+    for day, bs in bounds.items():
+        run = peak = 0
+        for _, d in sorted(bs, key=lambda t: (t[0], t[1])):
+            run += d
+            peak = max(peak, run)
+        out[day] = (starts[day], peak)
+    return out
+
+
+def test_peak_concurrency_edges(spark):
+    """Midnight-spanning, back-to-back at the same microsecond, and
+    single-point intervals against an explicit simulation — including
+    the closed-interval rule (end at X and start at X ARE concurrent;
+    start at X+1µs is not)."""
+    from datetime import timedelta
+
+    from bigdatapipelinepysparksqlserver_spark.operators.temporal import (
+        peak_concurrency,
+    )
+
+    t0 = datetime(2024, 1, 1, 23, 30, 0)
+    ivs = [
+        (t0, t0 + timedelta(hours=1)),             # spans midnight
+        (t0 + timedelta(minutes=10), t0 + timedelta(minutes=10)),  # point
+        (t0 + timedelta(minutes=10), t0 + timedelta(minutes=20)),
+        # starts exactly when the previous ends (concurrent at that µs)
+        (t0 + timedelta(minutes=20), t0 + timedelta(minutes=25)),
+        # starts 1µs after an end (NOT concurrent)
+        (
+            t0 + timedelta(minutes=25, microseconds=1),
+            t0 + timedelta(minutes=26),
+        ),
+        # second-day-only interval
+        (t0 + timedelta(hours=2), t0 + timedelta(hours=3)),
+    ]
+    df = spark.createDataFrame(ivs, "s timestamp, e timestamp")
+    got = {
+        r["day"]: (r["active_intervals"], r["peak_concurrent"])
+        for r in peak_concurrency(df, "s", "e").collect()
+    }
+    assert got == _brute_peaks(ivs)
+    # sanity on the hand-known values: 3 overlap at 23:40 on day 1
+    day0 = ivs[0][0].timestamp() * 1e6 // 86_400_000_000
+    assert got[int(day0)][1] == 3
+
+
+def test_peak_concurrency_bucket_width_invariance(spark):
+    """The segmented prefix sum must give identical answers at any
+    bucket width (carry decomposition correctness)."""
+    import random
+
+    from datetime import timedelta
+
+    from bigdatapipelinepysparksqlserver_spark.operators.temporal import (
+        peak_concurrency,
+    )
+
+    rng = random.Random(7)
+    base = datetime(2024, 3, 1)
+    ivs = []
+    for _ in range(200):
+        s = base + timedelta(seconds=rng.randrange(0, 3 * 86400))
+        ivs.append((s, s + timedelta(seconds=rng.randrange(0, 7200))))
+    df = spark.createDataFrame(ivs, "s timestamp, e timestamp")
+    wide = {
+        (r["day"], r["active_intervals"], r["peak_concurrent"])
+        for r in peak_concurrency(df, "s", "e").collect()
+    }
+    narrow = {
+        (r["day"], r["active_intervals"], r["peak_concurrent"])
+        for r in peak_concurrency(
+            df, "s", "e", bucket_us=600_000_000
+        ).collect()
+    }
+    assert wide == narrow == set(
+        (d, a, p) for d, (a, p) in _brute_peaks(ivs).items()
+    )
