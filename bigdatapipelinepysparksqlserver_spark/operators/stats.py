@@ -130,3 +130,51 @@ def equi_depth_histogram(
         grid.join(counts, "bin_id", "left")
         .select("bin_id", F.coalesce("cnt", F.lit(0)).alias("cnt"))
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Pearson chi-square statistic for independence of two categorical
+    columns (the A/B-test / drift-audit significance primitive).
+
+    Exactness contract (the module pattern): observed counts and both
+    margins are exact BIGINTs from order-free aggregates; each CELL's
+    term (o − e)²/e is ONE fixed-operand-order double expression,
+    immediately integer-scaled (``ROUND(term * scale)``); the final sum
+    runs on the integers — so the statistic is bit-identical at any
+    parallelism and against a same-shaped DuckDB oracle. Cells with an
+    observed count exist by construction (margins ≥ cell ≥ 1), so e > 0.
+
+    Scale: one data-sized groupBy (map-side partials) produces the
+    contingency table; everything after runs on CARDINALITY-sized
+    relations (cells × margins joins). Returns one row:
+    (n, dof, chi2) with chi2 rounded to 6 dp.
+    """
+    o = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("o"))
+    r = o.groupBy(row_col).agg(F.sum("o").alias("rt"))
+    c = o.groupBy(col_col).agg(F.sum("o").alias("ct"))
+    n = o.agg(
+        F.sum("o").alias("n"),
+        F.count(F.lit(1)).alias("cells"),
+        F.count_distinct(F.col(row_col)).alias("nr"),
+        F.count_distinct(F.col(col_col)).alias("nc"),
+    )
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    d = F.col("o").cast("double") - e
+    term = F.round(d * d / e * F.lit(float(scale)), 0).cast("bigint")
+    j = o.join(r, row_col).join(c, col_col).crossJoin(F.broadcast(n))
+    return j.agg(
+        F.max("n").alias("n"),
+        ((F.max("nr") - 1) * (F.max("nc") - 1)).alias("dof"),
+        F.round(
+            F.sum(term).cast("double") / F.lit(float(scale)), 6
+        ).alias("chi2"),
+    )

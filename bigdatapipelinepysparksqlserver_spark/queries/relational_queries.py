@@ -1801,3 +1801,81 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp.alias("benford_p"),
         F.round(F.abs(obs - exp), 6).alias("abs_dev"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B conversion audit: 2×2 chi-square independence test
+# --------------------------------------------------------------------------
+
+AB_CHI2_ORACLE = """
+WITH u AS (
+  SELECT user_id % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+o AS (SELECT arm, converted, COUNT(*) AS o FROM u GROUP BY 1, 2),
+r AS (SELECT arm, SUM(o) AS rt FROM o GROUP BY 1),
+c AS (SELECT converted, SUM(o) AS ct FROM o GROUP BY 1),
+n AS (SELECT SUM(o) AS n FROM o),
+t AS (
+  SELECT o.o,
+         CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+  FROM o JOIN r USING (arm) JOIN c USING (converted), n
+),
+s AS (
+  SELECT SUM(CAST(ROUND(
+           (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+             * 1000000000.0, 0) AS BIGINT)) AS ssum
+  FROM t
+),
+chi AS (SELECT ROUND(CAST(ssum AS DOUBLE) / 1000000000.0, 6) AS chi2 FROM s),
+arms AS (
+  SELECT arm, COUNT(*) AS users, CAST(SUM(converted) AS BIGINT) AS converters
+  FROM u GROUP BY 1
+)
+SELECT arm, users, converters,
+       ROUND(CAST(converters AS DOUBLE) / CAST(users AS DOUBLE), 6)
+         AS conv_rate,
+       chi2
+FROM arms, chi
+"""
+
+
+@query("ab_conversion_chi2", oracle=AB_CHI2_ORACLE)
+def ab_conversion_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per-arm conversion (arm = user_id parity
+    — the deterministic stand-in for an assignment column) plus the 2×2
+    chi-square independence statistic (``operators/stats.py``
+    ``chi2_independence``) attached to both rows. The hypothesis-test
+    primitive next to `event_value_hour_corr`'s correlation.
+
+    Scale: ONE data-sized groupBy (per-user conversion flag, map-side
+    partials); contingency cells, margins, and the statistic all run on
+    cardinality-sized relations, and the 1-row statistic broadcasts
+    onto the 2-row arm report. Exact under the hash gate: counts are
+    integers, each cell term is one fixed-order double expression
+    integer-scaled before the final sum (module pattern).
+    """
+    from ..operators.stats import chi2_independence
+
+    ev = Catalog(spark, sf_dir).events
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        )
+    )
+    u = users.select(F.pmod("user_id", F.lit(2)).alias("arm"), "converted")
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("converted").alias("converters"),
+    )
+    chi = chi2_independence(u, "arm", "converted").select("chi2")
+    return arms.select(
+        "arm",
+        "users",
+        "converters",
+        F.round(
+            F.col("converters").cast("double") / F.col("users").cast("double"),
+            6,
+        ).alias("conv_rate"),
+    ).crossJoin(F.broadcast(chi))

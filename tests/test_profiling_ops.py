@@ -333,3 +333,42 @@ def test_embedding_dq_clean_table(spark):
     r = embedding_dq_report(df, dim=2).collect()[0]
     assert (r.n_wrong_dim, r.n_nonfinite, r.n_zero_norm) == (0, 0, 0)
     assert (r.min_norm, r.max_norm) == (1.0, 10.0)
+
+
+def test_chi2_independence_known_table(spark):
+    """2×2 table with hand-computable chi-square: rows built so the
+    statistic has a closed form, checked against a float reference."""
+    from bigdatapipelinepysparksqlserver_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    # arm 0: 30 converted / 70 not; arm 1: 50 / 50
+    rows = (
+        [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 50 + [("b", 0)] * 50
+    )
+    df = spark.createDataFrame(rows, "arm string, converted int")
+    got = chi2_independence(df, "arm", "converted").collect()[0]
+    assert got["n"] == 200 and got["dof"] == 1
+
+    def ref():
+        obs = {("a", 1): 30, ("a", 0): 70, ("b", 1): 50, ("b", 0): 50}
+        rt = {"a": 100, "b": 100}
+        ct = {0: 120, 1: 80}
+        s = 0
+        for (r, c), o in obs.items():
+            e = rt[r] * ct[c] / 200.0
+            s += round((o - e) * (o - e) / e * 1e9)
+        return round(s / 1e9, 6)
+
+    assert got["chi2"] == ref()
+
+
+def test_chi2_independence_is_zero_when_independent(spark):
+    """Perfectly proportional table → statistic exactly 0."""
+    from bigdatapipelinepysparksqlserver_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    rows = [("a", 1)] * 20 + [("a", 0)] * 80 + [("b", 1)] * 10 + [("b", 0)] * 40
+    df = spark.createDataFrame(rows, "arm string, converted int")
+    assert chi2_independence(df, "arm", "converted").collect()[0]["chi2"] == 0.0
