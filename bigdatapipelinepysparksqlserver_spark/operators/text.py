@@ -670,3 +670,61 @@ def bigram_lm_score_from_store(
             ).alias("avg_log2p"),
         )
     )
+
+
+def fuzzy_term_pairs(
+    vocab: DataFrame,
+    min_len: int = 3,
+    max_dist: int = 1,
+    pair_budget: int | None = None,
+    scale_path: str = "raise pair_budget or block by (length, prefix)",
+) -> DataFrame:
+    """All vocabulary pairs within Levenshtein distance ``max_dist``
+    (1 or 2) — the typo / tokenizer-drift candidate generator (merge
+    'accomodate' into 'accommodate' before counting, catch OCR noise).
+
+    Blocking is the FastSS deletion neighborhood: every term explodes
+    into the strings reachable by deleting ≤ ``max_dist`` characters
+    (≤ len+1 variants at k=1, O(len²) at k=2 — vocabulary-sized either
+    way, never corpus-sized). Completeness: lev(a,b) ≤ k ⟹ the two
+    k-deletion neighborhoods intersect (each substitution is a pair of
+    aligned deletions, each insert/delete a one-sided one). Soundness
+    comes from the explicit ``levenshtein`` verify on the enumerated
+    candidates — sharing a variant only bounds the distance by the sum
+    of deletions (e.g. 'ab'/'ba' share 'a' but are distance 2 > 1).
+
+    Pairs enumerate per variant bucket via
+    :func:`~..operators.dedup.grouped_pair_enumeration`; at k=2 short
+    variants make the big buckets, which is why ``min_len`` floors the
+    term length and ``pair_budget`` wires the standard pre-flight
+    (:func:`~..operators.dedup.pair_budget_guard`) on the variant
+    buckets — none-silent contract for the quadratic step.
+
+    Input: vocab(term). Output: (term_a < term_b) distinct pairs.
+    """
+    from .dedup import grouped_pair_enumeration, pair_budget_guard
+
+    assert max_dist in (1, 2), "FastSS neighborhoods implemented for k in {1, 2}"
+    d1 = (
+        "transform(sequence(1, length({s})), i -> concat(substring({s}, 1,"
+        " i - 1), substring({s}, i + 1, length({s}))))"
+    )
+    variants = f"array_distinct(concat(array(term), {d1.format(s='term')}"
+    if max_dist == 2:
+        variants += f", flatten(transform({d1.format(s='term')}, s -> {d1.format(s='s')}))"
+    variants += "))"
+    v = (
+        vocab.select("term")
+        .where(F.length("term") >= min_len)
+        .distinct()
+    )
+    keyed = v.select(
+        "term",
+        F.explode(F.expr(variants)).alias("variant"),
+    )
+    if pair_budget is not None:
+        pair_budget_guard(keyed, ["variant"], pair_budget, scale_path)
+    pairs = grouped_pair_enumeration(keyed, ["variant"], "term").distinct()
+    return pairs.where(F.levenshtein("id1", "id2") <= max_dist).select(
+        F.col("id1").alias("term_a"), F.col("id2").alias("term_b")
+    )

@@ -996,3 +996,72 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TFIDF_TOP_K)
         .drop("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# vocabulary fuzzy pairs — edit-distance-1 typo candidates
+# --------------------------------------------------------------------------
+
+FUZZY_PAIRS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+') AS arr
+        FROM documents),
+       UNNEST(arr) AS t(tok)
+  WHERE t.tok <> ''
+),
+v AS (
+  SELECT tok AS term, COUNT(DISTINCT doc_id) AS df
+  FROM toks WHERE length(tok) >= 3 GROUP BY 1
+)
+SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b
+FROM v a JOIN v b
+  ON a.term < b.term AND levenshtein(a.term, b.term) <= 2
+"""
+
+
+@query("vocab_fuzzy_pairs", oracle=FUZZY_PAIRS_ORACLE)
+def vocab_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary terms within edit distance 2 of each other, with each
+    side's document frequency — the typo-merge candidate list a corpus
+    normalization pass reviews (fold the rare spelling into the common
+    one before frequency-based filtering).
+
+    Scale: the oracle is the naive O(|V|²) levenshtein self-join — fine
+    for DuckDB at test vocabulary size, quadratic poison on a real
+    corpus vocabulary. The engine path (``operators/text.py``
+    ``fuzzy_term_pairs``) blocks by FastSS 2-deletion neighborhoods
+    (complete for distance ≤ 2, vocabulary-sized explode, explicit
+    levenshtein verify for soundness), enumerates only within-bucket
+    pairs, and carries the standard pair-budget pre-flight on the
+    variant buckets.
+    """
+    from ..operators.text import fuzzy_term_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9]+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    vocab = (
+        toks.where(F.length("term") >= 3)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    pairs = fuzzy_term_pairs(
+        vocab.select("term"),
+        min_len=3,
+        max_dist=2,
+        pair_budget=5_000_000,
+        scale_path="raise pair_budget, or add a length-band prefilter"
+        " before fuzzy_term_pairs (lev<=1 pairs differ by at most one"
+        " character)",
+    )
+    a = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return pairs.join(a, "term_a").join(b, "term_b").select(
+        "term_a", "term_b", "df_a", "df_b"
+    )

@@ -95,3 +95,75 @@ def test_tfidf_top_terms_contract(spark):
     for scores in by_src.values():
         assert len(scores) == TFIDF_TOP_K
         assert scores == sorted(scores, reverse=True)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_term_pairs_matches_bruteforce(spark):
+    """FastSS blocking + verify ≡ brute-force Levenshtein at k=1 and
+    k=2 over a vocabulary seeded with real near-pairs (substitution,
+    insertion, deletion, transposition, and far-apart controls)."""
+    import random
+
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        fuzzy_term_pairs,
+    )
+
+    rng = random.Random(11)
+    base = [
+        "stream", "streams", "stream1", "sream", "scream", "steam",
+        "batch", "patch", "match", "watch", "abc", "acb", "bac",
+        "window", "widow", "windows", "xylophone", "zzzzz",
+    ]
+    # add random junk that mostly pairs with nothing
+    base += [
+        "".join(rng.choice("abcdef") for _ in range(rng.randrange(3, 9)))
+        for _ in range(40)
+    ]
+    vocab = sorted(set(t for t in base if len(t) >= 3))
+    df = spark.createDataFrame([(t,) for t in vocab], "term string")
+    for k in (1, 2):
+        want = {
+            (a, b)
+            for i, a in enumerate(vocab)
+            for b in vocab[i + 1 :]
+            if _lev(a, b) <= k
+        }
+        got = {
+            (r["term_a"], r["term_b"])
+            for r in fuzzy_term_pairs(df, min_len=3, max_dist=k).collect()
+        }
+        assert got == want, f"k={k}: {got ^ want}"
+
+
+def test_fuzzy_term_pairs_budget_guard(spark):
+    """A shrunken pair budget must fail fast, naming the scale path."""
+    import pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.dedup import (
+        PairBudgetExceeded,
+    )
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        fuzzy_term_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("aaa",), ("aab",), ("aba",), ("baa",), ("aac",)], "term string"
+    )
+    with pytest.raises(PairBudgetExceeded, match="length-band"):
+        fuzzy_term_pairs(
+            df,
+            max_dist=2,
+            pair_budget=1,
+            scale_path="length-band prefilter",
+        ).collect()
