@@ -1879,3 +1879,137 @@ def ab_conversion_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conv_rate"),
     ).crossJoin(F.broadcast(chi))
+
+
+# --------------------------------------------------------------------------
+# distribution drift: population stability index between time halves
+# --------------------------------------------------------------------------
+
+PSI_ORACLE = """
+WITH bounds AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+),
+tagged AS (
+  SELECT CAST(ROUND(value * 1000000, 0) AS BIGINT) // 25000000 AS bin,
+         CASE WHEN epoch_us(ts) < bounds.mid THEN 1 ELSE 0 END AS is_ref
+  FROM events, bounds
+),
+bins AS (
+  SELECT bin,
+         CAST(SUM(is_ref) AS BIGINT) AS ref_count,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS cur_count
+  FROM tagged GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(ref_count) AS BIGINT) AS na,
+         CAST(SUM(cur_count) AS BIGINT) AS nb,
+         COUNT(*) AS b
+  FROM bins
+),
+terms AS (
+  SELECT bin, ref_count, cur_count,
+    CAST(ref_count + 1 AS DOUBLE) / CAST(na + b AS DOUBLE) AS pa,
+    CAST(cur_count + 1 AS DOUBLE) / CAST(nb + b AS DOUBLE) AS pb
+  FROM bins, tot
+),
+scaled AS (
+  SELECT bin, ref_count, cur_count, pa, pb,
+         CAST(ROUND((pa - pb) * LN(pa / pb) * 1000000000.0, 0) AS BIGINT)
+           AS t9
+  FROM terms
+)
+SELECT bin, ref_count, cur_count,
+       ROUND(pa, 6) AS ref_share, ROUND(pb, 6) AS cur_share,
+       ROUND(CAST(t9 AS DOUBLE) / 1000000000.0, 6) AS psi_term,
+       (SELECT ROUND(CAST(SUM(t9) AS DOUBLE) / 1000000000.0, 6)
+        FROM scaled) AS psi
+FROM scaled
+"""
+
+
+@query("value_drift_psi", oracle=PSI_ORACLE)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the event-value distribution,
+    first half of the time range (reference) vs second half (current) —
+    the standard drift monitor run before retraining on new data.
+    Per-bin detail plus the summed PSI on every row.
+
+    Exactness: bins come from integer arithmetic on the per-row scaled
+    value (never FLOOR of a libm expression — a 1-ulp log divergence
+    at a bin boundary would re-bin a row); shares are Laplace-smoothed
+    (+1 / +B) so empty-side bins stay defined with no epsilon policy;
+    each bin's (pa−pb)·ln(pa/pb) is ONE fixed-order double expression
+    integer-scaled before the cross-bin sum (module pattern in
+    ``operators/stats.py``).
+
+    Scale: one scan feeds a ≤~25-row bin table (map-side combined);
+    the time midpoint and bin totals are 1-row broadcasts; everything
+    after the first groupBy is cardinality-sized.
+    """
+    ev = Catalog(spark, sf_dir).events
+    bounds = ev.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias(
+            "mid"
+        )
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            "CAST(ROUND(value * 1000000, 0) AS BIGINT) div 25000000"
+        ).alias("bin"),
+        F.when(F.unix_micros("ts") < F.col("mid"), 1).otherwise(0).alias(
+            "is_ref"
+        ),
+    )
+    bins = tagged.groupBy("bin").agg(
+        F.sum("is_ref").alias("ref_count"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("cur_count"),
+    )
+    tot = bins.agg(
+        F.sum("ref_count").alias("na"),
+        F.sum("cur_count").alias("nb"),
+        F.count(F.lit(1)).alias("b"),
+    )
+    pa = (F.col("ref_count") + 1).cast("double") / (
+        F.col("na") + F.col("b")
+    ).cast("double")
+    pb = (F.col("cur_count") + 1).cast("double") / (
+        F.col("nb") + F.col("b")
+    ).cast("double")
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_count",
+        "cur_count",
+        pa.alias("pa"),
+        pb.alias("pb"),
+    )
+    scaled = terms.select(
+        "bin",
+        "ref_count",
+        "cur_count",
+        "pa",
+        "pb",
+        F.round(
+            (F.col("pa") - F.col("pb"))
+            * F.log(F.col("pa") / F.col("pb"))
+            * F.lit(1_000_000_000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("t9"),
+    )
+    total = scaled.agg(
+        F.round(
+            F.sum("t9").cast("double") / F.lit(1_000_000_000.0), 6
+        ).alias("psi")
+    )
+    return scaled.crossJoin(F.broadcast(total)).select(
+        "bin",
+        "ref_count",
+        "cur_count",
+        F.round("pa", 6).alias("ref_share"),
+        F.round("pb", 6).alias("cur_share"),
+        F.round(
+            F.col("t9").cast("double") / F.lit(1_000_000_000.0), 6
+        ).alias("psi_term"),
+        "psi",
+    )

@@ -372,3 +372,23 @@ def test_chi2_independence_is_zero_when_independent(spark):
     rows = [("a", 1)] * 20 + [("a", 0)] * 80 + [("b", 1)] * 10 + [("b", 0)] * 40
     df = spark.createDataFrame(rows, "arm string, converted int")
     assert chi2_independence(df, "arm", "converted").collect()[0]["chi2"] == 0.0
+
+
+def test_value_drift_psi_contract(spark):
+    """PSI is symmetric-signless and zero iff the smoothed shares
+    match; the per-bin terms must sum to the reported total and every
+    row must carry the same total."""
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    rows = REGISTRY["value_drift_psi"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    totals = {r["psi"] for r in rows}
+    assert len(totals) == 1
+    psi = totals.pop()
+    assert psi >= 0.0  # each (pa-pb)ln(pa/pb) term is nonnegative
+    assert abs(sum(r["psi_term"] for r in rows) - psi) < 1e-6 * len(rows)
+    for r in rows:
+        assert r["psi_term"] >= 0.0
+        assert r["ref_count"] + r["cur_count"] > 0
