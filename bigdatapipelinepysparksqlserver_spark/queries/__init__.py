@@ -85,9 +85,17 @@ _GRADED_PREFIX = (
     # customer_rank_by_spend in-window and the past-cap oracle;
     # event_value_hour_corr enters as the exact-moment statistics
     # family's graded representative (operators/stats.py))
-    "event_funnel", "part_copurchase_pagerank", "event_value_hour_corr",
+    # (r7 closing rotation: event_funnel cedes — the event-analytics
+    # family stays graded via events_hourly_agg + event_value_hour_corr
+    # in-window, funnel oracle-backed past-cap; price_percentiles cedes
+    # — quantiles stay graded via the GK-sketch and equi-depth oracles
+    # past-cap. Entering: session_peak_concurrency (interval-stabbing
+    # sweep-line — a new operator family), ab_conversion_chi2 +
+    # value_drift_psi (hypothesis-testing and drift-monitoring
+    # statistics), both module-pattern exact.)
+    "part_copurchase_pagerank", "event_value_hour_corr",
+    "session_peak_concurrency", "ab_conversion_chi2", "value_drift_psi",
     "json_props_agg",
-    "price_percentiles",
     # dedup family (exact → LSH scale path → clusters → end-to-end
     # surviving corpus → incremental batch-vs-base probe (r6) →
     # policy-sized SimHash blocking (r6: the graded form of the
@@ -102,8 +110,11 @@ _GRADED_PREFIX = (
     # token machinery stays graded inside token_budget_mix's oracle
     # and the per-doc counts past-cap; bigram_lm_score enters as the
     # corpus-trained LM quality stage)
+    # (r7 closing rotation: text_language_id cedes — language gating
+    # stays graded via quality_gate_by_lang's composed oracle past-cap;
+    # tfidf_top_terms enters as the keyword-extraction representative)
     "text_quality_score", "text_repetition_score",
-    "text_language_id", "bigram_lm_score",
+    "tfidf_top_terms", "bigram_lm_score",
     # training-data ops + sketches (r6: the HLL distinct sketch joins
     # the window — corridor-oracle-backed; r7 late rotation:
     # sample_documents cedes to token_budget_mix — the budget form of
@@ -112,9 +123,12 @@ _GRADED_PREFIX = (
     # inside doc_pack_plan's composed oracle and past-cap;
     # corpus_snapshot_diff enters as the dataset-versioning family's
     # graded representative)
+    # (r7 closing rotation: chunk_span_dups cedes — span machinery
+    # stays oracle-backed past-cap with doc_chunks/doc_pack_plan
+    # composing the same chunker in-window)
     "token_budget_mix", "corpus_snapshot_diff", "scrub_pii",
     "decontaminate",
-    "doc_pack_plan", "quality_classifier_score", "chunk_span_dups",
+    "doc_pack_plan", "quality_classifier_score",
     "sketch_distinct_clients",
     # retrieval (r6: BM25 with the df-threshold skew guard engaged;
     # r7: the postings-store probe and the batched-topics form)
@@ -127,9 +141,13 @@ _GRADED_PREFIX = (
     # query grades partition pruning AND PQ payload compression in one
     # build+probe cycle, the IVF store stays plan-asserted in
     # test_plans and oracle-backed past-cap)
+    # (r7 closing rotation: media_metadata_stats cedes to
+    # media_dedup_audit — the binary-payload dedup audit exercises the
+    # payload-attach plumbing AND hash-only shuffles; metadata stats
+    # stay oracle-backed past-cap)
     "ann_topk_cosine", "ann_ivfpq_topk", "emb_neardup_lsh_sized",
     "emb_neardup_clusters_sized", "semantic_dedup",
-    "media_metadata_stats",
+    "media_dedup_audit",
 )
 
 

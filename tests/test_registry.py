@@ -14,14 +14,17 @@ from bigdatapipelinepysparksqlserver_spark.queries import (
 # asof_attribution keeping the range-join family in-window; late-r7,
 # dedup_clusters → semantic_dedup + hybrid_search_rrf (components stay
 # graded via emb_neardup_clusters_sized, clusters compose in
-# dedup_apply).
+# dedup_apply). Closing r7: media_metadata_stats → media_dedup_audit
+# (the binary-payload flagship now exercises payload plumbing AND the
+# hash-only dedup shuffle); session_peak_concurrency joins as the
+# interval-stabbing family's flagship.
 FLAGSHIPS = {
     "mart_client_count", "tpch_q1", "cdc_roundtrip_demo", "dq_violations",
     "dedup_exact", "dedup_minhash", "semantic_dedup",
     "sessionize_session_window", "hybrid_search_rrf",
     "asof_attribution", "text_quality_score",
     "decontaminate", "doc_pack_plan", "ann_topk_cosine",
-    "media_metadata_stats", "bm25_topics",
+    "media_dedup_audit", "bm25_topics", "session_peak_concurrency",
 }
 
 
