@@ -115,6 +115,8 @@ def test_no_cartesian_products_anywhere(all_plans):
         "customer_rfm_segments",  # 1-row quartile-edges broadcast (same shape)
         "classifier_calibration",  # 1-row decile-edges broadcast (same shape)
         "benford_price_audit",  # 1-row total broadcast (same shape)
+        "ab_conversion_chi2",  # 1-row chi2-statistic broadcast (same shape)
+        "value_drift_psi",  # 1-row midpoint/totals broadcasts (same shape)
     }
     offenders = []
     for name, plan in all_plans.items():
@@ -404,3 +406,23 @@ def test_user_streaks_two_exchanges(spark):
     groupBys key on supersets of user_id and reuse its partitioning."""
     plan = plan_of(REGISTRY["user_streaks"].fn(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_peak_concurrency_single_scan_three_exchanges(spark):
+    """The sweep-line query must read events ONCE (boundaries come from
+    one struct-array explode, not a self-union that would recompute the
+    sessionize windows) and shuffle exactly three times: user_id
+    (sessionize), (day, bucket) (inner running sum), day (roll-up)."""
+    plan = plan_of(REGISTRY["session_peak_concurrency"].fn(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_chi2_and_psi_single_pass_broadcast_stats(spark):
+    """Both statistics queries scan their fact table once per
+    data-sized aggregate and attach 1-row statistics via broadcast —
+    never a shuffled join on a constant key."""
+    for name in ("ab_conversion_chi2", "value_drift_psi"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name
