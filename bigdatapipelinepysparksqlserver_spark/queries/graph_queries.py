@@ -178,3 +178,95 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift").desc(), "part_a", "part_b"
     ).limit(LIFT_TOP_K)
+
+
+# --------------------------------------------------------------------------
+# k-hop reachability: multi-source BFS frontier expansion
+# --------------------------------------------------------------------------
+
+KHOP_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+seeds AS (SELECT DISTINCT src AS seed FROM e0 ORDER BY seed LIMIT 5),
+h1 AS (
+  SELECT s.seed, e.dst AS node
+  FROM seeds s JOIN e0 e ON e.src = s.seed
+  WHERE e.dst <> s.seed
+  GROUP BY 1, 2
+),
+h2cand AS (
+  SELECT h.seed, e.dst AS node
+  FROM h1 h JOIN e0 e ON e.src = h.node
+  GROUP BY 1, 2
+),
+h2 AS (
+  SELECT seed, node FROM h2cand
+  EXCEPT
+  (SELECT seed, node FROM h1
+   UNION ALL
+   SELECT seed, seed FROM seeds)
+)
+SELECT seed, 1 AS hop, COUNT(*) AS n_reached FROM h1 GROUP BY 1
+UNION ALL
+SELECT seed, 2 AS hop, COUNT(*) AS n_reached FROM h2 GROUP BY 1
+"""
+
+
+@query("copurchase_khop_reach", oracle=KHOP_ORACLE)
+def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source 2-hop BFS over the co-purchase graph: how many
+    parts are first reached at hop 1 vs hop 2 from each of five seed
+    parts — the reachability / blast-radius shape (recommendation
+    spread, dependency fan-out) that SQL's non-recursive subset can't
+    express without explicit frontier unrolling.
+
+    Scale: each hop is ONE src-keyed hash join of the frontier against
+    the edge list plus a left-anti join against the visited set —
+    frontier and visited are (seed, node) pairs, bounded by
+    seeds × nodes, never edges²; the 5-row seed relation broadcasts
+    into hop 1. Deeper BFS iterates the same two joins (the driver
+    composes plans; no data crosses it).
+    """
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        edges.select(F.col("src").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(5)
+    )
+    h1 = (
+        F.broadcast(seeds)
+        .join(edges, F.col("seed") == F.col("src"))
+        .where(F.col("dst") != F.col("seed"))
+        .select("seed", F.col("dst").alias("node"))
+        .distinct()
+    )
+    h2cand = (
+        h1.join(edges, h1["node"] == edges["src"])
+        .select("seed", F.col("dst").alias("node"))
+        .distinct()
+    )
+    visited = h1.unionByName(
+        seeds.select("seed", F.col("seed").alias("node"))
+    )
+    h2 = h2cand.join(visited, ["seed", "node"], "left_anti")
+    out1 = h1.groupBy("seed").agg(F.count(F.lit(1)).alias("n_reached")).select(
+        "seed", F.lit(1).alias("hop"), "n_reached"
+    )
+    out2 = h2.groupBy("seed").agg(F.count(F.lit(1)).alias("n_reached")).select(
+        "seed", F.lit(2).alias("hop"), "n_reached"
+    )
+    return out1.unionByName(out2)

@@ -607,3 +607,46 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
     )
     return peak_concurrency(sess, "session_start", "session_end")
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT: wide metric matrix back to long (metric, value) rows
+# --------------------------------------------------------------------------
+
+EVENTS_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+         COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+         COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+  FROM events GROUP BY 1
+)
+SELECT day, metric, CAST(n AS BIGINT) AS n
+FROM wide
+UNPIVOT (n FOR metric IN (click, error, purchase, signup, view))
+"""
+
+
+@query("events_unpivot", oracle=EVENTS_UNPIVOT_ORACLE)
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse reshape of `events_pivot`: the wide
+    per-day metric matrix back to long (day, metric, n) rows, the form
+    a generic metrics store or alerting rule consumes. Completes the
+    reshape family (pivot ⇄ unpivot, rollup, cube).
+
+    Scale: `stack()` lowers to a row-local Expand (5 output rows per
+    input row, no shuffle of its own); the only exchange is the
+    upstream day aggregate. UNPIVOT semantics note: SQL UNPIVOT drops
+    NULL cells — these never arise here (COUNT is 0, not NULL), and
+    the pivot side coalesces to 0 under the same contract.
+    """
+    wide = events_pivot(spark, sf_dir)
+    stack_args = ", ".join(f"'{t}', {t}" for t in EVENT_TYPES)
+    return wide.select(
+        "day",
+        F.expr(
+            f"stack({len(EVENT_TYPES)}, {stack_args})"
+        ).alias("metric", "n"),
+    )

@@ -568,3 +568,125 @@ def user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decayed_cents"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# point-in-time join: events against the SCD2 tier active at event time
+# --------------------------------------------------------------------------
+
+EVENTS_TIER_PIT_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT user_id, day,
+         CASE WHEN cents < 7500 THEN 'low'
+              WHEN cents < 18000 THEN 'mid'
+              ELSE 'high' END AS tier
+  FROM daily
+),
+m AS (
+  SELECT user_id, day, tier,
+         CASE WHEN LAG(tier) OVER w IS DISTINCT FROM tier
+              THEN 1 ELSE 0 END AS chg
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+i AS (
+  SELECT user_id, day, tier,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+hist AS (
+  SELECT user_id, tier, MIN(day) AS valid_from, MAX(day) AS valid_to
+  FROM i GROUP BY user_id, island, tier
+),
+ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events)
+SELECT h.tier, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ev.value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM ev JOIN hist h
+  ON h.user_id = ev.user_id AND ev.day BETWEEN h.valid_from AND h.valid_to
+GROUP BY 1
+"""
+
+
+@query("events_tier_pit", oracle=EVENTS_TIER_PIT_ORACLE)
+def events_tier_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the feature-store correctness primitive:
+    every event is attributed to the SCD2 tier VALID AT ITS TIMESTAMP
+    (never the current one — that would leak future state into
+    training features), rolled up to per-tier event counts and value.
+
+    The oracle deliberately uses the other formulation (interval
+    BETWEEN join against the materialized history) so the two
+    implementations cross-check: the engine path runs the as-of
+    union-window operator (`operators/temporal.py`) with the history's
+    island starts as the right side — ONE user_id shuffle, no interval
+    explosion, history rows tagged seq=-1 so a same-day island start
+    is visible to that day's events (inclusive valid_from).
+
+    Scale: the naive interval join explodes each event by the user's
+    full tier history; the as-of form is a single merge pass per user
+    partition — the asymmetry that motivates every feature store's PIT
+    implementation.
+    """
+    from ..functions.expressions import dec
+    from ..operators.temporal import asof_join
+
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    tiered = daily.select(
+        "user_id",
+        "day",
+        F.when(F.col("cents") < 7500, F.lit("low"))
+        .when(F.col("cents") < 18000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = tiered.select(
+        "user_id",
+        "day",
+        "tier",
+        F.sum(
+            (~F.lag("tier").over(w).eqNullSafe(F.col("tier"))).cast("int")
+        )
+        .over(run)
+        .alias("island"),
+    )
+    hist = (
+        islands.groupBy("user_id", "island", "tier")
+        .agg(F.min("day").cast("timestamp").alias("valid_from"))
+        .select(
+            "user_id", "tier", "valid_from", F.lit(-1).alias("seq")
+        )
+    )
+    # left seq = event_id (unique, ≥ 0); right seq = -1 — so at equal
+    # timestamps (event on the island's first day) the island start
+    # sorts FIRST and the strictly-before window still sees it:
+    # inclusive valid_from without touching the operator's semantics.
+    ev_rows = ev.select(
+        "user_id",
+        F.to_date("ts").cast("timestamp").alias("day_ts"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    pit = asof_join(
+        ev_rows,
+        hist,
+        key="user_id",
+        left_ts="day_ts",
+        right_ts="valid_from",
+        payload_cols=["tier"],
+        seq_col="seq",
+        prefix="pit_",
+    )
+    return pit.groupBy(F.col("pit_tier").alias("tier")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("value_sum"),
+    )

@@ -401,3 +401,43 @@ def test_peak_concurrency_bucket_width_invariance(spark):
     assert wide == narrow == set(
         (d, a, p) for d, (a, p) in _brute_peaks(ivs).items()
     )
+
+
+def test_pit_join_never_uses_future_tier(spark):
+    """Point-in-time semantics on crafted history: an event on the
+    FIRST day of a new island gets the new tier (inclusive
+    valid_from); an event before any island start gets no match."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.temporal import (
+        asof_join,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (1, "low", datetime(2024, 1, 1), -1),
+            (1, "high", datetime(2024, 1, 5), -1),
+        ],
+        "user_id long, tier string, valid_from timestamp, seq long",
+    )
+    evs = spark.createDataFrame(
+        [
+            (1, datetime(2023, 12, 31), 10),  # before history: null
+            (1, datetime(2024, 1, 1), 11),    # island 1 first day: low
+            (1, datetime(2024, 1, 4), 12),    # last day of island 1: low
+            (1, datetime(2024, 1, 5), 13),    # island 2 first day: high
+            (1, datetime(2024, 1, 9), 14),    # later: high, never low
+        ],
+        "user_id long, day_ts timestamp, seq long",
+    )
+    out = {
+        r["seq"]: r["pit_tier"]
+        for r in asof_join(
+            evs, hist, key="user_id", left_ts="day_ts",
+            right_ts="valid_from", payload_cols=["tier"], seq_col="seq",
+            prefix="pit_",
+        ).collect()
+    }
+    assert out == {10: None, 11: "low", 12: "low", 13: "high", 14: "high"}
