@@ -650,3 +650,133 @@ def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(EVENT_TYPES)}, {stack_args})"
         ).alias("metric", "n"),
     )
+
+
+# --------------------------------------------------------------------------
+# multi-touch attribution: time-decay credit over a look-back band
+# --------------------------------------------------------------------------
+
+HALF_LIFE_US = 4 * 3600 * 1_000_000
+LOOKBACK_US = 24 * 3600 * 1_000_000
+
+MULTITOUCH_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events
+  WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+  WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+  SELECT p.event_id, t.event_type,
+         CAST(ROUND(POWER(0.5,
+           CAST(p.p_us - t.t_us AS DOUBLE) / {float(HALF_LIFE_US)})
+           * 1000000000.0, 0) AS BIGINT) AS w9
+  FROM p JOIN t
+    ON t.user_id = p.user_id
+   AND t.t_us >= p.p_us - {LOOKBACK_US} AND t.t_us < p.p_us
+),
+shared AS (
+  SELECT event_id, event_type,
+         CAST(ROUND(CAST(w9 AS DOUBLE)
+           / CAST(SUM(w9) OVER (PARTITION BY event_id) AS DOUBLE)
+           * 1000000.0, 0) AS BIGINT) AS s6
+  FROM pairs
+),
+touch AS (
+  SELECT event_type AS touch_type, COUNT(*) AS n_touches,
+         ROUND(CAST(SUM(s6) AS DOUBLE) / 1000000.0, 6) AS credit
+  FROM shared GROUP BY 1
+),
+direct AS (
+  SELECT 'direct' AS touch_type, COUNT(*) AS n_touches,
+         CAST(COUNT(*) AS DOUBLE) AS credit
+  FROM p WHERE event_id NOT IN (SELECT event_id FROM pairs)
+)
+SELECT * FROM touch UNION ALL SELECT * FROM direct
+"""
+
+
+@query("multitouch_attribution", oracle=MULTITOUCH_ORACLE)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: every purchase splits one
+    unit of credit across the user's clicks/views in the 24 h before
+    it, weighted by a 4 h-half-life time decay; purchases with no
+    prior touch keep their credit as 'direct'. The fractional-credit
+    complement of `asof_attribution`'s last-touch.
+
+    Exactness: each pair's decay weight is ONE double expression
+    integer-scaled per row; per-purchase shares renormalize on the
+    integer weights and are re-scaled to integers BEFORE the cross-
+    purchase credit sum — no unordered double accumulation anywhere
+    (module pattern). The oracle is the independent inequality-join
+    formulation.
+
+    Scale: the engine path runs the BINNED range join (equi-join on
+    (user_id, time-bin), ≤2 candidate bins per purchase) — never the
+    oracle's per-user nested loop; the share window partitions by
+    purchase (touches-per-24h-bounded); 'direct' is a left-anti join
+    on the purchase list.
+    """
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_type", "ts"
+    )
+    pairs = range_join(
+        purchases,
+        touches,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_us=-LOOKBACK_US,
+        upper_us=0,
+    ).select(
+        "event_id",
+        F.col("r_event_type").alias("touch_type"),
+        F.round(
+            F.pow(
+                F.lit(0.5),
+                (F.unix_micros("ts") - F.unix_micros("r_ts")).cast("double")
+                / F.lit(float(HALF_LIFE_US)),
+            )
+            * F.lit(1_000_000_000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("w9"),
+    )
+    w_p = Window.partitionBy("event_id")
+    shared = pairs.select(
+        "event_id",
+        "touch_type",
+        F.round(
+            F.col("w9").cast("double")
+            / F.sum("w9").over(w_p).cast("double")
+            * F.lit(1_000_000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("s6"),
+    )
+    touch = shared.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(
+            F.sum("s6").cast("double") / F.lit(1_000_000.0), 6
+        ).alias("credit"),
+    )
+    direct = (
+        purchases.join(
+            pairs.select("event_id").distinct(), "event_id", "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n_touches"))
+        .select(
+            F.lit("direct").alias("touch_type"),
+            "n_touches",
+            F.col("n_touches").cast("double").alias("credit"),
+        )
+    )
+    return touch.unionByName(direct)

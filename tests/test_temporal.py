@@ -441,3 +441,25 @@ def test_pit_join_never_uses_future_tier(spark):
         ).collect()
     }
     assert out == {10: None, 11: "low", 12: "low", 13: "high", 14: "high"}
+
+
+def test_multitouch_credit_conservation(spark):
+    """Attribution must conserve credit: summed credit across touch
+    types + direct equals the purchase count (to 6-dp share rounding:
+    each purchase's shares sum to 1 within 1e-6 × touches)."""
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    rows = REGISTRY["multitouch_attribution"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_type = {r["touch_type"]: r for r in rows}
+    assert set(by_type) <= {"click", "view", "direct"}
+    total_credit = sum(r["credit"] for r in rows)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    import pyspark.sql.functions as F
+
+    n_purchases = ev.where(F.col("event_type") == "purchase").count()
+    n_touches = sum(
+        r["n_touches"] for r in rows if r["touch_type"] != "direct"
+    )
+    assert abs(total_credit - n_purchases) <= n_touches * 1e-6 + 1e-9
