@@ -85,26 +85,3 @@ def dec(c: Column | str, precision: int = 18, scale: int = 2) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return c.cast(f"decimal({precision},{scale})")
 
-
-def zorder_key(a: Column | str, b: Column | str, bits: int = 21) -> Column:
-    """Morton/Z-order key: interleave the low ``bits`` bits of two
-    non-negative integer columns (a in the even positions, b in the
-    odd) — the multi-dimensional clustering key that makes parquet
-    row-group min/max stats prune on BOTH dimensions after one sort.
-    A single-column sort gives perfect pruning on that column and none
-    on the other; Z-order trades a little of each for locality in both
-    (each key dimension's range maps to O(√groups) Z-runs).
-
-    Pure JVM bit arithmetic (42 shift/AND/OR terms at the default
-    bits) — codegen-friendly, no UDF. Caller guarantees values fit
-    ``bits`` bits (2 M at 21); larger domains first coarsen (``div``)
-    to bucket ids — Z-order needs locality, not injectivity.
-    """
-    a = (F.col(a) if isinstance(a, str) else a).cast("bigint")
-    b = (F.col(b) if isinstance(b, str) else b).cast("bigint")
-    z = None
-    for i in range(bits):
-        ta = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
-        tb = F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        z = ta.bitwiseOR(tb) if z is None else z.bitwiseOR(ta).bitwiseOR(tb)
-    return z

@@ -556,81 +556,3 @@ def table_stats(spark: SparkSession, name: str) -> dict:
                     out["rowCount"] = int(part.split()[0])
     return out
 
-
-def write_zorder_clustered(
-    df: DataFrame,
-    col_a: str,
-    col_b: str,
-    path: str,
-    bits: int = 21,
-    num_files: int = 4,
-    row_group_bytes: int | None = None,
-) -> None:
-    """Write ``df`` clustered by the Z-order of (col_a, col_b):
-    range-partition on the Morton key (contiguous key ranges per file,
-    so FILE-level min/max prune too), sort within partitions, drop the
-    key from the payload. Reference intent: the reference clusters its
-    mart by (client, month) insert order (`load_sales_history.py`);
-    Z-order is the layout that serves BOTH `client=?` and `month=?`
-    scans from one copy at 100 TB.
-
-    ``row_group_bytes`` shrinks parquet row groups so layout effects
-    are observable on test-sized data — production leaves the default.
-    """
-    from ..functions.expressions import zorder_key
-
-    keyed = df.withColumn("__z", zorder_key(col_a, col_b, bits=bits))
-    w = (
-        keyed.repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-    )
-    if row_group_bytes is not None:
-        w = w.option("parquet.block.size", str(int(row_group_bytes)))
-    w.parquet(path)
-
-
-def range_prune_audit(
-    spark: SparkSession, path: str, key: str, lo: int, hi: int
-) -> "tuple[int, int]":
-    """(surviving, total) row groups for a ``key BETWEEN lo AND hi``
-    probe — the range-predicate sibling of :func:`bloom_prune_audit`,
-    used to prove a clustered layout (sorted or Z-ordered) actually
-    prunes. Reads each row group's INT64 min/max statistics from the
-    parquet footers and applies the overlap test in Python — the same
-    decision parquet-mr's StatisticsFilter makes, without pushing the
-    bounds through Py4J's primitive boxing (small Python ints arrive
-    as java.lang.Integer, which the INT64 stats comparator
-    ClassCastExceptions on; returned Longs are auto-unboxed, so they
-    cannot be re-sent boxed either)."""
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    surviving = total = 0
-    for root, _dirs, files in os.walk(path):
-        for fname in files:
-            if not fname.endswith(".parquet"):
-                continue
-            p = jvm.org.apache.hadoop.fs.Path(os.path.join(root, fname))
-            infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                p, hconf
-            )
-            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
-            try:
-                for block in reader.getRowGroups():
-                    total += 1
-                    for col in block.getColumns():
-                        if ".".join(col.getPath().toArray()) != key:
-                            continue
-                        stats = col.getStatistics()
-                        if stats is None or not stats.hasNonNullValue():
-                            surviving += 1  # no stats → cannot prune
-                        else:
-                            g_min = int(stats.genericGetMin())
-                            g_max = int(stats.genericGetMax())
-                            if g_max >= int(lo) and g_min <= int(hi):
-                                surviving += 1
-                        break
-            finally:
-                reader.close()
-    return surviving, total

@@ -394,92 +394,3 @@ def test_cbo_stats_flip_filtered_join_to_broadcast(spark, tmp_path):
         for name in (fact, dim):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
-
-def test_zorder_key_locality_and_injectivity(spark):
-    """Morton key sanity: injective on small grids, and monotone-ish
-    locality — quadrant prefixes order before higher quadrants."""
-    import pyspark.sql.functions as F
-
-    from bigdatapipelinepysparksqlserver_spark.functions.expressions import (
-        zorder_key,
-    )
-
-    grid = spark.range(16).select(
-        (F.col("id") % 4).alias("a"), (F.col("id") / 4).cast("long").alias("b")
-    )
-    rows = grid.select("a", "b", zorder_key("a", "b", bits=2).alias("z")).collect()
-    zs = {(r["a"], r["b"]): r["z"] for r in rows}
-    assert len(set(zs.values())) == 16  # injective on the 4x4 grid
-
-    def ref(a, b):
-        z = 0
-        for i in range(2):
-            z |= ((a >> i) & 1) << (2 * i)
-            z |= ((b >> i) & 1) << (2 * i + 1)
-        return z
-
-    assert all(z == ref(a, b) for (a, b), z in zs.items())
-
-
-def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
-    """Layout evidence at row-group granularity through parquet-mr's own
-    stats filter: a single-column sort prunes only its own column; the
-    Z-ordered copy of the SAME rows prunes BOTH a custkey band and a
-    date band."""
-    import pyspark.sql.functions as F
-
-    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
-    from bigdatapipelinepysparksqlserver_spark.sources.lake import (
-        range_prune_audit,
-        write_zorder_clustered,
-    )
-
-    orders = Catalog(spark, "/root/testdata/sf0.1").orders.select(
-        "o_orderkey",
-        F.col("o_custkey").cast("bigint").alias("cust"),
-        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
-        .cast("bigint")
-        .alias("day"),
-        "o_totalprice",
-    )
-    rg = 128 * 1024  # small row groups so the 150k-row table has many
-    linear = str(tmp_path / "by_day")
-    (
-        orders.repartitionByRange(4, "day")
-        .sortWithinPartitions("day")
-        .write.option("parquet.block.size", str(rg))
-        .parquet(linear)
-    )
-    zpath = str(tmp_path / "zorder")
-    write_zorder_clustered(
-        orders, "cust", "day", zpath, num_files=4, row_group_bytes=rg
-    )
-
-    stats = orders.agg(
-        F.min("cust"), F.max("cust"), F.min("day"), F.max("day")
-    ).collect()[0]
-    c_lo, c_hi = int(stats[0]), int(stats[1])
-    d_lo, d_hi = int(stats[2]), int(stats[3])
-    c_band = (c_lo, c_lo + max(1, (c_hi - c_lo) // 16))
-    d_band = (d_lo, d_lo + max(1, (d_hi - d_lo) // 16))
-
-    lin_c = range_prune_audit(spark, linear, "cust", *c_band)
-    lin_d = range_prune_audit(spark, linear, "day", *d_band)
-    z_c = range_prune_audit(spark, zpath, "cust", *c_band)
-    z_d = range_prune_audit(spark, zpath, "day", *d_band)
-
-    # group counts differ slightly (sort order changes encoded sizes);
-    # both layouts must have enough groups for pruning to be measurable
-    assert lin_c[1] >= 8 and z_c[1] >= 8
-    assert lin_d[0] < lin_d[1]  # day-sorted prunes day...
-    assert lin_c[0] == lin_c[1]  # ...but NOT custkey (every group survives)
-    assert z_c[0] < z_c[1]  # Z-order prunes custkey bands
-    assert z_d[0] < z_d[1]  # AND day bands, from the same single copy
-    # and both probes return exactly the right rows through Spark
-    got = spark.read.parquet(zpath).where(
-        (F.col("cust") >= c_band[0]) & (F.col("cust") <= c_band[1])
-    ).count()
-    want = orders.where(
-        (F.col("cust") >= c_band[0]) & (F.col("cust") <= c_band[1])
-    ).count()
-    assert got == want
