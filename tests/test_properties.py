@@ -679,3 +679,63 @@ def test_equi_depth_partitions_every_row_exactly_once(spark, vals, bins):
     rows = equi_depth_histogram(df, "x", bins).collect()
     assert len(rows) == bins
     assert sum(r.cnt for r in rows) == len(vals)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3 * 86_400_000_000),
+            st.integers(min_value=0, max_value=8 * 3_600_000_000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    bucket_h=st.sampled_from([1, 6, 24]),
+)
+def test_peak_concurrency_equals_bruteforce(spark, ivs, bucket_h):
+    """Segmented-prefix-sum sweep ≡ explicit per-day simulation for
+    arbitrary closed intervals (day spans, zero length, heavy overlap),
+    at several bucket widths."""
+    from collections import defaultdict
+    from datetime import datetime, timezone
+
+    from bigdatapipelinepysparksqlserver_spark.operators.temporal import (
+        US_PER_DAY,
+        peak_concurrency,
+    )
+
+    base = int(
+        datetime(2024, 5, 1, tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+    spans = [(base + s, base + s + d) for s, d in ivs]
+    bounds = defaultdict(list)
+    starts = defaultdict(int)
+    for su, eu in spans:
+        for day in range(su // US_PER_DAY, eu // US_PER_DAY + 1):
+            cs = max(su, day * US_PER_DAY)
+            ce = min(eu, day * US_PER_DAY + US_PER_DAY - 1)
+            bounds[day].append((cs, 1))
+            bounds[day].append((ce + 1, -1))
+            starts[day] += 1
+    want = {}
+    for day, bs in bounds.items():
+        run = peak = 0
+        for _, dlt in sorted(bs, key=lambda t: (t[0], t[1])):
+            run += dlt
+            peak = max(peak, run)
+        want[day] = (starts[day], peak)
+
+    df = spark.createDataFrame(
+        [(s, e) for s, e in spans], "su long, eu long"
+    ).select(
+        F.timestamp_micros("su").alias("s"),
+        F.timestamp_micros("eu").alias("e"),
+    )
+    got = {
+        r["day"]: (r["active_intervals"], r["peak_concurrent"])
+        for r in peak_concurrency(
+            df, "s", "e", bucket_us=bucket_h * 3_600_000_000
+        ).collect()
+    }
+    assert got == want
