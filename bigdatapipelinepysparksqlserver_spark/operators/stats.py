@@ -178,3 +178,27 @@ def chi2_independence(
             F.sum(term).cast("double") / F.lit(float(scale)), 6
         ).alias("chi2"),
     )
+
+
+def psi_from_counts(ref: dict, cur: dict) -> float:
+    """PSI between two bin-count histograms (driver-side pure python —
+    histograms are control-plane by contract, ≤ dozens of bins).
+
+    Same arithmetic as the distributed `value_drift_psi` query: Laplace
+    (+1 / +B) smoothing over the UNION of observed bins, per-bin
+    (pa−pb)·ln(pa/pb) integer-scaled at 1e9 before summation, result
+    rounded to 6 dp — so a streaming monitor's numbers are directly
+    comparable with the batch query's.
+    """
+    import math
+
+    bins = sorted(set(ref) | set(cur))
+    b = len(bins)
+    na = sum(ref.values())
+    nb = sum(cur.values())
+    t9 = 0
+    for k in bins:
+        pa = float(ref.get(k, 0) + 1) / float(na + b)
+        pb = float(cur.get(k, 0) + 1) / float(nb + b)
+        t9 += round((pa - pb) * math.log(pa / pb) * 1_000_000_000.0)
+    return round(t9 / 1_000_000_000.0, 6)

@@ -779,3 +779,57 @@ def streaming_hopping_agg(
             "amount_sum",
         )
     )
+
+
+def foreach_batch_drift_monitor(
+    ledger_path: str,
+    ref_counts: dict,
+    value_col: str = "value",
+    bin_unit_scaled: int = 25_000_000,
+) -> "Callable[[DataFrame, int], None]":
+    """foreachBatch sink: online distribution-drift monitor — each
+    micro-batch's ``value_col`` histogram is compared against a FROZEN
+    reference histogram (``ref_counts``: bin → count, the training-time
+    distribution; control-plane-sized by contract) and one PSI row is
+    appended to ``{ledger}/batch=N``.
+
+    The PSI arithmetic is :func:`~..operators.stats.psi_from_counts` —
+    bit-identical to the batch `value_drift_psi` query's smoothing and
+    integer scaling, so online and offline drift numbers share one
+    scale. Binning matches too: exact integer arithmetic on the per-row
+    1e6-scaled value (never FLOOR of a libm expression).
+
+    Scale: the only data-sized step is one map-side-combined groupBy
+    per micro-batch; the collected histogram and the PSI math are
+    bins-sized. Exactly-once: batch N's ledger row is a pure function
+    of (ref_counts, batch N's rows) and OVERWRITES its own directory —
+    a crash-replay rewrites identical content.
+    """
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.stats import psi_from_counts
+
+        counts = {
+            int(r["bin"]): int(r["c"])
+            for r in batch_df.select(
+                F.expr(
+                    f"CAST(ROUND({value_col} * 1000000, 0) AS BIGINT)"
+                    f" div {int(bin_unit_scaled)}"
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        psi = psi_from_counts(ref_counts, counts)
+        spark = batch_df.sparkSession
+        row = spark.createDataFrame(
+            [(int(batch_id), sum(counts.values()), float(psi))],
+            "batch_id long, n_rows long, psi double",
+        )
+        row.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ledger_path, f"batch={batch_id}")
+        )
+
+    return sink

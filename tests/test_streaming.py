@@ -1061,3 +1061,69 @@ def test_streaming_transition_counts_equal_batch_lead(spark, tmp_path):
     }
     assert dict(got) == expect
     assert expect[("click", "buy")] == 1  # the boundary-spanning pair
+
+
+def test_foreach_batch_drift_monitor(spark, tmp_path):
+    """Online PSI ledger: per-micro-batch PSI equals the pure-python
+    reference over the same bin counts, the ledger holds one row per
+    batch, and replaying a batch rewrites IDENTICAL content
+    (exactly-once)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.stats import (
+        psi_from_counts,
+    )
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_drift_monitor,
+    )
+
+    # reference histogram: values uniform-ish over bins 0..3
+    ref = {0: 100, 1: 100, 2: 100, 3: 100}
+    rows_a = [(i, float(i % 4) * 25.0 + 1.0) for i in range(40)]  # matches ref
+    rows_b = [(i, 95.0) for i in range(40)]  # all mass in bin 3: drift
+    src = str(tmp_path / "src")
+    schema = "event_id long, value double"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    ledger = str(tmp_path / "ledger")
+    sink = foreach_batch_drift_monitor(ledger, ref)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(ledger).collect()
+    assert sorted(r["batch_id"] for r in out) == [0, 1]
+    by_batch = {r["batch_id"]: r for r in out}
+    assert all(r["n_rows"] == 40 for r in out)
+
+    def bins(rows):
+        from collections import Counter
+
+        return dict(
+            Counter(int(round(v * 1_000_000)) // 25_000_000 for _, v in rows)
+        )
+
+    want = {psi_from_counts(ref, bins(rows_a)), psi_from_counts(ref, bins(rows_b))}
+    assert {r["psi"] for r in out} == want
+    # the drifted batch scores much higher than the matching one
+    assert max(want) > 10 * max(min(want), 1e-9)
+
+    # exactly-once: replay one batch by hand — identical ledger row
+    before = spark.read.parquet(ledger + "/batch=0").collect()
+    # identify which rows batch 0 held by matching its psi
+    batch0_rows = (
+        rows_a
+        if by_batch[0]["psi"] == psi_from_counts(ref, bins(rows_a))
+        else rows_b
+    )
+    sink(spark.createDataFrame(batch0_rows, schema), 0)
+    after = spark.read.parquet(ledger + "/batch=0").collect()
+    assert before == after
