@@ -229,16 +229,29 @@ def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds × nodes, never edges²; the 5-row seed relation broadcasts
     into hop 1. Deeper BFS iterates the same two joins (the driver
     composes plans; no data crosses it).
+
+    Edge build: per-order collect_set + in-row ordered pair expansion
+    (order size is data-model-bounded, TPC-H ≤ 7 items → ≤ 42 pairs
+    per row) — one orderkey shuffle instead of a lineitem self-join;
+    measured 57 s vs 77 s at sf10 for the build alone. The edge
+    relation is PERSISTED: three consumers (seeds, hop 1, hop 2), and
+    the HOF lambdas in the expansion break plan canonicalization, so
+    exchange reuse alone would recompute it per consumer (measured
+    167 s → 60 s for the full query at sf10).
     """
+    from ..caching import scoped_persist
+
     li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x),"
+        " y -> struct(x AS src, y AS dst))))"
+    )
+    edges = scoped_persist(
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
     )
     seeds = (
