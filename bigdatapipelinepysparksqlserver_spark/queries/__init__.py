@@ -64,10 +64,22 @@ _GRADED_PREFIX = (
     # temperature_mix_report (temperature source mixing — the
     # training-mix family's SF-adaptive POW-rate oracle). Both green
     # at sf0.001/0.01/0.1 with measured 100× slopes.)
+    # (r7 final rotation: temperature_mix_report cedes — the training-
+    # mix family stays graded via token_budget_mix in-window;
+    # events_hourly_agg cedes — the windowed-agg family stays graded
+    # via events_hopping_agg's superset shape past-cap, the salted twin,
+    # and the streaming twin's pytest; customer_rank_by_spend cedes —
+    # rank-per-group stays graded via top_docs_per_lang past-cap and
+    # the TakeOrderedAndProject plan assertions. Entering:
+    # events_tier_pit (feature-store point-in-time join — as-of against
+    # SCD2 validity with an independent interval-join oracle),
+    # multitouch_attribution (time-decay credit over the binned range
+    # join), copurchase_khop_reach (multi-source BFS — the frontier-
+    # iteration graph shape next to PageRank's rank-iteration).)
     "user_tier_history",
-    "temperature_mix_report", "events_hourly_agg",
+    "events_tier_pit", "multitouch_attribution",
     "sessionize_session_window",
-    "customer_rank_by_spend",
+    "copurchase_khop_reach",
     "sql_facade_agg",
     # temporal operators + multidimensional aggregation
     "asof_attribution",

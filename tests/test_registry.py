@@ -25,6 +25,7 @@ FLAGSHIPS = {
     "asof_attribution", "text_quality_score",
     "decontaminate", "doc_pack_plan", "ann_topk_cosine",
     "media_dedup_audit", "bm25_topics", "session_peak_concurrency",
+    "events_tier_pit",
 }
 
 
