@@ -86,3 +86,75 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+class WedgeBudgetExceeded(RuntimeError):
+    """Triangle enumeration would materialize more wedges than allowed."""
+
+
+def triangle_counts(
+    edges: DataFrame,
+    wedge_budget: int | None = None,
+    scale_path: str = "raise wedge_budget (the degree-ordered wedge"
+    " space is O(E^1.5) worst case) or sample wedges",
+) -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED graph
+    given as (a < b) unique edge rows — the clustering-structure
+    primitive (community tightness, recommendation confidence).
+
+    Algorithm: DEGREE-ORDERED orientation (each edge points from its
+    (degree, id)-smaller endpoint to the larger — the standard
+    distributed triangle algorithm). Every triangle has exactly one
+    node from which both its oriented edges leave with an ordered
+    (key(v) < key(w)) dst pair, so the wedge self-join on src produces
+    each triangle once, closed by one hash join against the oriented
+    edges. Orientation is what bounds the wedge space: a hub of degree
+    d contributes wedges only through its LOW-degree neighbors, giving
+    Σ outdeg² = O(E^1.5) worst case instead of the id-ordered form's
+    Σ deg² (measured at the 100× co-purchase graph: 4.93 G id-ordered
+    wedges vs the oriented space that actually enumerates). The edge
+    relation should be persisted by the CALLER when expensive (it is
+    scanned for degrees, orientation, and closure).
+
+    ``wedge_budget`` wires the none-silent contract for the remaining
+    quadratic step via :func:`~.dedup.pair_budget_guard` on the
+    oriented out-neighbor lists (exact Σ c·(c−1)/2 in DECIMAL
+    arithmetic, checked before any wedge materializes).
+
+    Returns (node, tri_count) — one row per node in ≥1 triangle.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ka = F.struct(F.col("dega").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("degb").alias("d"), F.col("b").alias("n"))
+    ed = edges.join(da, "a").join(db, "b")
+    d = scoped_persist(
+        ed.select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(ka < kb, kb).otherwise(ka).alias("kdst"),
+        )
+    )
+    if wedge_budget is not None:
+        from .dedup import PairBudgetExceeded, pair_budget_guard
+
+        try:
+            pair_budget_guard(d, ["src"], wedge_budget, scale_path)
+        except PairBudgetExceeded as e:
+            raise WedgeBudgetExceeded(str(e)) from None
+    d1 = d.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("kdst").alias("kv"))
+    d2 = d.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("kdst").alias("kw"))
+    wedges_rel = d1.join(d2, "u").where(F.col("kv") < F.col("kw"))
+    closure = d.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges_rel.join(closure, ["v", "w"]).select("u", "v", "w")
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_count"))
+    )

@@ -289,3 +289,94 @@ def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seed", F.lit(2).alias("hop"), "n_reached"
     )
     return out1.unionByName(out2)
+
+
+# --------------------------------------------------------------------------
+# triangle counting: clustering structure of the co-purchase graph
+# --------------------------------------------------------------------------
+
+TRIANGLES_TOP_K = 10
+
+TRIANGLES_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT t.node, COUNT(*) AS tri_count
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) t GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tri)
+SELECT node AS part_id, tri_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY tri_count DESC, node) AS INT)
+         AS rank,
+       total_triangles
+FROM nodes, total
+ORDER BY tri_count DESC, node
+LIMIT {TRIANGLES_TOP_K}
+"""
+
+
+@query("copurchase_triangles", oracle=TRIANGLES_ORACLE)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph: the top-10 parts
+    by triangle participation plus the global triangle count — the
+    graph-pattern-matching shape (clustering coefficient numerator)
+    next to PageRank's rank iteration and k-hop's frontier iteration.
+
+    Scale: id-ordered wedge join closed by a hash join against the
+    (persisted, three-consumer) edge relation
+    (``operators/graph.py triangle_counts``); a wedge-budget
+    pre-flight (exact Σ in(x)·out(x) over node-sized degree tables)
+    fails fast past budget, naming degree-ordered orientation as the
+    scale path. Top-k lowers to TakeOrderedAndProject.
+    """
+    from ..caching import scoped_persist
+    from ..operators.graph import triangle_counts
+
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(sequence(0, size(ps) - 2),"
+        " i -> transform(sequence(i + 1, size(ps) - 1),"
+        " j -> struct(element_at(ps, i + 1) AS a,"
+        " element_at(ps, j + 1) AS b))))"
+    )
+    edges = scoped_persist(
+        grouped.where(F.size("ps") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    nodes = triangle_counts(edges, wedge_budget=6_000_000_000)
+    total = nodes.agg(
+        (F.sum("tri_count") / F.lit(3)).cast("long").alias("total_triangles")
+    )
+    ranked = nodes.crossJoin(F.broadcast(total)).select(
+        F.col("node").alias("part_id"), "tri_count", "total_triangles"
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.orderBy(F.col("tri_count").desc(), F.col("part_id"))
+    )
+    return (
+        ranked.orderBy(F.col("tri_count").desc(), "part_id")
+        .limit(TRIANGLES_TOP_K)
+        .withColumn("rank", rk.cast("int"))
+        .select("part_id", "tri_count", "rank", "total_triangles")
+    )

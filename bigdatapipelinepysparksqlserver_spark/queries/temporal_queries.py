@@ -780,3 +780,111 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return touch.unionByName(direct)
+
+
+# --------------------------------------------------------------------------
+# funnel latency: time-to-convert quantiles per funnel step
+# --------------------------------------------------------------------------
+
+FUNNEL_LATENCY_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT user_id, ts, event_type, t1,
+         MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT user_id, t1, t2,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+u AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM s3 GROUP BY user_id
+),
+lat AS (
+  SELECT 'view_to_click' AS step,
+         (epoch_us(t2) - epoch_us(t1)) // 1000 AS ms
+  FROM u WHERE t2 IS NOT NULL
+  UNION ALL
+  SELECT 'click_to_purchase',
+         (epoch_us(t3) - epoch_us(t2)) // 1000
+  FROM u WHERE t3 IS NOT NULL
+)
+SELECT step, COUNT(*) AS n,
+       ROUND(quantile_cont(CAST(ms AS DOUBLE), 0.5), 6) AS p50_ms,
+       ROUND(quantile_cont(CAST(ms AS DOUBLE), 0.95), 6) AS p95_ms
+FROM lat GROUP BY step
+"""
+
+
+@query("funnel_time_to_convert", oracle=FUNNEL_LATENCY_ORACLE)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel step: for users who
+    progressed view→click→purchase (same strictly-ordered semantics as
+    `event_funnel`), the median and p95 latency of each transition —
+    the product metric behind "how long does conversion take".
+
+    Exactness: latencies are integer milliseconds from epoch-micros
+    arithmetic (`div 1000`, never double `/`); `percentile` ≡ DuckDB
+    `quantile_cont` with 6-dp rounding (the hourly-percentile-band
+    contract). Per-step groups hold one row per CONVERTING user.
+
+    Scale: the three conditional-min windows share one user_id
+    shuffle (the funnel plan); the latency relation is converter-
+    sized; exact per-group percentiles sort within two groups — for
+    unbounded converter counts the GK sketch family
+    (`sketch_price_quantiles`) is the documented scale path.
+    """
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id")
+    ts, typ = F.col("ts"), F.col("event_type")
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("t1", F.min(F.when(typ == "view", ts)).over(w))
+        .withColumn(
+            "t2",
+            F.min(F.when((typ == "click") & (ts > F.col("t1")), ts)).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when((typ == "purchase") & (ts > F.col("t2")), ts)
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    vc = per_user.where(F.col("t2").isNotNull()).select(
+        F.lit("view_to_click").alias("step"),
+        F.expr("(unix_micros(t2) - unix_micros(t1)) div 1000").alias("ms"),
+    )
+    cp = per_user.where(F.col("t3").isNotNull()).select(
+        F.lit("click_to_purchase").alias("step"),
+        F.expr("(unix_micros(t3) - unix_micros(t2)) div 1000").alias("ms"),
+    )
+    return (
+        vc.unionByName(cp)
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(CAST(ms AS DOUBLE), 0.5)"), 6).alias(
+                "p50_ms"
+            ),
+            F.round(F.expr("percentile(CAST(ms AS DOUBLE), 0.95)"), 6).alias(
+                "p95_ms"
+            ),
+        )
+    )

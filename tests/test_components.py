@@ -563,3 +563,42 @@ def test_khop_reach_bruteforce(spark):
         w1, w2 = bfs(seed)
         assert got1.get(seed, 0) == w1
         assert got2.get(seed, 0) == w2
+
+
+def test_triangle_counts_bruteforce_and_guard(spark):
+    """Per-node triangle counts vs itertools on a hand-built graph
+    (shared edges between triangles, a square with one diagonal, an
+    isolated edge); shrunken wedge budget fails fast naming the scale
+    path."""
+    import itertools
+
+    import pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.graph import (
+        WedgeBudgetExceeded,
+        triangle_counts,
+    )
+
+    # triangle 1-2-3; square 3-4-5-6 with diagonal 3-5 (triangles
+    # 3-4-5 and 3-5-6); isolated edge 7-8
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (3, 6), (3, 5), (7, 8)]
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for trio in itertools.combinations(sorted(adj), 3):
+        a, b, c = trio
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in trio:
+                want[n] = want.get(n, 0) + 1
+
+    df = spark.createDataFrame(und, "a long, b long")
+    got = {
+        r["node"]: r["tri_count"]
+        for r in triangle_counts(df, wedge_budget=10_000).collect()
+    }
+    assert got == want
+
+    with pytest.raises(WedgeBudgetExceeded, match="degree-ordered"):
+        triangle_counts(df, wedge_budget=1)
