@@ -2013,3 +2013,77 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("psi_term"),
         "psi",
     )
+
+
+# --------------------------------------------------------------------------
+# exact weighted median via value-domain compression
+# --------------------------------------------------------------------------
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+d AS (
+  SELECT flag, cents, SUM(qty) AS wsum
+  FROM w GROUP BY 1, 2
+),
+c AS (
+  SELECT flag, cents, wsum,
+         SUM(wsum) OVER (PARTITION BY flag ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wsum) OVER (PARTITION BY flag) AS total
+  FROM d
+)
+SELECT flag,
+       CAST(MAX(total) AS BIGINT) AS total_qty,
+       CAST(MIN(CASE WHEN 2 * cum >= total THEN cents END) AS BIGINT)
+         AS median_price_cents
+FROM c GROUP BY flag
+"""
+
+
+@query("weighted_median_price", oracle=WEIGHTED_MEDIAN_ORACLE)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median unit price per return flag (the
+    lower weighted median: smallest price at which cumulative quantity
+    reaches half the total) — the inventory-valuation statistic a plain
+    median gets wrong when line sizes vary.
+
+    Scale — value-domain compression: prices collapse to exact integer
+    cents FIRST (one map-side-combined groupBy), so the ordered
+    cumulative window runs over the (flag, DISTINCT cents) relation —
+    bounded by the PRICE DOMAIN, not the row count; at 100 TB the
+    window input is the same size as at 100 MB. All arithmetic is
+    exact integers; the median pick is a deterministic conditional MIN.
+    """
+    from pyspark.sql import Window
+
+    li = Catalog(spark, sf_dir).lineitem
+    d = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).groupBy("flag", "cents").agg(F.sum("qty").alias("wsum"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    c = d.select(
+        "flag",
+        "cents",
+        F.sum("wsum").over(w_cum).alias("cum"),
+        F.sum("wsum").over(w_all).alias("total"),
+    )
+    return c.groupBy("flag").agg(
+        F.max("total").alias("total_qty"),
+        F.min(
+            F.when(F.lit(2) * F.col("cum") >= F.col("total"), F.col("cents"))
+        ).alias("median_price_cents"),
+    )

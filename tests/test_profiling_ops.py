@@ -392,3 +392,45 @@ def test_value_drift_psi_contract(spark):
     for r in rows:
         assert r["psi_term"] >= 0.0
         assert r["ref_count"] + r["cur_count"] > 0
+
+
+def test_weighted_median_bruteforce(spark, tmp_path):
+    """Exact weighted median vs an explicit expansion (each row repeated
+    qty times → plain lower median), including a tie-on-boundary case
+    where cumulative weight lands exactly on half."""
+    rows = [
+        ("A", 10.00, 1), ("A", 20.00, 2), ("A", 30.00, 1),  # cum 1,3,4 → 2*3>=4 at 20
+        ("B", 5.00, 2), ("B", 7.00, 2),                     # 2*2>=4 exactly at 5
+        ("C", 9.99, 5),
+    ]
+    df = spark.createDataFrame(
+        [(f, p, q, "x", "y") for f, p, q in rows],
+        "l_returnflag string, l_extendedprice double, l_quantity long,"
+        " pad1 string, pad2 string",
+    )
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    got = {
+        r["flag"]: (r["total_qty"], r["median_price_cents"])
+        for r in REGISTRY["weighted_median_price"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def brute(flag):
+        exp = sorted(
+            int(round(p * 100))
+            for f, p, q in rows
+            if f == flag
+            for _ in range(q)
+        )
+        # lower median: first value where cumulative count*2 >= total
+        for i, v in enumerate(exp, 1):
+            if 2 * i >= len(exp):
+                return v
+
+    for f in "ABC":
+        total = sum(q for ff, _, q in rows if ff == f)
+        assert got[f] == (total, brute(f)), f
