@@ -2087,3 +2087,86 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.lit(2) * F.col("cum") >= F.col("total"), F.col("cents"))
         ).alias("median_price_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# bounce rate: share of single-event sessions per day
+# --------------------------------------------------------------------------
+
+BOUNCE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+  FROM numbered GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) AS day,
+       COUNT(*) AS sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM sess GROUP BY 1
+"""
+
+
+@query("session_bounce_rate", oracle=BOUNCE_ORACLE)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day bounce rate: the share of sessions (same 30-minute-gap
+    definition as `sessionize`) that contain exactly one event,
+    attributed to the session's start day — the engagement-health
+    metric next to `session_peak_concurrency`'s capacity view.
+
+    Scale: one user_id shuffle for the sessionize windows, one
+    session-level aggregate sharing that partitioning (grouping keys
+    contain user_id), one day-grain rollup of session rows; the ratio
+    is a single fixed-order double division rounded 6 dp.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            lag_ts.isNull()
+            | ((F.col("ts").cast("long") - lag_ts.cast("long")) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+    )
+    return sess.groupBy(
+        F.date_trunc("day", "session_start").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )
