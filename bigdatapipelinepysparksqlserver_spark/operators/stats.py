@@ -146,15 +146,27 @@ def chi2_independence(
     term (o − e)²/e is ONE fixed-operand-order double expression,
     immediately integer-scaled (``ROUND(term * scale)``); the final sum
     runs on the integers — so the statistic is bit-identical at any
-    parallelism and against a same-shaped DuckDB oracle. Cells with an
-    observed count exist by construction (margins ≥ cell ≥ 1), so e > 0.
+    parallelism and against a same-shaped DuckDB oracle. The FULL
+    nr × nc grid is materialized (distinct row keys × distinct col
+    keys, observed counts left-joined, absent cells coalesced to 0) so
+    an empty cell — e.g. an experiment arm with zero conversions —
+    contributes its full expected term (0 − e)²/e = e instead of
+    silently dropping out and understating the statistic. Margins stay
+    > 0 because every grid key was observed on its own axis, so e > 0.
 
     Scale: one data-sized groupBy (map-side partials) produces the
     contingency table; everything after runs on CARDINALITY-sized
-    relations (cells × margins joins). Returns one row:
+    relations (the nr × nc grid cross-join is categorical-cardinality
+    sized and broadcast). Returns one row:
     (n, dof, chi2) with chi2 rounded to 6 dp.
     """
-    o = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("o"))
+    obs = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("o"))
+    grid = obs.select(row_col).distinct().crossJoin(
+        F.broadcast(obs.select(col_col).distinct())
+    )
+    o = grid.join(obs, [row_col, col_col], "left").select(
+        row_col, col_col, F.coalesce("o", F.lit(0)).alias("o")
+    )
     r = o.groupBy(row_col).agg(F.sum("o").alias("rt"))
     c = o.groupBy(col_col).agg(F.sum("o").alias("ct"))
     n = o.agg(

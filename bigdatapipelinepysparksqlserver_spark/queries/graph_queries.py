@@ -336,12 +336,16 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-pattern-matching shape (clustering coefficient numerator)
     next to PageRank's rank iteration and k-hop's frontier iteration.
 
-    Scale: id-ordered wedge join closed by a hash join against the
-    (persisted, three-consumer) edge relation
-    (``operators/graph.py triangle_counts``); a wedge-budget
-    pre-flight (exact Σ in(x)·out(x) over node-sized degree tables)
-    fails fast past budget, naming degree-ordered orientation as the
-    scale path. Top-k lowers to TakeOrderedAndProject.
+    Scale: DEGREE-ORDERED orientation (``operators/graph.py
+    triangle_counts``) — each edge points from its (degree, id)-smaller
+    endpoint, so wedges enumerate only through low-degree endpoints
+    (Σ outdeg² = O(E^1.5) worst case) — closed by a hash join against
+    the (persisted, multi-consumer) oriented edge relation. A
+    pair-budget pre-flight (exact Σ c·(c−1)/2 over the oriented
+    out-neighbor lists, DECIMAL(38,0)) fails fast past budget, naming
+    "raise wedge_budget … or sample wedges" as the scale path; the
+    measured 100× path is `copurchase_triangles_sampled` (DOULION
+    edge-sampling estimator). Top-k lowers to TakeOrderedAndProject.
     """
     from ..caching import scoped_persist
     from ..operators.graph import triangle_counts

@@ -611,7 +611,9 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.when(
-            lag_ts.isNull() | ((F.col("ts").cast("long") - lag_ts.cast("long")) > 1800), 1
+            lag_ts.isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(lag_ts)) > 1_800_000_000),
+            1,
         )
         .otherwise(0)
         .alias("new_session"),
@@ -1813,7 +1815,16 @@ WITH u AS (
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
   FROM events GROUP BY user_id
 ),
-o AS (SELECT arm, converted, COUNT(*) AS o FROM u GROUP BY 1, 2),
+obs AS (SELECT arm, converted, COUNT(*) AS o FROM u GROUP BY 1, 2),
+grid AS (
+  SELECT r.arm, c.converted
+  FROM (SELECT DISTINCT arm FROM obs) r,
+       (SELECT DISTINCT converted FROM obs) c
+),
+o AS (
+  SELECT grid.arm, grid.converted, COALESCE(obs.o, 0) AS o
+  FROM grid LEFT JOIN obs USING (arm, converted)
+),
 r AS (SELECT arm, SUM(o) AS rt FROM o GROUP BY 1),
 c AS (SELECT converted, SUM(o) AS ct FROM o GROUP BY 1),
 n AS (SELECT SUM(o) AS n FROM o),
@@ -2145,7 +2156,7 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             lag_ts.isNull()
-            | ((F.col("ts").cast("long") - lag_ts.cast("long")) > 1800),
+            | ((F.unix_micros("ts") - F.unix_micros(lag_ts)) > 1_800_000_000),
             1,
         )
         .otherwise(0)

@@ -593,7 +593,7 @@ def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(
             lag_ts.isNull()
-            | ((F.col("ts").cast("long") - lag_ts.cast("long")) > 1800),
+            | ((F.unix_micros("ts") - F.unix_micros(lag_ts)) > 1_800_000_000),
             1,
         )
         .otherwise(0)

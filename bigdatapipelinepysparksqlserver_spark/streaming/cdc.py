@@ -570,7 +570,9 @@ def streaming_running_totals(
     import pandas as pd  # local import: only the streaming path needs it
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = f"{key_col} long, event_count long, value_sum double"
+    # key output type follows the input schema (string keys work too)
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, event_count long, value_sum double"
     state_schema = "event_count long, value_sum double"
 
     def update(key, pdfs, state):
@@ -623,10 +625,15 @@ def streaming_transition_counts(
     import pandas as pd  # local import: only the streaming path needs it
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # key/id output+state types follow the input schema (string user
+    # ids, int event ids, … all work); only ts is pinned to long
+    # because the select below rewrites it as unix_micros.
+    key_type = events.schema[key_col].dataType.simpleString()
+    id_type = events.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, from_type string, to_type string, delta long"
+        f"{key_col} {key_type}, from_type string, to_type string, delta long"
     )
-    state_schema = "last_ts long, last_id long, last_type string"
+    state_schema = f"last_ts long, last_id {id_type}, last_type string"
 
     def update(key, pdfs, state):
         (k,) = key
@@ -638,12 +645,14 @@ def streaming_transition_counts(
         else:
             last_ts, last_id, last_type = (None, None, None)
         for t, i, ty in zip(
-            rows[ts_col].astype("int64"), rows[id_col], rows[type_col]
+            rows[ts_col].astype("int64").tolist(),
+            rows[id_col].tolist(),
+            rows[type_col].tolist(),
         ):
             if last_type is not None:
                 pr = (last_type, ty)
                 pairs[pr] = pairs.get(pr, 0) + 1
-            last_ts, last_id, last_type = int(t), int(i), ty
+            last_ts, last_id, last_type = t, i, ty
         state.update((last_ts, last_id, last_type))
         if pairs:
             yield pd.DataFrame(

@@ -374,6 +374,24 @@ def test_chi2_independence_is_zero_when_independent(spark):
     assert chi2_independence(df, "arm", "converted").collect()[0]["chi2"] == 0.0
 
 
+def test_chi2_independence_empty_cell_contributes_expected(spark):
+    """A contingency cell with ZERO observed count (arm 'a' never
+    converts) must contribute its full expected term (0−e)²/e = e —
+    the pre-r8 implementation dropped absent cells entirely,
+    understating the statistic (here 4.166667 instead of 6.666667)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    rows = [("a", 0)] * 10 + [("b", 0)] * 5 + [("b", 1)] * 5
+    df = spark.createDataFrame(rows, "arm string, converted int")
+    got = chi2_independence(df, "arm", "converted").collect()[0]
+    assert got["n"] == 20 and got["dof"] == 1
+    # full grid: e(a,0)=7.5 e(a,1)=2.5 e(b,0)=7.5 e(b,1)=2.5
+    # chi2 = 2.5²/7.5 + 2.5²/2.5 + 2.5²/7.5 + 2.5²/2.5 = 20/3
+    assert got["chi2"] == 6.666667
+
+
 def test_value_drift_psi_contract(spark):
     """PSI is symmetric-signless and zero iff the smoothed shares
     match; the per-bin terms must sum to the reported total and every

@@ -1063,6 +1063,57 @@ def test_streaming_transition_counts_equal_batch_lead(spark, tmp_path):
     assert expect[("click", "buy")] == 1  # the boundary-spanning pair
 
 
+def test_streaming_transition_counts_string_keys(spark, tmp_path):
+    """The parameterized key/id columns must work for NON-bigint types
+    (string user ids, int event ids): output/state schemas are derived
+    from events.schema, not hard-coded long (r8 fix)."""
+    from collections import defaultdict
+
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        streaming_transition_counts,
+    )
+
+    schema = "event_id string, ts timestamp, user_id string, event_type string"
+    b1 = [
+        ("e1", datetime(2024, 1, 1, 10, 0), "alice", "view"),
+        ("e2", datetime(2024, 1, 1, 10, 1), "alice", "click"),
+    ]
+    b2 = [
+        ("e3", datetime(2024, 1, 1, 10, 5), "alice", "buy"),
+        ("e4", datetime(2024, 1, 1, 10, 6), "bob", "view"),
+        ("e5", datetime(2024, 1, 1, 10, 7), "bob", "buy"),
+    ]
+    src = tmp_path / "trans_str_src"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_transition_counts(stream)
+    assert dict(out.dtypes)["user_id"] == "string"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trans_str_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "trans_str_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = defaultdict(int)
+    for r in spark.sql("SELECT * FROM trans_str_test").collect():
+        got[(r.user_id, r.from_type, r.to_type)] += r.delta
+    assert dict(got) == {
+        ("alice", "view", "click"): 1,
+        ("alice", "click", "buy"): 1,  # spans the micro-batch boundary
+        ("bob", "view", "buy"): 1,
+    }
+
+
 def test_foreach_batch_drift_monitor(spark, tmp_path):
     """Online PSI ledger: per-micro-batch PSI equals the pure-python
     reference over the same bin counts, the ledger holds one row per
