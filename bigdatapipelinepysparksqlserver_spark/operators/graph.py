@@ -158,3 +158,70 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri_count"))
     )
+
+
+# DOULION edge-sampling (Tsourakakis et al., KDD 2009): keep each edge
+# independently with probability p, count triangles on the sparsified
+# graph, estimate T = T'/p³. p = 1/4 over the 60-bit md5-prefix space
+# keeps 1/p³ an exact integer (64) so the estimate stays BIGINT-exact
+# and engine-portable; the deterministic hash gate (not rand()) makes
+# the sampled graph — and therefore the estimate — bit-identical across
+# engines, so the DuckDB oracle replays it exactly.
+TRIANGLE_SAMPLE_THRESHOLD = 1 << 58  # p = 2^58 / 2^60 = 1/4
+TRIANGLE_SAMPLE_INV_P3 = 64
+
+
+def sample_edges_md5(
+    edges: DataFrame, threshold: int = TRIANGLE_SAMPLE_THRESHOLD
+) -> DataFrame:
+    """Deterministic DOULION edge sampler: keep edge (a, b) iff the
+    60-bit md5 prefix of "a:b" falls under ``threshold`` (keep
+    probability = threshold / 2^60). A hash gate instead of rand()
+    because the repo's oracle contract needs the SAMPLED GRAPH itself
+    to replay in SQL — md5-hex-prefix → ``conv(substr, 16, 10)``
+    (Spark) ≡ ``CAST('0x' || substr AS BIGINT)`` (DuckDB), the engine's
+    standard portable-hash idiom (operators/sampling.py). Scan-side
+    codegen filter: no shuffle, no state."""
+    key = F.concat(
+        F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string")
+    )
+    h = F.conv(
+        F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    return edges.where(h < F.lit(threshold))
+
+
+def triangle_count_estimate(
+    edges: DataFrame,
+    threshold: int = TRIANGLE_SAMPLE_THRESHOLD,
+    inv_p3: int = TRIANGLE_SAMPLE_INV_P3,
+    wedge_budget: int | None = None,
+) -> DataFrame:
+    """DOULION global triangle-count estimator: sample edges with the
+    deterministic md5 gate, run the exact degree-ordered counter on the
+    sparsified graph, scale by 1/p³. Returns ONE row
+    (sampled_edges, sampled_triangles, est_triangles).
+
+    Scale contract (why this is the family's measured-at-100× path
+    while the exact form fail-fasts): sampling at p shrinks the wedge
+    space by ~p² (each wedge needs BOTH its edges kept) and triangle
+    work by ~p³ — at the 100× co-purchase graph the exact form's 4.1 G
+    wedges become ~256 M, back under the budget the exact form trips.
+    Unbiasedness: E[T'] = p³·T, so E[T'·1/p³] = T; relative error
+    ~1/√(p³·T) shrinks as the true count grows — the estimator gets
+    BETTER at scale (pytest pins the corridor where the exact truth is
+    feasible; the estimate is exact-replayable either way because the
+    sample is deterministic)."""
+    s = scoped_persist(sample_edges_md5(edges, threshold))
+    nodes = triangle_counts(s, wedge_budget=wedge_budget)
+    ecnt = s.groupBy().agg(F.count(F.lit(1)).alias("sampled_edges"))
+    tcnt = nodes.groupBy().agg(
+        F.coalesce(F.expr("sum(tri_count) div 3"), F.lit(0)).alias(
+            "sampled_triangles"
+        )
+    )
+    return ecnt.crossJoin(F.broadcast(tcnt)).select(
+        "sampled_edges",
+        "sampled_triangles",
+        (F.col("sampled_triangles") * F.lit(inv_p3)).alias("est_triangles"),
+    )

@@ -1354,9 +1354,11 @@ def write_ivfpq_store(
     vs 1.16 s BLAS; at a 2 M-vector build the literal store write
     dominates the whole graded cycle). Tie contracts match the literal
     paths (argmax first-max / argmin first-min over the ascending
-    cell/code axes); store equality is pytest-pinned. The graded query
-    keeps the literal build — its fold order is what the oracle
-    replays.
+    cell/code axes); store equality is pytest-pinned. BOTH builds are
+    graded (r8): `ann_ivfpq_topk` keeps the literal fold the oracle
+    textually replays; `ann_ivfpq_topk_blas` grades this production
+    path against the SAME oracle — valid exactly because the codes are
+    bit-identical.
     """
     cells = _collect_codebook(codebook, cell_col, cent_col, "write_ivfpq_store")
     if use_blas:

