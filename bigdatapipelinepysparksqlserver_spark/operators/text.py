@@ -728,3 +728,93 @@ def fuzzy_term_pairs(
     return pairs.where(F.levenshtein("id1", "id2") <= max_dist).select(
         F.col("id1").alias("term_a"), F.col("id2").alias("term_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML / boilerplate extraction — the pretraining-curation stage that
+# runs BEFORE quality scoring and dedup on web-scraped corpora: strip
+# tags, decode entities, drop boilerplate lines (navigation, footers)
+# by the classic link-density + length heuristics. No reference
+# analogue (the reference has no text ops); this completes the text
+# family per VERDICT r7 #5.
+# ---------------------------------------------------------------------------
+
+HTML_MIN_LINE_TOKENS = 5  # lines shorter than this are boilerplate
+# a line is boilerplate when links/tokens > 1/3 — kept as the exact
+# integer rule links*3 > tokens so both engines compare integers, never
+# a float ratio
+HTML_LINK_DENSITY_DEN = 3
+
+
+def html_entity_decode(col: Column) -> Column:
+    """Decode the five core HTML entities (+ nbsp). ``&amp;`` decodes
+    LAST so '&amp;lt;' yields '&lt;' (single-pass semantics, mirrored
+    verbatim in the oracle)."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def html_extract(
+    html: Column,
+    min_tokens: int = HTML_MIN_LINE_TOKENS,
+) -> Column:
+    """Boilerplate-aware text extraction from an HTML column: returns a
+    struct (text, n_lines, n_kept, n_links).
+
+    Per line (lines are the block unit, the jusText/boilerpipe
+    simplification): count ``<a `` anchors BEFORE stripping, strip tags
+    (``<[^>]+>`` — a common-match positive class, not one of the
+    measured regexp cliff shapes; see ALPHA_CHARS note), normalize
+    whitespace, then keep the line iff it has ≥ ``min_tokens`` tokens
+    AND link density ≤ 1/3 (exact integer rule ``links*3 <= tokens``).
+    Kept lines join with newlines and entities decode once at the end.
+
+    Scale: one scan-side projection — array HOFs are interpreted (not
+    codegen'd) but row-local: no shuffle, no state, and the lambda work
+    is bounded by line count × line length. At 100 TB this runs at
+    scan speed next to quality_scores in the same projection.
+    """
+    lines = F.split(html, "\n")
+
+    def line_stats(l):  # noqa: E741 — l is the conventional line var
+        stripped = F.trim(
+            F.regexp_replace(F.regexp_replace(l, "<[^>]+>", " "), " +", " ")
+        )
+        tokens = F.when(stripped == "", F.lit(0)).otherwise(
+            F.size(F.split(stripped, " "))
+        )
+        links = (
+            (F.length(l) - F.length(F.replace(l, F.lit("<a "), F.lit(""))))
+            / F.lit(3)
+        ).cast("int")
+        return F.struct(
+            stripped.alias("s"), tokens.alias("t"), links.alias("k")
+        )
+
+    per = F.transform(lines, line_stats)
+    kept = F.filter(
+        per,
+        lambda p: (p["t"] >= F.lit(min_tokens))
+        & (p["k"] * F.lit(HTML_LINK_DENSITY_DEN) <= p["t"]),
+    )
+    text = html_entity_decode(
+        F.array_join(F.transform(kept, lambda p: p["s"]), "\n")
+    )
+    n_links = F.aggregate(
+        per, F.lit(0), lambda acc, p: acc + p["k"]
+    )
+    return F.struct(
+        text.alias("text"),
+        F.size(per).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_links.cast("long").alias("n_links"),
+    )

@@ -1065,3 +1065,119 @@ def vocab_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(a, "term_a").join(b, "term_b").select(
         "term_a", "term_b", "df_a", "df_b"
     )
+
+
+# --------------------------------------------------------------------------
+# HTML / boilerplate extraction: the web-curation stage before quality
+# scoring and dedup (VERDICT r7 #5)
+# --------------------------------------------------------------------------
+
+# synthetic-page scaffold shared by the query and the oracle: a nav bar
+# (pure links — boilerplate), a short heading (under the token floor),
+# the document body, an entity-bearing notice line (kept; exercises the
+# decoder), and a link-heavy footer (boilerplate)
+_HTML_NAV = (
+    '<nav><a href="/">Home</a> <a href="/about">About</a>'
+    ' <a href="/contact">Contact</a></nav>'
+)
+_HTML_NOTICE = (
+    "<p>Legal &amp; editorial notices use &lt;tags&gt; and"
+    " &quot;quoted&quot; text carefully here</p>"
+)
+_HTML_FOOTER = (
+    '<footer><a href="/tos">Terms</a> <a href="/privacy">Privacy</a>'
+    " <span>&#169;</span></footer>"
+)
+
+HTML_EXTRACT_ORACLE = f"""
+WITH page AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           '{_HTML_NAV.replace("'", "''")}',
+           '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>',
+           '<p>' || text || '</p>',
+           '{_HTML_NOTICE.replace("'", "''")}',
+           '{_HTML_FOOTER.replace("'", "''")}') AS html
+  FROM documents
+),
+per AS (
+  SELECT doc_id,
+    list_transform(string_split(html, chr(10)), l -> struct_pack(
+      s := trim(regexp_replace(regexp_replace(l, '<[^>]+>', ' ', 'g'),
+                               ' +', ' ', 'g')),
+      t := CASE WHEN trim(regexp_replace(regexp_replace(l, '<[^>]+>', ' ', 'g'),
+                                         ' +', ' ', 'g')) = '' THEN 0
+                ELSE len(string_split(
+                  trim(regexp_replace(regexp_replace(l, '<[^>]+>', ' ', 'g'),
+                                      ' +', ' ', 'g')), ' ')) END,
+      k := (length(l) - length(replace(l, '<a ', ''))) // 3
+    )) AS ps
+  FROM page
+),
+agg AS (
+  SELECT doc_id, ps,
+         list_filter(ps, p -> p.t >= 5 AND p.k * 3 <= p.t) AS kept
+  FROM per
+),
+txt AS (
+  SELECT doc_id, ps, kept,
+    replace(replace(replace(replace(replace(replace(
+      array_to_string(list_transform(kept, p -> p.s), chr(10)),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      '&nbsp;', ' '), '&amp;', '&') AS extracted
+  FROM agg
+)
+SELECT doc_id,
+       CAST(len(ps) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(coalesce(list_sum(list_transform(ps, p -> p.k)), 0) AS BIGINT)
+         AS n_links,
+       CAST(length(extracted) AS BIGINT) AS extracted_len,
+       md5(extracted) AS extracted_md5
+FROM txt
+"""
+
+
+@query("html_extract_clean", oracle=HTML_EXTRACT_ORACLE)
+def html_extract_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → clean text extraction (``operators/text.py
+    html_extract``): per synthetic page — nav bar, short heading,
+    document body, entity-bearing notice, link-heavy footer — strip
+    tags, drop boilerplate lines by the link-density (links·3 > tokens)
+    and length (< 5 tokens) rules, decode entities, and report
+    (line/kept/link counts, extracted length, extracted md5). The nav,
+    heading, and footer must be dropped and the body + notice kept —
+    the md5 pins the exact extracted text against the oracle's
+    independent list-function formulation.
+
+    The page is BUILT inside the query (deterministic scaffold around
+    the real document text) because the corpus tables ship clean text;
+    the extraction operator — the thing under test — sees only the
+    html column and is the same expression a raw-HTML source column
+    would get.
+
+    Scale: scan-side projection end to end (build + extract in one
+    pass, no shuffle, no UDF); the HOF lambdas are interpreted but
+    row-local — the plan is a single WholeStageCodegen scan feeding
+    the interpreted array block.
+    """
+    from ..operators.text import html_extract
+
+    docs = Catalog(spark, sf_dir).documents
+    html = F.concat_ws(
+        "\n",
+        F.lit(_HTML_NAV),
+        F.concat(F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1>")),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
+        F.lit(_HTML_NOTICE),
+        F.lit(_HTML_FOOTER),
+    )
+    ex = html_extract(html)
+    return docs.select(F.col("doc_id"), ex.alias("__ex")).select(
+        "doc_id",
+        F.col("__ex.n_lines").alias("n_lines"),
+        F.col("__ex.n_kept").alias("n_kept"),
+        F.col("__ex.n_links").alias("n_links"),
+        F.length("__ex.text").cast("long").alias("extracted_len"),
+        F.md5(F.col("__ex.text").cast("binary")).alias("extracted_md5"),
+    )

@@ -167,3 +167,50 @@ def test_fuzzy_term_pairs_budget_guard(spark):
             pair_budget=1,
             scale_path="length-band prefilter",
         ).collect()
+
+
+def test_html_extract_hand_built(spark):
+    """html_extract against hand-computed expectations: boilerplate nav
+    (link-dense) and short headings drop, body lines keep, entities
+    decode in single-pass order (&amp;lt; -> &lt;), empty/whitespace
+    lines count but never keep, and a page of ONLY boilerplate yields
+    empty text with zero kept lines."""
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        html_extract,
+    )
+
+    page = "\n".join(
+        [
+            '<nav><a href="/">Home</a> <a href="/a">A</a> <a href="/b">B</a></nav>',
+            "<h1>Tiny heading</h1>",
+            "<p>This body line has plenty of real tokens to keep around</p>",
+            '<p>One <a href="/x">link</a> inside a long enough body line is fine</p>',
+            "<p>Entities: &amp;lt; decodes to &lt; and &quot;quotes&quot; survive fine</p>",
+            "   ",
+            '<footer><a href="/tos">Terms</a> <a href="/p">P</a></footer>',
+        ]
+    )
+    boiler = "\n".join(
+        ['<nav><a href="/">x</a></nav>', "<h1>Hi</h1>"]
+    )
+    df = spark.createDataFrame([(1, page), (2, boiler)], "id long, html string")
+    got = {
+        r.id: r
+        for r in df.select(
+            "id", html_extract(F.col("html")).alias("e")
+        ).select("id", "e.*").collect()
+    }
+    r = got[1]
+    assert r.n_lines == 7
+    # kept: the two body lines + the entity line
+    assert r.n_kept == 3
+    assert r.n_links == 3 + 1 + 2  # nav 3, body-with-link 1, footer 2
+    lines = r.text.split("\n")
+    assert lines[0] == "This body line has plenty of real tokens to keep around"
+    assert lines[1] == "One link inside a long enough body line is fine"
+    # single-pass decode: '&amp;lt;' -> '&lt;' (NOT '<'), '&lt;' -> '<'
+    assert lines[2] == 'Entities: &lt; decodes to < and "quotes" survive fine'
+    b = got[2]
+    assert (b.n_kept, b.text) == (0, "")
