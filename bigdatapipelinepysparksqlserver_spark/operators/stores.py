@@ -35,11 +35,15 @@ rest are scan-and-rewrite. No driver-side rows.
 
 The swap is directory-level: relations write to ``{path}.__compact__``,
 then the store directory is swapped via the FS seam's ``rename_dir``.
-Probes running CONCURRENTLY with the swap are out of contract (the
-store is a maintenance-window artifact, unlike the versioned mart
-publish which holds readers' snapshots immutable); production layouts
-needing live compaction should version the store path and flip a
-pointer, i.e. compose this with sources/fs.py's publish pattern.
+Probes running CONCURRENTLY with the swap are out of contract for THIS
+in-place form (maintenance-window artifact). For live readers, use the
+versioned composition at the bottom of this module
+(:func:`compact_store_live` + :func:`store_live_path` +
+:func:`publish_store_version`): snapshots are immutable, compaction
+reads the live version and publishes the next one through the
+atomic-pointer seam (sources/fs.py), and the reader-hammer pytest
+proves probes never see a mixed layout — on POSIX and on the
+non-atomic-rename object-store simulation alike.
 """
 
 from __future__ import annotations
@@ -331,3 +335,109 @@ def vector_store_delete_ids(
     for c in emptied:
         fs.rmtree(f"{path}/cell={c}")
     return {"affected_cells": len(affected), "emptied_cells": len(emptied)}
+
+
+# ---------------------------------------------------------------------------
+# Live-reader-safe maintenance (VERDICT r7 #6): the versioned-pointer
+# composition the compact_store_batches docstring points at. Store
+# snapshots live at {root}/v{N}; an atomic pointer ({root}/_CURRENT,
+# the SnapshotFS.set_pointer contract — the SAME primitive the mart
+# publish rests on) names the live one. Compaction READS the live
+# snapshot and WRITES a staging dir, so readers are never exposed to a
+# half-swapped layout: they resolve the pointer, see either v{N}
+# (whole, untouched) or v{N+1} (whole, published), never a mix — the
+# reader-hammer pytest (tests/test_store_compaction.py) proves it over
+# LocalFS AND the non-atomic-rename ObjectStoreSimFS, the same
+# asymmetry the mart test covers.
+#
+# Appends stay in-place on the live snapshot (copying a 100 TB store
+# per daily batch would defeat the append design): they are ADDITIVE —
+# existing bytes never move — so a probe concurrent with an append
+# risks only bounded staleness (a partially-listed new batch=K), never
+# a mixed layout of OLD data; deployments needing atomic append
+# visibility publish a version per append through the same helper at
+# copy cost.
+# ---------------------------------------------------------------------------
+
+STORE_POINTER = "_CURRENT"
+
+
+def store_live_path(root: str, fs: SnapshotFS | None = None) -> str:
+    """Resolve the pointer to the live immutable store snapshot."""
+    fs = fs or LocalFS()
+    name = fs.read_pointer(f"{root}/{STORE_POINTER}")
+    if name is None:
+        raise FileNotFoundError(f"versioned store {root} has no live version")
+    return f"{root}/{name}"
+
+
+def _store_versions(root: str, fs: SnapshotFS) -> list[int]:
+    if not fs.is_dir(root):
+        return []
+    return sorted(
+        int(d[1:])
+        for d in fs.list_dir(root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def publish_store_version(
+    root: str, staging: str, fs: SnapshotFS | None = None, retain: int = 1
+) -> int:
+    """Publish ``staging`` as the next store version: rename it to
+    {root}/v{N+1} (NOT required atomic — no reader can resolve it yet),
+    atomically swap the pointer, then GC versions older than ``retain``
+    behind the new live one plus any orphans ahead of it (a crashed
+    publish's vN is invisible and reaped here — the MartPublisher
+    protocol verbatim). Returns the published version number."""
+    fs = fs or LocalFS()
+    if not fs.is_dir(staging):
+        raise FileNotFoundError(f"no staging store at {staging}")
+    fs.makedirs(root)
+    versions = _store_versions(root, fs)
+    nxt = (versions[-1] + 1) if versions else 1
+    fs.rename_dir(staging, f"{root}/v{nxt}")
+    fs.set_pointer(f"{root}/{STORE_POINTER}", f"v{nxt}")
+    for v in _store_versions(root, fs):
+        if v != nxt and (v < nxt - retain or v > nxt):
+            fs.rmtree(f"{root}/v{v}")
+    return nxt
+
+
+def compact_store_live(
+    spark, root: str, fs: SnapshotFS | None = None, retain: int = 1
+) -> dict:
+    """Live-reader-safe :func:`compact_store_batches`: compact the
+    LIVE snapshot of a versioned store into a staging dir (the live
+    directory is only ever READ) and publish the result as the next
+    version. Concurrent probes resolving through
+    :func:`store_live_path` see a whole snapshot before, during, and
+    after — the pointer swap is the only visibility event.
+
+    Returns ``{"kind", "compacted", "batches", "version"}`` (version =
+    the live version after the call; unchanged when the store was
+    already flat — a no-op publishes nothing)."""
+    fs = fs or LocalFS()
+    live = store_live_path(root, fs)
+    if fs.is_dir(f"{live}/postings"):
+        kind = "postings"
+        rel = f"{live}/postings"
+    elif fs.is_dir(live):
+        kind = "ivf"
+        rel = live
+    else:
+        raise ValueError(f"compact_store_live: no store at {live}")
+    batched = _is_batched(fs, rel)
+    cur = int(live.rsplit("/v", 1)[1])
+    if not batched:
+        return {"kind": kind, "compacted": False, "batches": [], "version": cur}
+    batches = sorted(n for n in fs.list_dir(rel) if n.startswith("batch="))
+    staging = f"{root}/__compact_staging__"
+    if fs.is_dir(staging):
+        fs.rmtree(staging)
+    if kind == "postings":
+        _compact_postings(spark, live, staging)
+    else:
+        _compact_ivf(spark, live, staging)
+    v = publish_store_version(root, staging, fs, retain)
+    return {"kind": kind, "compacted": True, "batches": batches, "version": v}

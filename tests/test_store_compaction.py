@@ -410,3 +410,187 @@ def test_vector_store_delete_rewrites_only_affected_cells(spark, tmp_path):
     got = sorted(map(tuple, ivfpq_topk(spark, store, q, codebook, cbs, k=5).collect()))
     want = sorted(map(tuple, ivfpq_topk(spark, clean, q, codebook, cbs, k=5).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Live-reader-safe compaction (VERDICT r7 #6): versioned store root +
+# atomic pointer — the mart reader-hammer pattern applied to stores.
+# ---------------------------------------------------------------------------
+
+
+def _hammer_during(fn, probe, valid_states):
+    """Run ``fn`` while a thread repeatedly calls ``probe`` and checks
+    each result is EXACTLY one of ``valid_states`` (content-preserving
+    maintenance: any mixed/partial layout would produce a result
+    outside the set or raise). Returns the number of completed reads."""
+    import threading
+
+    stop = threading.Event()
+    failures: list = []
+    reads = [0]
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                got = probe()
+                assert got in valid_states, f"mixed-layout read: {got[:3]}..."
+                reads[0] += 1
+            except Exception as e:  # noqa: BLE001 — surface in main thread
+                failures.append(e)
+                return
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        fn()
+    finally:
+        stop.set()
+        t.join()
+    assert not failures, f"reader failed during maintenance: {failures[0]}"
+    assert reads[0] > 0, "hammer thread never completed a read"
+    return reads[0]
+
+
+@pytest.mark.parametrize("fs_cls", ["LocalFS", "ObjectStoreSimFS"])
+def test_postings_store_live_compaction_reader_hammer(spark, tmp_path, fs_cls):
+    """Probes through the versioned pointer must see a WHOLE postings
+    store before, during, and after compaction — every hammered read
+    equals the (content-preserving) expected result exactly. Runs over
+    LocalFS and the non-atomic-rename ObjectStoreSimFS (the S3-style
+    asymmetry: only the pointer put is atomic)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        bm25_from_store,
+        postings_store_append_batch,
+    )
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        compact_store_live,
+        publish_store_version,
+        store_live_path,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources import fs as fsmod
+
+    fs = getattr(fsmod, fs_cls)()
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    root = str(tmp_path / "vstore")
+
+    # v1: a 3-batch batched store, built in staging then published
+    staging = str(tmp_path / "seed")
+    for b in range(3):
+        postings_store_append_batch(
+            docs.where(F.col("doc_id") % 3 == b), staging, batch_id=b
+        )
+    assert publish_store_version(root, staging, fs) == 1
+
+    terms = ["spark", "hash", "window"]
+
+    def probe():
+        return [
+            tuple(r)
+            for r in bm25_from_store(
+                spark, store_live_path(root, fs), terms, top_n=10
+            ).collect()
+        ]
+
+    expected = probe()
+    assert len(expected) == 10
+
+    res = {}
+    reads = _hammer_during(
+        lambda: res.update(compact_store_live(spark, root, fs)),
+        probe,
+        [expected],
+    )
+    assert res["compacted"] and res["version"] == 2
+    assert res["batches"] == ["batch=0", "batch=1", "batch=2"]
+    assert reads > 0
+    # post-compaction: flat layout, same content, pointer at v2
+    live = store_live_path(root, fs)
+    assert live.endswith("/v2")
+    assert _batch_dirs(live) == []
+    assert probe() == expected
+    # no-op on the flat store publishes nothing
+    again = compact_store_live(spark, root, fs)
+    assert again == {
+        "kind": "postings", "compacted": False, "batches": [], "version": 2,
+    }
+
+
+@pytest.mark.parametrize("fs_cls", ["LocalFS", "ObjectStoreSimFS"])
+def test_ivf_store_live_compaction_reader_hammer(spark, tmp_path, fs_cls):
+    """Same invariant for the IVF vector store: cell-pruned probes
+    through the pointer never see a half-compacted layout."""
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        ivf_partitioned_topk,
+        ivf_store_append_batch,
+    )
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        compact_store_live,
+        publish_store_version,
+        store_live_path,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources import fs as fsmod
+
+    fs = getattr(fsmod, fs_cls)()
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings.select(
+        "vec_id", "embedding"
+    )
+    codebook_df = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    cells = [(r.cell, list(r.centroid)) for r in codebook_df.collect()]
+    root = str(tmp_path / "ivf_vstore")
+    staging = str(tmp_path / "ivf_seed")
+    for b in range(3):
+        ivf_store_append_batch(
+            emb.where(F.col("vec_id") % 3 == b), cells, staging, batch_id=b
+        )
+    publish_store_version(root, staging, fs)
+
+    queries = emb.where(F.col("vec_id") < 6)
+
+    def probe():
+        return sorted(
+            map(
+                tuple,
+                ivf_partitioned_topk(
+                    spark, store_live_path(root, fs), queries, codebook_df,
+                    n_probe=4, k=8,
+                ).collect(),
+            )
+        )
+
+    expected = probe()
+    res = {}
+    _hammer_during(
+        lambda: res.update(compact_store_live(spark, root, fs)),
+        probe,
+        [expected],
+    )
+    assert res["kind"] == "ivf" and res["compacted"] and res["version"] == 2
+    live = store_live_path(root, fs)
+    assert _batch_dirs(live) == []
+    assert probe() == expected
+
+
+def test_publish_store_version_retains_and_gcs(spark, tmp_path):
+    """retain=1: live + one previous version stay (in-flight readers),
+    older versions are reaped; the pointer always names the newest."""
+    import os
+
+    from bigdatapipelinepysparksqlserver_spark.operators.retrieval import (
+        build_postings_store,
+    )
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        publish_store_version,
+        store_live_path,
+    )
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").documents
+    root = str(tmp_path / "gc_store")
+    for i in range(3):
+        staging = str(tmp_path / f"stage{i}")
+        build_postings_store(docs, staging)
+        assert publish_store_version(root, staging) == i + 1
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert dirs == ["v2", "v3"]
+    assert store_live_path(root).endswith("/v3")
