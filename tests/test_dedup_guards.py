@@ -324,3 +324,48 @@ def test_fixed_parameter_twins_raise_past_budget(spark, monkeypatch):
         assert dq.dedup_simhash_pairs(spark, sf).count() >= 0
     finally:
         release_caches()
+
+
+def test_dedup_keep_best_retention_policy(spark, tmp_path):
+    """Quality-aware retention on a hand-built corpus: a near-dup
+    cluster must keep its HIGHEST-quality member (not the lowest id),
+    exact-dup groups fold into their rep's cluster, singletons survive
+    untouched, and every cluster emits exactly one row with the right
+    member count."""
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.queries.dedup_queries import (
+        dedup_keep_best,
+    )
+
+    # near-dup pair: same long text, one word changed, the HIGHER id
+    # (11) gets the cleaner text (more stopwords => higher quality)
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs to the "
+        "river in the morning light with a calm and steady pace"
+    )
+    near = base.replace("calm", "odd11")
+    rows = [
+        (10, near),
+        (11, base),
+        (20, "an isolated document about nothing in particular at all"),
+        (30, "xxyy zz11 qq22"),        # exact-dup group {30, 31}
+        (31, "xxyy zz11 qq22"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.length("text").alias("n_chars"),
+        F.lit("src").alias("source"),
+    )
+    out = str(tmp_path / "kb_docs")
+    docs.repartition(4).write.parquet(f"{out}/documents.parquet")
+
+    got = {
+        r.doc_id: r for r in dedup_keep_best(spark, out).collect()
+    }
+    # quality("the quick...base") > quality(near variant): base has one
+    # more stopword-regex hit in the same token count
+    assert set(got) == {11, 20, 30}
+    assert got[11].n_members == 2 and got[11].cluster == 10
+    assert got[20].n_members == 1 and got[20].cluster == 20
+    assert got[30].n_members == 2 and got[30].cluster == 30
