@@ -335,6 +335,15 @@ def test_user_tier_history_two_exchanges(spark):
     assert plan.count("+- Sort ") == 1
 
 
+def test_html_extract_is_shuffle_free_scan(spark):
+    """The HTML extraction stage must stay a one-pass scan-side
+    projection: zero exchanges, zero joins — the contract that lets it
+    run at scan speed next to quality scoring at 100 TB."""
+    plan = plan_of(REGISTRY["html_extract_clean"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_asof_attribution_is_union_window_not_join(spark):
     """The as-of join must plan as union+window: no join operator, one
     key shuffle — the shape that avoids per-row history explosion."""

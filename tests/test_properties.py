@@ -739,3 +739,68 @@ def test_peak_concurrency_equals_bruteforce(spark, ivs, bucket_h):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction: the Spark expression tree vs an independent pure-
+# python reference over random pages (r8)
+# ---------------------------------------------------------------------------
+
+def _py_html_extract(html: str, min_tokens: int = 5):
+    """Independent python replica of operators/text.py html_extract."""
+    import re
+
+    kept, n_links_total = [], 0
+    lines = html.split("\n")
+    for l in lines:
+        links = (len(l) - len(l.replace("<a ", ""))) // 3
+        n_links_total += links
+        stripped = re.sub(" +", " ", re.sub("<[^>]+>", " ", l)).strip()
+        tokens = 0 if stripped == "" else len(stripped.split(" "))
+        if tokens >= min_tokens and links * 3 <= tokens:
+            kept.append(stripped)
+    text = "\n".join(kept)
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        text = text.replace(ent, ch)
+    return text, len(lines), len(kept), n_links_total
+
+
+_WORD = st.text(
+    alphabet="abcdef <>&;#39ltgqupotnbsam/\"'",
+    min_size=0, max_size=12,
+)
+_LINE = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+_PAGE = st.lists(
+    st.one_of(
+        _LINE,
+        _LINE.map(lambda s: f'<nav><a href="/">{s}</a> <a href="/x">x</a></nav>'),
+        _LINE.map(lambda s: f"<p>{s}</p>"),
+        st.just("<p>Tags &amp; more &lt;x&gt; &quot;q&quot; here today now</p>"),
+    ),
+    min_size=1, max_size=8,
+).map("\n".join)
+
+
+@settings(max_examples=20, deadline=None)
+@given(page=_PAGE)
+def test_html_extract_matches_python_reference(spark, page):
+    """For random tag/entity/anchor soup (including degenerate lines:
+    empty, unclosed tags, bare entities), the Spark expression tree and
+    the python reference agree on the extracted text AND all three
+    counters — the full filter/strip/decode contract, not just the
+    happy path."""
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        html_extract,
+    )
+
+    df = spark.createDataFrame([(1, page)], "id long, html string")
+    r = df.select(html_extract(F.col("html")).alias("e")).select("e.*").collect()[0]
+    text, n_lines, n_kept, n_links = _py_html_extract(page)
+    assert (r.text, r.n_lines, r.n_kept, r.n_links) == (
+        text, n_lines, n_kept, n_links,
+    )
