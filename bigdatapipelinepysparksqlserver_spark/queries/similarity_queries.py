@@ -1375,3 +1375,46 @@ def embedding_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings
     return embedding_dq_report(emb, vec_col="embedding", dim=EMB_DIM)
+
+
+# --------------------------------------------------------------------------
+# embedding second-moment (Gram) matrix — the whitening/PCA
+# preprocessing statistic, exact at any parallelism
+# --------------------------------------------------------------------------
+
+GRAM_ORACLE = f"""
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+t AS (
+  SELECT CAST(a.i AS INT) - 1 AS i, CAST(b.j AS INT) - 1 AS j,
+         CAST(ROUND(v.emb[CAST(a.i AS INT)] * v.emb[CAST(b.j AS INT)]
+                    * 1000000000.0, 0) AS BIGINT) AS t
+  FROM v, range(1, {EMB_DIM + 1}) a(i), range(1, {EMB_DIM + 1}) b(j)
+)
+SELECT i, j, ROUND(CAST(SUM(t) AS DOUBLE) / 1000000000.0, 6) AS g
+FROM t GROUP BY i, j
+"""
+
+
+@query("embedding_gram_matrix", oracle=GRAM_ORACLE)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64×64 second-moment matrix of the embedding corpus
+    (``operators/similarity.py gram_matrix``) — the statistic PCA/
+    whitening preprocessing needs before semantic dedup or ANN
+    indexing. Module-pattern exact: per-row products integer-scaled
+    before a DECIMAL(38,0) order-free sum, so the matrix hash-matches
+    at any parallelism (and DuckDB's HUGEINT sum).
+
+    Scale: the shuffle carries d² partial rows PER MAP PARTITION
+    regardless of corpus size (map-side combine); the scan-side d²-fold
+    measured 5.14× at 100× embeddings. A bit-identical Arrow/numpy
+    twin was measured and LOST (70.7 vs 45.3 s at 100× — per-term
+    rounding forces full-size numpy temporaries; the operator docstring
+    has the analysis), so the codegen form is both the oracle-replay
+    AND the production path. Driver-side `pca_components` (eigh on the
+    collected d² rows — control-plane) + the scan-side `pca_project`
+    folds complete the family in pytest.
+    """
+    from ..operators.similarity import gram_matrix
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return gram_matrix(emb, vec_col="embedding", dim=EMB_DIM)

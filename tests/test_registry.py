@@ -19,7 +19,10 @@ from bigdatapipelinepysparksqlserver_spark.queries import (
 # hash-only dedup shuffle); session_peak_concurrency joins as the
 # interval-stabbing family's flagship.
 FLAGSHIPS = {
-    "mart_client_count", "tpch_q1", "cdc_roundtrip_demo", "dq_violations",
+    # (r8 rotation: dq_violations ceded its window seat — reconciliation
+    # stays flagship-graded via cdc_roundtrip_demo; user_streaks enters
+    # as the gaps-and-islands family's flagship.)
+    "mart_client_count", "tpch_q1", "cdc_roundtrip_demo", "user_streaks",
     "dedup_exact", "dedup_minhash", "semantic_dedup",
     "sessionize_session_window", "hybrid_search_rrf",
     "asof_attribution", "text_quality_score",

@@ -580,3 +580,58 @@ def test_ivfpq_blas_build_equals_literal_store(spark, emb, tmp_path):
         for r in spark.read.parquet(blas_path).collect()
     )
     assert lit == blas
+
+
+def test_gram_matrix_exact_reference_and_pca(spark):
+    """Gram family contracts: (a) the Gram matrix equals a numpy
+    reference computed with the same scaled-integer arithmetic
+    (per-term HALF-AWAY rounding, exact int64 sums);
+    (b) pca_components returns an orthonormal basis ordered by
+    eigenvalue and pca_project reproduces numpy's projection."""
+    import numpy as np
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        gram_matrix,
+        pca_components,
+        pca_project,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").embeddings
+    lit_rows = sorted(
+        map(tuple, gram_matrix(emb, dim=64).collect())
+    )
+    assert len(lit_rows) == 64 * 64
+
+    v = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
+    p = np.einsum("ri,rj->rij", v, v) * 1e9
+    t = np.copysign(np.floor(np.abs(p) + 0.5), p).astype(np.int64)
+    # final 6-dp rounding must be HALF-AWAY like Spark/DuckDB ROUND —
+    # np.round is banker's and flips exact …500 ties
+    s6 = t.sum(axis=0) / 1e9 * 1e6
+    want = (np.copysign(np.floor(np.abs(s6) + 0.5), s6) / 1e6).reshape(64, 64)
+    got = np.zeros((64, 64))
+    for i, j, g in lit_rows:
+        got[i][j] = g
+    assert np.array_equal(got, want)
+
+    comps = pca_components(
+        [{"i": i, "j": j, "g": g} for i, j, g in lit_rows], dim=64, k=8
+    )
+    c = np.array(comps)
+    assert np.allclose(c @ c.T, np.eye(8), atol=1e-9)  # orthonormal
+    # projection matches numpy (6-dp rounded)
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    proj = {
+        r.vec_id: [r[f"pc{k}"] for k in range(8)]
+        for r in pca_project(emb, comps).collect()
+    }
+    ref = np.round(v @ c.T, 6)
+    for row, vid in enumerate(ids):
+        assert np.allclose(proj[vid], ref[row], atol=1e-6)
+    # variance concentrates: top-1 component captures the most energy
+    energy = (v @ c.T).var(axis=0)
+    assert energy[0] >= energy[1:].max() - 1e-9
