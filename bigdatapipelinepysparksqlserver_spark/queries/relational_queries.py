@@ -2181,3 +2181,79 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# distribution drift, CDF form: exact two-sample Kolmogorov–Smirnov
+# --------------------------------------------------------------------------
+
+KS_ORACLE = """
+WITH bounds AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+),
+tagged AS (
+  SELECT CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v,
+         CASE WHEN epoch_us(ts) < bounds.mid THEN 1 ELSE 0 END AS is_ref
+  FROM events, bounds
+),
+vals AS (
+  SELECT v, CAST(SUM(is_ref) AS BIGINT) AS ca,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS cb
+  FROM tagged GROUP BY v
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM vals),
+cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+  FROM vals
+),
+d AS (
+  SELECT MAX(ABS(CAST(cuma AS DECIMAL(38,0)) * (SELECT nb FROM tot)
+             - CAST(cumb AS DECIMAL(38,0)) * (SELECT na FROM tot))) AS dm
+  FROM cum
+)
+SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_ref,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS n_cur,
+       ROUND(CAST(dm AS DOUBLE)
+             / (CAST((SELECT na FROM tot) AS DOUBLE)
+                * CAST((SELECT nb FROM tot) AS DOUBLE)), 6) AS ks
+FROM d
+"""
+
+
+@query("value_drift_ks", oracle=KS_ORACLE)
+def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic on the event-value
+    distribution, first time half (reference) vs second (current) — the
+    binning-free companion to `value_drift_psi`: D compares the FULL
+    empirical CDFs, so no bin-width policy can hide a shift.
+    ``operators/stats.py ks_two_sample``.
+
+    Exactness: D maximizes |cum_ref·n_cur − cum_cur·n_ref| over pure
+    integers (DECIMAL(38,0) products) with ONE double division at the
+    end — hash-stable at any parallelism.
+
+    Scale: the oracle's single global cumulative window would serialize
+    a 1000-executor cluster; the operator decomposes it into the
+    segmented prefix sum (`peak_concurrency`'s shape): within-bucket
+    windows over one value-range bucket's DISTINCT values, plus a
+    bucket-count-sized carry cumulation (25-unit buckets — the PSI bin
+    convention; constant-partitioned, control-plane sized by
+    construction). Data-sized work is one groupBy to the distinct-value
+    domain.
+    """
+    from ..operators.stats import ks_two_sample
+
+    ev = Catalog(spark, sf_dir).events
+    bounds = ev.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias(
+            "mid"
+        )
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)").alias("v"),
+        F.when(F.unix_micros("ts") < F.col("mid"), 1).otherwise(0).alias(
+            "is_ref"
+        ),
+    )
+    return ks_two_sample(tagged, value_col="v", ref_col="is_ref")

@@ -452,3 +452,44 @@ def test_weighted_median_bruteforce(spark, tmp_path):
     for f in "ABC":
         total = sum(q for ff, _, q in rows if ff == f)
         assert got[f] == (total, brute(f)), f
+
+
+def test_ks_two_sample_known_values(spark):
+    """KS statistic against a pure-python empirical-CDF reference:
+    identical samples → 0; disjoint supports → 1; a hand-built partial
+    shift matches max|F_a−F_b| computed directly; and the bucketed
+    segmented-prefix-sum decomposition is invariant to bucket width."""
+    from bigdatapipelinepysparksqlserver_spark.operators.stats import (
+        ks_two_sample,
+    )
+
+    def ref_ks(a, b):
+        xs = sorted(set(a) | set(b))
+        best = 0.0
+        for x in xs:
+            fa = sum(1 for v in a if v <= x) / len(a)
+            fb = sum(1 for v in b if v <= x) / len(b)
+            best = max(best, abs(fa - fb))
+        return round(best, 6)
+
+    def run(a, b, width=25_000_000):
+        rows = [(v, 1) for v in a] + [(v, 0) for v in b]
+        df = spark.createDataFrame(rows, "v long, is_ref int")
+        r = ks_two_sample(df, bucket_width=width).collect()[0]
+        assert (r.n_ref, r.n_cur) == (len(a), len(b))
+        return r.ks
+
+    same = [1, 5, 9, 9, 100_000_000, 200_000_000]
+    assert run(same, same) == 0.0
+    lo = [1, 2, 3, 4]
+    hi = [50_000_000, 60_000_000, 70_000_000]
+    assert run(lo, hi) == 1.0  # disjoint supports
+
+    a = [1, 2, 3, 30_000_000, 30_000_001, 90_000_000]
+    b = [2, 3, 3, 40_000_000, 90_000_000, 90_000_001, 90_000_002]
+    want = ref_ks(a, b)
+    assert run(a, b) == want
+    # bucket decomposition is an implementation detail: any width gives
+    # the same statistic (values span several buckets at width=10)
+    assert run(a, b, width=10) == want
+    assert run(a, b, width=10**12) == want
