@@ -842,3 +842,68 @@ def foreach_batch_drift_monitor(
         )
 
     return sink
+
+
+def foreach_batch_lm_quality_gate(
+    lm_store_path: str,
+    out_path: str,
+    min_avg_log2p: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: stored-LM perplexity gate on an ingest stream
+    — the online consumer the trigram store exists for (CCNet-style:
+    train once on the reference corpus, gate every incoming batch).
+    Each micro-batch is scored with
+    :func:`~..operators.text.trigram_lm_score_from_store` (stupid
+    backoff, per-doc branch counts) and split:
+
+    - ``{out}/accepted/batch=N`` — docs with ``avg_log2p ≥ threshold``
+      (and ≥ 1 trigram), with their scores and branch counts attached;
+    - ``{out}/rejected/batch=N`` — the rest (too-perplexing docs AND
+      sub-3-token docs, which the scorer cannot rate — a quality gate
+      that silently passed unscorable docs would be a hole), with a
+      ``reject_reason`` column ('low_score' / 'too_short').
+
+    Exactly-once: the verdict for a doc is a pure function of the
+    FROZEN store and the doc text, so a crash-replay of batch N
+    rewrites both dirs (overwrite, not append) to identical content —
+    the drift-monitor convention.
+
+    Scale: the stored-LM probe broadcasts the batch against the
+    hash-sorted count relations (no corpus rescan, no state); the gate
+    itself is a scan-side filter on the scored relation.
+    """
+    import os
+
+    from ..operators.text import trigram_lm_score_from_store
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select(id_col, text_col)
+        if docs.isEmpty():
+            return
+        scored = trigram_lm_score_from_store(
+            spark, lm_store_path, docs, text_col=text_col, id_col=id_col
+        )
+        labeled = docs.join(scored, id_col, "left")
+        accepted = labeled.where(
+            F.col("avg_log2p") >= F.lit(float(min_avg_log2p))
+        )
+        rejected = labeled.where(
+            F.col("avg_log2p").isNull()
+            | (F.col("avg_log2p") < F.lit(float(min_avg_log2p)))
+        ).withColumn(
+            "reject_reason",
+            F.when(F.col("avg_log2p").isNull(), F.lit("too_short")).otherwise(
+                F.lit("low_score")
+            ),
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_path, "accepted", f"batch={batch_id}")
+        )
+        rejected.write.mode("overwrite").parquet(
+            os.path.join(out_path, "rejected", f"batch={batch_id}")
+        )
+
+    return _sink

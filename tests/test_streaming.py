@@ -1178,3 +1178,86 @@ def test_foreach_batch_drift_monitor(spark, tmp_path):
     sink(spark.createDataFrame(batch0_rows, schema), 0)
     after = spark.read.parquet(ledger + "/batch=0").collect()
     assert before == after
+
+
+def test_foreach_batch_lm_quality_gate(spark, tmp_path):
+    """Online perplexity gate: accepted/rejected splits match the batch
+    scorer's verdicts per micro-batch, unscorable (<3-token) docs land
+    in rejected with reason 'too_short', and replaying a batch rewrites
+    IDENTICAL content (exactly-once — the verdict is a pure function of
+    the frozen store and the doc)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        build_trigram_lm_store,
+        trigram_lm_score_from_store,
+    )
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_lm_quality_gate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox naps under the old oak tree quietly"),
+        ],
+        "doc_id long, text string",
+    )
+    lm = str(tmp_path / "lm_store")
+    build_trigram_lm_store(corpus, lm)
+
+    b1 = [
+        (10, "the quick brown fox jumps over the lazy dog"),  # in-domain
+        (11, "zzq zzr"),                                      # too short
+    ]
+    b2 = [
+        (12, "qqa qqb qqc qqd qqe qqf qqg qqh"),              # all-OOV
+        (13, "the quick brown fox naps under the old oak"),   # in-domain
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "lm_src"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    # threshold: loose enough for in-domain docs (trigram hits score
+    # ~0..-1), above the OOV floor (~-7.7 on this tiny corpus)
+    thr = -4.0
+    out = str(tmp_path / "gated")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_lm_quality_gate(lm, out, min_avg_log2p=thr)
+        )
+        .option("checkpointLocation", str(tmp_path / "lm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    acc = spark.read.parquet(f"{out}/accepted")
+    rej = spark.read.parquet(f"{out}/rejected")
+    assert {r.doc_id for r in acc.collect()} == {10, 13}
+    got_rej = {r.doc_id: r.reject_reason for r in rej.collect()}
+    assert got_rej == {11: "too_short", 12: "low_score"}
+    # scores attached to accepted rows equal the batch scorer's
+    batch_scores = {
+        r.doc_id: r.avg_log2p
+        for r in trigram_lm_score_from_store(
+            spark, lm, spark.createDataFrame(b1 + b2, schema)
+        ).collect()
+    }
+    for r in acc.collect():
+        assert r.avg_log2p == batch_scores[r.doc_id] >= thr
+
+    # replay batch 0: identical content (exactly-once)
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{out}/accepted/batch=0").collect())
+    )
+    sink = foreach_batch_lm_quality_gate(lm, out, min_avg_log2p=thr)
+    sink(spark.createDataFrame(b1, schema), 0)
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{out}/accepted/batch=0").collect())
+    )
+    assert before == after
