@@ -2257,3 +2257,92 @@ def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ks_two_sample(tagged, value_col="v", ref_col="is_ref")
+
+
+# --------------------------------------------------------------------------
+# distribution drift, rank form: Mann–Whitney U with tie correction
+# --------------------------------------------------------------------------
+
+MWU_ORACLE = """
+WITH bounds AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+),
+tagged AS (
+  SELECT CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v,
+         CASE WHEN epoch_us(ts) < bounds.mid THEN 1 ELSE 0 END AS is_ref
+  FROM events, bounds
+),
+vals AS (
+  SELECT v, CAST(SUM(is_ref) AS BIGINT) AS ca,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS cb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM tagged GROUP BY v
+),
+tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb,
+         SUM(CAST(c AS HUGEINT) * c * c - c) AS ties
+  FROM vals
+),
+cum AS (
+  SELECT v, ca, c,
+         SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS below
+  FROM vals
+),
+r AS (
+  SELECT SUM(CAST(ca AS HUGEINT) * (2 * below + c + 1)) AS r2 FROM cum
+),
+s AS (
+  SELECT (SELECT na FROM tot) AS na, (SELECT nb FROM tot) AS nb,
+         (SELECT ties FROM tot) AS ties, (SELECT r2 FROM r) AS r2
+),
+f AS (
+  SELECT na, nb,
+    CAST(2 * CAST(na AS HUGEINT) * nb + CAST(na AS HUGEINT) * (na + 1)
+         - r2 AS DOUBLE) / 2.0 AS u_ref,
+    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+    CAST(ties AS DOUBLE) AS tiesd
+  FROM s
+)
+SELECT CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur, u_ref,
+  CASE WHEN nad * nbd / 12.0 * ((nad + nbd + 1.0)
+            - tiesd / ((nad + nbd) * (nad + nbd - 1.0))) > 0.0
+  THEN ROUND((u_ref - nad * nbd / 2.0)
+       / sqrt(nad * nbd / 12.0 * ((nad + nbd + 1.0)
+              - tiesd / ((nad + nbd) * (nad + nbd - 1.0)))), 6)
+  END AS z
+FROM f
+"""
+
+
+@query("value_drift_mwu", oracle=MWU_ORACLE)
+def value_drift_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum, midrank ties, tie-corrected normal z)
+    on the event-value distribution across time halves — the
+    LOCATION-shift drift test completing the nonparametric pair with
+    `value_drift_ks`'s shape test (``operators/stats.py
+    mann_whitney_u``).
+
+    Exactness: doubled midranks are integers, so 2·R_ref and 2·U are
+    exact DECIMAL(38,0)/HUGEINT sums; U (exact halves) and z (one
+    fixed-order double expression) derive at the end.
+
+    Scale: the ks_two_sample shape — one groupBy to the distinct-value
+    domain, within-bucket cumulative windows, bucket-count-sized
+    constant-partitioned carry; nothing data-sized past the first
+    aggregate.
+    """
+    from ..operators.stats import mann_whitney_u
+
+    ev = Catalog(spark, sf_dir).events
+    bounds = ev.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias(
+            "mid"
+        )
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)").alias("v"),
+        F.when(F.unix_micros("ts") < F.col("mid"), 1).otherwise(0).alias(
+            "is_ref"
+        ),
+    )
+    return mann_whitney_u(tagged, value_col="v", ref_col="is_ref")

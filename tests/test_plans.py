@@ -118,6 +118,7 @@ def test_no_cartesian_products_anywhere(all_plans):
         "ab_conversion_chi2",  # 1-row chi2-statistic broadcast (same shape)
         "value_drift_psi",  # 1-row midpoint/totals broadcasts (same shape)
         "value_drift_ks",  # 1-row midpoint/totals broadcasts (same shape)
+        "value_drift_mwu",  # 1-row midpoint/totals broadcasts (same shape)
         "copurchase_triangles",  # 1-row triangle-total broadcast (same shape)
         "copurchase_triangles_sampled",  # 1-row edge/triangle-count broadcasts
     }
