@@ -50,3 +50,22 @@ def test_no_duplicate_or_lost_queries():
     assert len(names) == len(set(names))
     # demotion must not drop anything: every registered query still present
     assert len(names) >= 88
+
+
+def test_plan_report_cannot_lag_registry():
+    """tools/plan_report.py enumerates the REGISTRY itself (VERDICT r7
+    #2): its explicit skip-list may only name registered queries, so
+    every registered query is either audited or visibly skipped with a
+    reason — the report cannot silently lag additions."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_report",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plan_report.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert set(mod.SKIP) <= set(REGISTRY)
+    for reason in mod.SKIP.values():
+        assert reason.strip()
