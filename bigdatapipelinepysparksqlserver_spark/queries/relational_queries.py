@@ -27,7 +27,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.expressions import dec, decode_map, half_open_window, year_month, year_month_day
 from ..operators.relational import (
@@ -2346,3 +2346,131 @@ def value_drift_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return mann_whitney_u(tagged, value_col="v", ref_col="is_ref")
+
+
+# --------------------------------------------------------------------------
+# per-type value trend: closed-form OLS from exact integer moments
+# --------------------------------------------------------------------------
+
+OLS_ORACLE = """
+WITH t AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+         CAST(ROUND(value * 1000000, 0) AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM t GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0 THEN
+    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 6)
+  END AS slope,
+  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0 THEN
+    ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 6)
+  END AS intercept
+FROM m
+"""
+
+
+@query("hourly_value_trend_ols", oracle=OLS_ORACLE)
+def hourly_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value against hour-of-day —
+    closed-form OLS via the normal equations (``operators/stats.py
+    grouped_ols``), the regression companion to
+    ``event_value_hour_corr``'s Pearson r.
+
+    Exactness: the five moments are DECIMAL(38,0)/HUGEINT sums over
+    integer-scaled values (order-free); slope and intercept each
+    derive in one fixed-operand-order double expression, ROUND 6 —
+    bit-identical across engines and parallelism.
+
+    Scale: one scan projection + one groupBy with map-side partials
+    (five 16-byte accumulators per event_type) — the COUNT/SUM rollup
+    shape; no window, no join. At 100 TB this is a single pass with a
+    |event_type|-sized shuffle.
+    """
+    from ..operators.stats import grouped_ols, scaled_bigint
+
+    ev = Catalog(spark, sf_dir).events
+    t = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        scaled_bigint(F.col("value")).alias("y"),
+    )
+    return grouped_ols(t, ["event_type"], F.col("x"), F.col("y"))
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (skyline): cheapest-for-size parts per brand
+# --------------------------------------------------------------------------
+
+PARETO_ORACLE = """
+SELECT r.p_brand, r.p_partkey, r.p_retailprice, r.p_size
+FROM part r
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = r.p_brand
+    AND q.p_retailprice <= r.p_retailprice
+    AND q.p_size >= r.p_size
+    AND (q.p_retailprice < r.p_retailprice OR q.p_size > r.p_size)
+)
+"""
+
+
+@query("part_pareto_frontier", oracle=PARETO_ORACLE)
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline) on (price ↓ better,
+    size ↑ better): parts no brand-mate strictly dominates. The
+    classic two-criteria skyline, computed WITHOUT the quadratic
+    self-join the naive formulation implies.
+
+    Algorithm: value-domain compression (the ``weighted_median_price``
+    pattern) — one groupBy to (brand, price) keeps max size per
+    distinct price; a per-brand window over that PRICE DOMAIN (bounded
+    by the price grid, not row count) takes the running max size over
+    strictly cheaper prices; joining back, a part survives iff no
+    cheaper price reached its size (m1 < size) and it carries its own
+    price's max size (ties at the same (price, size) all survive —
+    dominance requires one strict inequality). The oracle is the
+    O(n²) NOT EXISTS formulation — a genuinely different algorithm,
+    so agreement validates the window derivation itself.
+
+    Scale: the window runs on ≤ |brand|×|price grid| rows; the
+    data-sized work is one groupBy and one equi-join on
+    (brand, price) — both key-aligned shuffles. Doubles compare
+    exactly (both engines read identical parquet bits); no arithmetic
+    is performed on them.
+    """
+    p = Catalog(spark, sf_dir).part.select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    g = p.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("__gmax")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gg = g.select(
+        "p_brand",
+        "p_retailprice",
+        "__gmax",
+        F.max("__gmax").over(w).alias("__m1"),
+    )
+    return (
+        p.join(gg, ["p_brand", "p_retailprice"])
+        .where(
+            (F.col("__m1").isNull() | (F.col("__m1") < F.col("p_size")))
+            & (F.col("__gmax") <= F.col("p_size"))
+        )
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+    )

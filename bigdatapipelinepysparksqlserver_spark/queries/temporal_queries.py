@@ -888,3 +888,75 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# trailing-window distinct: 7-day rolling active users per calendar day
+# --------------------------------------------------------------------------
+
+ROLLING_ACTIVE_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS di,
+         user_id
+  FROM events
+),
+b AS (SELECT MIN(di) AS mn, MAX(di) AS mx FROM du),
+spine AS (
+  SELECT g.di AS win_di FROM b, UNNEST(generate_series(mn, mx)) AS g(di)
+),
+c AS (
+  SELECT s.win_di, COUNT(DISTINCT du.user_id) AS au
+  FROM spine s JOIN du ON du.di BETWEEN s.win_di - 6 AND s.win_di
+  GROUP BY s.win_di
+)
+SELECT s.win_di, CAST(COALESCE(c.au, 0) AS BIGINT) AS active_users_7d
+FROM spine s LEFT JOIN c ON c.win_di = s.win_di
+"""
+
+
+@query("rolling_active_users", oracle=ROLLING_ACTIVE_ORACLE)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT active users for every calendar day in
+    the data range — the rolling-distinct metric a sliding window
+    cannot express (COUNT(DISTINCT) has no merge-out over frames), so
+    the naive form is a per-day range self-join over 7× the events.
+
+    Algorithm: contribution explode — dedup to (day, user) first (the
+    only data-sized shuffle), then each active (day, user) emits the 7
+    window-end days it contributes to, and one count-distinct groupBy
+    per window day finishes. Work is exactly 7× the DISTINCT
+    (day, user) pairs — linear, horizon-independent — and both
+    shuffles key on high-cardinality (day, user) pairs, no skew. The
+    day spine (one row per calendar day) left-joins at the end so
+    silent days report 0, not absence. Day arithmetic runs on epoch-day
+    BIGINTs (the ``user_activity_spine`` convention — no DATE-type
+    canon differences between engines).
+
+    Scale: at 100 TB the (day, user) dedup dominates — a shuffle the
+    metric needs under ANY algorithm; the ×7 explode adds map-side
+    rows only. Window length w scales cost ×w: for month-long windows
+    switch to per-day HLL sketch merges (``sketch_distinct_clients``)
+    — this query is the exact form.
+    """
+    ev = Catalog(spark, sf_dir).events
+    di = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    du = ev.select(di.alias("di"), "user_id").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("di"), F.col("di") + F.lit(6))
+        ).alias("win_di"),
+        "user_id",
+    )
+    counts = contrib.groupBy("win_di").agg(
+        F.countDistinct("user_id").alias("au")
+    )
+    spine = du.agg(
+        F.min("di").alias("mn"), F.max("di").alias("mx")
+    ).select(F.explode(F.sequence("mn", "mx")).alias("win_di"))
+    return spine.join(counts, "win_di", "left").select(
+        "win_di", F.coalesce("au", F.lit(0)).alias("active_users_7d")
+    )
