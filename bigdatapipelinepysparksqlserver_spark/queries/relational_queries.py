@@ -2474,3 +2474,74 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_brand", "p_partkey", "p_retailprice", "p_size")
     )
+
+
+# --------------------------------------------------------------------------
+# per-column table profile: nulls + exact distinct in one unpivoted pass
+# --------------------------------------------------------------------------
+
+EVENTS_PROFILE_ORACLE = """
+WITH u AS (
+  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS v FROM events
+  UNION ALL
+  SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'event_type', event_type FROM events
+  UNION ALL
+  SELECT 'value', CAST(CAST(ROUND(value * 1000000, 0) AS BIGINT) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'props', props FROM events
+),
+g AS (SELECT col_name, v, COUNT(*) AS c FROM u GROUP BY col_name, v)
+SELECT col_name,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(v) AS n_distinct
+FROM g GROUP BY col_name
+"""
+
+
+@query("events_profile", oracle=EVENTS_PROFILE_ORACLE)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile of the event stream — row count, null
+    count, and EXACT distinct cardinality for every column, the
+    first-look diagnostic every ingestion pipeline runs before trusting
+    a new feed.
+
+    Cross-engine canon: each column is mapped to an injective string
+    key — integers/strings cast directly, timestamps via epoch-micros
+    (the nanos-repair convention), doubles via the 1e6 integer scale —
+    so DISTINCT counts agree bit-for-bit without depending on either
+    engine's float/timestamp print format.
+
+    Scale: stack() unpivots in the projection (Spark keeps NULL cells,
+    matching the UNION ALL oracle — SQL UNPIVOT would drop them), then
+    the dedup-first two-level aggregate: first shuffle keys on
+    high-cardinality (col_name, value) — NEVER a 6-partition col_name
+    shuffle of raw rows — and the second runs over distinct values
+    only. One scan, no Expand rewrite, no COUNT(DISTINCT) row
+    multiplication.
+    """
+    ev = Catalog(spark, sf_dir).events
+    u = ev.select(
+        F.expr(
+            "stack(6, "
+            "'event_id', CAST(event_id AS STRING), "
+            "'ts', CAST(unix_micros(ts) AS STRING), "
+            "'user_id', CAST(user_id AS STRING), "
+            "'event_type', event_type, "
+            "'value', CAST(CAST(ROUND(value * 1000000, 0) AS BIGINT) AS STRING), "
+            "'props', props) AS (col_name, v)"
+        )
+    )
+    g = u.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("c"))
+    return g.groupBy("col_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count("v").alias("n_distinct"),
+    )

@@ -690,3 +690,104 @@ def events_tier_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value")).cast("double").alias("value_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# sequence-order EWMA: truncated-FIR smoothing with integer-exact weights
+# --------------------------------------------------------------------------
+
+EWMA_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 1000000, 0) AS BIGINT) AS y
+  FROM events
+),
+l AS (
+  SELECT user_id, ts, event_id, y,
+         lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2,
+         lag(y, 3) OVER w AS y3, lag(y, 4) OVER w AS y4,
+         lag(y, 5) OVER w AS y5, lag(y, 6) OVER w AS y6,
+         lag(y, 7) OVER w AS y7
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+e AS (
+  SELECT user_id, ts, event_id,
+         128 * y + COALESCE(64 * y1, 0) + COALESCE(32 * y2, 0)
+           + COALESCE(16 * y3, 0) + COALESCE(8 * y4, 0)
+           + COALESCE(4 * y5, 0) + COALESCE(2 * y6, 0)
+           + COALESCE(y7, 0) AS num,
+         128 + CASE WHEN y1 IS NULL THEN 0 ELSE 64 END
+             + CASE WHEN y2 IS NULL THEN 0 ELSE 32 END
+             + CASE WHEN y3 IS NULL THEN 0 ELSE 16 END
+             + CASE WHEN y4 IS NULL THEN 0 ELSE 8 END
+             + CASE WHEN y5 IS NULL THEN 0 ELSE 4 END
+             + CASE WHEN y6 IS NULL THEN 0 ELSE 2 END
+             + CASE WHEN y7 IS NULL THEN 0 ELSE 1 END AS den,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM l
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0, 6)
+         AS ewma_last
+FROM e WHERE rn = 1
+"""
+
+
+@query("user_value_ewma", oracle=EWMA_ORACLE)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value in
+    SEQUENCE order (α = 1/2), reported at each user's latest event —
+    the classic online smoothing feature, made distributed-exact.
+
+    The textbook EWMA recurrence (s_t = α·y_t + (1−α)·s_{t−1}) is a
+    sequential scan — unusable as-is. An 8-term truncated FIR is the
+    distributed form: weights 2⁷…2⁰ over the last 8 values leave a
+    relative truncation error < 2⁻⁸ while turning the recurrence into
+    a fixed per-row expression. With integer-scaled values and
+    power-of-two integer weights, num/den are exact BIGINTs; the
+    division is ONE fixed-order double expression, ROUND 6 —
+    bit-identical across engines and parallelism.
+
+    Scale: one per-user sort-window computes all 8 lags in a single
+    frame pass (high-cardinality user_id partitions — millions at
+    100 TB, no skew); the "latest row" pick is an order-free
+    max_by(struct) aggregate, not a second sort-window.
+    """
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    y = F.round(F.col("value") * 1_000_000, 0).cast("bigint")
+    lagged = ev.select("user_id", "ts", "event_id", y.alias("y")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "y",
+        *[F.lag("y", k).over(w).alias(f"y{k}") for k in range(1, 8)],
+    )
+    num = F.lit(128) * F.col("y")
+    den = F.lit(128)
+    for k in range(1, 8):
+        wt = 1 << (7 - k)
+        num = num + F.coalesce(F.lit(wt) * F.col(f"y{k}"), F.lit(0))
+        den = den + F.when(F.col(f"y{k}").isNull(), 0).otherwise(wt)
+    scored = lagged.select(
+        "user_id", "ts", "event_id", num.alias("num"), den.alias("den")
+    )
+    agg = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by(
+            F.struct("num", "den"), F.struct("ts", "event_id")
+        ).alias("last"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.round(
+            F.col("last.num").cast("double")
+            / F.col("last.den").cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("ewma_last"),
+    )
