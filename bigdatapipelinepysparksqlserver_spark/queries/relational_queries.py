@@ -2545,3 +2545,165 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_nulls"),
         F.count("v").alias("n_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# robust outliers: median / MAD (the heavy-tail-safe z-score companion)
+# --------------------------------------------------------------------------
+
+MAD_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type, MAX(n) AS n,
+         MIN(CASE WHEN 2 * cum >= n THEN v END) AS med
+  FROM cum GROUP BY event_type
+),
+d AS (
+  SELECT v.event_type, ABS(v.v - med.med) AS d, SUM(v.c) AS c
+  FROM v JOIN med ON v.event_type = med.event_type
+  GROUP BY 1, 2
+),
+dcum AS (
+  SELECT event_type, d, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type, MIN(CASE WHEN 2 * cum >= n THEN d END) AS mad
+  FROM dcum GROUP BY event_type
+),
+outl AS (
+  SELECT d.event_type,
+         SUM(CASE WHEN 10000 * d.d > 44478 * mad.mad THEN d.c ELSE 0 END)
+           AS n_outliers
+  FROM d JOIN mad ON d.event_type = mad.event_type
+  GROUP BY 1
+)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+       ROUND(CAST(m.med AS DOUBLE) / 1000000.0, 6) AS median,
+       ROUND(CAST(a.mad AS DOUBLE) / 1000000.0, 6) AS mad,
+       CAST(o.n_outliers AS BIGINT) AS n_outliers
+FROM med m
+JOIN mad a ON a.event_type = m.event_type
+JOIN outl o ON o.event_type = m.event_type
+"""
+
+
+@query("value_mad_outliers", oracle=MAD_ORACLE)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier audit: median and MAD (median absolute
+    deviation) with the 3σ-equivalent cutoff |v − med| > 3·1.4826·MAD —
+    the heavy-tail-safe companion to ``event_anomalies``' mean/σ z-score
+    (one extreme value shifts a mean arbitrarily; it moves a median by
+    at most one rank).
+
+    Exactness: both medians are the LOWER median over the integer-scaled
+    value domain (deterministic conditional MIN at 2·cum ≥ n — the
+    ``weighted_median_price`` convention, no two-middle averaging), and
+    the cutoff is the exact integer test 10000·d > 44478·MAD
+    (3·1.4826 = 4.4478 exactly). No double ever crosses an aggregate;
+    the two reported doubles are fixed-order final casts.
+
+    Scale — value-domain compression twice over: the events scan
+    collapses to (type, DISTINCT value) counts in one map-side-combined
+    groupBy; every later stage (median window, deviation re-group, MAD
+    window, outlier sum) runs on domain-sized relations. The med/MAD
+    joins broadcast types-sized tables. At 100 TB the post-scan cost is
+    unchanged from 100 MB.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    v = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 1_000_000, 0).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = v.select(
+        "event_type",
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.lit(2) * F.col("cum") >= F.col("n"), F.col("v"))
+        ).alias("med"),
+    )
+    d = (
+        v.join(F.broadcast(med.select("event_type", "med")), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("v") - F.col("med")).alias("d"),
+            "c",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("c"))
+    )
+    wd_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dcum = d.select(
+        "event_type",
+        "d",
+        "c",
+        F.sum("c").over(wd_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    mad = dcum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.lit(2) * F.col("cum") >= F.col("n"), F.col("d"))
+        ).alias("mad")
+    )
+    outl = (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.lit(10000) * F.col("d") > F.lit(44478) * F.col("mad"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        med.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(outl), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("med").cast("double") / 1_000_000.0, 6).alias(
+                "median"
+            ),
+            F.round(F.col("mad").cast("double") / 1_000_000.0, 6).alias(
+                "mad"
+            ),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        )
+    )
