@@ -80,7 +80,12 @@ _GRADED_PREFIX = (
     "events_tier_pit", "multitouch_attribution",
     "sessionize_session_window",
     "copurchase_khop_reach",
-    "sql_facade_agg",
+    # (r8 continuation rotation: sql_facade_agg cedes — the S7 temp-view
+    # + SQL facade machinery executes inside every spark.sql-routed
+    # oracle twin and stays oracle-backed past-cap; rolling_active_users
+    # enters — trailing-window DISTINCT via contribution explode, a
+    # window shape no in-window rep covered.)
+    "rolling_active_users",
     # temporal operators + multidimensional aggregation
     "asof_attribution",
     # TPC-H representatives (full-scan agg / selective join / 6-way join /
@@ -119,8 +124,18 @@ _GRADED_PREFIX = (
     # exact weighted quantiles). All three green at 3 SFs with measured
     # 100× slopes since r7.)
     "part_copurchase_pagerank", "event_value_hour_corr",
-    "session_peak_concurrency", "ab_conversion_chi2", "value_drift_psi",
-    "user_streaks", "customer_rolling_spend", "weighted_median_price",
+    # (r8 continuation rotation: value_drift_psi cedes — the drift
+    # family keeps THREE oracle-backed reps past-cap (PSI, KS, MWU) and
+    # chi2 stays in-window for hypothesis testing; value_mad_outliers
+    # enters — robust median/MAD outliers, the heavy-tail-safe
+    # companion the stats family lacked. user_value_ewma enters for the
+    # lag-FIR sequence-smoothing shape; customer_rolling_spend cedes —
+    # RANGE-frame calendar windows stay graded via its past-cap oracle
+    # and the same frame machinery runs inside user_decay_score and the
+    # hopping aggregates.)
+    "session_peak_concurrency", "ab_conversion_chi2",
+    "value_mad_outliers", "user_value_ewma",
+    "user_streaks", "weighted_median_price",
     # dedup family (exact → LSH scale path → clusters → end-to-end
     # surviving corpus → incremental batch-vs-base probe (r6) →
     # policy-sized SimHash blocking (r6: the graded form of the
@@ -129,8 +144,16 @@ _GRADED_PREFIX = (
     # stays graded via emb_neardup_clusters_sized in-window and
     # dedup_apply composes clusters end-to-end; hybrid_search_rrf
     # enters with the retrieval family)
+    # (r8 continuation rotation: dedup_simhash_pairs_sized cedes — the
+    # SimHash family stays oracle-backed past-cap (signatures, pairs,
+    # and the fixed-width twin) and the policy-sized blocking-width
+    # contract keeps TWO in-window reps via emb_neardup_lsh_sized +
+    # emb_neardup_clusters_sized; dedup_jaccard_prefix enters — the
+    # PPJoin-style lossless prefix-filter candidate path, the exact
+    # set-similarity scale story between the quadratic baseline and
+    # MinHash.)
     "dedup_exact", "dedup_minhash",
-    "dedup_apply", "dedup_incremental", "dedup_simhash_pairs_sized",
+    "dedup_apply", "dedup_incremental", "dedup_jaccard_prefix",
     # text analysis (r7 late rotation: text_token_count cedes — the
     # token machinery stays graded inside token_budget_mix's oracle
     # and the per-doc counts past-cap; bigram_lm_score enters as the

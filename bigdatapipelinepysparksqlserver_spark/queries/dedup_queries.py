@@ -837,12 +837,24 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import grouped_pair_enumeration
 
-    cand = (
-        grouped_pair_enumeration(prefix, ["shingle"], "doc_id")
+    # persist: two consumers (the id prune and the final pair join)
+    cand = scoped_persist(
+        grouped_pair_enumeration(prefix, ["shingle"], "doc_id").distinct()
+    )
+    # LeftSemi candidate-doc prune BEFORE building shingle arrays (the
+    # minhash-verify convention): only docs that appear in a candidate
+    # pair pay the collect_list, so the arrays relation is
+    # candidate-sized, never corpus-sized — without it the planner must
+    # hash/broadcast a corpus-wide array table (OOM'd at the 100× point).
+    cand_ids = (
+        cand.select(F.col("id1").alias("doc_id"))
+        .unionByName(cand.select(F.col("id2").alias("doc_id")))
         .distinct()
     )
-    arrs = sh.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("shingle")).alias("arr")
+    arrs = (
+        sh.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("shingle")).alias("arr"))
     )
     s1 = arrs.select(F.col("doc_id").alias("id1"), F.col("arr").alias("a1"))
     s2 = arrs.select(F.col("doc_id").alias("id2"), F.col("arr").alias("a2"))

@@ -960,3 +960,127 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(counts, "win_di", "left").select(
         "win_di", F.coalesce("au", F.lit(0)).alias("active_users_7d")
     )
+
+
+# --------------------------------------------------------------------------
+# resample + gap-fill: hourly series densified by linear interpolation
+# --------------------------------------------------------------------------
+
+INTERPOLATE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+  FROM hourly GROUP BY event_type
+),
+spine AS (
+  SELECT b.event_type, g.h FROM b, UNNEST(generate_series(mn, mx)) AS g(h)
+),
+j AS (
+  SELECT s.event_type, s.h, hourly.c
+  FROM spine s LEFT JOIN hourly
+    ON hourly.event_type = s.event_type AND hourly.h = s.h
+),
+w AS (
+  SELECT event_type, h, c,
+         LAST_VALUE(c IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS UNBOUNDED PRECEDING) AS yp,
+         LAST_VALUE(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS UNBOUNDED PRECEDING) AS hp,
+         FIRST_VALUE(c IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS yn,
+         FIRST_VALUE(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS hn
+  FROM j
+)
+SELECT event_type, h,
+       CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+            ELSE ROUND(CAST(yp * (hn - h) + yn * (h - hp) AS DOUBLE)
+                       / CAST(hn - hp AS DOUBLE), 6)
+       END AS filled,
+       c IS NOT NULL AS observed
+FROM w
+"""
+
+
+@query("hourly_value_interpolate", oracle=INTERPOLATE_ORACLE)
+def hourly_value_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: per-type hourly event volume
+    densified to every hour between the type's first and last active
+    hour, silent hours filled by LINEAR INTERPOLATION between the
+    nearest observed neighbors — the resample-then-interpolate
+    primitive (pandas ``resample().interpolate()``) feeding anomaly
+    detectors and forecasting features, where aggregating raw events
+    silently skips the gaps that matter.
+
+    Exactness: observed hours emit the exact count; interpolated hours
+    compute (y_prev·(h_next−h) + y_next·(h−h_prev)) / (h_next−h_prev)
+    — integer numerator/denominator, ONE double division, ROUND 6 —
+    identical on both engines. Spine endpoints are observed hours by
+    construction, so prev/next always exist on gap rows.
+
+    Scale: the events scan collapses to (type, hour) counts first
+    (map-side combined); the spine explode and the four ignore-nulls
+    running picks all run on the HOUR DOMAIN per type — window input
+    is horizon-sized, never event-sized; carry-forward/backward needs
+    one frame pass each direction.
+    """
+    ev = Catalog(spark, sf_dir).events
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    b = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = b.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("h")
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("c").isNotNull(), F.col("h"))
+    w = j.select(
+        "event_type",
+        "h",
+        "c",
+        F.last("c", ignorenulls=True).over(w_prev).alias("yp"),
+        F.last(obs_h, ignorenulls=True).over(w_prev).alias("hp"),
+        F.first("c", ignorenulls=True).over(w_next).alias("yn"),
+        F.first(obs_h, ignorenulls=True).over(w_next).alias("hn"),
+    )
+    interp = F.round(
+        (
+            F.col("yp") * (F.col("hn") - F.col("h"))
+            + F.col("yn") * (F.col("h") - F.col("hp"))
+        ).cast("double")
+        / (F.col("hn") - F.col("hp")).cast("double"),
+        6,
+    )
+    return w.select(
+        "event_type",
+        "h",
+        F.when(F.col("c").isNotNull(), F.col("c").cast("double"))
+        .otherwise(interp)
+        .alias("filled"),
+        F.col("c").isNotNull().alias("observed"),
+    )
