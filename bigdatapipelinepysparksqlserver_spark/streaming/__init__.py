@@ -22,6 +22,7 @@ from .cdc import (  # noqa: F401
     streaming_enrich,
     streaming_hourly_agg,
     streaming_interval_join,
+    streaming_rolling_actives,
     streaming_running_totals,
     streaming_transition_counts,
     streaming_sessionize,

@@ -907,3 +907,48 @@ def foreach_batch_lm_quality_gate(
         )
 
     return _sink
+
+
+def streaming_rolling_actives(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Trailing-N-day DISTINCT active users per day over a stream —
+    the streaming twin of the graded batch query
+    ``rolling_active_users``. COUNT(DISTINCT) is unsupported in
+    streaming aggregations, so the batch twin's decomposition IS the
+    streaming plan: contribution explode (each event's day feeds the N
+    window-end days it contributes to), a watermarked
+    ``dropDuplicates`` on (win_day, user) — JVM state store, one key
+    per active (day, user) pair inside the watermark horizon — then a
+    per-win_day COUNT.
+
+    Chained stateful operators (dedup → agg) require APPEND output
+    mode; a win_day row emits once, final, when the watermark passes
+    it. The forward shift (win_day up to N−1 days AHEAD of the event's
+    day) never makes data late — lateness of win_day equals lateness
+    of the event — so the watermark delay needs no widening for it.
+    State: dedup holds (day, user) keys, the agg holds day counters;
+    both evicted at the watermark, so steady-state memory is
+    N × daily-actives + horizon days — independent of stream length.
+    """
+    day = F.date_trunc("DAY", F.col(ts_col))
+    contrib = events.select(day.alias("day"), F.col(user_col).alias("user_id")).select(
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {window_days - 1} days,"
+                " interval 1 day)"
+            )
+        ).alias("win_day"),
+        "user_id",
+    )
+    if events.isStreaming:
+        contrib = contrib.withWatermark("win_day", watermark)
+    return (
+        contrib.dropDuplicates(["win_day", "user_id"])
+        .groupBy("win_day")
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+    )

@@ -1261,3 +1261,66 @@ def test_foreach_batch_lm_quality_gate(spark, tmp_path):
         map(tuple, spark.read.parquet(f"{out}/accepted/batch=0").collect())
     )
     assert before == after
+
+
+def test_streaming_rolling_actives_matches_batch_twin(spark, tmp_path):
+    """The contribution-explode + watermarked-dedup + count plan, run as
+    a REAL stream (file source, availableNow, APPEND mode — chained
+    stateful dedup→agg), matches the batch rolling-distinct reference
+    for every window the watermark finalized. A far-future sentinel
+    event advances the watermark past the asserted range (append mode
+    emits a win_day only once the watermark passes it)."""
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        streaming_rolling_actives,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long"
+    rows = [
+        # users 1,2 on day 1; user 1 again day 3 (dedup inside window);
+        # user 3 on day 9 after a silent gap
+        (1, datetime(2024, 1, 1, 8), 1),
+        (2, datetime(2024, 1, 1, 9), 2),
+        (3, datetime(2024, 1, 3, 10), 1),
+        (4, datetime(2024, 1, 9, 0), 3),
+        # sentinel: pushes watermark (max event time − 1 day) past every
+        # asserted window
+        (99, datetime(2024, 3, 1, 0), 999),
+    ]
+    src_dir = str(tmp_path / "ra_src")
+    spark.createDataFrame(rows, schema).write.parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        streaming_rolling_actives(stream)
+        .writeStream.format("memory")
+        .queryName("rolling_actives_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ra_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.win_day: r.active_users_7d
+        for r in spark.sql("select * from rolling_actives_test").collect()
+    }
+
+    # python reference: distinct users over [d-6, d] for every day with
+    # a nonzero count (streaming emits no zero rows — the batch twin's
+    # spine handles those). availableNow's closing no-data batches
+    # finalize every window strictly below the final watermark — all
+    # the asserted (non-sentinel) windows; only the watermark-boundary
+    # window at the sentinel's far edge may be held back, so sentinel
+    # windows are checked value-wise for whatever subset emitted.
+    from collections import defaultdict
+    from datetime import timedelta
+
+    active = defaultdict(set)
+    for _, ts, uid in rows:
+        d = datetime(ts.year, ts.month, ts.day)
+        for k in range(7):
+            active[d + timedelta(days=k)].add(uid)
+    expect = {d: len(us) for d, us in active.items()}
+    asserted = {d for d, us in active.items() if us != {999}}
+    assert asserted <= set(got), "a finalized non-sentinel window is missing"
+    for d, n in got.items():
+        assert n == expect[d], (d, n, expect[d])
