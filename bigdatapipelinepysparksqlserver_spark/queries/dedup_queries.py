@@ -867,3 +867,88 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.lit(8) * o >= F.lit(3) * (n1 + n2))
         .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# approximate-path quality audit: MinHash-LSH recall against exact truth
+# --------------------------------------------------------------------------
+
+RECALL_ORACLE = (
+    "WITH e AS (SELECT id1, id2 FROM ("
+    + NGRAM_JACCARD_ORACLE
+    + ") te),\nl AS (SELECT id1, id2 FROM ("
+    + MINHASH_ORACLE
+    + """) tl),
+u AS (
+  SELECT id1, id2, MAX(ex) AS ex, MAX(ls) AS ls FROM (
+    SELECT id1, id2, 1 AS ex, 0 AS ls FROM e
+    UNION ALL
+    SELECT id1, id2, 0 AS ex, 1 AS ls FROM l
+  ) tu GROUP BY id1, id2
+)
+SELECT CAST(SUM(ex) AS BIGINT) AS n_exact,
+       CAST(SUM(ls) AS BIGINT) AS n_lsh,
+       CAST(SUM(ex * ls) AS BIGINT) AS n_common,
+       CAST(SUM(ex) - SUM(ex * ls) AS BIGINT) AS n_missed,
+       CASE WHEN SUM(ex) > 0 THEN
+         ROUND(CAST(SUM(ex * ls) AS DOUBLE) / CAST(SUM(ex) AS DOUBLE), 6)
+       END AS recall
+FROM u"""
+)
+
+
+@query("dedup_minhash_recall", oracle=RECALL_ORACLE)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of the APPROXIMATE dedup path: recall of the
+    MinHash-LSH pair list against the exact share-a-shingle Jaccard
+    truth at the same threshold — the measurement that justifies (or
+    indicts) running the near-linear path at scale, computed in-engine
+    instead of asserted. n_missed is the count of true near-dup pairs
+    whose 16-of-4 banding never collided.
+
+    Both pair lists come from the registered operators themselves
+    (same shingles, same threshold, same verify arithmetic — the LSH
+    list is a subset of the exact list by construction, and the audit
+    VERIFIES that rather than assuming it: n_lsh == n_common iff no
+    spurious pair survived). The combine is one union-tag groupBy on
+    pair keys + a scalar rollup — no cross join, no driver loop.
+
+    Scale: bounded by the exact baseline's pair budget (the guard
+    raises past 50 M estimated pairs) — a truth-comparison audit is
+    inherently a sampled-corpus operation at 100 TB: run it on a
+    bounded slice to pick the banding policy, then deploy the LSH path
+    corpus-wide.
+    """
+    e = dedup_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    l = dedup_minhash(spark, sf_dir).select("id1", "id2")
+    u = (
+        e.select("id1", "id2", F.lit(1).alias("ex"), F.lit(0).alias("ls"))
+        .unionByName(
+            l.select(
+                "id1", "id2", F.lit(0).alias("ex"), F.lit(1).alias("ls")
+            )
+        )
+        .groupBy("id1", "id2")
+        .agg(F.max("ex").alias("ex"), F.max("ls").alias("ls"))
+    )
+    agg = u.groupBy().agg(
+        F.sum("ex").cast("bigint").alias("n_exact"),
+        F.sum("ls").cast("bigint").alias("n_lsh"),
+        F.sum(F.col("ex") * F.col("ls")).cast("bigint").alias("n_common"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        (F.col("n_exact") - F.col("n_common")).cast("bigint").alias(
+            "n_missed"
+        ),
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(
+                F.col("n_common").cast("double")
+                / F.col("n_exact").cast("double"),
+                6,
+            ),
+        ).alias("recall"),
+    )
