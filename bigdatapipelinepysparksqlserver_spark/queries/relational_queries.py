@@ -2864,3 +2864,66 @@ def value_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("peak_cusum"),
         "peak_hour",
     )
+
+
+# --------------------------------------------------------------------------
+# chi-square goodness-of-fit: day-of-week uniformity of order volume
+# --------------------------------------------------------------------------
+
+DOW_UNIFORMITY_ORACLE = """
+WITH d AS (
+  SELECT isodow(o_orderdate) AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1
+),
+spine AS (SELECT g.dow FROM UNNEST(generate_series(1, 7)) AS g(dow)),
+f AS (
+  SELECT s.dow, COALESCE(d.o, 0) AS o
+  FROM spine s LEFT JOIN d ON d.dow = s.dow
+),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM f)
+SELECT t.n,
+       ROUND(CAST(SUM(CAST((7 * f.o - t.n) AS HUGEINT)
+                      * (7 * f.o - t.n)) AS DOUBLE)
+             / CAST(7 AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS chi2,
+       CAST(6 AS BIGINT) AS dof
+FROM f, t
+GROUP BY t.n
+"""
+
+
+@query("order_dow_uniformity", oracle=DOW_UNIFORMITY_ORACLE)
+def order_dow_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square GOODNESS-OF-FIT test: is order volume uniform across
+    weekdays? The one-sample companion to ``ab_conversion_chi2``'s
+    independence test — χ² = Σ(o_d − n/7)²/(n/7), algebraically
+    rearranged to Σ(7·o_d − n)² / (7n) so the numerator is an EXACT
+    integer sum (no rational expectation ever hits a double until the
+    final fixed-order expression, ROUND 6). Weekdays with zero orders
+    still contribute their full expected-count term via the 7-row
+    spine (the chi2_independence empty-cell lesson). Monday-based
+    day numbering on both engines (Spark weekday()+1 ≡ DuckDB isodow).
+
+    Scale: one scan → 7-row aggregate → scalar; nothing else.
+    """
+    o = Catalog(spark, sf_dir).orders
+    d = (
+        o.select((F.weekday("o_orderdate") + F.lit(1)).alias("dow"))
+        .groupBy("dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    spine = spark.range(1, 8).select(F.col("id").cast("int").alias("dow"))
+    f = spine.join(d, "dow", "left").select(
+        "dow", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    t = f.groupBy().agg(F.sum("o").cast("bigint").alias("n"))
+    g = f.crossJoin(F.broadcast(t))
+    dev = (F.lit(7) * F.col("o") - F.col("n")).cast("decimal(38,0)")
+    return g.groupBy("n").agg(
+        F.round(
+            F.sum(dev * dev).cast("double")
+            / F.lit(7.0).cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("chi2"),
+        F.lit(6).cast("bigint").alias("dof"),
+    ).select("n", "chi2", "dof")

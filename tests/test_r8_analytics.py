@@ -354,3 +354,32 @@ def test_cusum_prefix_identity_matches_recurrence(
     assert got == {
         "t": (n_alarms, round(best[0] / nh, 6), best[1])
     }
+
+
+def test_order_dow_uniformity_hand_computed(spark, tmp_path):
+    """Hand-computed chi-square: 14 orders over two ISO weeks, Monday
+    doubled at Sunday's expense — χ² = Σ(o−2)²/2 = (4−2)²/2 + (0−2)²/2
+    = 4.0; a perfectly uniform week scores 0 (checked via the exact
+    integer rearrangement)."""
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1)  # a Monday
+    days = []
+    for w in range(2):
+        for d in range(7):
+            days.append(base + timedelta(weeks=w, days=d))
+    # move both Sunday orders onto Monday
+    days = [d for d in days if d.weekday() != 6] + [base, base]
+    rows = [
+        (i, i, "O", 10.0, d, "1-URGENT") for i, d in enumerate(days)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    [r] = (
+        REGISTRY["order_dow_uniformity"].fn(spark, str(tmp_path)).collect()
+    )
+    assert (r["n"], r["chi2"], r["dof"]) == (14, 4.0, 6)
