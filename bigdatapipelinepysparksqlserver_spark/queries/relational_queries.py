@@ -2927,3 +2927,102 @@ def order_dow_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2"),
         F.lit(6).cast("bigint").alias("dof"),
     ).select("n", "chi2", "dof")
+
+
+# --------------------------------------------------------------------------
+# correlation MATRIX: pairwise Pearson between event-type hourly series
+# --------------------------------------------------------------------------
+
+CORR_MATRIX_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
+types AS (SELECT DISTINCT event_type FROM hourly),
+spine AS (SELECT g.h FROM b, UNNEST(generate_series(mn, mx)) AS g(h)),
+grid AS (
+  SELECT t.event_type, s.h, COALESCE(hourly.c, 0) AS c
+  FROM types t CROSS JOIN spine s
+  LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = s.h
+),
+p AS (
+  SELECT a.event_type AS t1, b2.event_type AS t2,
+         a.c AS x, b2.c AS y
+  FROM grid a JOIN grid b2 ON a.h = b2.h AND a.event_type < b2.event_type
+),
+agg AS (
+  SELECT t1, t2, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM p GROUP BY t1, t2
+)
+SELECT t1, t2, n,
+  CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0.0
+       THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+  END AS corr
+FROM agg
+"""
+
+
+@query("event_type_corr_matrix", oracle=CORR_MATRIX_ORACLE)
+def event_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX between event types' hourly
+    volume series — "which metrics move together?", the co-movement
+    diagnostic behind alert grouping and metric clustering. Upper
+    triangle only (t1 < t2); every pair is scored over the SAME full
+    hour spine with silent hours as genuine zeros — inner-joining raw
+    hourly rows instead would silently skip exactly the hours where
+    series diverge most.
+
+    Exactness: counts are already integers, so the six moments
+    aggregate exactly (``grouped_pearson_corr``); r derives per pair in
+    one fixed-order double expression, ROUND 6.
+
+    Scale: the events scan collapses to (type, hour) counts; the grid
+    (|types| × horizon) and the hour-keyed pair join run on
+    domain-sized relations — |types|²/2 series pairs of horizon
+    length, independent of event count. For thousands of metrics,
+    bucket the pair space (the gram-matrix shuffle shape); at the
+    testdata's 5 types the matrix is 10 rows.
+    """
+    from ..operators.stats import grouped_pearson_corr
+
+    ev = Catalog(spark, sf_dir).events
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    b = hourly.groupBy().agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = b.select(F.explode(F.sequence("mn", "mx")).alias("h"))
+    types = hourly.select("event_type").distinct()
+    grid = (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    g1 = grid.select(
+        F.col("event_type").alias("t1"), "h", F.col("c").alias("x")
+    )
+    g2 = grid.select(
+        F.col("event_type").alias("t2"), "h", F.col("c").alias("y")
+    )
+    p = g1.join(g2, "h").where(F.col("t1") < F.col("t2"))
+    return grouped_pearson_corr(
+        p, ["t1", "t2"], F.col("x"), F.col("y"), alias="corr"
+    )
