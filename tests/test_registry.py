@@ -22,6 +22,11 @@ FLAGSHIPS = {
     # (r8 rotation: dq_violations ceded its window seat — reconciliation
     # stays flagship-graded via cdc_roundtrip_demo; user_streaks enters
     # as the gaps-and-islands family's flagship.)
+    # (r8 continuation: rolling_active_users — the rolling-distinct
+    # window shape — and dedup_jaccard_prefix — the lossless exact
+    # set-similarity scale path — pinned as flagships with their
+    # window entry.)
+    "rolling_active_users", "dedup_jaccard_prefix",
     "mart_client_count", "tpch_q1", "cdc_roundtrip_demo", "user_streaks",
     "dedup_exact", "dedup_minhash", "semantic_dedup",
     "sessionize_session_window", "hybrid_search_rrf",
