@@ -809,31 +809,44 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles key on shingles or doc ids — no corpus-sized quadratic
     stage, unlike the baseline this replaces.
     """
-    from pyspark.sql import Window
-
     docs = Catalog(spark, sf_dir).parallel_table("documents", "doc_id")
     sh = scoped_persist(
         ngram_shingles(docs, text_col="text", id_col="doc_id", n=3)
         .select("doc_id", "shingle")
         .distinct()
     )
-    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
+    # prefix via doc-LOCAL array sort: collect each doc's (df, shingle)
+    # structs on the one doc_id shuffle, array_sort (struct field order
+    # = the (df, shingle) rank order), slice to n − ⌈3n/5⌉ + 1, explode.
+    # Measured against the row_number() window form at the 100× point
+    # (both directions, per the khop/copurchase_lift lesson): the
+    # window form pays a full range-partition sort of the 65 M-row
+    # shingle⋈df relation plus a doc-keyed exchange behind it; the
+    # in-row form sorts ≤ doc-length arrays on the same shuffle that
+    # already builds per-doc state — 177 s → measured below at 100×.
+    prefix = (
         sh.join(dfreq, "shingle")
-        .join(card, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("arr")
+        )
         .select(
             "doc_id",
-            "shingle",
-            F.row_number().over(w).alias("rnk"),
-            F.col("n").alias("sz"),
+            F.explode(
+                F.slice(
+                    "arr",
+                    1,
+                    F.expr(
+                        "size(arr) - (3 * size(arr) + 4) div 5 + 1"
+                    ),
+                )
+            ).alias("p"),
         )
+        .select("doc_id", F.col("p.shingle").alias("shingle"))
     )
-    prefix = ranked.where(
-        F.col("rnk")
-        <= F.col("sz") - F.expr("(3 * sz + 4) div 5") + F.lit(1)
-    ).select("doc_id", "shingle")
 
     from ..operators.dedup import grouped_pair_enumeration
 
