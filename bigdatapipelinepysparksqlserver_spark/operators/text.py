@@ -1032,3 +1032,97 @@ def trigram_lm_score_from_store(
             ).alias("avg_log2p"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training — the vocabulary-construction stage a 100 TB
+# pretraining pipeline runs before token counting/packing (GPT-2/
+# SentencePiece-style byte-pair merges). The corpus collapses to a
+# word-frequency dictionary FIRST (the one corpus-sized shuffle; Heaps'
+# law keeps the dict sub-linear in corpus size), then every merge round
+# is vocabulary-sized work: pair counts are exact integer sums, the
+# argmax is a one-row control-plane collect (the same per-round scalar
+# handoff as the ledger's next_run_id), and the merge applies as a
+# literal space-padded `replace` — left-to-right, non-overlapping,
+# byte-identical in Spark and DuckDB, which is what makes an 8-round
+# iterative training loop fully oracle-replayable as unrolled
+# MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq) dictionary on the shared single-space
+    tokenizer. The ONLY corpus-sized stage of BPE training; partial
+    aggregation collapses repeats map-side, so the exchange carries one
+    row per distinct word per partition."""
+    return (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train(
+    wc: DataFrame, rounds: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Train ``rounds`` BPE merges over a (word, freq) dictionary.
+
+    Returns ``(merges, final_state)``: merges as
+    ``(merge_round, sym_a, sym_b, pair_count)`` tuples and the
+    dictionary with its final segmentation in ``state`` (symbols
+    joined by single spaces).
+
+    Contract (mirrored verbatim by the oracle): pair counts weight
+    every ADJACENT OCCURRENCE by word freq (overlapping repeats count
+    each position, the classic counting rule); argmax tie-break is
+    (count DESC, sym_a ASC, sym_b ASC); the merge applies via literal
+    non-overlapping left-to-right ``replace`` on the space-padded
+    state, so a run like ``a a a a`` merges to ``aa a a`` in ONE round
+    (the separator-consumption behavior both engines share) and picks
+    up remaining pairs in later rounds.
+
+    Scale: the merge loop never touches the corpus — each round is one
+    vocabulary-sized integer-sum shuffle plus a single-row collect.
+    ``wc`` is persisted by the caller (or arrives cheap); the state
+    column re-derives lazily as a chain of ``rounds`` replace
+    expressions over it, so no per-round materialization is needed.
+    """
+    state = wc.select(
+        "word",
+        "freq",
+        F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("state"),
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        arr = F.split("state", " ")
+        n = F.size(arr)
+        prs = F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        pc = (
+            state.select("freq", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("pc"))
+        )
+        best = pc.orderBy(F.desc("pc"), "a", "b").limit(1).collect()
+        if not best:
+            break  # every word is a single symbol — vocabulary exhausted
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["pc"])
+        merges.append((r, a, b, cnt))
+        # literal replace: symbols are space-free by construction, so the
+        # padded pattern can only match at symbol boundaries
+        state = state.select(
+            "word",
+            "freq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("state"), F.lit(" ")),
+                    F.lit(f" {a} {b} "),
+                    F.lit(f" {a}{b} "),
+                )
+            ).alias("state"),
+        )
+    return merges, state

@@ -1084,3 +1084,104 @@ def hourly_value_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("filled"),
         F.col("c").isNotNull().alias("observed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival / retention curve — the censoring-aware form of
+# cohort retention: a user still active near the observation end is
+# CENSORED at their observed lifetime, not counted as churned (naive
+# retention curves understate late-period survival by exactly these
+# users). Emits the standard KM table: per lifetime-day risk set size,
+# churn events, censorings, and the discrete hazard d/n — survival
+# S(t) = prod(1 - hazard) derives row-by-row downstream; the product
+# itself is NOT emitted because a cross-engine cumulative product would
+# route through exp/ln ULPs (the exact-moment discipline: exact
+# integers + ONE final division per row).
+# --------------------------------------------------------------------------
+
+KM_CENSOR_DAYS = 7
+
+SURVIVAL_KM_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id IS NOT NULL
+),
+obs AS (SELECT MAX(d) AS oe FROM ev),
+pu AS (SELECT user_id, MIN(d) AS fd, MAX(d) AS ld FROM ev GROUP BY 1),
+lab AS (
+  SELECT date_diff('day', fd, ld) AS t,
+         CASE WHEN date_diff('day', ld, (SELECT oe FROM obs))
+                   < {KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS cen
+  FROM pu
+),
+daily AS (
+  SELECT t, SUM(1 - cen) AS d, SUM(cen) AS c FROM lab GROUP BY 1
+),
+risk AS (
+  SELECT t, d, c,
+         SUM(d + c) OVER (ORDER BY t DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM daily
+)
+SELECT CAST(t AS BIGINT) AS day_t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_churned, CAST(c AS BIGINT) AS n_censored,
+       ROUND(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 6) AS hazard
+FROM risk
+"""
+
+
+@query("user_survival_km", oracle=SURVIVAL_KM_ORACLE)
+def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimator over user lifetimes (first event day →
+    last event day; users whose last event falls within
+    ``KM_CENSOR_DAYS`` of the corpus' final day are right-censored —
+    still at risk, not churned).
+
+    The oracle computes the risk set with a suffix-sum window; the
+    Spark plan instead uses the CONTRIBUTION-EXPLODE identity
+    n_risk(t) = sum over s >= t of (d+c)(s): each lifetime-day row
+    explodes into its 0..t prefix days and re-aggregates — day-DOMAIN
+    quadratic (bounded by the retention horizon: 3650 days ≈ 6.6 M
+    contribution rows at a 10-year horizon, regardless of corpus
+    size), which keeps the plan free of the banned global window. The
+    observation-end day is a one-row control-plane scalar (the ledger
+    cutoff precedent).
+
+    Scale: one user-keyed shuffle (min/max per user, map-side
+    combined), then day-domain-sized work only.
+    """
+    ev = (
+        Catalog(spark, sf_dir)
+        .events.where(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
+    )
+    obs_end = ev.agg(F.max("d").alias("oe")).first()["oe"]
+    pu = ev.groupBy("user_id").agg(F.min("d").alias("fd"), F.max("d").alias("ld"))
+    lab = pu.select(
+        F.datediff("ld", "fd").alias("t"),
+        (
+            F.datediff(F.lit(str(obs_end)).cast("date"), F.col("ld"))
+            < F.lit(KM_CENSOR_DAYS)
+        )
+        .cast("long")
+        .alias("cen"),
+    )
+    daily = lab.groupBy("t").agg(
+        (F.count(F.lit(1)) - F.sum("cen")).alias("d"), F.sum("cen").alias("c")
+    )
+    risk = (
+        daily.select(
+            F.explode(F.sequence(F.lit(0), F.col("t"))).alias("t2"),
+            (F.col("d") + F.col("c")).alias("w"),
+        )
+        .groupBy("t2")
+        .agg(F.sum("w").alias("n_risk"))
+    )
+    return daily.join(risk, daily["t"] == risk["t2"]).select(
+        F.col("t").cast("bigint").alias("day_t"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.round(
+            F.col("d").cast("double") / F.col("n_risk").cast("double"), 6
+        ).alias("hazard"),
+    )

@@ -1188,3 +1188,117 @@ def trigram_lm_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return trigram_lm_score_from_store(spark, store, batch)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/text.py bpe_train) — an 8-round
+# iterative vocabulary build replayed EXACTLY by the oracle as unrolled
+# MATERIALIZED CTEs (inlined CTEs would re-expand the round chain
+# exponentially — each round references the previous one several
+# times; MATERIALIZED keeps the oracle linear in rounds, the same
+# reason the PageRank oracle stays 3 rounds deep but this one can
+# afford 8). Merge application is a literal space-padded replace —
+# byte-identical semantics in Spark and DuckDB (left-to-right,
+# non-overlapping, scan resumes after the replacement).
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 8
+
+
+def _bpe_round_sql(r: int) -> str:
+    prev = f"s{r - 1}"
+    return f"""
+p{r} AS MATERIALIZED (
+  SELECT pr.a AS a, pr.b AS b, SUM(freq) AS pc
+  FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(l)),
+                  i -> struct_pack(a := l[i], b := l[i + 1]))) AS pr
+    FROM (SELECT freq, string_split(state, ' ') AS l FROM {prev})
+  )
+  GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a, b LIMIT 1),
+s{r} AS MATERIALIZED (
+  SELECT word, freq,
+         trim(replace(' ' || state || ' ',
+              ' ' || (SELECT a FROM m{r}) || ' ' || (SELECT b FROM m{r}) || ' ',
+              ' ' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || ' ')) AS state
+  FROM {prev}
+)"""
+
+
+_BPE_CTES = f"""
+WITH wc AS MATERIALIZED (
+  SELECT tok AS word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+  ) WHERE tok <> '' GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS state
+  FROM wc
+),{",".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))}
+"""
+
+BPE_MERGES_ORACLE = _BPE_CTES + " UNION ALL ".join(
+    f"SELECT {r} AS merge_round, a AS sym_a, b AS sym_b,"
+    f" CAST(pc AS BIGINT) AS pair_count FROM m{r}"
+    for r in range(1, BPE_ROUNDS + 1)
+)
+
+BPE_VOCAB_ORACLE = _BPE_CTES + f"""
+SELECT tok AS token, CAST(SUM(freq) AS BIGINT) AS corpus_count,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+FROM (SELECT word, freq, unnest(string_split(state, ' ')) AS tok FROM s{BPE_ROUNDS})
+GROUP BY 1 ORDER BY corpus_count DESC, token LIMIT 20
+"""
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    from ..caching import scoped_persist
+    from ..operators.text import bpe_train, word_counts
+
+    docs = Catalog(spark, sf_dir).documents
+    wc = scoped_persist(word_counts(docs))
+    return bpe_train(wc, BPE_ROUNDS)
+
+
+@query("bpe_train_merges", oracle=BPE_MERGES_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: round, symbol pair, exact weighted pair
+    count. K rows assembled from K one-row control-plane argmax
+    collects (the per-round scalar handoff — the corpus never crosses
+    the driver; the word dictionary never does either).
+
+    Scale: ONE corpus-sized shuffle total (word_counts, map-side
+    combined); each of the 8 rounds is a dictionary-sized integer-sum
+    shuffle. At 100 TB the dictionary is Heaps-law sub-linear and the
+    round cost is independent of corpus growth past it — measured flat
+    vs corpus in the 100x slope row.
+    """
+    merges, _ = _bpe_trained(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_round int, sym_a string, sym_b string, pair_count bigint"
+    )
+
+
+@query("bpe_vocab_top", oracle=BPE_VOCAB_ORACLE)
+def bpe_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens under the trained 8-merge BPE vocabulary —
+    the fully distributed consumer of the merge table: the final
+    segmentation state is a lazy chain of 8 literal replaces over the
+    persisted dictionary, exploded and re-aggregated with exact
+    integer weights. A wrong merge at ANY round changes this table, so
+    the oracle transitively pins the whole training loop.
+    """
+    _, state = _bpe_trained(spark, sf_dir)
+    return (
+        state.select("word", "freq", F.explode(F.split("state", " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("freq").alias("corpus_count"),
+            F.count_distinct("word").alias("n_words"),
+        )
+        .orderBy(F.desc("corpus_count"), "token")
+        .limit(20)
+    )

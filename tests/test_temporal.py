@@ -463,3 +463,36 @@ def test_multitouch_credit_conservation(spark):
         r["n_touches"] for r in rows if r["touch_type"] != "direct"
     )
     assert abs(total_credit - n_purchases) <= n_touches * 1e-6 + 1e-9
+
+
+def test_user_survival_km_censoring_contract(spark, tmp_path):
+    """KM table on a hand-built corpus: a user whose last event falls
+    within KM_CENSOR_DAYS of the corpus' final day is censored (counted
+    in the risk set, not in the hazard numerator); everyone else churns
+    at their observed lifetime. n_risk(t) = users with lifetime >= t."""
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    def ev(eid, uid, day):
+        return (eid, datetime.fromisoformat(day + "T12:00:00"), uid, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "2000-01-01"), ev(2, 1, "2000-01-10"),   # t=9, churned
+        ev(3, 2, "2000-01-05"), ev(4, 2, "2000-01-14"),   # t=9, churned
+        ev(5, 3, "2000-01-20"), ev(6, 3, "2000-01-29"),   # t=9, censored (3d from end)
+        ev(7, 4, "2000-01-25"),                           # t=0, churned (7d = not < 7)
+        ev(8, 5, "2000-02-01"),                           # t=0, censored (0d)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["day_t"]: (r["n_risk"], r["n_churned"], r["n_censored"], r["hazard"])
+        for r in REGISTRY["user_survival_km"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (5, 1, 1, 0.2),
+        9: (3, 2, 1, round(2 / 3, 6)),
+    }

@@ -593,3 +593,83 @@ def test_trigram_lm_backoff_routing_and_values(spark, tmp_path):
     r = got[12]
     assert (r.n_hits3, r.n_backoff2, r.n_floor) == (0, 0, 1)
     assert r.avg_log2p == scaled(math.log2(0.4 * 0.4 * ((0 + 1.0) / 13.0)))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(word_freqs, rounds):
+    """Pure-python replay of the bpe_train contract: occurrence-counted
+    adjacent pairs, (count DESC, a, b) argmax, left-to-right
+    non-overlapping padded replace."""
+    state = {w: " ".join(w) for w in word_freqs}
+    merges = []
+    for r in range(1, rounds + 1):
+        counts = {}
+        for w, f in word_freqs.items():
+            syms = state[w].split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, c))
+        for w in state:
+            state[w] = (
+                (" " + state[w] + " ").replace(f" {a} {b} ", f" {a}{b} ").strip()
+            )
+    return merges, state
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        bpe_train,
+        word_counts,
+    )
+
+    rows = [
+        (1, "low low low lower lowest"),
+        (2, "new newer newest low"),
+        (3, "wide wider widest new new"),
+    ]
+    wf = {}
+    for _, t in rows:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    wc = word_counts(_docs(spark, rows))
+    got_merges, got_state = bpe_train(wc, 6)
+    want_merges, want_state = _bpe_reference(wf, 6)
+    assert got_merges == want_merges
+    state_rows = {r["word"]: r["state"] for r in got_state.collect()}
+    assert state_rows == want_state
+
+
+def test_bpe_repeated_symbol_run_contract(spark):
+    """'a a a a' merges non-overlapping left-to-right WITH separator
+    consumption: round 1 replaces the first ' a a ' and scanning
+    resumes after the inserted text, so the state becomes 'aa a a'
+    (not 'aa aa'); round 2's tie-break picks (a,a) over (aa,a) and
+    completes the run — the exact semantics the DuckDB oracle replays
+    via replace()."""
+    from bigdatapipelinepysparksqlserver_spark.operators.text import bpe_train
+
+    wc = spark.createDataFrame([("aaaa", 10)], "word string, freq long")
+    merges, state = bpe_train(wc, 2)
+    # round 1: pair (a,a) occurs 3 times (overlap-counted) x freq 10
+    assert merges[0] == (1, "a", "a", 30)
+    # round 2: (a,a) and (aa,a) both count 10; lexicographic tie-break
+    assert merges[1] == (2, "a", "a", 10)
+    s2_rows = {r["word"]: r["state"] for r in state.collect()}
+    assert s2_rows == {"aaaa": "aa aa"}
+
+
+def test_bpe_exhausts_gracefully(spark):
+    """Single-symbol vocabulary: zero pairs -> training stops early."""
+    from bigdatapipelinepysparksqlserver_spark.operators.text import bpe_train
+
+    wc = spark.createDataFrame([("a", 5), ("b", 3)], "word string, freq long")
+    merges, state = bpe_train(wc, 4)
+    assert merges == []
+    assert {r["state"] for r in state.collect()} == {"a", "b"}
