@@ -123,7 +123,14 @@ _GRADED_PREFIX = (
     # calendar windows), weighted_median_price (value-domain-compressed
     # exact weighted quantiles). All three green at 3 SFs with measured
     # 100× slopes since r7.)
-    "part_copurchase_pagerank", "event_value_hour_corr",
+    # (r8 closing rotation: event_value_hour_corr cedes — the exact-
+    # moment correlation machinery (grouped_pearson_corr) stays
+    # oracle-backed past-cap via event_type_corr_matrix and the stats
+    # family keeps chi2 + MAD + CUSUM-adjacent reps in-window;
+    # part_copurchase_communities enters — label propagation, the
+    # third iterative-graph semiring (mode-argmax) next to PageRank's
+    # sum-product, both LPA randomness sources pinned.)
+    "part_copurchase_pagerank", "part_copurchase_communities",
     # (r8 continuation rotation: value_drift_psi cedes — the drift
     # family keeps THREE oracle-backed reps past-cap (PSI, KS, MWU) and
     # chi2 stays in-window for hypothesis testing; value_mad_outliers
@@ -133,8 +140,13 @@ _GRADED_PREFIX = (
     # RANGE-frame calendar windows stay graded via its past-cap oracle
     # and the same frame machinery runs inside user_decay_score and the
     # hopping aggregates.)
+    # (r8 closing rotation: user_value_ewma cedes — the sequence-FIR
+    # frame machinery stays oracle-backed past-cap (ewma + the decay
+    # RANGE frame in user_decay_score); user_survival_km enters —
+    # censoring-aware Kaplan-Meier retention, the survival-analysis
+    # family's first rep, risk sets via contribution explode.)
     "session_peak_concurrency", "ab_conversion_chi2",
-    "value_mad_outliers", "user_value_ewma",
+    "value_mad_outliers", "user_survival_km",
     "user_streaks", "weighted_median_price",
     # dedup family (exact → LSH scale path → clusters → end-to-end
     # surviving corpus → incremental batch-vs-base probe (r6) →
@@ -174,7 +186,14 @@ _GRADED_PREFIX = (
     # (r7 closing rotation: chunk_span_dups cedes — span machinery
     # stays oracle-backed past-cap with doc_chunks/doc_pack_plan
     # composing the same chunker in-window)
-    "token_budget_mix", "corpus_snapshot_diff", "scrub_pii",
+    # (r8 closing rotation: scrub_pii cedes — PII scrubbing stays
+    # oracle-backed past-cap and decontaminate keeps eval/compliance
+    # hygiene in-window; bpe_vocab_top enters — distributed BPE
+    # tokenizer training's distributed consumer: the top-token table
+    # transitively pins all 8 merge rounds (a wrong argmax at any
+    # round changes it), with bpe_train_merges + bpe_token_count
+    # oracle-backed past-cap.)
+    "token_budget_mix", "corpus_snapshot_diff", "bpe_vocab_top",
     "decontaminate",
     "doc_pack_plan",
     "sketch_distinct_clients",

@@ -76,19 +76,9 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs 57 s at sf10 — same rewrite as copurchase_khop_reach). The
     # operator persists the edge⋈outdeg projection, so the build runs
     # once regardless of iteration count.
-    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    grouped = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pair_structs = F.expr(
-        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x),"
-        " y -> struct(x AS src, y AS dst))))"
-    )
-    edges = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-        .distinct()
-    )
+    from ..operators.graph import copurchase_edges
+
+    edges = copurchase_edges(Catalog(spark, sf_dir).lineitem)
     return pagerank(edges, iters=PR_ITERS).select(
         F.col("node").alias("part_id"), "rank"
     )
@@ -466,3 +456,101 @@ def copurchase_triangles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count_estimate(edges, wedge_budget=500_000_000)
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities — the third iterative-graph semiring
+# next to PageRank (sum-product over ranks) and k-hop BFS (frontier
+# union): per-round neighbor-mode argmax. Both LPA randomness sources
+# (visit order, tie coin-flips) are pinned — synchronous rounds +
+# (count DESC, label ASC) — so the 3-round loop replays exactly as
+# unrolled MATERIALIZED CTEs with ROW_NUMBER argmax.
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def _lpa_round_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+  FROM e0 e JOIN {prev} l ON l.node = e.src
+  GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+
+
+LABEL_PROP_ORACLE = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lbl FROM e0
+),{",".join(_lpa_round_sql(i) for i in range(1, LPA_ITERS + 1))}
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM l{LPA_ITERS} GROUP BY 1
+"""
+
+
+@query("part_copurchase_communities", oracle=LABEL_PROP_ORACLE)
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after 3 synchronous label-propagation rounds
+    over the part co-purchase graph — metric clustering / assortment
+    grouping without a target k. A wrong argmax at ANY node in ANY
+    round moves nodes between communities, so the size table pins the
+    whole loop.
+
+    Scale: the edge build is the PageRank in-row expansion (order-size
+    bounded); each round is one join against the persisted edges + a
+    16-byte-key count with map-side partials. Labels are node ids —
+    no label relation ever exceeds node size.
+    """
+    from ..operators.graph import copurchase_edges, label_propagation
+
+    edges = copurchase_edges(Catalog(spark, sf_dir).lineitem)
+    return (
+        label_propagation(edges, iters=LPA_ITERS)
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+
+
+@query("copurchase_pagerank_stored", oracle=PAGERANK_ORACLE)
+def copurchase_pagerank_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank consumed from the PERSISTED edge store (build+probe per
+    call, the graded-cycle convention) — the graph family's stored
+    path: at 100 TB the co-purchase graph is maintained as an asset
+    (bucket-partitioned, src-sorted), so every iterative consumer
+    (rank, LPA, BFS, triangles) starts from a scan instead of repaying
+    the 57 s (sf10) basket-expansion build. Same oracle as the inline
+    form: the stored relation is the identical distinct edge set.
+
+    Store layout: bucket = src mod 32 directory partitions; a
+    small-frontier probe (bounded bucket set) reads only its buckets —
+    PartitionFilters-asserted in tests/test_components.py.
+    """
+    from ..operators.graph import (
+        copurchase_edges,
+        pagerank,
+        read_edge_store,
+        write_edge_store,
+    )
+    from .storepaths import process_scoped_store_path
+
+    store = process_scoped_store_path("edge_store", sf_dir)
+    write_edge_store(
+        copurchase_edges(Catalog(spark, sf_dir).lineitem), store
+    )
+    edges = read_edge_store(spark, store).select("src", "dst")
+    return pagerank(edges, iters=PR_ITERS).select(
+        F.col("node").alias("part_id"), "rank"
+    )

@@ -1181,3 +1181,113 @@ def html_extract_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("__ex.text").cast("long").alias("extracted_len"),
         F.md5(F.col("__ex.text").cast("binary")).alias("extracted_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations — corpus-level "which words co-occur more than
+# chance" keyword-pair extraction (the classic collocation statistic,
+# Church & Hanks 1990): PMI = log2(P(ab) / (P(a)P(b))) over adjacent
+# bigrams. All inputs are exact integer counts; PMI is ONE fixed-order
+# double expression ROUND 6 per surviving bigram (the corr/lift
+# convention), and the board orders on the rounded value with a
+# lexicographic tie-break.
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+BIGRAM_PMI_ORACLE = f"""
+WITH words AS MATERIALIZED (
+  SELECT string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT unnest(w) AS tok FROM words
+),
+uni AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+bg AS MATERIALIZED (
+  SELECT w[CAST(t.i AS INT)] AS w1, w[CAST(t.i AS INT) + 1] AS w2
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+),
+bgc AS MATERIALIZED (
+  SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2
+),
+tot AS (SELECT (SELECT COUNT(*) FROM toks) AS n_tok,
+               (SELECT COUNT(*) FROM bg) AS n_bg)
+SELECT b.w1, b.w2, CAST(b.n_ab AS BIGINT) AS n_ab,
+       CAST(u1.c AS BIGINT) AS n_w1, CAST(u2.c AS BIGINT) AS n_w2,
+       ROUND(log2((CAST(b.n_ab AS DOUBLE) / CAST(t.n_bg AS DOUBLE))
+             / ((CAST(u1.c AS DOUBLE) / CAST(t.n_tok AS DOUBLE))
+                * (CAST(u2.c AS DOUBLE) / CAST(t.n_tok AS DOUBLE)))), 6)
+         AS pmi
+FROM bgc b
+JOIN uni u1 ON u1.tok = b.w1
+JOIN uni u2 ON u2.tok = b.w2
+CROSS JOIN tot t
+WHERE b.n_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP_K}
+"""
+
+
+@query("bigram_pmi_top", oracle=BIGRAM_PMI_ORACLE)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collocations by pointwise mutual information with a
+    minimum bigram count — the phrase-mining companion to
+    `tfidf_top_terms` (TF-IDF ranks terms per doc; PMI ranks PAIRS
+    corpus-wide).
+
+    Scale: two map-side-combined counts (unigrams, adjacent bigrams);
+    the unigram relation is vocabulary-sized and broadcast to the
+    bigram counts; the two corpus totals are control-plane scalars
+    (the bigram-LM convention); top-k lowers to TakeOrderedAndProject.
+    """
+    from ..caching import scoped_persist
+
+    docs = Catalog(spark, sf_dir).documents
+    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    n = F.size(words)
+    base = scoped_persist(docs.select(words.alias("w"), n.alias("n")))
+    toks = base.select(F.explode("w").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    bgs = base.where(F.col("n") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.col("n") - 1),
+                F.slice("w", 2, F.col("n") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    n_tok = toks.agg(F.count(F.lit(1))).first()[0]
+    n_bg = bgs.agg(F.count(F.lit(1))).first()[0]
+    bgc = (
+        bgs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("n_w1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("n_w2"))
+    pmi = F.round(
+        F.log2(
+            (F.col("n_ab").cast("double") / F.lit(float(n_bg)))
+            / (
+                (F.col("n_w1").cast("double") / F.lit(float(n_tok)))
+                * (F.col("n_w2").cast("double") / F.lit(float(n_tok)))
+            )
+        ),
+        6,
+    )
+    return (
+        bgc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_w1").cast("bigint").alias("n_w1"),
+            F.col("n_w2").cast("bigint").alias("n_w2"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )

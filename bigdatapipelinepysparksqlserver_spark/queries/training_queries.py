@@ -1302,3 +1302,66 @@ def bpe_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corpus_count"), "token")
         .limit(20)
     )
+
+
+BPE_TOKEN_COUNT_ORACLE = _BPE_CTES + f"""
+, seg AS MATERIALIZED (
+  SELECT word, len(string_split(state, ' ')) AS n_syms FROM s{BPE_ROUNDS}
+)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(seg.n_syms) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(seg.n_syms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS tokens_per_word
+FROM (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents
+) d JOIN seg USING (word)
+WHERE d.word <> ''
+GROUP BY 1
+"""
+
+
+@query("bpe_token_count", oracle=BPE_TOKEN_COUNT_ORACLE)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE vocabulary back to the corpus: per-document
+    token counts under the 8-merge tokenizer (the number that actually
+    feeds token budgets once the tokenizer is learned, closing the
+    train -> apply loop next to token_budget_mix's whitespace counts).
+
+    Scale: the trained segmentation is a DICTIONARY-sized relation
+    (word -> symbol count) broadcast to the corpus-side word explode —
+    the corpus never shuffles by word; the only wide exchange is the
+    doc-keyed count, map-side combined because explode keeps a doc's
+    words in one partition. At a real corpus the dictionary is
+    Heaps-law sub-linear; at the replica-scaled rehearsal it grows
+    100x and the broadcast still holds (measured row).
+    """
+    from ..caching import scoped_persist
+    from ..operators.text import bpe_train, word_counts
+
+    docs = Catalog(spark, sf_dir).documents
+    wc = scoped_persist(word_counts(docs))
+    _, state = bpe_train(wc, BPE_ROUNDS)
+    seg = state.select(
+        "word", F.size(F.split("state", " ")).alias("n_syms")
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("tokens_per_word"),
+        )
+    )

@@ -9,6 +9,7 @@
 
 from .cdc import (  # noqa: F401
     foreach_batch_drift_monitor,
+    foreach_batch_edge_store_append,
     foreach_batch_incremental_mart,
     foreach_batch_incremental_mart_publish,
     foreach_batch_ivf_store_upsert,

@@ -952,3 +952,32 @@ def streaming_rolling_actives(
         .groupBy("win_day")
         .agg(F.count(F.lit(1)).alias("active_users_7d"))
     )
+
+
+def foreach_batch_edge_store_append(
+    store_path: str, buckets: int | None = None
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: maintains the co-purchase EDGE STORE as
+    order-complete lineitem micro-batches arrive — the streaming ingest
+    path of the graph-as-asset layout (``operators.graph
+    .write_edge_store`` is the batch build; iterative consumers probe
+    via ``read_edge_store_batched``).
+
+    Each micro-batch's baskets expand to edges in-row (basket-size
+    bounded) and land as ``batch=N/bucket=B`` partitions: prior batches
+    are never rewritten, a replayed batch overwrites only its own
+    directory (exactly-once), and the bucket axis keeps small-frontier
+    probes pruning as the graph grows. Batch boundaries must be
+    order-complete (the append contract — pairs never span batches).
+    """
+    from ..operators.graph import EDGE_STORE_BUCKETS, edge_store_append_batch
+
+    b = EDGE_STORE_BUCKETS if buckets is None else buckets
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select("l_orderkey", "l_partkey")
+        if rows.isEmpty():
+            return
+        edge_store_append_batch(rows, store_path, batch_id, buckets=b)
+
+    return _sink

@@ -646,3 +646,66 @@ def test_triangle_count_estimate_identity_and_corridor(spark):
     # preserving refactors but tight enough to catch a broken 1/p³
     assert 0.5 * exact <= est.est_triangles <= 1.5 * exact
     assert 0.15 * len(edges) <= est.sampled_edges <= 0.35 * len(edges)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 synchronous
+    rounds each clique converges to its min node id; the bridge
+    endpoints stay with their own cliques (each has 3 in-clique
+    neighbors vs 1 bridge neighbor). Tie-break: round 1 every neighbor
+    label is distinct, so the SMALLEST neighbor id wins."""
+    from bigdatapipelinepysparksqlserver_spark.operators.graph import (
+        label_propagation,
+    )
+
+    cliq1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    cliq2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a != b]
+    bridge = [(4, 10), (10, 4)]
+    edges = spark.createDataFrame(cliq1 + cliq2 + bridge, "src long, dst long")
+    got = {r["node"]: r["lbl"] for r in label_propagation(edges, iters=3).collect()}
+    # clique 1: everyone's smallest NEIGHBOR: node 1 -> 2, others -> 1;
+    # round 2 pulls all of clique 1 to label 1 (mode among {2,1,1} etc.)
+    assert all(got[n] == 1 for n in (1, 2, 3, 4)), got
+    # clique 2: node 10's neighbors include 4, but labels 10..13 majority
+    assert all(got[n] == 10 for n in (10, 11, 12, 13)), got
+
+
+def test_edge_store_probe_equals_rebuild_and_prunes(spark, tmp_path):
+    """Stored-path contract for the graph family: (1) PageRank over the
+    store equals PageRank over the inline edge relation exactly;
+    (2) a single-source neighborhood probe scans ONLY the source's
+    bucket partition (PartitionFilters pruning)."""
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.graph import (
+        pagerank,
+        read_edge_store,
+        write_edge_store,
+    )
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 9) for b in range(1, 9) if (a + b) % 3 == 0 and a != b],
+        "src long, dst long",
+    )
+    store = str(tmp_path / "edges")
+    write_edge_store(edges, store, buckets=8)
+
+    inline = {
+        (r["node"], r["rank"]) for r in pagerank(edges, iters=3).collect()
+    }
+    stored_edges = read_edge_store(spark, store).select("src", "dst")
+    stored = {
+        (r["node"], r["rank"])
+        for r in pagerank(stored_edges, iters=3).collect()
+    }
+    assert stored == inline
+
+    probe = read_edge_store(spark, store).where(
+        (F.col("bucket") == 5 % 8) & (F.col("src") == 5)
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters")[1][:160]
+    assert "bucket" in seg
+    got = {(r["src"], r["dst"]) for r in probe.collect()}
+    assert got == {(5, b) for b in range(1, 9) if (5 + b) % 3 == 0 and b != 5}

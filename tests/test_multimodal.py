@@ -139,3 +139,41 @@ def test_media_dedup_audit_invariants(spark):
     assert (r["dup_groups"] > 0) == (r["dup_media"] > 0)
     assert (r["reclaimable_bytes"] > 0) == (r["dup_media"] > 0)
     assert r["dup_groups"] > 0  # the dedup path is actually exercised
+
+
+def test_media_shard_plan_matches_python_packing(spark, tmp_path):
+    """Prefix-sum byte packing replayed in python: md5-ordered greedy
+    fill, blob belongs to the file where its first byte lands."""
+    import hashlib
+
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+    from bigdatapipelinepysparksqlserver_spark.queries.multimodal_queries import (
+        MEDIA_SHARD_BUDGET_BYTES,
+        MEDIA_SHARD_HEX,
+    )
+
+    texts = [("x" * (7000 + 997 * i % 50000)) + str(i) for i in range(40)]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["shard"], r["file_id"]): (r["n_blobs"], r["file_bytes"])
+        for r in REGISTRY["media_shard_plan"].fn(spark, str(tmp_path)).collect()
+    }
+
+    want: dict = {}
+    items = sorted(
+        (hashlib.md5(t.encode()).hexdigest(), i, len(t.encode()))
+        for i, t in enumerate(texts)
+    )
+    cum: dict = {}
+    for h, _i, n in items:
+        shard = h[:MEDIA_SHARD_HEX]
+        start = cum.get(shard, 0)
+        fid = start // MEDIA_SHARD_BUDGET_BYTES
+        nb, bb = want.get((shard, fid), (0, 0))
+        want[(shard, fid)] = (nb + 1, bb + n)
+        cum[shard] = start + n
+    assert got == want

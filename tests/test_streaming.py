@@ -1324,3 +1324,68 @@ def test_streaming_rolling_actives_matches_batch_twin(spark, tmp_path):
     assert asserted <= set(got), "a finalized non-sentinel window is missing"
     for d, n in got.items():
         assert n == expect[d], (d, n, expect[d])
+
+
+def test_streaming_edge_store_append_recomposes_and_replays(spark, tmp_path):
+    """The graph-as-asset streaming path: order-complete lineitem
+    micro-batches through foreach_batch_edge_store_append land as
+    batch=N/bucket=B partitions; the probed distinct edge relation must
+    equal the batch rebuild over the full table, and replaying a batch
+    (same rows, same batch_id) must leave the store equivalent —
+    exactly-once."""
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.graph import (
+        copurchase_edges,
+        edge_store_append_batch,
+        read_edge_store_batched,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_edge_store_append,
+    )
+
+    li = Catalog(spark, "/root/testdata/sf0.001").lineitem.select(
+        "l_orderkey", "l_partkey"
+    )
+    # order-complete split: each order's rows land wholly in one file
+    src = tmp_path / "li_src"
+    li.where(F.col("l_orderkey") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    li.where(F.col("l_orderkey") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    store = str(tmp_path / "edge_stream_store")
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_edge_store_append(store, buckets=8)
+        )
+        .option("checkpointLocation", str(tmp_path / "edge_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+    want = {(r["src"], r["dst"]) for r in copurchase_edges(li).collect()}
+    got = {
+        (r["src"], r["dst"])
+        for r in read_edge_store_batched(spark, store).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # crash-replay: re-append batch 0's rows under the same batch_id
+    edge_store_append_batch(
+        li.where(F.col("l_orderkey") % 2 == 0), store, 0, buckets=8
+    )
+    again = {
+        (r["src"], r["dst"])
+        for r in read_edge_store_batched(spark, store).collect()
+    }
+    assert again == want
