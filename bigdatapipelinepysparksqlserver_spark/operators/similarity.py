@@ -1663,3 +1663,70 @@ def pca_project(
         )
         cols.append(F.round(fold, 6).alias(f"pc{kk}"))
     return vectors.select(*cols)
+
+
+def lsh_multiprobe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Multi-probe hyperplane-LSH top-k (Lv et al., VLDB 2007): each
+    query probes its own bucket PLUS the ``bits`` Hamming-distance-1
+    buckets per table — the most likely homes of near neighbors that
+    landed one sign-test away.
+
+    The recall/storage trade this buys at 100 TB: extra probes fan out
+    the QUERY side only (query-count × (bits+1) rows — broadcast-sized),
+    while the corpus keeps exactly L signatures per vector; recall
+    comparable to ~L·(bits+1) tables at the index storage of L. The
+    corpus side of the plan is byte-identical to :func:`lsh_topk`.
+    """
+    buckets = hyperplane_buckets(F.col(vec_col), dim=dim, bits=bits, tables=tables)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        F.explode(buckets).alias("tb"),
+    ).select("neighbor_id", "neighbor_vec", "tb.table", "tb.bucket")
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(buckets).alias("tb"),
+    ).select("query_id", "query_vec", "tb.table", "tb.bucket")
+    probe_set = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+    )
+    qp = q0.select(
+        "query_id",
+        "query_vec",
+        "table",
+        F.explode(probe_set).alias("bucket"),
+    )
+    cands = (
+        v.join(F.broadcast(qp), ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

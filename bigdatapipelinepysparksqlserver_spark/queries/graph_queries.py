@@ -554,3 +554,100 @@ def copurchase_pagerank_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=PR_ITERS).select(
         F.col("node").alias("part_id"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths (Bellman-Ford min-plus relaxation) — the
+# fourth and final semiring of the iterative-graph suite: sum-product
+# (PageRank), mode-argmax (LPA), frontier-union (k-hop BFS), and now
+# MIN-PLUS. Edge weight = "affinity distance" 10⁶ div s_ab (strongly
+# co-purchased pairs are closer); all-integer arithmetic, so 3
+# relaxation rounds replay exactly as unrolled MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+
+SSSP_ROUNDS = 3
+SSSP_SEEDS = 5
+SSSP_W_SCALE = 1000000
+
+
+def _sssp_round_sql(r: int) -> str:
+    prev = f"d{r - 1}"
+    return f"""
+d{r} AS MATERIALIZED (
+  SELECT seed, node, MIN(dist) AS dist FROM (
+    SELECT d.seed, e.dst AS node, d.dist + e.w AS dist
+    FROM {prev} d JOIN e0 e ON e.src = d.node
+    UNION ALL
+    SELECT seed, node, dist FROM {prev}
+  ) GROUP BY 1, 2
+)"""
+
+
+SSSP_ORACLE = f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT x.l_partkey AS src, y.l_partkey AS dst,
+         {SSSP_W_SCALE} // COUNT(*) AS w
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+  GROUP BY 1, 2
+),
+seeds AS MATERIALIZED (SELECT DISTINCT src AS seed FROM e0 ORDER BY seed LIMIT {SSSP_SEEDS}),
+d0 AS MATERIALIZED (
+  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM seeds
+),{",".join(_sssp_round_sql(r) for r in range(1, SSSP_ROUNDS + 1))}
+SELECT seed, node, CAST(dist AS BIGINT) AS dist FROM d{SSSP_ROUNDS}
+"""
+
+
+@query("copurchase_cheapest_path", oracle=SSSP_ORACLE)
+def copurchase_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round Bellman-Ford from five seed parts over affinity-weighted
+    co-purchase edges (w = 10⁶ div shared-order count): the "how close
+    is everything to my anchor products" table behind substitution and
+    bundle analysis. Exact by construction — integer weights, integer
+    sums, MIN relaxation.
+
+    Scale: the distance relation is (seeds × nodes)-bounded, never
+    edge-squared; each round is one src-keyed hash join of it against
+    the persisted weighted edges + a (seed, node)-keyed MIN with
+    map-side partials. More seeds ride the same plan (seed is just a
+    key); deeper horizons iterate the same two operators.
+    """
+    from ..caching import scoped_persist
+
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x),"
+        " y -> struct(x AS src, y AS dst))))"
+    )
+    edges = scoped_persist(
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .agg(F.expr(f"{SSSP_W_SCALE} div count(1)").alias("w"))
+    )
+    seeds = (
+        edges.select("src").distinct().orderBy("src").limit(SSSP_SEEDS)
+    )
+    d = seeds.select(
+        F.col("src").alias("seed"),
+        F.col("src").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = d.join(edges, d["node"] == edges["src"]).select(
+            "seed",
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        d = (
+            relaxed.unionByName(d)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return d.select("seed", "node", F.col("dist").cast("bigint").alias("dist"))

@@ -1418,3 +1418,61 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings
     return gram_matrix(emb, vec_col="embedding", dim=EMB_DIM)
+
+
+ANN_MULTIPROBE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+sigs AS MATERIALIZED (
+{{sigs}}
+),
+q0 AS (SELECT vec_id, tbl, bucket FROM sigs WHERE vec_id < {N_QUERY_VECS}),
+qp AS (
+  SELECT vec_id, tbl, bucket FROM q0
+  UNION ALL
+  SELECT vec_id, tbl, xor(bucket, (1 << CAST(t.i AS INT))) AS bucket
+  FROM q0, UNNEST(range(0, {LSH_BITS})) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+  FROM qp q JOIN sigs e ON q.tbl = e.tbl AND q.bucket = e.bucket
+   AND q.vec_id <> e.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(vq.emb, ve.emb) AS cos_raw
+  FROM cand c
+  JOIN v vq ON vq.vec_id = c.query_id
+  JOIN v ve ON ve.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       ROUND(cos_raw, 6) AS cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+       ) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    oracle=ANN_MULTIPROBE_ORACLE.format(sigs=_sigs_cte()),
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007): queries probe their
+    bucket + every Hamming-1 neighbor bucket per table — recall
+    comparable to ~L·(bits+1) tables while the CORPUS keeps L
+    signatures per vector (probe fan-out is query-side only,
+    broadcast-sized). The storage/recall dial the plain `ann_lsh_topk`
+    lacks.
+    """
+    from ..operators.similarity import lsh_multiprobe_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return lsh_multiprobe_topk(
+        emb, q, id_col="vec_id", vec_col="embedding",
+        dim=EMB_DIM, k=TOP_K, bits=LSH_BITS, tables=LSH_TABLES,
+    )

@@ -1291,3 +1291,43 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOP_K)
     )
+
+
+VOCAB_GROWTH_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_words,
+       ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS vocab_token_ratio
+FROM (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents
+) WHERE tok <> ''
+GROUP BY source
+"""
+
+
+@query("vocab_growth_by_source", oracle=VOCAB_GROWTH_ORACLE)
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-vs-token counts — the Heaps'-law
+    diagnostic behind the BPE training scale contract (dictionary
+    growth sub-linear in corpus growth) and the first number to check
+    when a source's token distribution drifts.
+
+    Scale: explode + one (source, tok)-keyed distinct folded into the
+    grouped count-distinct — Spark plans it as two-level hash
+    aggregation with map-side partials; no window, no join.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct_words"),
+        F.round(
+            F.count_distinct("tok").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("vocab_token_ratio"),
+    )

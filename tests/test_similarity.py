@@ -635,3 +635,38 @@ def test_gram_matrix_exact_reference_and_pca(spark):
     # variance concentrates: top-1 component captures the most energy
     energy = (v @ c.T).var(axis=0)
     assert energy[0] >= energy[1:].max() - 1e-9
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, emb):
+    """Multi-probe LSH must (a) return a SUPERSET-quality result: its
+    candidate pool contains the plain LSH pool by construction (probe
+    set includes the home bucket), so recall@10 vs brute force can only
+    be >= the single-probe recall; (b) measurably improve it on the
+    synthetic embeddings (the whole point of spending bits+1 probes)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    q = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, q, dim=64, k=10, bits=4, tables=4).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_multiprobe_topk(
+            emb, q, dim=64, k=10, bits=4, tables=4
+        ).collect()
+    }
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi >= r_single + 0.1, (
+        f"multi-probe bought no recall: {r_single:.3f} -> {r_multi:.3f}"
+    )
