@@ -69,8 +69,10 @@ def compact_store_batches(
     """Merge a batched store's ``batch=N`` levels back to the FLAT
     layout its ``build_*`` writer produces. Detects the store kind from
     the layout: a ``postings/`` subdirectory means a postings store
-    (four relations recomposed), otherwise ``batch=N`` directories at
-    the top level mean an IVF vector store (one relation).
+    (four relations recomposed); top-level ``batch=N`` directories are
+    an IVF vector store (``cell=C`` children, one relation) or a
+    co-purchase edge store (``bucket=B`` children — distinct-union,
+    original bucket values preserved so probe pruning survives).
 
     A flat (never-appended) store is a no-op — returns
     ``{"kind": ..., "compacted": False}``. After compaction the store
@@ -94,13 +96,20 @@ def compact_store_batches(
             else []
         )
     elif fs.is_dir(path):
-        kind = "ivf"
         batched = _is_batched(fs, path)
         batches = (
             sorted(n for n in fs.list_dir(path) if n.startswith("batch="))
             if batched
             else []
         )
+        # disambiguate top-level batch=N stores by their partition axis:
+        # cell=C children -> IVF vector store, bucket=B -> edge store
+        kind = "ivf"
+        if batches and any(
+            n.startswith("bucket=")
+            for n in fs.list_dir(f"{path}/{batches[0]}")
+        ):
+            kind = "edges"
     else:
         raise ValueError(f"compact_store_batches: no store at {path}")
     if not batched:
@@ -111,6 +120,8 @@ def compact_store_batches(
         fs.rmtree(tmp)
     if kind == "postings":
         _compact_postings(spark, path, tmp)
+    elif kind == "edges":
+        _compact_edges(spark, path, tmp)
     else:
         _compact_ivf(spark, path, tmp)
     # directory-level swap: the half-written staging dir never aliases
@@ -173,6 +184,27 @@ def _compact_ivf(spark, path: str, tmp: str) -> None:
         .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
+        .parquet(tmp)
+    )
+
+
+def _compact_edges(spark, path: str, tmp: str) -> None:
+    """Flatten ``batch=N/bucket=B`` to the flat ``bucket=B`` layout:
+    distinct-union across batches (exact under the order-complete
+    append contract — duplicate edges across batches collapse, nothing
+    else changes). Each edge KEEPS its original bucket value (bucket is
+    a pure function of src, identical across batches), so the store's
+    src→bucket mapping — which probes rely on for pruning — survives
+    compaction bit-for-bit; no modulus needs to be known or inferred."""
+    (
+        spark.read.option("basePath", path)
+        .parquet(f"{path}/batch=*")
+        .select("src", "dst", "bucket")
+        .distinct()
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions("src")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
         .parquet(tmp)
     )
 

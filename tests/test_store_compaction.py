@@ -594,3 +594,61 @@ def test_publish_store_version_retains_and_gcs(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(root) if d.startswith("v"))
     assert dirs == ["v2", "v3"]
     assert store_live_path(root).endswith("/v3")
+
+
+def test_edge_store_compaction_probe_equals_batched(spark, tmp_path):
+    """Edge-store maintenance: two appended batches compact to the flat
+    bucket layout; the probed edge relation is unchanged, every edge
+    keeps its original bucket (src→bucket mapping survives), and the
+    batch= level is gone."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.graph import (
+        copurchase_edges,
+        edge_store_append_batch,
+        read_edge_store_batched,
+    )
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        compact_store_batches,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.catalog import Catalog
+
+    li = Catalog(spark, "/root/testdata/sf0.001").lineitem.select(
+        "l_orderkey", "l_partkey"
+    )
+    store = str(tmp_path / "edges")
+    edge_store_append_batch(
+        li.where(F.col("l_orderkey") % 2 == 0), store, 0, buckets=8
+    )
+    edge_store_append_batch(
+        li.where(F.col("l_orderkey") % 2 == 1), store, 1, buckets=8
+    )
+    before = {
+        (r["src"], r["dst"], r["bucket"])
+        for r in spark.read.option("basePath", store)
+        .parquet(store + "/batch=*")
+        .select("src", "dst", "bucket")
+        .distinct()
+        .collect()
+    }
+
+    out = compact_store_batches(spark, store)
+    assert out["kind"] == "edges" and out["compacted"] is True
+    assert sorted(out["batches"]) == ["batch=0", "batch=1"]
+    names = os.listdir(store)
+    assert not any(n.startswith("batch=") for n in names)
+    assert any(n.startswith("bucket=") for n in names)
+
+    after = {
+        (r["src"], r["dst"], r["bucket"])
+        for r in spark.read.parquet(store).select("src", "dst", "bucket").collect()
+    }
+    assert after == before
+    want = {(r["src"], r["dst"]) for r in copurchase_edges(li).collect()}
+    assert {(s, d) for s, d, _ in after} == want
+
+    # flat store: re-running compaction is a no-op
+    again = compact_store_batches(spark, store)
+    assert again["compacted"] is False and again["kind"] in ("edges", "ivf")
