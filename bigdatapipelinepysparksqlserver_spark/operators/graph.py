@@ -234,8 +234,12 @@ def label_propagation(
     iters: int = 3,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
-    al. 2007) over a directed edge list (pass both directions for an
-    undirected graph). Returns (node, lbl) after ``iters`` rounds.
+    al. 2007). REQUIRES a bidirectional edge list (pass both directions
+    — every node must have in-degree ≥ 1): labels initialize from src
+    nodes and each round re-labels from in-neighbors, so on a genuinely
+    directed graph a zero-in-degree node would drop out of the result
+    after round 1 and a dst-only node would never vote. Returns
+    (node, lbl) after ``iters`` rounds.
 
     Deterministic by construction — the two places classic LPA is
     random are both pinned: updates are SYNCHRONOUS (every node
@@ -274,13 +278,15 @@ def label_propagation(
     return labels
 
 
-def copurchase_edges(lineitem: DataFrame) -> DataFrame:
-    """Distinct directed co-purchase edges (both directions) between
-    parts sharing an order — the edge relation every graph query here
-    consumes. Per-order collect_set + in-row ordered-pair expansion
-    (one orderkey shuffle, fanout bounded by basket size ≤ 7; measured
-    77 s → 57 s vs the lineitem self-join at sf10 — see
-    part_copurchase_pagerank)."""
+def copurchase_order_pairs(lineitem: DataFrame) -> DataFrame:
+    """One (src, dst) row PER ORDER per ordered part pair — the shared
+    basket-expansion primitive: per-order collect_set + in-row
+    ordered-pair expansion (one orderkey shuffle, fanout bounded by
+    basket size ≤ 7; measured 77 s → 57 s vs the lineitem self-join at
+    sf10 — see part_copurchase_pagerank). Consumers derive their edge
+    semantics from it: ``.distinct()`` for the unweighted graph
+    (:func:`copurchase_edges`), ``groupBy(src, dst).count()`` for
+    co-occurrence weights (copurchase_cheapest_path)."""
     grouped = lineitem.select("l_orderkey", "l_partkey").groupBy(
         "l_orderkey"
     ).agg(F.collect_set("l_partkey").alias("ps"))
@@ -288,11 +294,16 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
         "flatten(transform(ps, x -> transform(filter(ps, y -> y != x),"
         " y -> struct(x AS src, y AS dst))))"
     )
-    return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-        .distinct()
+    return grouped.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
     )
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct directed co-purchase edges (both directions) between
+    parts sharing an order — the edge relation the unweighted graph
+    queries consume."""
+    return copurchase_order_pairs(lineitem).distinct()
 
 
 EDGE_STORE_BUCKETS = 32

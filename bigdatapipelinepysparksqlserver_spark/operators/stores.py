@@ -419,19 +419,32 @@ def publish_store_version(
     """Publish ``staging`` as the next store version: rename it to
     {root}/v{N+1} (NOT required atomic — no reader can resolve it yet),
     atomically swap the pointer, then GC versions older than ``retain``
-    behind the new live one plus any orphans ahead of it (a crashed
-    publish's vN is invisible and reaped here — the MartPublisher
-    protocol verbatim). Returns the published version number."""
+    behind the new live one (the MartPublisher protocol verbatim).
+
+    Version numbers derive from the POINTER, not from max(dirs): a
+    crashed publish leaves an orphan directory AHEAD of the pointer
+    that no reader can ever resolve — it is reaped BEFORE numbering,
+    so (a) its number is safely reused, and (b) it can never displace
+    the genuine previous live version out of the retain window (a GC
+    keyed off max(dirs) would delete the version concurrent readers
+    are still probing while retaining the unreadable orphan).
+    Returns the published version number."""
     fs = fs or LocalFS()
     if not fs.is_dir(staging):
         raise FileNotFoundError(f"no staging store at {staging}")
     fs.makedirs(root)
-    versions = _store_versions(root, fs)
-    nxt = (versions[-1] + 1) if versions else 1
+    cur_name = fs.read_pointer(f"{root}/{STORE_POINTER}")
+    cur = int(cur_name[1:]) if cur_name else 0
+    # reap crashed-publish orphans: version dirs the pointer never
+    # named are invisible to every reader by construction
+    for v in _store_versions(root, fs):
+        if v > cur:
+            fs.rmtree(f"{root}/v{v}")
+    nxt = cur + 1
     fs.rename_dir(staging, f"{root}/v{nxt}")
     fs.set_pointer(f"{root}/{STORE_POINTER}", f"v{nxt}")
     for v in _store_versions(root, fs):
-        if v != nxt and (v < nxt - retain or v > nxt):
+        if v < nxt - retain:
             fs.rmtree(f"{root}/v{v}")
     return nxt
 
@@ -464,11 +477,19 @@ def compact_store_live(
     if not batched:
         return {"kind": kind, "compacted": False, "batches": [], "version": cur}
     batches = sorted(n for n in fs.list_dir(rel) if n.startswith("batch="))
+    # same axis disambiguation as compact_store_batches: a top-level
+    # batched store with bucket= children is the edge store, not IVF
+    if kind == "ivf" and any(
+        n.startswith("bucket=") for n in fs.list_dir(f"{rel}/{batches[0]}")
+    ):
+        kind = "edges"
     staging = f"{root}/__compact_staging__"
     if fs.is_dir(staging):
         fs.rmtree(staging)
     if kind == "postings":
         _compact_postings(spark, live, staging)
+    elif kind == "edges":
+        _compact_edges(spark, live, staging)
     else:
         _compact_ivf(spark, live, staging)
     v = publish_store_version(root, staging, fs, retain)

@@ -237,19 +237,10 @@ def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..caching import scoped_persist
 
+    from ..operators.graph import copurchase_edges
+
     li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    grouped = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pair_structs = F.expr(
-        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x),"
-        " y -> struct(x AS src, y AS dst))))"
-    )
-    edges = scoped_persist(
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-        .distinct()
-    )
+    edges = scoped_persist(copurchase_edges(li))
     seeds = (
         edges.select(F.col("src").alias("seed"))
         .distinct()
@@ -617,18 +608,12 @@ def copurchase_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     key); deeper horizons iterate the same two operators.
     """
     from ..caching import scoped_persist
+    from ..operators.graph import copurchase_order_pairs
 
     li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
-    grouped = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pair_structs = F.expr(
-        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x),"
-        " y -> struct(x AS src, y AS dst))))"
-    )
     edges = scoped_persist(
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        copurchase_order_pairs(li)
+        .groupBy("src", "dst")
         .agg(F.expr(f"{SSSP_W_SCALE} div count(1)").alias("w"))
     )
     seeds = (

@@ -1335,12 +1335,8 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Heaps-law sub-linear; at the replica-scaled rehearsal it grows
     100x and the broadcast still holds (measured row).
     """
-    from ..caching import scoped_persist
-    from ..operators.text import bpe_train, word_counts
-
     docs = Catalog(spark, sf_dir).documents
-    wc = scoped_persist(word_counts(docs))
-    _, state = bpe_train(wc, BPE_ROUNDS)
+    _, state = _bpe_trained(spark, sf_dir)
     seg = state.select(
         "word", F.size(F.split("state", " ")).alias("n_syms")
     )

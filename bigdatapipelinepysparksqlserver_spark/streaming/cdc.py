@@ -914,7 +914,7 @@ def streaming_rolling_actives(
     ts_col: str = "ts",
     user_col: str = "user_id",
     window_days: int = 7,
-    watermark: str = "1 day",
+    late_days: int = 1,
 ) -> DataFrame:
     """Trailing-N-day DISTINCT active users per day over a stream —
     the streaming twin of the graded batch query
@@ -928,9 +928,20 @@ def streaming_rolling_actives(
 
     Chained stateful operators (dedup → agg) require APPEND output
     mode; a win_day row emits once, final, when the watermark passes
-    it. The forward shift (win_day up to N−1 days AHEAD of the event's
-    day) never makes data late — lateness of win_day equals lateness
-    of the event — so the watermark delay needs no widening for it.
+    it. The watermark is declared on win_day (a derived column does
+    not inherit the source column's watermark), and because win_day
+    runs up to N−1 days AHEAD of the event's day, the delay is widened
+    by window_days−1: an on-time event's EARLIEST contribution
+    (win_day = its own day) trails the stream's max win_day by N−1
+    days, so under the DOCUMENTED watermark model a narrower delay
+    licenses the engine to drop on-time events' early contributions
+    as late once a second micro-batch arrives. (Empirically this
+    build's dropDuplicates admits them anyway — probed directly — but
+    that is engine behavior, not contract; the widened delay makes
+    correctness contractual at the cost of N−1 extra days of state,
+    and the multi-batch pytest pins it.) Effective delay =
+    (window_days − 1 + late_days) days; ``late_days`` is the genuine
+    event-time lateness budget.
     State: dedup holds (day, user) keys, the agg holds day counters;
     both evicted at the watermark, so steady-state memory is
     N × daily-actives + horizon days — independent of stream length.
@@ -946,7 +957,9 @@ def streaming_rolling_actives(
         "user_id",
     )
     if events.isStreaming:
-        contrib = contrib.withWatermark("win_day", watermark)
+        contrib = contrib.withWatermark(
+            "win_day", f"{window_days - 1 + late_days} days"
+        )
     return (
         contrib.dropDuplicates(["win_day", "user_id"])
         .groupBy("win_day")

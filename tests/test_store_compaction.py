@@ -652,3 +652,47 @@ def test_edge_store_compaction_probe_equals_batched(spark, tmp_path):
     # flat store: re-running compaction is a no-op
     again = compact_store_batches(spark, store)
     assert again["compacted"] is False and again["kind"] in ("edges", "ivf")
+
+
+def test_publish_gc_survives_crashed_publish_orphan(tmp_path):
+    """A crashed publish (version dir renamed, pointer never swapped)
+    must not poison the next publish's GC: the orphan is reaped, its
+    number reused, and the GENUINE previous live version — the one
+    concurrent readers may still be probing — stays within the retain
+    window."""
+    import os
+
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        publish_store_version,
+        store_live_path,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.fs import LocalFS
+
+    fs = LocalFS()
+    root = str(tmp_path / "store")
+
+    def stage(tag):
+        p = str(tmp_path / f"staging_{tag}")
+        os.makedirs(p)
+        with open(os.path.join(p, "data.txt"), "w") as f:
+            f.write(tag)
+        return p
+
+    assert publish_store_version(root, stage("a"), fs, retain=1) == 1
+    assert publish_store_version(root, stage("b"), fs, retain=1) == 2
+    # simulate a crash between rename and pointer swap: v3 exists,
+    # pointer still names v2
+    os.rename(stage("crashed"), os.path.join(root, "v3"))
+    assert store_live_path(root, fs).endswith("/v2")
+
+    v = publish_store_version(root, stage("c"), fs, retain=1)
+    assert v == 3  # orphan reaped, number reused
+    assert store_live_path(root, fs).endswith("/v3")
+    names = sorted(n for n in os.listdir(root) if n.startswith("v"))
+    # retain=1: the REAL previous live version v2 survives; v1 is gone;
+    # the crashed orphan's content never became visible
+    assert names == ["v2", "v3"]
+    with open(os.path.join(root, "v3", "data.txt")) as f:
+        assert f.read() == "c"
+    with open(os.path.join(root, "v2", "data.txt")) as f:
+        assert f.read() == "b"

@@ -1389,3 +1389,72 @@ def test_streaming_edge_store_append_recomposes_and_replays(spark, tmp_path):
         for r in read_edge_store_batched(spark, store).collect()
     }
     assert again == want
+
+
+def test_streaming_rolling_actives_multibatch_keeps_ontime_contributions(
+    spark, tmp_path
+):
+    """Regression (r8 review): the watermark rides win_day, which runs
+    window_days-1 AHEAD of event time — with an unwidened delay, batch
+    2's ON-TIME events had their early window contributions dropped as
+    late (undercounting every still-open window). Three ordered
+    micro-batches; batch 2's day-3/day-4 events are <= 1 day late
+    relative to batch 1's max (day 3), so every contribution must
+    survive."""
+    import os
+    import time as _time
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        streaming_rolling_actives,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long"
+    batches = [
+        [(1, datetime(2024, 1, 1, 8), 1), (2, datetime(2024, 1, 3, 9), 2)],
+        [(3, datetime(2024, 1, 3, 10), 4), (4, datetime(2024, 1, 4, 7), 5)],
+        [(99, datetime(2024, 3, 1, 0), 999)],  # watermark sentinel
+    ]
+    src = tmp_path / "ra_mb_src"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+        # file source orders batches by (modTime, path): force the order
+        t = _time.time() + i * 10
+        for root, _dirs, files in os.walk(str(src / f"f{i}")):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_rolling_actives(stream)
+        .writeStream.format("memory")
+        .queryName("ra_multibatch_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ra_mb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 2
+    got = {
+        r.win_day: r.active_users_7d
+        for r in spark.sql("select * from ra_multibatch_test").collect()
+    }
+
+    active = defaultdict(set)
+    for rows in batches:
+        for _, ts, uid in rows:
+            d = datetime(ts.year, ts.month, ts.day)
+            for k in range(7):
+                active[d + timedelta(days=k)].add(uid)
+    expect = {d: len(us) for d, us in active.items()}
+    asserted = {d for d, us in active.items() if us != {999}}
+    assert asserted <= set(got), "an on-time contribution was dropped as late"
+    for d, n in got.items():
+        assert n == expect[d], (d, n, expect[d])
