@@ -3026,3 +3026,105 @@ def event_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_pearson_corr(
         p, ["t1", "t2"], F.col("x"), F.col("y"), alias="corr"
     )
+
+
+# --------------------------------------------------------------------------
+# Trimmed mean — the robust-statistics companion to value_mad_outliers
+# on the MONEY axis: drop the cheapest and priciest 5% of orders per
+# priority before averaging, so a handful of whale orders can't move
+# the per-priority health metric. Exact by value-domain compression:
+# integer cents, per-priority cumulative counts over DISTINCT values
+# only, boundary values partially dropped by exact integer arithmetic.
+# --------------------------------------------------------------------------
+
+TRIM_PCT_DEN = 20  # n div 20 = 5% trimmed from EACH side
+
+TRIMMED_MEAN_ORACLE = f"""
+WITH c AS MATERIALIZED (
+  SELECT o_orderpriority AS priority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+w AS MATERIALIZED (
+  SELECT priority, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY priority ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY priority) AS n
+  FROM c
+),
+k AS (
+  SELECT priority, cents, cnt, cum, n, n // {TRIM_PCT_DEN} AS k FROM w
+),
+kept AS (
+  SELECT priority, n, k,
+         cnt
+         - GREATEST(0, LEAST(cnt, k - (cum - cnt)))
+         - GREATEST(0, LEAST(cnt, cum - (n - k))) AS kc,
+         cents
+  FROM k
+)
+SELECT priority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MAX(n) - 2 * MAX(k) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(kc * cents) AS DOUBLE)
+             / CAST(MAX(n) - 2 * MAX(k) AS DOUBLE) / 100.0, 6)
+         AS trimmed_mean
+FROM kept
+GROUP BY 1
+"""
+
+
+@query("order_value_trimmed_mean", oracle=TRIMMED_MEAN_ORACLE)
+def order_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-two-sided trimmed mean of order value per priority. The trim
+    boundary splits EXACTLY: a cent-value straddling the k-th order
+    drops only its below-boundary multiplicity (integer
+    GREATEST/LEAST arithmetic), so the result equals the sorted-list
+    definition without any per-row sort.
+
+    Scale: the window runs over the compressed (priority, cents) VALUE
+    DOMAIN — distinct prices, not orders — partitioned by priority;
+    the raw scan collapses to that domain in one map-side-combined
+    groupBy. The sorted-list formulation would be a global sort of all
+    orders; this is a domain-sized window after an aggregation.
+    """
+    o = Catalog(spark, sf_dir).orders
+    cents = (dec("o_totalprice") * 100).cast("bigint")
+    c = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"), cents.alias("cents")
+        )
+        .groupBy("priority", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("priority").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("priority")
+    g = (
+        c.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .withColumn("k", F.expr(f"n div {TRIM_PCT_DEN}"))
+        .withColumn(
+            "kc",
+            F.col("cnt")
+            - F.greatest(
+                F.lit(0),
+                F.least(F.col("cnt"), F.col("k") - (F.col("cum") - F.col("cnt"))),
+            )
+            - F.greatest(
+                F.lit(0), F.least(F.col("cnt"), F.col("cum") - (F.col("n") - F.col("k")))
+            ),
+        )
+    )
+    return g.groupBy("priority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        (F.max("n") - 2 * F.max("k")).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.col("kc") * F.col("cents")).cast("double")
+            / (F.max("n") - 2 * F.max("k")).cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("trimmed_mean"),
+    )

@@ -1331,3 +1331,93 @@ def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("vocab_token_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Document novelty: what fraction of a document's distinct trigrams
+# appears in NO other document — the memorization/duplication-pressure
+# metric curation teams track next to dedup (a low-novelty doc is
+# boilerplate or a near-copy even when no single pair crosses the dedup
+# threshold). Trigrams travel as 60-bit md5-prefix keys (the span-dup
+# convention — 8-byte shuffle rows; collisions merge identically on
+# both engines).
+# --------------------------------------------------------------------------
+
+DOC_NOVELTY_ORACLE = """
+WITH words AS MATERIALIZED (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+tg AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(w[CAST(t.i AS INT)] || ' '
+              || w[CAST(t.i AS INT) + 1] || ' '
+              || w[CAST(t.i AS INT) + 2]), 1, 15) AS BIGINT) AS tgh
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+freq AS MATERIALIZED (
+  SELECT tgh, COUNT(*) AS n_docs FROM tg GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       ROUND(CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM tg t JOIN freq f USING (tgh)
+GROUP BY 1
+"""
+
+
+@query("doc_novelty_score", oracle=DOC_NOVELTY_ORACLE)
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: distinct trigrams, how many of them occur
+    in no other document (n_docs = 1 corpus-wide — and since the
+    relation is per-doc-distinct, in no other place at all), and the
+    unique fraction. Documents with fewer than 3 tokens have no
+    trigrams and are excluded (mirrored by the oracle's range()).
+
+    Scale: the (doc, trigram-hash) relation is 16 B/row; the corpus-
+    frequency groupBy and the doc rollup are both map-side-combined
+    hash aggregates on 8-byte keys; the doc↔freq join is hash-keyed.
+    Text never shuffles.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    w = F.split(F.lower(F.trim(F.col("text"))), " ")
+    n = F.size(w)
+    tgs = F.zip_with(
+        F.zip_with(
+            F.slice(w, 1, n - 2),
+            F.slice(w, 2, n - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(w, 3, n - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    h = F.conv(F.substring(F.md5(F.col("__tg").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    tg = (
+        docs.where(n >= 3)
+        .select("doc_id", F.explode(tgs).alias("__tg"))
+        .select("doc_id", h.alias("tgh"))
+        .distinct()
+    )
+    freq = tg.groupBy("tgh").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tg.join(freq, "tgh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum((F.col("n_docs") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
+            F.col("n_unique").cast("bigint").alias("n_unique"),
+            F.round(
+                F.col("n_unique").cast("double")
+                / F.col("n_trigrams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )

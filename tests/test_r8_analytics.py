@@ -383,3 +383,65 @@ def test_order_dow_uniformity_hand_computed(spark, tmp_path):
         REGISTRY["order_dow_uniformity"].fn(spark, str(tmp_path)).collect()
     )
     assert (r["n"], r["chi2"], r["dof"]) == (14, 4.0, 6)
+
+
+def test_trimmed_mean_matches_sorted_list_definition(spark, tmp_path):
+    """The value-domain-compressed trimmed mean must equal the textbook
+    sorted-list definition (drop n//20 from each end, average the
+    rest), including boundary values whose multiplicity straddles the
+    cut."""
+    from datetime import datetime
+
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    # 23 orders in one priority: k = 1 -> drop exactly one cheapest and
+    # one priciest; duplicated extremes make the boundary split partial
+    prices = [1.00] * 3 + [5.25] * 10 + [7.10] * 8 + [99.99] * 2
+    rows = [
+        (i + 1, 1, "O", p, datetime(2024, 1, 1), "1-URGENT")
+        for i, p in enumerate(prices)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["priority"]: (r["n_orders"], r["n_kept"], r["trimmed_mean"])
+        for r in REGISTRY["order_value_trimmed_mean"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    s = sorted(prices)
+    k = len(s) // 20
+    kept = s[k : len(s) - k]
+    want = round(sum(kept) / len(kept), 6)
+    assert got == {"1-URGENT": (len(s), len(kept), want)}
+
+
+def test_doc_novelty_unique_vs_shared_trigrams(spark, tmp_path):
+    """A trigram appearing in two docs is novel in neither; a trigram
+    repeated WITHIN one doc only still counts as unique (per-doc
+    distinct before the corpus count)."""
+    from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+
+    rows = [
+        (1, "a b c d", "en", "s", 7),        # trigrams: 'a b c', 'b c d'
+        (2, "a b c x y", "en", "s", 9),      # shares 'a b c'
+        (3, "q q q q q", "en", "s", 9),      # 'q q q' x3 -> one distinct
+        (4, "z z", "en", "s", 3),            # < 3 tokens -> excluded
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["n_unique"], r["novelty"])
+        for r in REGISTRY["doc_novelty_score"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),              # 'a b c' shared with doc 2; 'b c d' unique
+        2: (3, 2, round(2 / 3, 6)),  # 'b c x', 'c x y' unique
+        3: (1, 1, 1.0),              # 'q q q' x3 collapses to ONE distinct trigram
+    }
