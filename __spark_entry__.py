@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for 192 of 193 queries — including the full
+    """DuckDB twins for 194 of 195 queries — including the full
     MinHash/SimHash/hyperplane-LSH pipelines via engine-portable hash
     families, the HLL-distinct and approx-top-k sketches via
     error-corridor / exact-regime oracles, and (since r6) the

@@ -494,3 +494,28 @@ def compact_store_live(
         _compact_ivf(spark, live, staging)
     v = publish_store_version(root, staging, fs, retain)
     return {"kind": kind, "compacted": True, "batches": batches, "version": v}
+
+
+def rollback_store_version(
+    root: str, version: int, fs: SnapshotFS | None = None
+) -> int:
+    """Point the live pointer BACK at a retained version — the
+    operational undo for a bad publish (compaction that regressed a
+    probe, an append batch that poisoned stats). Pure pointer swap:
+    atomic, readers see whole snapshots before and after, nothing is
+    deleted (the rolled-back-from version stays on disk and a later
+    publish reaps it as an orphan ahead of the pointer — by design,
+    its content was never trusted).
+
+    Only a version that EXISTS on disk can be rolled back to; the GC
+    retain window (``publish_store_version(retain=N)``) bounds how far
+    back that is. Returns the version rolled back to.
+    """
+    fs = fs or LocalFS()
+    if not fs.is_dir(f"{root}/v{version}"):
+        raise FileNotFoundError(
+            f"rollback target v{version} not on disk under {root} "
+            f"(have: {_store_versions(root, fs)}; widen retain= to keep more)"
+        )
+    fs.set_pointer(f"{root}/{STORE_POINTER}", f"v{version}")
+    return version

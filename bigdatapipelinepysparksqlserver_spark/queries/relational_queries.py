@@ -3128,3 +3128,88 @@ def order_value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# LTV cohort-revenue triangle — the money twin of the event-based
+# cohort_retention: customers cohorted by FIRST-order month, revenue
+# laid out by months-since-first — the table LTV forecasting and
+# payback-period analysis read directly. Months are integer indexes
+# (year*12 + month - 1, both engines) — no DATE canon risk; revenue is
+# DECIMAL(18,2)-exact until the final double cast.
+# --------------------------------------------------------------------------
+
+LTV_TRIANGLE_ORACLE = """
+WITH o AS MATERIALIZED (
+  SELECT o_custkey AS cust,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+first AS MATERIALIZED (
+  SELECT cust, MIN(mi) AS cm FROM o GROUP BY 1
+),
+j AS MATERIALIZED (
+  SELECT f.cm, o.mi - f.cm AS age, o.cust, o.price
+  FROM o JOIN first f USING (cust)
+),
+rev AS (
+  SELECT cm, age, CAST(SUM(price) AS DOUBLE) AS revenue
+  FROM j GROUP BY 1, 2
+),
+act AS (
+  SELECT cm, age, COUNT(*) AS n_active
+  FROM (SELECT DISTINCT cm, age, cust FROM j) GROUP BY 1, 2
+),
+size_ AS (SELECT cm, COUNT(*) AS cohort_size FROM first GROUP BY 1)
+SELECT r.cm AS cohort_month, CAST(r.age AS INT) AS age,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(a.n_active AS BIGINT) AS n_active, r.revenue
+FROM rev r
+JOIN act a ON a.cm = r.cm AND a.age = r.age
+JOIN size_ s ON s.cm = r.cm
+"""
+
+
+@query("customer_ltv_triangle", oracle=LTV_TRIANGLE_ORACLE)
+def customer_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per (first-order-month cohort, months-since-first) with
+    cohort size and active-customer counts — every cell exact.
+
+    Scale: one customer-keyed min (map-side combined), a broadcast-or-
+    hash join back, then two (cohort, age)-keyed aggregates joined on
+    their tiny triangle keys. The distinct-actives count is computed
+    dedup-first on its OWN aggregate — mixing count_distinct with
+    other aggregates in one groupBy would trigger the Expand rewrite
+    (measured 21× regression elsewhere in this repo).
+    """
+    o = Catalog(spark, sf_dir).orders.select(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mi"),
+        dec("o_totalprice").alias("price"),
+    )
+    first = o.groupBy("cust").agg(F.min("mi").alias("cm"))
+    j = o.join(first, "cust").select(
+        "cm", (F.col("mi") - F.col("cm")).alias("age"), "cust", "price"
+    )
+    rev = j.groupBy("cm", "age").agg(
+        F.sum("price").cast("double").alias("revenue")
+    )
+    act = (
+        j.select("cm", "age", "cust")
+        .distinct()
+        .groupBy("cm", "age")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    size = first.groupBy("cm").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        rev.join(act, ["cm", "age"])
+        .join(size, "cm")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            F.col("age").cast("int").alias("age"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            "revenue",
+        )
+    )

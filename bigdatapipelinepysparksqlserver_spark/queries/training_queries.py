@@ -1205,10 +1205,10 @@ def trigram_lm_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 8
 
 
-def _bpe_round_sql(r: int) -> str:
-    prev = f"s{r - 1}"
+def _bpe_round_sql(r: int, px: str = "") -> str:
+    prev = f"{px}s{r - 1}"
     return f"""
-p{r} AS MATERIALIZED (
+{px}p{r} AS MATERIALIZED (
   SELECT pr.a AS a, pr.b AS b, SUM(freq) AS pc
   FROM (
     SELECT freq,
@@ -1218,27 +1218,33 @@ p{r} AS MATERIALIZED (
   )
   GROUP BY 1, 2
 ),
-m{r} AS MATERIALIZED (SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a, b LIMIT 1),
-s{r} AS MATERIALIZED (
+{px}m{r} AS MATERIALIZED (SELECT a, b, pc FROM {px}p{r} ORDER BY pc DESC, a, b LIMIT 1),
+{px}s{r} AS MATERIALIZED (
   SELECT word, freq,
          trim(replace(' ' || state || ' ',
-              ' ' || (SELECT a FROM m{r}) || ' ' || (SELECT b FROM m{r}) || ' ',
-              ' ' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || ' ')) AS state
+              ' ' || (SELECT a FROM {px}m{r}) || ' ' || (SELECT b FROM {px}m{r}) || ' ',
+              ' ' || (SELECT a FROM {px}m{r}) || (SELECT b FROM {px}m{r}) || ' ')) AS state
   FROM {prev}
 )"""
 
 
-_BPE_CTES = f"""
-WITH wc AS MATERIALIZED (
+def _bpe_cte_block(px: str = "", doc_filter: str = "") -> str:
+    """The wc/s0/round CTE chain with every CTE name prefixed ``px``
+    (so two independent trainings can share one WITH) and an optional
+    WHERE clause on the documents scan."""
+    return f"""{px}wc AS MATERIALIZED (
   SELECT tok AS word, COUNT(*) AS freq FROM (
     SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    {doc_filter}
   ) WHERE tok <> '' GROUP BY 1
 ),
-s0 AS MATERIALIZED (
+{px}s0 AS MATERIALIZED (
   SELECT word, freq, rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS state
-  FROM wc
-),{",".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))}
-"""
+  FROM {px}wc
+),{",".join(_bpe_round_sql(r, px) for r in range(1, BPE_ROUNDS + 1))}"""
+
+
+_BPE_CTES = "\nWITH " + _bpe_cte_block() + "\n"
 
 BPE_MERGES_ORACLE = _BPE_CTES + " UNION ALL ".join(
     f"SELECT {r} AS merge_round, a AS sym_a, b AS sym_b,"
@@ -1360,4 +1366,84 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("tokens_per_word"),
         )
+    )
+
+
+# At 100 TB nobody trains a tokenizer on the full corpus — you train on
+# a deterministic sample and need to KNOW the sample was big enough.
+# This audit trains twice (full corpus vs md5-gated half) and compares
+# the merge tables round by round, in-engine and oracle-replayed: the
+# agreement column is the measured answer to "was the sample
+# representative", the same philosophy as dedup_minhash_recall
+# (measure the approximation against truth, don't assert it).
+
+BPE_SAMPLE_FILTER_SQL = (
+    "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 2 = 0"
+)
+
+BPE_SAMPLE_AUDIT_ORACLE = (
+    "\nWITH "
+    + _bpe_cte_block(px="f")
+    + ",\n"
+    + _bpe_cte_block(px="g", doc_filter=BPE_SAMPLE_FILTER_SQL)
+    + "\n"
+    + " UNION ALL ".join(
+        f"""SELECT {r} AS merge_round,
+       (SELECT a FROM fm{r}) AS full_a, (SELECT b FROM fm{r}) AS full_b,
+       (SELECT a FROM gm{r}) AS sample_a, (SELECT b FROM gm{r}) AS sample_b,
+       CAST((SELECT a FROM fm{r}) = (SELECT a FROM gm{r})
+            AND (SELECT b FROM fm{r}) = (SELECT b FROM gm{r}) AS BOOLEAN)
+         AS agree"""
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+)
+
+
+@query("bpe_sample_audit", oracle=BPE_SAMPLE_AUDIT_ORACLE)
+def bpe_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-by-round agreement between the full-corpus BPE merge table
+    and one trained on a deterministic 50% document sample (md5 hash
+    gate — both engines materialize the identical sample). Disagreement
+    at round r means the sample's pair statistics diverge at that
+    vocabulary depth — the signal to widen the sample BEFORE shipping
+    the tokenizer.
+
+    Scale: the sampled training is the production path (corpus → dict
+    once, over half the data); the full training is the audit's truth
+    side, run at audit time only. Both dictionaries are vocabulary-
+    sized; the comparison is 8 rows.
+    """
+    from ..caching import scoped_persist
+    from ..operators.text import bpe_train, word_counts
+
+    docs = Catalog(spark, sf_dir).documents
+    gate = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+    full_m, _ = bpe_train(
+        scoped_persist(word_counts(docs)), BPE_ROUNDS
+    )
+    samp_m, _ = bpe_train(
+        scoped_persist(word_counts(docs.where(gate))), BPE_ROUNDS
+    )
+    rows = [
+        (
+            r,
+            fa,
+            fb,
+            sa,
+            sb,
+            fa == sa and fb == sb,
+        )
+        for (r, fa, fb, _fc), (_r2, sa, sb, _sc) in zip(full_m, samp_m)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_round int, full_a string, full_b string,"
+        " sample_a string, sample_b string, agree boolean",
     )

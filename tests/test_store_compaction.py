@@ -696,3 +696,48 @@ def test_publish_gc_survives_crashed_publish_orphan(tmp_path):
         assert f.read() == "c"
     with open(os.path.join(root, "v2", "data.txt")) as f:
         assert f.read() == "b"
+
+
+def test_rollback_store_version_restores_previous_snapshot(tmp_path):
+    """Rollback = atomic pointer swap to a retained version; the bad
+    version stays on disk but is reaped as an orphan by the NEXT
+    publish (pointer-derived numbering), which then renumbers over it."""
+    import os
+
+    import pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        publish_store_version,
+        rollback_store_version,
+        store_live_path,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.fs import LocalFS
+
+    fs = LocalFS()
+    root = str(tmp_path / "store")
+
+    def stage(tag):
+        p = str(tmp_path / f"staging_{tag}")
+        os.makedirs(p)
+        with open(os.path.join(p, "data.txt"), "w") as f:
+            f.write(tag)
+        return p
+
+    publish_store_version(root, stage("good"), fs, retain=1)
+    publish_store_version(root, stage("bad"), fs, retain=1)
+    assert store_live_path(root, fs).endswith("/v2")
+
+    assert rollback_store_version(root, 1, fs) == 1
+    with open(os.path.join(store_live_path(root, fs), "data.txt")) as f:
+        assert f.read() == "good"
+
+    # next publish reaps the rolled-back-from v2 and renumbers over it
+    publish_store_version(root, stage("fixed"), fs, retain=1)
+    assert store_live_path(root, fs).endswith("/v2")
+    with open(os.path.join(store_live_path(root, fs), "data.txt")) as f:
+        assert f.read() == "fixed"
+    assert sorted(n for n in os.listdir(root) if n.startswith("v")) == ["v1", "v2"]
+
+    # beyond the retain window -> explicit error naming what exists
+    with pytest.raises(FileNotFoundError):
+        rollback_store_version(root, 9, fs)
