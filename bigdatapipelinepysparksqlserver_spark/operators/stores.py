@@ -104,12 +104,7 @@ def compact_store_batches(
         )
         # disambiguate top-level batch=N stores by their partition axis:
         # cell=C children -> IVF vector store, bucket=B -> edge store
-        kind = "ivf"
-        if batches and any(
-            n.startswith("bucket=")
-            for n in fs.list_dir(f"{path}/{batches[0]}")
-        ):
-            kind = "edges"
+        kind = _batched_store_kind(fs, path, batches)
     else:
         raise ValueError(f"compact_store_batches: no store at {path}")
     if not batched:
@@ -134,6 +129,22 @@ def compact_store_batches(
     fs.rename_dir(tmp, path)
     fs.rmtree(old)
     return {"kind": kind, "compacted": True, "batches": batches}
+
+
+def _batched_store_kind(fs: SnapshotFS, rel: str, batches: list[str]) -> str:
+    """Classify a top-level ``batch=N`` store by its partition axis
+    (``bucket=`` children -> edge store, ``cell=`` -> IVF), scanning
+    batches until one yields an axis child — a crashed append can
+    leave the lowest-numbered batch directory empty (or _SUCCESS-only),
+    so probing only ``batches[0]`` would misdetect an edge store as
+    IVF and fail mid-compaction on the missing ``cell`` column."""
+    for b in batches:
+        children = fs.list_dir(f"{rel}/{b}")
+        if any(n.startswith("bucket=") for n in children):
+            return "edges"
+        if any(n.startswith("cell=") for n in children):
+            return "ivf"
+    return "ivf"
 
 
 def _compact_postings(spark, path: str, tmp: str) -> None:
@@ -434,6 +445,20 @@ def publish_store_version(
         raise FileNotFoundError(f"no staging store at {staging}")
     fs.makedirs(root)
     cur_name = fs.read_pointer(f"{root}/{STORE_POINTER}")
+    existing = _store_versions(root, fs)
+    if cur_name is None and existing:
+        # A lost/unreadable pointer with snapshots on disk is a
+        # recoverable operational error (partial restore, sync tool
+        # skipping the underscore file) — refusing here is the
+        # difference between "re-point and carry on" and silently
+        # rmtree'ing every retained snapshot as a "crashed-publish
+        # orphan". Recover with rollback_store_version(root, max(v)).
+        raise FileNotFoundError(
+            f"versioned store {root} has version dirs {existing} but no "
+            f"{STORE_POINTER} pointer; restore the pointer (e.g. "
+            f"rollback_store_version(root, {max(existing)})) before "
+            "publishing — refusing to reap them as orphans"
+        )
     cur = int(cur_name[1:]) if cur_name else 0
     # reap crashed-publish orphans: version dirs the pointer never
     # named are invisible to every reader by construction
@@ -479,10 +504,8 @@ def compact_store_live(
     batches = sorted(n for n in fs.list_dir(rel) if n.startswith("batch="))
     # same axis disambiguation as compact_store_batches: a top-level
     # batched store with bucket= children is the edge store, not IVF
-    if kind == "ivf" and any(
-        n.startswith("bucket=") for n in fs.list_dir(f"{rel}/{batches[0]}")
-    ):
-        kind = "edges"
+    if kind == "ivf":
+        kind = _batched_store_kind(fs, rel, batches)
     staging = f"{root}/__compact_staging__"
     if fs.is_dir(staging):
         fs.rmtree(staging)

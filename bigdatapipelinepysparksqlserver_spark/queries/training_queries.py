@@ -1221,9 +1221,10 @@ def _bpe_round_sql(r: int, px: str = "") -> str:
 {px}m{r} AS MATERIALIZED (SELECT a, b, pc FROM {px}p{r} ORDER BY pc DESC, a, b LIMIT 1),
 {px}s{r} AS MATERIALIZED (
   SELECT word, freq,
-         trim(replace(' ' || state || ' ',
+         trim(COALESCE(replace(' ' || state || ' ',
               ' ' || (SELECT a FROM {px}m{r}) || ' ' || (SELECT b FROM {px}m{r}) || ' ',
-              ' ' || (SELECT a FROM {px}m{r}) || (SELECT b FROM {px}m{r}) || ' ')) AS state
+              ' ' || (SELECT a FROM {px}m{r}) || (SELECT b FROM {px}m{r}) || ' '),
+              state)) AS state
   FROM {prev}
 )"""
 
@@ -1431,17 +1432,24 @@ def bpe_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp_m, _ = bpe_train(
         scoped_persist(word_counts(docs.where(gate))), BPE_ROUNDS
     )
-    rows = [
-        (
-            r,
-            fa,
-            fb,
-            sa,
-            sb,
-            fa == sa and fb == sb,
+    # Align by round, padded to BPE_ROUNDS: either training may stop
+    # early on vocabulary exhaustion (empty pair relation), and the
+    # oracle's scalar subqueries then yield NULL symbols with a NULL
+    # agree (NULL = x). A plain zip would silently truncate rows the
+    # oracle still emits. Unreachable on the real corpus (8 merges
+    # never exhaust it) but pinned for degenerate inputs.
+    full_by_r = {r: (a, b) for (r, a, b, _c) in full_m}
+    samp_by_r = {r: (a, b) for (r, a, b, _c) in samp_m}
+    rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        fa, fb = full_by_r.get(r, (None, None))
+        sa, sb = samp_by_r.get(r, (None, None))
+        agree = (
+            None
+            if None in (fa, fb, sa, sb)
+            else (fa == sa and fb == sb)
         )
-        for (r, fa, fb, _fc), (_r2, sa, sb, _sc) in zip(full_m, samp_m)
-    ]
+        rows.append((r, fa, fb, sa, sb, agree))
     return spark.createDataFrame(
         rows,
         "merge_round int, full_a string, full_b string,"

@@ -741,3 +741,78 @@ def test_rollback_store_version_restores_previous_snapshot(tmp_path):
     # beyond the retain window -> explicit error naming what exists
     with pytest.raises(FileNotFoundError):
         rollback_store_version(root, 9, fs)
+
+
+def test_publish_refuses_to_reap_when_pointer_lost(tmp_path):
+    """A missing/unreadable _CURRENT pointer with version dirs on disk
+    (partial restore, sync tool skipping underscore files) must be a
+    recoverable error, NOT a destructive reap of every snapshot as a
+    'crashed-publish orphan'. Rollback re-points; publish then works."""
+    import os
+
+    import pytest
+
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        STORE_POINTER,
+        publish_store_version,
+        rollback_store_version,
+        store_live_path,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.fs import LocalFS
+
+    fs = LocalFS()
+    root = str(tmp_path / "store")
+
+    def stage(tag):
+        p = str(tmp_path / f"staging_{tag}")
+        os.makedirs(p)
+        with open(os.path.join(p, "data.txt"), "w") as f:
+            f.write(tag)
+        return p
+
+    publish_store_version(root, stage("v1data"), fs, retain=5)
+    publish_store_version(root, stage("v2data"), fs, retain=5)
+    # simulate the sync tool losing the underscore pointer file
+    os.remove(os.path.join(root, STORE_POINTER))
+
+    with pytest.raises(FileNotFoundError, match="refusing to reap"):
+        publish_store_version(root, stage("v3data"), fs, retain=5)
+    # both snapshots survived the refused publish
+    assert sorted(n for n in os.listdir(root) if n.startswith("v")) == [
+        "v1", "v2",
+    ]
+
+    # operator recovery path named in the error: re-point, then publish
+    rollback_store_version(root, 2, fs)
+    assert publish_store_version(root, stage("v3retry"), fs, retain=5) == 3
+    with open(os.path.join(store_live_path(root, fs), "data.txt")) as f:
+        assert f.read() == "v3retry"
+
+    # a truly empty root (no versions, no pointer) still bootstraps v1
+    root2 = str(tmp_path / "fresh")
+    assert publish_store_version(root2, stage("boot"), fs) == 1
+
+
+def test_batched_kind_detection_skips_empty_first_batch(tmp_path):
+    """Kind detection must scan past an empty lowest-numbered batch
+    directory (crashed append leaves batch=0 empty or _SUCCESS-only):
+    an edge store whose batch=0 is empty is still 'edges', not 'ivf'."""
+    import os
+
+    from bigdatapipelinepysparksqlserver_spark.operators.stores import (
+        _batched_store_kind,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.fs import LocalFS
+
+    fs = LocalFS()
+    root = str(tmp_path / "edgestore")
+    os.makedirs(os.path.join(root, "batch=0"))
+    open(os.path.join(root, "batch=0", "_SUCCESS"), "w").close()
+    os.makedirs(os.path.join(root, "batch=1", "bucket=3"))
+    batches = ["batch=0", "batch=1"]
+    assert _batched_store_kind(fs, root, batches) == "edges"
+
+    ivf = str(tmp_path / "ivfstore")
+    os.makedirs(os.path.join(ivf, "batch=0"))
+    os.makedirs(os.path.join(ivf, "batch=1", "cell=7"))
+    assert _batched_store_kind(fs, ivf, batches) == "ivf"

@@ -673,3 +673,52 @@ def test_bpe_exhausts_gracefully(spark):
     merges, state = bpe_train(wc, 4)
     assert merges == []
     assert {r["state"] for r in state.collect()} == {"a", "b"}
+
+
+def test_bpe_oracle_parity_on_vocabulary_exhaustion(spark, tmp_path):
+    """ADVICE r8: when training exhausts before BPE_ROUNDS (a round's
+    pair relation is empty), the oracle's scalar subqueries go NULL —
+    without the COALESCE guard every s{r} state would go NULL and the
+    vocab/token oracles would emit empty/NULL rows while Spark keeps
+    the real segmentation. Pin Spark ≡ DuckDB on a corpus that
+    exhausts at round 2 of 8, for the vocab consumer AND the padded
+    sample audit."""
+    import duckdb
+    import pandas as pd
+
+    from bigdatapipelinepysparksqlserver_spark.queries import training_queries as tq
+
+    # 'ab' exhausts after one merge; doc_ids on both sides of the md5
+    # sample gate so the sampled training is non-empty too
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5, 6], "text": ["ab ab", "ab", "ab ab ab"] * 2}
+    )
+    sf_dir = str(tmp_path / "sf_degenerate")
+    spark.createDataFrame(pdf).repartition(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    from bigdatapipelinepysparksqlserver_spark.queries.registry import REGISTRY
+
+    for qname in ("bpe_vocab_top", "bpe_token_count", "bpe_sample_audit"):
+        spec = REGISTRY[qname]
+        sdf = spec.fn(spark, sf_dir)
+        spark_pdf = sdf.toPandas().sort_values(
+            by=list(sdf.columns)
+        ).reset_index(drop=True)
+        oracle_pdf = (
+            con.sql(spec.oracle).df().sort_values(
+                by=list(spark_pdf.columns)
+            ).reset_index(drop=True)
+        )
+        assert list(spark_pdf.columns) == list(oracle_pdf.columns), qname
+        assert len(spark_pdf) == len(oracle_pdf), (
+            f"{qname}: spark {len(spark_pdf)} rows vs oracle {len(oracle_pdf)}"
+        )
+        for col in spark_pdf.columns:
+            s = spark_pdf[col].map(lambda v: None if pd.isna(v) else v)
+            o = oracle_pdf[col].map(lambda v: None if pd.isna(v) else v)
+            assert list(s) == list(o), f"{qname}.{col}: {list(s)} != {list(o)}"
+    con.close()
