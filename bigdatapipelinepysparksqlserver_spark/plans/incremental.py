@@ -138,6 +138,18 @@ class IncrementalLoader:
         if not parts:
             return []
         extract = self.extract_partitions(parts, current_cutoff)
+        if hasattr(self.lake, "apply_rebuild"):
+            # SnapshotLakeTable: the whole rebuild — changed-partition
+            # replace AND delete-to-empty cleanup — is one manifest swap
+            # (a single visibility event for concurrent readers), and
+            # the kept/stale diff job below is unnecessary: entries
+            # under a changed year_month the extract no longer produces
+            # simply drop out of the next manifest. Post-rebuild
+            # compaction is moot too — every live partition is wholly
+            # owned by the txn that last rebuilt it, so cross-run
+            # fragmentation cannot occur.
+            self.lake.apply_rebuild(extract, changed_year_months=parts)
+            return parts
         pcols = list(self.lake.partition_cols)
         kept = {
             tuple(r[c] for c in pcols)

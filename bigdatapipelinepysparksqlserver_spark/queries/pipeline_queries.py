@@ -195,3 +195,86 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return orders_checks.unionByName(lineitem_checks)
+
+
+# Golden-snapshot oracle for the snapshot-isolated lake twin: identical
+# seeded workload and clocks as cdc_roundtrip_demo, so lake row counts
+# are fixed; snapshot_id pins one manifest publish per run, and
+# pinned_read_stable pins the repeatable-read property (a DataFrame
+# resolved on snapshot 1 still answers snapshot-1 totals after run 2's
+# publish — the exact capability the dynamic-overwrite lake lacks).
+CDC_SNAPSHOT_ORACLE = """
+SELECT CAST(1 AS INTEGER) AS run_id, 'SUCCESSFUL' AS pipeline_status,
+       'SUCCESSFUL' AS validation_status, CAST(120 AS BIGINT) AS lake_rows,
+       CAST(1 AS INTEGER) AS snapshot_id, CAST(TRUE AS BOOLEAN) AS pinned_read_stable
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'SUCCESSFUL', 'SUCCESSFUL', CAST(155 AS BIGINT),
+       CAST(2 AS INTEGER), TRUE
+"""
+
+
+@query("cdc_snapshot_demo", oracle=CDC_SNAPSHOT_ORACLE)
+def cdc_snapshot_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run CDC cycle over the SNAPSHOT-ISOLATED lake
+    (sources/lake_snapshot.py): each rebuild — multi-partition replace
+    plus delete-to-empty cleanup — is ONE manifest publish behind the
+    atomic ``_CURRENT`` pointer, so concurrent readers can never see a
+    half-rebuilt table (the reference's staging→final no-dirty-read
+    intent, load_sales_mart.py:92-102, applied to the history lake of
+    load_sales_history.py:170-177). Returns one row per run with
+    ledger + reconciliation status, lake row count, the manifest id
+    published, and whether a reader pinned to snapshot 1 kept
+    answering snapshot-1 totals across run 2's publish.
+
+    Scale: publish cost ∝ change set (changed-partition write + a
+    partition-count manifest + one pointer put); unchanged partitions
+    are never copied or listed. The reader-hammer pytest
+    (tests/test_lake_snapshot.py) proves mixed-snapshot reads are
+    impossible on LocalFS and the object-store seam; this graded form
+    pins the protocol's end state and repeatable-read semantics.
+    """
+    from ..pipelines import run_pipeline_1
+    from ..plans.ledger import RunLedger
+    from ..sources.lake_snapshot import SnapshotLakeTable
+    from ..workload import SourceTables, WorkloadGenerator
+
+    t1 = datetime(2024, 6, 1, 12, 3, 42)
+    t2 = t1 + timedelta(days=1)
+    root = tempfile.mkdtemp(prefix="cdc_snap_")
+    try:
+        src = SourceTables(spark, f"{root}/oltp")
+        gen = WorkloadGenerator(src, seed=42)
+        gen.seed_dimensions(n_clients=30, n_products=10)
+        lake = SnapshotLakeTable(spark, f"{root}/lake")
+        ledger = RunLedger(spark, f"{root}/ledger")
+
+        gen.insert_sales(120, batch=1, now=t1, spread_days=10)
+        rep1 = run_pipeline_1(spark, src, lake, ledger, now=t1)
+        rows1 = lake.read().count()
+        snap1 = lake.current_id()
+        pinned = lake.read()  # resolved on snapshot 1
+
+        stamp = t2 - timedelta(hours=1)
+        gen.insert_sales(40, batch=2, now=stamp, spread_days=1)
+        gen.update_sales(batch=2, now=stamp, p=0.05)
+        gen.delete_sales(batch=2, now=stamp, p=0.03)
+        rep2 = run_pipeline_1(spark, src, lake, ledger, now=t2)
+        rows2 = lake.read().count()
+        snap2 = lake.current_id()
+        stable = pinned.count() == rows1
+
+        statuses = {
+            int(r.id): (r.pipeline_status, r.validation_status)
+            for r in ledger.read().collect()
+        }
+        rows = [
+            (1, *statuses[1], rows1, snap1, True),
+            (2, *statuses[2], rows2, snap2, stable),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "run_id int, pipeline_status string, validation_status string, "
+            "lake_rows bigint, snapshot_id int, pinned_read_stable boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -71,6 +71,12 @@ class SnapshotFS:
     def rmtree(self, path: str) -> None:
         raise NotImplementedError
 
+    def remove_file(self, path: str) -> None:
+        """Best-effort single-file delete (missing file is not an
+        error) — only ever applied to metadata files no retained
+        pointer/manifest names."""
+        raise NotImplementedError
+
     def set_pointer(self, path: str, content: str) -> None:
         """Atomically replace the pointer file's content. REQUIRED
         atomic: concurrent readers see old or new, never partial."""
@@ -99,6 +105,12 @@ class LocalFS(SnapshotFS):
 
     def rmtree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
+
+    def remove_file(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
     def set_pointer(self, path: str, content: str) -> None:
         # write-temp + fsync + rename: POSIX rename replaces the target

@@ -1,0 +1,240 @@
+"""Snapshot-isolated lake (VERDICT r8 #1): a multi-partition CDC
+rebuild must be ONE visibility event — every concurrent reader sees
+exactly the old or the new snapshot, never a mix — on LocalFS AND the
+non-atomic-rename ObjectStoreSimFS. Plus the manifest lifecycle: GC,
+pointer-loss refusal, metadata-only drops, and equivalence with the
+plain LakeTable pipeline."""
+
+from __future__ import annotations
+
+import os
+import threading
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatapipelinepysparksqlserver_spark.pipelines import run_pipeline_1
+from bigdatapipelinepysparksqlserver_spark.plans.ledger import RunLedger
+from bigdatapipelinepysparksqlserver_spark.sources import fs as fsmod
+from bigdatapipelinepysparksqlserver_spark.sources.lake import LakeTable
+from bigdatapipelinepysparksqlserver_spark.sources.lake_snapshot import (
+    SnapshotLakeTable,
+)
+from bigdatapipelinepysparksqlserver_spark.workload import (
+    SourceTables,
+    WorkloadGenerator,
+)
+
+T1 = datetime(2024, 6, 1, 12, 3, 42)
+T2 = T1 + timedelta(days=1)
+
+
+def _seed(spark, root, seed=42):
+    src = SourceTables(spark, f"{root}/oltp")
+    gen = WorkloadGenerator(src, seed=seed)
+    gen.seed_dimensions(n_clients=30, n_products=10)
+    return src, gen
+
+
+def _totals(lake):
+    """Whole-table invariant probe: (row count, exact paid cents,
+    distinct partitions) — any half-done multi-partition rebuild
+    changes at least one component."""
+    r = lake.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("paid") * 100).cast("decimal(18,2)").cast("long")).alias("cents"),
+        F.countDistinct("year_month", "country").alias("nparts"),
+    ).first()
+    return (r.n, int(r.cents or 0), r.nparts)
+
+
+@pytest.mark.parametrize("fs_cls", ["LocalFS", "ObjectStoreSimFS"])
+def test_cdc_rebuild_reader_hammer(spark, tmp_path, fs_cls):
+    """Readers hammering the lake DURING run 2's multi-partition CDC
+    rebuild (inserts + updates + deletes across 2 year_months × many
+    countries) must observe exactly snapshot-1 totals or snapshot-2
+    totals — the lake twin of the mart/store reader-hammer proofs."""
+    fs = getattr(fsmod, fs_cls)()
+    root = str(tmp_path)
+    src, gen = _seed(spark, root)
+    lake = SnapshotLakeTable(spark, f"{root}/lake", fs=fs)
+    ledger = RunLedger(spark, f"{root}/ledger")
+
+    gen.insert_sales(120, batch=1, now=T1, spread_days=10)
+    run_pipeline_1(spark, src, lake, ledger, now=T1)
+    before = _totals(lake)
+    assert before[0] == 120 and before[2] > 5
+
+    stamp = T2 - timedelta(hours=1)
+    gen.insert_sales(40, batch=2, now=stamp, spread_days=10)
+    gen.update_sales(batch=2, now=stamp, p=0.10)
+    gen.delete_sales(batch=2, now=stamp, p=0.05)
+
+    stop = threading.Event()
+    observed: set = set()
+    failures: list = []
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                observed.add(_totals(lake))
+            except Exception as e:  # noqa: BLE001 — surface in main thread
+                failures.append(e)
+                return
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        rep2 = run_pipeline_1(spark, src, lake, ledger, now=T2)
+    finally:
+        stop.set()
+        t.join()
+    after = _totals(lake)
+    assert not failures, f"reader failed during rebuild: {failures[0]}"
+    assert observed, "hammer never completed a read"
+    assert observed <= {before, after}, (
+        f"mixed-snapshot reads: {observed - {before, after}}"
+    )
+    assert after != before
+    assert rep2["validation"].status == "SUCCESSFUL"
+    assert len(rep2["rebuilt_partitions"]) >= 2  # multi-partition rebuild
+
+
+def test_snapshot_lake_matches_plain_lake_pipeline(spark, tmp_path):
+    """Equivalence oracle: the same seeded two-run workload through a
+    SnapshotLakeTable and a plain LakeTable yields identical lake
+    content (row-level), identical partition sets, and identical
+    reconciliation verdicts — the manifest protocol changes visibility,
+    never results."""
+    roots = {k: str(tmp_path / k) for k in ("snap", "plain")}
+    lakes = {}
+    for kind, root in roots.items():
+        src, gen = _seed(spark, root)
+        lake = (
+            SnapshotLakeTable(spark, f"{root}/lake")
+            if kind == "snap"
+            else LakeTable(spark, f"{root}/lake")
+        )
+        ledger = RunLedger(spark, f"{root}/ledger")
+        gen.insert_sales(120, batch=1, now=T1, spread_days=10)
+        run_pipeline_1(spark, src, lake, ledger, now=T1)
+        stamp = T2 - timedelta(hours=1)
+        gen.insert_sales(40, batch=2, now=stamp, spread_days=1)
+        gen.update_sales(batch=2, now=stamp, p=0.05)
+        gen.delete_sales(batch=2, now=stamp, p=0.03)
+        rep = run_pipeline_1(spark, src, lake, ledger, now=T2)
+        assert rep["validation"].status == "SUCCESSFUL"
+        lakes[kind] = lake
+
+    cols = sorted(lakes["plain"].read().columns)
+    rows = {
+        k: sorted(map(tuple, v.read().select(*cols).collect()))
+        for k, v in lakes.items()
+    }
+    assert rows["snap"] == rows["plain"] and len(rows["snap"]) > 0
+    parts = {
+        k: sorted(map(tuple, v.partitions().collect())) for k, v in lakes.items()
+    }
+    assert parts["snap"] == parts["plain"]
+
+
+def test_delete_to_empty_partition_drops_from_manifest(spark, tmp_path):
+    """A changed partition whose rows were ALL deleted in the window
+    must vanish from the next snapshot — the manifest swap's built-in
+    delete-to-empty cleanup (the plain lake needs an explicit diff +
+    drop for this)."""
+    root = str(tmp_path)
+    src, gen = _seed(spark, root)
+    lake = SnapshotLakeTable(spark, f"{root}/lake")
+    ledger = RunLedger(spark, f"{root}/ledger")
+
+    # batch 1: a single 1-day spread → few partitions
+    gen.insert_sales(30, batch=1, now=T1, spread_days=1)
+    run_pipeline_1(spark, src, lake, ledger, now=T1)
+    before = {tuple(r) for r in lake.partitions().collect()}
+    assert before
+
+    # delete EVERY sale, stamped inside run 2's window
+    stamp = T2 - timedelta(hours=1)
+    gen.delete_sales(batch=2, now=stamp, p=1.0)
+    run_pipeline_1(spark, src, lake, ledger, now=T2)
+    assert lake.current_manifest() == {}
+    assert lake.read().count() == 0
+    # schema survives the legitimately-empty state
+    assert "year_month" in lake.read().columns
+
+
+def test_publish_gc_and_retain(spark, tmp_path):
+    """retain=1: the previous manifest and every partition dir it
+    references survive one publish (in-flight readers), older ones are
+    reaped; unreferenced txn dirs disappear."""
+    root = str(tmp_path / "lake")
+    lake = SnapshotLakeTable(spark, root, retain=1)
+    df = spark.createDataFrame(
+        [(i, 202405 + (i % 2), "US", float(i)) for i in range(8)],
+        "id int, year_month int, country string, paid double",
+    ).select("id", "paid", "year_month", "country")
+    lake.write_full(df)
+    assert lake.current_id() == 1
+    lake.overwrite_partitions(df.where(F.col("year_month") == 202405))
+    lake.overwrite_partitions(df.where(F.col("year_month") == 202406))
+    assert lake.current_id() == 3
+    mids = sorted(
+        n for n in os.listdir(f"{root}/manifests") if n.endswith(".json")
+    )
+    assert mids == ["m2.json", "m3.json"]
+    # txn=1's year_month=202405 dir was superseded in m2 and m3 but
+    # 202406 in txn=1 is still referenced by m2 → txn=1 survives; after
+    # one more publish of 202406, nothing references txn=1
+    assert os.path.isdir(f"{root}/data/txn=1")
+    lake.overwrite_partitions(df.where(F.col("year_month") == 202406))
+    assert not os.path.isdir(f"{root}/data/txn=1")
+    assert lake.read().count() == 8
+
+
+def test_pointer_loss_refuses_publish(spark, tmp_path):
+    """Lost _CURRENT with manifests on disk is a recoverable error,
+    never a reap — same stance as publish_store_version."""
+    root = str(tmp_path / "lake")
+    lake = SnapshotLakeTable(spark, root)
+    df = spark.createDataFrame(
+        [(1, 202405, "US", 1.0)],
+        "id int, year_month int, country string, paid double",
+    )
+    lake.write_full(df)
+    os.remove(f"{root}/_CURRENT")
+    with pytest.raises(FileNotFoundError, match="restore the pointer"):
+        lake.write_full(df)
+    # data intact; restoring the pointer recovers
+    assert os.path.isdir(f"{root}/data/txn=1")
+    fsmod.LocalFS().set_pointer(f"{root}/_CURRENT", "m1")
+    assert lake.read().count() == 1
+
+
+def test_metadata_only_partition_drop(spark, tmp_path):
+    lake = SnapshotLakeTable(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame(
+        [(1, 202405, "US", 1.0), (2, 202406, "DE", 2.0)],
+        "id int, year_month int, country string, paid double",
+    )
+    lake.write_full(df)
+    lake.drop_partition_values([(202405, "US")])
+    assert [tuple(r) for r in lake.partitions().collect()] == [(202406, "DE")]
+    assert lake.read().count() == 1
+
+
+def test_read_is_pinned_across_publish(spark, tmp_path):
+    """A DataFrame resolved before a rebuild keeps answering from ITS
+    snapshot afterwards (retain window) — the repeatable-read property
+    a dynamic-overwrite table cannot offer."""
+    lake = SnapshotLakeTable(spark, str(tmp_path / "lake"), retain=1)
+    mk = lambda paid: spark.createDataFrame(  # noqa: E731
+        [(1, 202405, "US", paid)],
+        "id int, year_month int, country string, paid double",
+    )
+    lake.write_full(mk(1.0))
+    pinned = lake.read()
+    lake.overwrite_partitions(mk(99.0))
+    assert pinned.agg(F.sum("paid")).first()[0] == 1.0
+    assert lake.read().agg(F.sum("paid")).first()[0] == 99.0
