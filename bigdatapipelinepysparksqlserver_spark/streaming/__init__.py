@@ -26,6 +26,7 @@ from .cdc import (  # noqa: F401
     streaming_rolling_actives,
     streaming_running_totals,
     streaming_transition_counts,
+    streaming_transition_counts_event_time,
     streaming_sessionize,
 )
 from .metrics import (  # noqa: F401

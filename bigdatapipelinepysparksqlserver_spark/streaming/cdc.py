@@ -681,6 +681,125 @@ def streaming_transition_counts(
     )
 
 
+def streaming_transition_counts_event_time(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """EVENT-TIME-correct streaming transition counter (VERDICT r8 #6):
+    unlike :func:`streaming_transition_counts` (arrival order inside
+    the watermark — an out-of-order event cannot retract the pair it
+    splits), this form BUFFERS each key's events in state and emits a
+    (from_type, to_type) pair only once the watermark has passed the
+    later event — at which point no earlier-timestamped arrival is
+    admissible, so the pair is FINAL. Online results therefore equal
+    the batch ``event_transition_matrix`` over the finalized region
+    under ANY arrival reordering the watermark admits (pytest shuffles
+    arrivals across micro-batches deliberately).
+
+    Mechanics per key:
+    - state = (buffered (ts, id, type) triples not yet finalizable,
+      last finalized type) — O(events inside the watermark horizon)
+      per key, the price of exactness under reordering; the horizon
+      bounds it, exactly like any event-time stream join.
+    - each invocation merges new rows into the buffer (dropping rows
+      already behind the watermark — they are late by contract), then
+      finalizes the sorted prefix with ts < current watermark: pairs
+      chain from the carried last finalized type through the prefix.
+    - an ``EventTimeTimeout`` set at the earliest buffered ts wakes
+      the key when the watermark passes it even if no new events for
+      that key arrive, so finalization never needs a same-key arrival.
+
+    Emitted deltas are final (never revised): downstream sums are
+    exact counts over events the watermark has sealed.
+    """
+    import pandas as pd  # local import: only the streaming path needs it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    id_type = events.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, from_type string, to_type string, delta long"
+    )
+    state_schema = (
+        f"buf_ts array<long>, buf_id array<{id_type}>, "
+        "buf_type array<string>, last_type string"
+    )
+
+    def update(key, pdfs, state):
+        (k,) = key
+        if state.exists:
+            buf_ts, buf_id, buf_type, last_type = state.get
+            buf = list(zip(buf_ts, buf_id, buf_type))
+        else:
+            buf, last_type = [], None
+        wm_us = (state.getCurrentWatermarkMs() or 0) * 1000
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            for t, i, ty in zip(
+                rows["__ts_us"].astype("int64").tolist(),
+                rows[id_col].tolist(),
+                rows[type_col].tolist(),
+            ):
+                # late by contract: the watermark already passed this
+                # ts, so pairs around it were (or may have been)
+                # finalized — admitting it would re-split them
+                if t >= wm_us:
+                    buf.append((t, i, ty))
+        buf.sort(key=lambda e: (e[0], str(e[1])))
+        pairs: dict = {}
+        keep = []
+        for e in buf:
+            if e[0] < wm_us:
+                if last_type is not None:
+                    pr = (last_type, e[2])
+                    pairs[pr] = pairs.get(pr, 0) + 1
+                last_type = e[2]
+            else:
+                keep.append(e)
+        state.update(
+            (
+                [e[0] for e in keep],
+                [e[1] for e in keep],
+                [e[2] for e in keep],
+                last_type,
+            )
+        )
+        if keep:
+            # wake when the watermark passes the earliest buffered event
+            state.setTimeoutTimestamp(keep[0][0] // 1000 + 1)
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    key_col: [k] * len(pairs),
+                    "from_type": [a for a, _ in pairs],
+                    "to_type": [b for _, b in pairs],
+                    "delta": list(pairs.values()),
+                }
+            )
+
+    # the watermark column itself must flow through the projection (a
+    # derived column does not inherit it); the micros twin rides along
+    # so the kernel never touches pandas datetime units
+    src = events.withWatermark(ts_col, watermark).select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.col(id_col),
+        F.col(type_col),
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def foreach_batch_token_budget_ingest(
     store_path: str,
     budgets: dict,

@@ -1458,3 +1458,84 @@ def test_streaming_rolling_actives_multibatch_keeps_ontime_contributions(
     assert asserted <= set(got), "an on-time contribution was dropped as late"
     for d, n in got.items():
         assert n == expect[d], (d, n, expect[d])
+
+
+def test_streaming_transitions_event_time_correct_under_reordering(spark, tmp_path):
+    """VERDICT r8 #6: the event-time transition counter must equal the
+    batch LEAD twin even when arrivals are deliberately SHUFFLED across
+    micro-batches (the arrival-order variant provably diverges on this
+    input — that divergence is the documented caveat this form closes).
+    Pairs emit only after the watermark seals them, driven by
+    EventTimeTimeout wakeups, so no same-key arrival is needed to
+    flush."""
+    from collections import defaultdict
+
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        streaming_transition_counts_event_time,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    # true event-time order for user 1: view(0) click(1) view(2) buy(3)
+    # cart(4) buy(5); user 2: view(0) buy(2)
+    real = [
+        (10, t(0), 1, "view"), (11, t(1), 1, "click"), (12, t(2), 1, "view"),
+        (13, t(3), 1, "buy"), (14, t(4), 1, "cart"), (15, t(5), 1, "buy"),
+        (20, t(0), 2, "view"), (21, t(2), 2, "buy"),
+    ]
+    by_id = {r[0]: r for r in real}
+    # shuffled arrival: every batch is out of event-time order and
+    # boundary-crossing (14 arrives before 11; 21 before 20)
+    batches = [
+        [by_id[12], by_id[10]],
+        [by_id[14], by_id[11], by_id[21]],
+        [by_id[13], by_id[20], by_id[15]],
+        # watermark-push sentinels: two batches so the timeout fires
+        # in a batch AFTER the watermark advanced past every real event
+        [(90, datetime(2024, 1, 1, 11, 30), 99, "view")],
+        [(91, datetime(2024, 1, 1, 11, 45), 99, "view")],
+    ]
+    src = tmp_path / "ev_trans_src"
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_transition_counts_event_time(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("ev_trans_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ev_trans_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = defaultdict(int)
+    for r in spark.sql("SELECT * FROM ev_trans_test").collect():
+        got[(r.user_id, r.from_type, r.to_type)] += r.delta
+
+    allrows = spark.createDataFrame(real, schema)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expect = {
+        (r["user_id"], r["from_type"], r["to_type"]): r["n"]
+        for r in allrows.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("user_id", "from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert dict(got) == expect
+    # the divergence this form exists to close: arrival order on these
+    # batches would count (view,cart) [12->14] which event time forbids
+    assert (1, "view", "cart") not in got
+    assert expect[(1, "view", "click")] == 1
