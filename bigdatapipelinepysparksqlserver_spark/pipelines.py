@@ -359,3 +359,133 @@ def run_pipeline_2_incremental(
     mart.publish("sales_history_1")
     mart.publish("sales_history_2")
     return {"published": ["sales_history_1", "sales_history_2"], "refresh": now}
+
+
+class PipelineScheduler:
+    """Cadence + retry + catchup runner — the reference DAG's contract
+    (``schedule_interval=15min, retries=2, retry_delay=10s,
+    catchup=False, max_active_runs=1``, dags/sales_pipeline_dag.py:5-8)
+    modeled in-engine with an INJECTED clock, so the orchestration
+    semantics are testable without an orchestrator.
+
+    ``cycle`` is a callable ``(fire_time: datetime) -> dict`` wrapping
+    one pipeline run (see :func:`sales_pipeline_cycle` for the bound
+    ``run_pipeline_1 >> run_pipeline_2_incremental`` form). The
+    scheduler owns three behaviors the cycle doesn't:
+
+    - **grid cadence**: fire instants are ``anchor + n*interval`` (the
+      Airflow execution-date grid). :meth:`on_tick` fires every instant
+      that became due since the last processed one;
+    - **catchup=False**: when multiple instants became due (the runner
+      was down), only the LATEST runs — missed intervals are skipped,
+      not backfilled (Airflow's ``catchup=False``); ``catchup=True``
+      replays each missed instant in order;
+    - **retry policy**: each fire runs under :func:`run_with_retries`
+      (FAILED ledger rows from dead attempts are purged by the next
+      attempt's ``purge_failed`` — crash accounting stays in the
+      ledger). :class:`SingleFlightError` is never retried: the fire
+      is recorded ``SKIPPED_RUNNING`` and consumed, mirroring
+      ``max_active_runs=1`` refusing to stack a second run.
+
+    Scale/ops note: this is a driver-side control loop over
+    partition-pruned work — at 100 TB the 15-minute cadence holds
+    because each cycle's cost ∝ change set (plans/incremental.py), not
+    because the scheduler does anything clever.
+    """
+
+    def __init__(
+        self,
+        cycle,
+        schedule_interval: timedelta = timedelta(minutes=15),
+        retries: int = 2,
+        retry_delay_seconds: float = 10.0,
+        catchup: bool = False,
+        anchor: datetime | None = None,
+        sleep=None,
+    ):
+        self.cycle = cycle
+        self.interval = schedule_interval
+        self.retries = retries
+        self.retry_delay_seconds = retry_delay_seconds
+        self.catchup = catchup
+        self.anchor = anchor or datetime(1970, 1, 1)
+        self.sleep = sleep
+        self.last_fire: datetime | None = None
+        self.history: list[dict] = []
+
+    def _grid(self, now: datetime) -> datetime | None:
+        """Latest grid instant <= now, or None before the anchor."""
+        if now < self.anchor:
+            return None
+        n = int((now - self.anchor) / self.interval)
+        return self.anchor + n * self.interval
+
+    def due_fires(self, now: datetime) -> list[datetime]:
+        """Grid instants in (last_fire, now] — what a tick at ``now``
+        owes, before the catchup policy trims it. The FIRST tick owes
+        only the latest grid instant (there is no backfill horizon —
+        the anchor is an alignment origin, not a start date)."""
+        latest = self._grid(now)
+        if latest is None:
+            return []
+        if self.last_fire is None:
+            return [latest]
+        fires = []
+        f = self.last_fire + self.interval
+        while f <= latest:
+            fires.append(f)
+            f = f + self.interval
+        return fires
+
+    def on_tick(self, now: datetime) -> list[dict]:
+        """Run every fire due at ``now`` under the catchup policy.
+        Returns the per-fire reports appended to :attr:`history`."""
+        fires = self.due_fires(now)
+        if not fires:
+            return []
+        if not self.catchup:
+            fires = fires[-1:]
+        out = []
+        for fire in fires:
+            rec: dict = {"fire": fire}
+            try:
+                rec["result"] = run_with_retries(
+                    lambda: self.cycle(fire),
+                    retries=self.retries,
+                    retry_delay_seconds=self.retry_delay_seconds,
+                    sleep=self.sleep,
+                )
+                rec["status"] = "SUCCESS"
+            except SingleFlightError as e:
+                rec["status"] = "SKIPPED_RUNNING"
+                rec["error"] = str(e)
+            self.last_fire = fire
+            self.history.append(rec)
+            out.append(rec)
+        return out
+
+
+def sales_pipeline_cycle(
+    spark: SparkSession,
+    src: SourceTables,
+    lake: LakeTable,
+    ledger: RunLedger,
+    mart: "MartPublisher",
+    partials: "IncrementalMart | None" = None,
+):
+    """The reference DAG's task chain ``run_pipeline_1 >>
+    run_pipeline_2`` as one schedulable cycle: incremental lake load +
+    validation, then mart refresh — incremental when ``partials`` is
+    supplied (the 15-minute-cadence form), full-scan otherwise."""
+
+    def _cycle(fire: datetime) -> dict:
+        rep1 = run_pipeline_1(spark, src, lake, ledger, now=fire)
+        if partials is not None:
+            rep2 = run_pipeline_2_incremental(
+                spark, partials, mart, rep1["rebuilt_partitions"], now=fire
+            )
+        else:
+            rep2 = run_pipeline_2(spark, lake, mart, now=fire)
+        return {"pipeline_1": rep1, "pipeline_2": rep2}
+
+    return _cycle
