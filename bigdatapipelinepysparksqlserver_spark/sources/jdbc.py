@@ -133,27 +133,29 @@ class JdbcMartPublisher:
     transactions, so the swap goes through the JVM's DriverManager via
     the session's gateway — control-plane SQL, not a data path (the
     data moved in ``write_staging``, executor-parallel).
+
+    ``dialect`` (default :class:`~.dialects.JdbcDialect`, the
+    SQL-standard form the Derby matrix proves) owns every statement
+    that differs per engine; pass
+    :class:`~.dialects.SqlServerDialect` to speak the reference's
+    actual T-SQL (TRUNCATE TABLE swap, SELECT-INTO clone, NVARCHAR /
+    DATETIME2 DDL, IDENTITY_INSERT bracketing).
     """
 
-    def __init__(self, spark: SparkSession, cfg: JdbcConfig):
+    def __init__(self, spark: SparkSession, cfg: JdbcConfig, dialect=None):
+        from .dialects import JdbcDialect
+
         self.spark = spark
         self.cfg = cfg
+        self.dialect = dialect or JdbcDialect()
 
     def staging_name(self, table: str) -> str:
         return f"{table}_STAGING"
 
-    def _varchar_ddl(self, df: DataFrame) -> str | None:
-        cols = [
-            f"{f.name} VARCHAR(64)"
-            for f in df.schema.fields
-            if f.dataType.typeName() == "string"
-        ]
-        return ", ".join(cols) or None
-
     def write_staging(self, table: str, df: DataFrame) -> None:
         write_jdbc(
             df, self.cfg, self.staging_name(table), mode="overwrite",
-            create_column_types=self._varchar_ddl(df),
+            create_column_types=self.dialect.create_column_types(df),
         )
 
     def _connection(self):
@@ -169,24 +171,31 @@ class JdbcMartPublisher:
         finally:
             rs.close()
 
-    def publish(self, table: str) -> None:
+    def publish_statements(
+        self, table: str, first_publish: bool, identity_insert: bool = False
+    ) -> list[str]:
+        """The swap as an ordered statement list (pure — this is what
+        the dialect unit tests assert), executed by :meth:`publish`
+        inside one transaction."""
         staging = self.staging_name(table)
+        stmts = []
+        if first_publish:
+            # first publish: clone staging's shape, then fall through
+            # to the same transactional fill path
+            stmts.append(self.dialect.create_empty_like(table, staging))
+        stmts.extend(
+            self.dialect.swap_statements(table, staging, identity_insert)
+        )
+        return stmts
+
+    def publish(self, table: str, identity_insert: bool = False) -> None:
         conn = self._connection()
         try:
             conn.setAutoCommit(False)
             st = conn.createStatement()
-            if not self._table_exists(conn, table):
-                # first publish: clone staging's shape, then fall through
-                # to the same transactional fill path
-                st.executeUpdate(
-                    f"CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA"
-                )
-            # DELETE (not TRUNCATE): transactional in every dialect, so
-            # the rollback guarantee is unconditional; SQL Server's
-            # TRUNCATE is also transactional and a dialect subclass may
-            # override for speed.
-            st.executeUpdate(f"DELETE FROM {table}")
-            st.executeUpdate(f"INSERT INTO {table} SELECT * FROM {staging}")
+            first = not self._table_exists(conn, table)
+            for sql in self.publish_statements(table, first, identity_insert):
+                st.executeUpdate(sql)
             conn.commit()
         except Exception:
             conn.rollback()

@@ -226,3 +226,112 @@ def test_jdbc_ledger_state_machine_and_full_pipeline(spark, derby_cfg, tmp_path)
     rep2 = run_pipeline_1(spark, src, lake, led, now=t1)
     assert rep2["previous_cutoff"] == rep["current_cutoff"]
     assert rep2["validation"].status == SUCCESSFUL
+
+
+# ---------------------------------------------------------------------------
+# Dialect adapters (VERDICT r8 #4): statement-text contracts. The
+# generic dialect's EXECUTION is proven by the Derby matrix above; the
+# SQL Server dialect is pinned here as text — the exact T-SQL the
+# reference runs (load_sales_mart.py:92-101) — since no SQL Server
+# exists in this environment.
+# ---------------------------------------------------------------------------
+
+
+def test_sqlserver_dialect_swap_matches_reference_tsql():
+    from bigdatapipelinepysparksqlserver_spark.sources.dialects import (
+        SqlServerDialect,
+    )
+
+    d = SqlServerDialect()
+    assert d.swap_statements("SALES_MART", "SALES_MART_STAGING") == [
+        "TRUNCATE TABLE SALES_MART",
+        "INSERT INTO SALES_MART SELECT * FROM SALES_MART_STAGING",
+    ]
+    # identity-safe staging: the bracket that prevents T-SQL error 544
+    assert d.swap_statements("M", "M_STAGING", identity_insert=True) == [
+        "TRUNCATE TABLE M",
+        "SET IDENTITY_INSERT M ON",
+        "INSERT INTO M SELECT * FROM M_STAGING",
+        "SET IDENTITY_INSERT M OFF",
+    ]
+    assert (
+        d.create_empty_like("SALES_MART", "SALES_MART_STAGING")
+        == "SELECT * INTO SALES_MART FROM SALES_MART_STAGING WHERE 1 = 0"
+    )
+
+
+def test_sqlserver_dialect_ddl_type_mapping(spark):
+    from bigdatapipelinepysparksqlserver_spark.sources.dialects import (
+        JdbcDialect,
+        SqlServerDialect,
+    )
+
+    df = spark.createDataFrame(
+        [],
+        "id bigint, country string, sale_date timestamp, paid decimal(18,2),"
+        " score double, active boolean",
+    )
+    assert SqlServerDialect().create_column_types(df) == (
+        "country NVARCHAR(64), sale_date DATETIME2(6), score FLOAT,"
+        " active BIT"
+    )
+    # generic keeps today's Derby-proven behavior: strings only
+    assert JdbcDialect().create_column_types(df) == "country VARCHAR(64)"
+
+
+def test_dialect_top_n_forms():
+    from bigdatapipelinepysparksqlserver_spark.sources.dialects import (
+        JdbcDialect,
+        SqlServerDialect,
+    )
+
+    body = "id FROM RUN_CONTROL WHERE pipeline_status = 'SUCCESSFUL'"
+    assert (
+        SqlServerDialect().top_n(body, 1, order_by="id DESC")
+        == "SELECT TOP (1) id FROM RUN_CONTROL WHERE pipeline_status ="
+        " 'SUCCESSFUL' ORDER BY id DESC"
+    )
+    assert (
+        JdbcDialect().top_n(body, 1, order_by="id DESC")
+        == "SELECT id FROM RUN_CONTROL WHERE pipeline_status = 'SUCCESSFUL'"
+        " ORDER BY id DESC FETCH FIRST 1 ROWS ONLY"
+    )
+
+
+def test_sqlserver_jdbc_url():
+    from bigdatapipelinepysparksqlserver_spark.sources.dialects import (
+        sqlserver_jdbc_url,
+    )
+
+    assert sqlserver_jdbc_url("dbhost", "Production") == (
+        "jdbc:sqlserver://dbhost:1433;databaseName=Production;"
+        "encrypt=true;trustServerCertificate=true"
+    )
+
+
+def test_publisher_composes_dialect_statements(spark):
+    """publish_statements is the pure seam publish() executes: the
+    SQL Server publisher's first publish is clone + truncate + fill,
+    steady-state drops the clone."""
+    from bigdatapipelinepysparksqlserver_spark.sources.dialects import (
+        SqlServerDialect,
+    )
+    from bigdatapipelinepysparksqlserver_spark.sources.jdbc import (
+        JdbcConfig,
+        JdbcMartPublisher,
+    )
+
+    pub = JdbcMartPublisher(
+        spark,
+        JdbcConfig(url="jdbc:sqlserver://x;databaseName=d", user="u", password="p"),
+        dialect=SqlServerDialect(),
+    )
+    assert pub.publish_statements("MART", first_publish=True) == [
+        "SELECT * INTO MART FROM MART_STAGING WHERE 1 = 0",
+        "TRUNCATE TABLE MART",
+        "INSERT INTO MART SELECT * FROM MART_STAGING",
+    ]
+    assert pub.publish_statements("MART", first_publish=False) == [
+        "TRUNCATE TABLE MART",
+        "INSERT INTO MART SELECT * FROM MART_STAGING",
+    ]
