@@ -227,6 +227,98 @@ def triangle_count_estimate(
     )
 
 
+def triangle_node_estimates(
+    edges: DataFrame,
+    threshold: int = TRIANGLE_SAMPLE_THRESHOLD,
+    inv_p2: int = 16,
+    wedge_budget: int | None = None,
+) -> DataFrame:
+    """PER-NODE triangle estimates via WEDGE sampling (VERDICT r8 #3):
+    the top-10-board-capable companion to the 1-row
+    :func:`triangle_count_estimate`.
+
+    Estimator: degree-ordered orientation over the FULL graph, but the
+    wedge self-join enumerates only pairs of SAMPLED out-edges (the
+    deterministic md5 gate at p = threshold/2^60), closed exactly
+    against ALL oriented edges. A triangle survives iff BOTH its
+    apex-leaving edges are kept — probability p² — so per-node counts
+    scale by 1/p² (16 at p = 1/4), an exact integer: estimates stay
+    BIGINT and engine-portable, and the identical sampled wedge set
+    replays in SQL. This beats plain DOULION-subgraph per-node counts
+    (all three edges kept, 1/p³ scaling) at the SAME wedge cost: the
+    wedge space shrinks ~p² either way, but the smaller scale factor
+    gives strictly lower variance — per triangle the indicator is
+    Bernoulli(p²), so Var[est_v] = T_v·(1−p²)/p² vs the subgraph
+    form's T_v·(1−p³)/p³ (the Tsourakakis et al., KDD 2009 DOULION
+    analysis with p² in place of p³; relative error ~1/√(p²·T_v)
+    shrinks as the true count grows).
+
+    Returns (node, sampled_tri_count, est_tri_count) — one row per
+    node with ≥1 sampled triangle. Σ sampled/3 · 16 reproduces an
+    unbiased global estimate too.
+
+    Scale: exactly :func:`triangle_counts`' plan with the gate as a
+    codegen filter on the wedge sides — wedge space ~p²·Σ outdeg²
+    (at the 100× co-purchase graph: the exact form's 4.1 G wedges →
+    ~256 M, back under budget); closure stays one hash join against
+    the oriented edges. ``wedge_budget`` guards the SAMPLED wedge
+    space.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ka = F.struct(F.col("dega").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("degb").alias("d"), F.col("b").alias("n"))
+    key = F.concat(
+        F.col("a").cast("string"), F.lit(":"), F.col("b").cast("string")
+    )
+    h = F.conv(
+        F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    ed = edges.join(da, "a").join(db, "b")
+    d = scoped_persist(
+        ed.select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(ka < kb, kb).otherwise(ka).alias("kdst"),
+            (h < F.lit(threshold)).alias("kept"),
+        )
+    )
+    kept = d.where(F.col("kept"))
+    if wedge_budget is not None:
+        from .dedup import PairBudgetExceeded, pair_budget_guard
+
+        try:
+            pair_budget_guard(kept, ["src"], wedge_budget,
+                              "lower the sampling threshold (p) further")
+        except PairBudgetExceeded as e:
+            raise WedgeBudgetExceeded(str(e)) from None
+    d1 = kept.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("kdst").alias("kv")
+    )
+    d2 = kept.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("kdst").alias("kw")
+    )
+    wedges_rel = d1.join(d2, "u").where(F.col("kv") < F.col("kw"))
+    closure = d.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges_rel.join(closure, ["v", "w"]).select("u", "v", "w")
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("sampled_tri_count"))
+        .select(
+            "node",
+            "sampled_tri_count",
+            (F.col("sampled_tri_count") * F.lit(inv_p2)).alias("est_tri_count"),
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src_col: str = "src",

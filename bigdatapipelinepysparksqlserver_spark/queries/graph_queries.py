@@ -636,3 +636,139 @@ def copurchase_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return d.select("seed", "node", F.col("dist").cast("bigint").alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# Per-node sampled triangle estimates (VERDICT r8 #3): the top-10
+# board's measured 100x path. Wedge sampling — only the apex's two
+# out-edges must survive the md5 gate (p^2), closed exactly against
+# the full oriented edge set — so counts scale by 1/p^2 = 16 with
+# strictly lower variance than the 1/p^3 subgraph form at the same
+# wedge cost. The oracle replays the IDENTICAL degree-ordered
+# orientation, gate, and closure, so the estimate is exact-checked.
+# --------------------------------------------------------------------------
+
+TRIANGLES_NODE_EST_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+d AS (
+  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS kd,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS kn,
+         (CAST('0x' || substr(
+            md5(CAST(e.a AS VARCHAR) || ':' || CAST(e.b AS VARCHAR)), 1, 15)
+          AS BIGINT) < {1 << 58}) AS kept
+  FROM e
+  JOIN deg da ON da.node = e.a
+  JOIN deg db ON db.node = e.b
+),
+tri AS (
+  SELECT d1.u, d1.v, d2.w
+  FROM (SELECT src AS u, dst AS v, kd AS kvd, kn AS kvn FROM d WHERE kept) d1
+  JOIN (SELECT src AS u, dst AS w, kd AS kwd, kn AS kwn FROM d WHERE kept) d2
+    ON d2.u = d1.u AND (d1.kvd, d1.kvn) < (d2.kwd, d2.kwn)
+  JOIN (SELECT src AS v, dst AS w FROM d) c ON c.v = d1.v AND c.w = d2.w
+),
+nodes AS (
+  SELECT node, COUNT(*) AS c FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+  ) GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) * 16 AS BIGINT) AS est_total_triangles FROM tri)
+SELECT node AS part_id,
+       CAST(c AS BIGINT) AS sampled_tri_count,
+       CAST(c * 16 AS BIGINT) AS est_tri_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY c DESC, node) AS INT) AS rank,
+       est_total_triangles
+FROM nodes, total
+ORDER BY c DESC, node
+LIMIT {TRIANGLES_TOP_K}
+"""
+
+
+@query("copurchase_triangles_node_est", oracle=TRIANGLES_NODE_EST_ORACLE)
+def copurchase_triangles_node_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 parts by ESTIMATED triangle participation — the sampled
+    companion that keeps the per-node board available past the exact
+    form's wedge budget (`copurchase_triangles` fail-fasts at the 100x
+    graph by design; the 1-row `copurchase_triangles_sampled` only
+    estimates the global count).
+
+    Estimator (operators/graph.py triangle_node_estimates): wedge
+    sampling at p = 1/4 via the deterministic md5 edge gate — a
+    triangle is enumerated iff BOTH its apex-leaving oriented edges
+    are kept (p²), closed exactly against the full oriented edge set —
+    so per-node counts scale by 1/p² = 16, an exact integer. Strictly
+    lower variance than the 1/p³ subgraph form at the same ~p²-shrunk
+    wedge cost (per triangle the survival indicator is Bernoulli(p²):
+    Var = T_v(1−p²)/p² vs T_v(1−p³)/p³ — the DOULION analysis,
+    Tsourakakis et al. KDD 2009, with the wedge-level gate). The
+    sample is a hash gate, not rand(), so the oracle replays the
+    identical orientation + gate + closure and checks the estimate
+    EXACTLY.
+
+    Scale: the exact counter's plan with the gate as a codegen filter
+    on both wedge sides — sampled wedge space ~p²·Σ outdeg² (the 100x
+    graph's 4.1 G → ~256 M, under budget); closure one hash join; the
+    board lowers to TakeOrderedAndProject.
+    """
+    from ..caching import scoped_persist
+    from ..operators.graph import triangle_node_estimates
+
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(sequence(0, size(ps) - 2),"
+        " i -> transform(sequence(i + 1, size(ps) - 1),"
+        " j -> struct(element_at(ps, i + 1) AS a,"
+        " element_at(ps, j + 1) AS b))))"
+    )
+    edges = scoped_persist(
+        grouped.where(F.size("ps") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    nodes = triangle_node_estimates(edges, wedge_budget=500_000_000)
+    total = nodes.agg(
+        (F.expr("sum(sampled_tri_count) div 3") * F.lit(16))
+        .cast("long")
+        .alias("est_total_triangles")
+    )
+    ranked = nodes.crossJoin(F.broadcast(total))
+    from pyspark.sql import Window as W
+
+    # rank runs AFTER the top-k limit (<= 10 rows) and partitions on
+    # the constant est_total_triangles column — same formally-
+    # partitioned shape as copurchase_triangles' board
+    rk = F.row_number().over(
+        W.partitionBy("est_total_triangles").orderBy(
+            F.col("sampled_tri_count").desc(), F.col("node")
+        )
+    )
+    return (
+        ranked.orderBy(F.col("sampled_tri_count").desc(), "node")
+        .limit(TRIANGLES_TOP_K)
+        .withColumn("rank", rk.cast("int"))
+        .select(
+            F.col("node").alias("part_id"),
+            "sampled_tri_count",
+            "est_tri_count",
+            "rank",
+            "est_total_triangles",
+        )
+    )

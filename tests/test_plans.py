@@ -121,6 +121,7 @@ def test_no_cartesian_products_anywhere(all_plans):
         "value_drift_mwu",  # 1-row midpoint/totals broadcasts (same shape)
         "copurchase_triangles",  # 1-row triangle-total broadcast (same shape)
         "copurchase_triangles_sampled",  # 1-row edge/triangle-count broadcasts
+        "copurchase_triangles_node_est",  # 1-row est-total broadcast (same shape)
         "order_dow_uniformity",  # 1-row order-total broadcast (same shape)
         # hour-spine × distinct-types grid build: both sides are
         # domain-sized (horizon hours, |types| rows), independent of
