@@ -20,6 +20,42 @@ from bigdatapipelinepysparksqlserver_spark.caching import release_caches  # noqa
 from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY  # noqa: E402
 from bigdatapipelinepysparksqlserver_spark.session import get_spark  # noqa: E402
 
+# Floor-relative grading (VERDICT r8 #8): the shared box carries
+# ambient load from OUTSIDE the container that swings same-tree totals
+# ±20-40% between rounds, making absolute per-round deltas unreadable.
+# Each headliner's FLOOR is its best recorded per-query wall across all
+# BENCH_r*.json history at sf0.1 (min-of-N on an idle box, identical or
+# slower plans) — a run's vs_floor ratio therefore separates "the box
+# is loaded" (every ratio inflates together; see loadavg) from "this
+# query regressed" (one ratio inflates alone, persistently).
+FLOORS_S = {
+    "ann_topk_cosine": 0.530,      # r4
+    "asof_attribution": 0.525,     # r7
+    "bm25_store_probe": 3.134,     # r8
+    "decontaminate": 0.547,        # r4
+    "dedup_exact": 0.172,          # r7
+    "dedup_minhash": 1.421,        # r8
+    "mart_client_count": 0.556,    # r7
+    "mart_sales_agg": 0.862,       # r7
+    "part_copurchase_pagerank": 4.503,  # r8
+    "semantic_dedup": 4.899,       # r8
+    "sessionize": 0.989,           # r7
+    "text_quality_score": 0.400,   # r4
+    "text_repetition_score": 0.571,  # r8
+    "tpch_q1": 0.693,              # r4
+    "tpch_q18": 0.683,             # r7
+    "tpch_q3": 0.680,              # r7
+    "tpch_q5": 0.701,              # r7
+}
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,6 +82,7 @@ def main() -> None:
     # operators' persist()ed intermediates, otherwise later runs would
     # time a cache HIT of the first run's blocks rather than the
     # operator — min-of-N must measure real recomputation.
+    load_before = _loadavg()
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         if not spec.headline:
@@ -54,8 +91,11 @@ def main() -> None:
             spark.catalog.clearCache()
             spec.fn(spark, sf_dir).collect()
             release_caches()  # drain the scope registry (blocks already evicted)
+        # min-of-5 (was 3): the box's ambient-load spikes outlast a
+        # 3-sample window on ~1 s queries; two more samples per query
+        # measurably tightens the floor estimate at trivial cost
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             spark.catalog.clearCache()
             t0 = time.time()
             spec.fn(spark, sf_dir).collect()
@@ -64,6 +104,9 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    vs_floor = {
+        n: round(t / FLOORS_S[n], 3) for n, t in timings.items() if n in FLOORS_S
+    }
     print(
         json.dumps(
             {
@@ -71,6 +114,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "floors": {n: FLOORS_S[n] for n in timings if n in FLOORS_S},
+                "vs_floor": vs_floor,
+                "loadavg_before": load_before,
+                "loadavg_after": _loadavg(),
+                "runs_per_query": 5,
                 "sf": sf,
             }
         )

@@ -76,21 +76,40 @@ _GRADED_PREFIX = (
     # multitouch_attribution (time-decay credit over the binned range
     # join), copurchase_khop_reach (multi-source BFS — the frontier-
     # iteration graph shape next to PageRank's rank-iteration).)
-    "user_tier_history",
-    "events_tier_pit", "multitouch_attribution",
+    # (r9 rotation, VERDICT r8 #5 — seven never-before-graded entries
+    # enter; every ceded query stays registered + oracle-backed past
+    # the cap and was green at all three SFs for >=1 full round.
+    # Ceding: user_tier_history (SCD2 validity machinery executes
+    # inside the in-window events_tier_pit oracle), multitouch_
+    # attribution (range-join family stays via asof_attribution),
+    # rolling_active_users (contribution-explode windows stay via
+    # user_survival_km's risk sets + the streaming twin's pytest),
+    # tpch_q5 (q1/q3/q18 keep scan/join/semi shapes; q5 past-cap),
+    # bm25_topics (retrieval keeps guarded + store-probe + RRF
+    # in-window), emb_neardup_clusters_sized (policy-sized family
+    # keeps emb_neardup_lsh_sized; clusters composed in dedup_apply),
+    # tfidf_top_terms (text family keeps quality/repetition/LM).
+    # Entering: cdc_snapshot_demo (snapshot-isolated lake rebuild —
+    # r9's headline protocol), trigram_lm_store_probe (stored-LM
+    # probe path), html_extract_clean (markup-stripping pipeline),
+    # bpe_sample_audit (sample-adequacy audit of distributed BPE),
+    # value_drift_ks (KS two-sample drift), copurchase_cheapest_path
+    # (weighted SSSP), copurchase_triangles_node_est (r9 per-node
+    # sampled triangle board).)
+    "events_tier_pit",
     "sessionize_session_window",
     "copurchase_khop_reach",
+    "cdc_snapshot_demo",
     # (r8 continuation rotation: sql_facade_agg cedes — the S7 temp-view
     # + SQL facade machinery executes inside every spark.sql-routed
     # oracle twin and stays oracle-backed past-cap; rolling_active_users
     # enters — trailing-window DISTINCT via contribution explode, a
     # window shape no in-window rep covered.)
-    "rolling_active_users",
     # temporal operators + multidimensional aggregation
     "asof_attribution",
     # TPC-H representatives (full-scan agg / selective join / 6-way join /
     # HAVING-semi) — the other 18 shapes are oracle-backed past the cap
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18",
+    "tpch_q1", "tpch_q3", "tpch_q18",
     # pipeline lifecycle
     "cdc_roundtrip_demo",
     # event analytics + semi-structured + percentiles + graph (r7 late
@@ -131,6 +150,7 @@ _GRADED_PREFIX = (
     # third iterative-graph semiring (mode-argmax) next to PageRank's
     # sum-product, both LPA randomness sources pinned.)
     "part_copurchase_pagerank", "part_copurchase_communities",
+    "copurchase_cheapest_path", "copurchase_triangles_node_est",
     # (r8 continuation rotation: value_drift_psi cedes — the drift
     # family keeps THREE oracle-backed reps past-cap (PSI, KS, MWU) and
     # chi2 stays in-window for hypothesis testing; value_mad_outliers
@@ -146,7 +166,7 @@ _GRADED_PREFIX = (
     # censoring-aware Kaplan-Meier retention, the survival-analysis
     # family's first rep, risk sets via contribution explode.)
     "session_peak_concurrency", "ab_conversion_chi2",
-    "value_mad_outliers", "user_survival_km",
+    "value_mad_outliers", "user_survival_km", "value_drift_ks",
     "user_streaks", "weighted_median_price",
     # dedup family (exact → LSH scale path → clusters → end-to-end
     # surviving corpus → incremental batch-vs-base probe (r6) →
@@ -174,7 +194,8 @@ _GRADED_PREFIX = (
     # stays graded via quality_gate_by_lang's composed oracle past-cap;
     # tfidf_top_terms enters as the keyword-extraction representative)
     "text_quality_score", "text_repetition_score",
-    "tfidf_top_terms", "bigram_lm_score",
+    "bigram_lm_score", "html_extract_clean",
+    "trigram_lm_store_probe",
     # training-data ops + sketches (r6: the HLL distinct sketch joins
     # the window — corridor-oracle-backed; r7 late rotation:
     # sample_documents cedes to token_budget_mix — the budget form of
@@ -194,12 +215,12 @@ _GRADED_PREFIX = (
     # round changes it), with bpe_train_merges + bpe_token_count
     # oracle-backed past-cap.)
     "token_budget_mix", "corpus_snapshot_diff", "bpe_vocab_top",
-    "decontaminate",
+    "bpe_sample_audit", "decontaminate",
     "doc_pack_plan",
     "sketch_distinct_clients",
     # retrieval (r6: BM25 with the df-threshold skew guard engaged;
     # r7: the postings-store probe and the batched-topics form)
-    "bm25_search_guarded", "bm25_store_probe", "bm25_topics",
+    "bm25_search_guarded", "bm25_store_probe",
     "hybrid_search_rrf",
     # similarity + multimodal (r5: IVF cell-partitioned store; r6-r7:
     # the policy-sized LSH family — recommended_bits(N) as graded
@@ -213,7 +234,7 @@ _GRADED_PREFIX = (
     # payload-attach plumbing AND hash-only shuffles; metadata stats
     # stay oracle-backed past-cap)
     "ann_topk_cosine", "ann_ivfpq_topk", "emb_neardup_lsh_sized",
-    "emb_neardup_clusters_sized", "semantic_dedup",
+    "semantic_dedup",
     "media_dedup_audit",
 )
 
