@@ -38,14 +38,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for 194 of 195 queries — including the full
-    MinHash/SimHash/hyperplane-LSH pipelines via engine-portable hash
-    families, the HLL-distinct and approx-top-k sketches via
-    error-corridor / exact-regime oracles, and (since r6) the
-    POLICY-SIZED LSH forms, whose oracles recompute the sizing policy
-    from COUNT(*) and regenerate the hyperplane constants from the same
-    LCG inside SQL — one static string valid at every SF. The single
-    rows-only entry (`media_decode_features`) has a measured reason:
-    its array-shaped Arrow decode output crashes the driver's pandas
-    canon, and its scalar twin IS oracle-checked."""
+    """DuckDB twins for ALL 197 registered queries (100% oracle-backed
+    since r9) — including the full MinHash/SimHash/hyperplane-LSH
+    pipelines via engine-portable hash families, the HLL-distinct and
+    approx-top-k sketches via error-corridor / exact-regime oracles,
+    and (since r6) the POLICY-SIZED LSH forms, whose oracles recompute
+    the sizing policy from COUNT(*) and regenerate the hyperplane
+    constants from the same LCG inside SQL — one static string valid
+    at every SF. r9 closed the last rows-only entry: the mapInPandas
+    decode output (`media_decode_features`) carries its feature vector
+    as a fixed-point string (the array column crashes the driver's
+    pandas canon), with DuckDB recomputing from hex(BLOB)."""
     return oracle_queries()

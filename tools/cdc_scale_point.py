@@ -68,11 +68,18 @@ MUTATION_UPDATES = 200
 MUTATION_DELETES = 50
 
 
-def one_scale(spark, root: str, n_rows: int) -> dict:
+def one_scale(spark, root: str, n_rows: int, snapshot: bool = False) -> dict:
     src = SourceTables(spark, os.path.join(root, "oltp"))
     gen = WorkloadGenerator(src, seed=42)
     gen.seed_dimensions(n_clients=200, n_products=50)
-    lake = LakeTable(spark, os.path.join(root, "lake"))
+    if snapshot:
+        from bigdatapipelinepysparksqlserver_spark.sources.lake_snapshot import (
+            SnapshotLakeTable,
+        )
+
+        lake = SnapshotLakeTable(spark, os.path.join(root, "lake"))
+    else:
+        lake = LakeTable(spark, os.path.join(root, "lake"))
     ledger = RunLedger(spark, os.path.join(root, "ledger"))
 
     # base corpus across ~3 years of partitions; run 1 = full load
@@ -161,6 +168,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-base", type=int, default=30_000)
     ap.add_argument("--factor", type=int, default=10)
+    # --snapshot-lake: run the identical protocol over the
+    # manifest-versioned SnapshotLakeTable (VERDICT r8 #1 regression
+    # gate: its atomic publish must not cost >1.2x the dynamic-
+    # overwrite path on the change-set-bounded cycle)
+    ap.add_argument("--snapshot-lake", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("cdc-scale-point")
@@ -169,18 +181,19 @@ def main() -> None:
     # measurement and flatter the scaled one
     warm_root = tempfile.mkdtemp(prefix="cdc_scale_warm_")
     try:
-        one_scale(spark, warm_root, 2_000)
+        one_scale(spark, warm_root, 2_000, snapshot=args.snapshot_lake)
     finally:
         shutil.rmtree(warm_root, ignore_errors=True)
     out = {}
     for label, n in (("base", args.rows_base), ("scaled", args.rows_base * args.factor)):
         root = tempfile.mkdtemp(prefix=f"cdc_scale_{label}_")
         try:
-            out[label] = one_scale(spark, root, n)
+            out[label] = one_scale(spark, root, n, snapshot=args.snapshot_lake)
         finally:
             shutil.rmtree(root, ignore_errors=True)
         print(f"# {label}: {out[label]}", file=sys.stderr, flush=True)
     out["factor"] = args.factor
+    out["lake"] = "snapshot" if args.snapshot_lake else "dynamic-overwrite"
     out["run2_ratio"] = round(
         out["scaled"]["run2_wall_s"] / max(out["base"]["run2_wall_s"], 1e-9), 2
     )
