@@ -139,6 +139,41 @@ class SnapshotLakeTable:
         m = self.current_manifest()
         return bool(m)
 
+    def snapshots(self) -> list[int]:
+        """Manifest ids readable right now (the retain window + live)."""
+        return self._manifest_ids()
+
+    def read_snapshot(self, mid: int) -> DataFrame:
+        """Time travel: scan a RETAINED older snapshot by manifest id —
+        the lake twin of the mart's ``read_version`` / the stores'
+        ``rollback_store_version`` target. Within the retain window the
+        referenced partition dirs are immutable and un-GC'd, so the
+        read is exactly the table as of that publish ("what did the
+        June partitions look like before this morning's CDC run")."""
+        m = self._read_manifest(mid)
+        if not m:
+            return self.spark.createDataFrame([], self.schema)
+        paths = [f"{self.root}/data/txn={txn}/{rel}" for rel, txn in sorted(m.items())]
+        return (
+            self.spark.read.option("basePath", f"{self.root}/data")
+            .parquet(*paths)
+            .drop("txn")
+        )
+
+    def rollback(self, mid: int) -> int:
+        """Point the live pointer BACK at a retained manifest — the
+        operational undo for a bad publish. Pure pointer swap; nothing
+        is deleted (the rolled-back-from manifest is reaped as an
+        orphan ahead of the pointer by the next publish, same protocol
+        as ``rollback_store_version``)."""
+        if mid not in self._manifest_ids():
+            raise FileNotFoundError(
+                f"rollback target m{mid} not on disk under {self.root} "
+                f"(have: {self._manifest_ids()}; widen retain= to keep more)"
+            )
+        self.fs.set_pointer(f"{self.root}/{POINTER}", f"m{mid}")
+        return mid
+
     def read(self) -> DataFrame:
         """Scan the LIVE snapshot — pinned: the resolved leaf dirs are
         immutable once referenced, so a concurrent rebuild (or ten) is

@@ -238,3 +238,32 @@ def test_read_is_pinned_across_publish(spark, tmp_path):
     lake.overwrite_partitions(mk(99.0))
     assert pinned.agg(F.sum("paid")).first()[0] == 1.0
     assert lake.read().agg(F.sum("paid")).first()[0] == 99.0
+
+
+def test_time_travel_and_rollback(spark, tmp_path):
+    """read_snapshot(mid) answers the table AS OF that publish within
+    the retain window; rollback() is a pure pointer swap whose
+    rolled-back-from manifest is reaped by the next publish."""
+    lake = SnapshotLakeTable(spark, str(tmp_path / "lake"), retain=2)
+    mk = lambda paid: spark.createDataFrame(  # noqa: E731
+        [(1, 202405, "US", paid), (2, 202406, "DE", paid * 2)],
+        "id int, year_month int, country string, paid double",
+    )
+    lake.write_full(mk(1.0))
+    lake.overwrite_partitions(mk(10.0))
+    lake.overwrite_partitions(mk(100.0))
+    assert lake.snapshots() == [1, 2, 3]
+
+    assert lake.read_snapshot(1).agg(F.sum("paid")).first()[0] == 3.0
+    assert lake.read_snapshot(2).agg(F.sum("paid")).first()[0] == 30.0
+    assert lake.read().agg(F.sum("paid")).first()[0] == 300.0
+
+    assert lake.rollback(2) == 2
+    assert lake.read().agg(F.sum("paid")).first()[0] == 30.0
+    # next publish reaps the rolled-back-from m3 and renumbers over it
+    lake.overwrite_partitions(mk(7.0))
+    assert lake.current_id() == 3
+    assert lake.read().agg(F.sum("paid")).first()[0] == 21.0
+
+    with pytest.raises(FileNotFoundError, match="widen retain"):
+        lake.rollback(99)
