@@ -22,18 +22,20 @@ FLAGSHIPS = {
     # (r8 rotation: dq_violations ceded its window seat — reconciliation
     # stays flagship-graded via cdc_roundtrip_demo; user_streaks enters
     # as the gaps-and-islands family's flagship.)
-    # (r8 continuation: rolling_active_users — the rolling-distinct
-    # window shape — and dedup_jaccard_prefix — the lossless exact
-    # set-similarity scale path — pinned as flagships with their
-    # window entry.)
-    "rolling_active_users", "dedup_jaccard_prefix",
+    # (r9 rotation: rolling_active_users and bm25_topics ceded the
+    # window with documented family coverage (queries/__init__.py);
+    # cdc_snapshot_demo — the snapshot-isolated lake protocol — and
+    # copurchase_triangles_node_est — the per-node sampled triangle
+    # board — pinned in their place.)
+    "dedup_jaccard_prefix",
     "mart_client_count", "tpch_q1", "cdc_roundtrip_demo", "user_streaks",
     "dedup_exact", "dedup_minhash", "semantic_dedup",
     "sessionize_session_window", "hybrid_search_rrf",
     "asof_attribution", "text_quality_score",
     "decontaminate", "doc_pack_plan", "ann_topk_cosine",
-    "media_dedup_audit", "bm25_topics", "session_peak_concurrency",
+    "media_dedup_audit", "session_peak_concurrency",
     "events_tier_pit",
+    "cdc_snapshot_demo", "copurchase_triangles_node_est",
 }
 
 
