@@ -29,23 +29,23 @@ from bigdatapipelinepysparksqlserver_spark.session import get_spark  # noqa: E40
 # is loaded" (every ratio inflates together; see loadavg) from "this
 # query regressed" (one ratio inflates alone, persistently).
 FLOORS_S = {
-    "ann_topk_cosine": 0.530,      # r4
-    "asof_attribution": 0.525,     # r7
-    "bm25_store_probe": 3.134,     # r8
-    "decontaminate": 0.547,        # r4
-    "dedup_exact": 0.172,          # r7
+    "ann_topk_cosine": 0.525,  # r9
+    "asof_attribution": 0.522,  # r9
+    "bm25_store_probe": 2.969,  # r9
+    "decontaminate": 0.512,  # r9
+    "dedup_exact": 0.155,  # r9
     "dedup_minhash": 1.421,        # r8
     "mart_client_count": 0.556,    # r7
-    "mart_sales_agg": 0.862,       # r7
-    "part_copurchase_pagerank": 4.503,  # r8
-    "semantic_dedup": 4.899,       # r8
-    "sessionize": 0.989,           # r7
+    "mart_sales_agg": 0.842,  # r9
+    "part_copurchase_pagerank": 3.718,  # r9
+    "semantic_dedup": 4.024,  # r9
+    "sessionize": 0.918,  # r9
     "text_quality_score": 0.400,   # r4
     "text_repetition_score": 0.571,  # r8
     "tpch_q1": 0.693,              # r4
     "tpch_q18": 0.683,             # r7
     "tpch_q3": 0.680,              # r7
-    "tpch_q5": 0.701,              # r7
+    "tpch_q5": 0.572,  # r9
 }
 
 
