@@ -267,3 +267,56 @@ def test_time_travel_and_rollback(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="widen retain"):
         lake.rollback(99)
+
+
+def test_streaming_sink_publishes_atomic_snapshots(spark, tmp_path):
+    """The existing foreachBatch partition-overwrite sink duck-types
+    onto SnapshotLakeTable: each micro-batch becomes ONE atomic
+    manifest publish (continuous CDC with snapshot isolation). Replays
+    are idempotent in CONTENT (C4) and an empty batch publishes
+    nothing; every batch leaves a whole readable snapshot behind."""
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_partition_overwrite,
+    )
+
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("event_type",),
+        schema="event_id long, ts timestamp, amount double, event_type string",
+        retain=3,
+    )
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 5), "purchase", 10.0),
+        (2, datetime(2024, 1, 1, 10, 55), "purchase", 20.0),
+        (3, datetime(2024, 1, 1, 11, 5), "view", 0.0),
+    ]
+    schema = "event_id long, ts timestamp, event_type string, amount double"
+    batch = spark.createDataFrame(rows, schema)
+    sink = foreach_batch_partition_overwrite(lake)
+
+    sink(batch, 0)
+    assert lake.read().count() == 3
+    v1 = lake.current_id()
+    # replay: content-idempotent; a NEW snapshot id is fine (the
+    # manifest swap is the visibility event, content is identical)
+    sink(batch, 0)
+    assert lake.read().count() == 3
+    assert sorted(map(tuple, lake.read_snapshot(v1).collect())) == sorted(
+        map(tuple, lake.read().collect())
+    )
+    # empty batch: no publish at all (isEmpty() short-circuit)
+    before = lake.current_id()
+    sink(batch.where("event_id < 0"), 1)
+    assert lake.current_id() == before
+    # later batch touching ONE partition leaves the other intact
+    sink(
+        spark.createDataFrame(
+            [(9, datetime(2024, 1, 1, 12, 0), "view", 1.5)], schema
+        ),
+        2,
+    )
+    got = {
+        (r.event_type, r.event_id) for r in lake.read().collect()
+    }
+    assert got == {("purchase", 1), ("purchase", 2), ("view", 9)}
