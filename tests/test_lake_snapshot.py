@@ -320,3 +320,107 @@ def test_streaming_sink_publishes_atomic_snapshots(spark, tmp_path):
         (r.event_type, r.event_id) for r in lake.read().collect()
     }
     assert got == {("purchase", 1), ("purchase", 2), ("view", 9)}
+
+
+def test_randomized_lifecycle_matches_dict_model(spark, tmp_path):
+    """Model-based check: a deterministic random sequence of 24
+    operations (full load, partition overwrite, rebuild-with-drops,
+    metadata drop, rollback) against SnapshotLakeTable must track a
+    plain dict {partition: rows} model exactly after EVERY step — the
+    manifest lifecycle has no op-order-dependent state."""
+    import random
+
+    rng = random.Random(0)
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("year_month", "country"),
+        schema="id long, paid double, year_month int, country string",
+        retain=2,
+    )
+    YMS = [202401, 202402, 202403]
+    CTS = ["US", "DE"]
+    model: dict = {}
+    next_id = [0]
+
+    def make_rows(parts, n_per=2):
+        rows = []
+        for ym, ct in parts:
+            for _ in range(n_per):
+                next_id[0] += 1
+                rows.append((next_id[0], float(next_id[0]), ym, ct))
+        return rows
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "id long, paid double, year_month int, country string"
+        )
+
+    def check():
+        got = sorted(
+            (r.id, r.paid, r.year_month, r.country)
+            for r in lake.read().collect()
+        )
+        want = sorted(row for rows in model.values() for row in rows)
+        assert got == want
+        got_parts = sorted(map(tuple, lake.partitions().collect()))
+        assert got_parts == sorted(model.keys())
+
+    states_by_mid: dict = {}
+    for step in range(24):
+        op = rng.choice(["full", "overwrite", "rebuild", "drop", "rollback"])
+        if op == "full":
+            parts = [
+                (ym, ct) for ym in YMS for ct in CTS if rng.random() < 0.6
+            ]
+            rows = make_rows(parts)
+            lake.write_full(df_of(rows))
+            model = {}
+            for row in rows:
+                model.setdefault((row[2], row[3]), []).append(row)
+        elif op == "overwrite":
+            parts = [(rng.choice(YMS), rng.choice(CTS))]
+            rows = make_rows(parts)
+            lake.overwrite_partitions(df_of(rows))
+            for p in parts:
+                model[p] = []
+            for row in rows:
+                model[(row[2], row[3])].append(row)
+        elif op == "rebuild":
+            changed = [ym for ym in YMS if rng.random() < 0.5] or [YMS[0]]
+            parts = [
+                (ym, ct)
+                for ym in changed
+                for ct in CTS
+                if rng.random() < 0.5
+            ]
+            rows = make_rows(parts)
+            lake.apply_rebuild(df_of(rows), changed_year_months=changed)
+            model = {
+                p: v for p, v in model.items() if p[0] not in set(changed)
+            }
+            for p in parts:
+                model[p] = []
+            for row in rows:
+                model[(row[2], row[3])].append(row)
+        elif op == "drop":
+            if model:
+                victim = rng.choice(sorted(model))
+                lake.drop_partition_values([victim])
+                model.pop(victim)
+            else:
+                continue
+        else:  # rollback to the previous retained snapshot, if any
+            ids = lake.snapshots()
+            cur = lake.current_id()
+            older = [i for i in ids if i < (cur or 0) and i in states_by_mid]
+            if not older:
+                continue
+            target = older[-1]
+            lake.rollback(target)
+            model = {p: list(v) for p, v in states_by_mid[target].items()}
+        mid = lake.current_id()
+        if mid is not None:
+            # renumbering after a rollback overwrites the old id's state
+            states_by_mid[mid] = {p: list(v) for p, v in model.items()}
+        check()
