@@ -424,3 +424,23 @@ def test_randomized_lifecycle_matches_dict_model(spark, tmp_path):
             # renumbering after a rollback overwrites the old id's state
             states_by_mid[mid] = {p: list(v) for p, v in model.items()}
         check()
+
+
+def test_snapshot_read_keeps_partition_pruning(spark, tmp_path):
+    """The explicit leaf-dir list under one basePath must preserve
+    Catalyst's PartitionFilters pruning on the partition columns (the
+    scan property that makes partition-grain CDC affordable), and the
+    synthetic txn level must not leak into the schema."""
+    lake = SnapshotLakeTable(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame(
+        [(i, 202401 + i % 3, "US", 1.0) for i in range(9)],
+        "id long, year_month int, country string, paid double",
+    )
+    lake.write_full(df)
+    probe = lake.read().where(F.col("year_month") == 202402)
+    assert "txn" not in probe.columns
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "year_month" in seg and "202402" in seg
+    assert probe.count() == 3
