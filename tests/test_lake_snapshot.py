@@ -444,3 +444,29 @@ def test_snapshot_read_keeps_partition_pruning(spark, tmp_path):
     seg = plan.split("PartitionFilters")[1][:200]
     assert "year_month" in seg and "202402" in seg
     assert probe.count() == 3
+
+
+def test_pinned_reader_bounded_by_retain_window(spark, tmp_path):
+    """The retain contract's honest boundary: a DataFrame pinned to
+    snapshot 1 survives `retain` subsequent publishes (its files are
+    retained for exactly that window) and then legitimately BREAKS
+    once GC reclaims them — the same in-flight-reader economics as the
+    mart/store publishers, pinned here so the trade-off is documented
+    behavior, not a surprise."""
+    lake = SnapshotLakeTable(spark, str(tmp_path / "lake"), retain=1)
+    mk = lambda paid: spark.createDataFrame(  # noqa: E731
+        [(1, 202405, "US", paid)],
+        "id int, year_month int, country string, paid double",
+    )
+    lake.write_full(mk(1.0))
+    pinned = lake.read()
+    lake.overwrite_partitions(mk(2.0))  # v1 still retained
+    assert pinned.agg(F.sum("paid")).first()[0] == 1.0
+    lake.overwrite_partitions(mk(3.0))  # v1 GC'd
+    try:
+        val = pinned.agg(F.sum("paid")).first()[0]
+    except Exception:
+        val = None  # expected: the pinned snapshot's files are gone
+    # the one unacceptable outcome is a SILENT stale answer — the
+    # reader must either error (files reclaimed) or observe emptiness
+    assert val != 1.0, "GC'd snapshot silently readable as if retained"
