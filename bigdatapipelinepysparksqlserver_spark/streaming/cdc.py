@@ -749,7 +749,11 @@ def streaming_transition_counts_event_time(
                 # finalized — admitting it would re-split them
                 if t >= wm_us:
                     buf.append((t, i, ty))
-        buf.sort(key=lambda e: (e[0], str(e[1])))
+        # (ts, id) — the batch twin's exact order; ids are homogeneous
+        # within a stream, so native comparison is correct for ints AND
+        # strings (str()-coercing an int id would order "10" < "9" and
+        # diverge from the LEAD window on timestamp ties)
+        buf.sort(key=lambda e: (e[0], e[1]))
         pairs: dict = {}
         keep = []
         for e in buf:

@@ -1539,3 +1539,48 @@ def test_streaming_transitions_event_time_correct_under_reordering(spark, tmp_pa
     # batches would count (view,cart) [12->14] which event time forbids
     assert (1, "view", "cart") not in got
     assert expect[(1, "view", "click")] == 1
+
+
+def test_event_time_transitions_numeric_id_tiebreak(spark, tmp_path):
+    """Timestamp-tied events must order by the id's NATIVE comparison
+    (the batch twin's (ts, event_id)): ids 9 and 10 at the same ts —
+    a str()-coerced sort would order "10" < "9" and flip the pair."""
+    from collections import defaultdict
+
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        streaming_transition_counts_event_time,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    t0 = datetime(2024, 1, 1, 10, 0)
+    batches = [
+        # arrival order ALSO reversed, same timestamp: only event_id
+        # can order them
+        [(10, t0, 1, "buy"), (9, t0, 1, "view")],
+        [(90, datetime(2024, 1, 1, 11, 0), 99, "x")],
+        [(91, datetime(2024, 1, 1, 11, 30), 99, "x")],
+    ]
+    src = tmp_path / "tie_src"
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_transition_counts_event_time(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("tie_trans_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tie_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = defaultdict(int)
+    for r in spark.sql("SELECT * FROM tie_trans_test").collect():
+        got[(r.user_id, r.from_type, r.to_type)] += r.delta
+    assert dict(got) == {(1, "view", "buy"): 1}
