@@ -139,6 +139,15 @@ class SnapshotLakeTable:
         m = self.current_manifest()
         return bool(m)
 
+    def register_view(self, name: str) -> None:
+        """S4/S7 twin for SQL readers: a temp view over the LIVE
+        snapshot. The view pins the snapshot resolved NOW (the
+        explicit-path scan), so `spark.sql` consumers get the same
+        repeatable-read semantics as :meth:`read` — re-register to see
+        a later publish. (A metastore table can't express per-query
+        pointer resolution; the view is the honest SQL surface.)"""
+        self.read().createOrReplaceTempView(name)
+
     def snapshots(self) -> list[int]:
         """Manifest ids readable right now (the retain window + live)."""
         return self._manifest_ids()

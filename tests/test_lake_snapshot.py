@@ -470,3 +470,27 @@ def test_pinned_reader_bounded_by_retain_window(spark, tmp_path):
     # the one unacceptable outcome is a SILENT stale answer — the
     # reader must either error (files reclaimed) or observe emptiness
     assert val != 1.0, "GC'd snapshot silently readable as if retained"
+
+
+def test_register_view_sql_facade(spark, tmp_path):
+    lake = SnapshotLakeTable(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame(
+        [(1, 202405, "US", 5.0), (2, 202406, "DE", 7.0)],
+        "id int, year_month int, country string, paid double",
+    )
+    lake.write_full(df)
+    lake.register_view("snap_sales")
+    got = spark.sql(
+        "SELECT country, SUM(paid) AS paid FROM snap_sales GROUP BY country"
+    ).collect()
+    assert sorted((r.country, r.paid) for r in got) == [("DE", 7.0), ("US", 5.0)]
+    # the view pins the snapshot it was registered on
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(9, 202405, "US", 99.0)],
+            "id int, year_month int, country string, paid double",
+        )
+    )
+    assert spark.sql("SELECT SUM(paid) FROM snap_sales").first()[0] == 12.0
+    lake.register_view("snap_sales")  # re-register -> live snapshot
+    assert spark.sql("SELECT SUM(paid) FROM snap_sales").first()[0] == 106.0
