@@ -1126,3 +1126,102 @@ def bpe_train(
             ).alias("state"),
         )
     return merges, state
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+# SIGMOD 2003 — the MOSS local fingerprinting algorithm; the brief's
+# "document fingerprinting (rolling hash)" component). k-token grams
+# are hashed and each sliding window of w consecutive gram hashes
+# contributes its MINIMUM (rightmost on ties) — the guarantee: any
+# shared run of >= w + k - 1 tokens between two documents shares at
+# least one selected fingerprint, while only ~2/(w+1) of gram hashes
+# are kept. A hash gate (md5 prefix) rather than a seeded rolling
+# polynomial keeps the selection engine-portable: DuckDB replays the
+# identical fingerprint set.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # tokens per gram
+WINNOW_W = 4  # grams per winnowing window
+_WINNOW_POS_SPAN = 1 << 20  # pos packed below the 40-bit hash
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp_hash, fp_pos) — the winnowed fingerprint set.
+
+    Selection contract (mirrored exactly by the SQL oracles): grams on
+    the shared single-space tokenizer; gram hash = 40-bit md5-hex
+    prefix; window argmin with RIGHTMOST tie-break, expressed as an
+    integer MIN over ``hash·2^20 + (2^20−1−pos)`` so one codegen'd
+    window aggregate computes (min hash, max pos among ties) at once;
+    duplicate selections across overlapping windows collapse via
+    DISTINCT. Documents shorter than k+w−1 tokens yield no
+    fingerprints (no full window exists); positions are bounded by the
+    2^20 packing span — ~1 M tokens, beyond any testdata document (at
+    real scale, fingerprint per CHUNK, which also bounds shuffle keys).
+
+    Scale: one scan-side gram explode (~tokens per doc), one
+    doc-partitioned window (never global), one map-side-combinable
+    DISTINCT. Fingerprint density is ~2/(w+1) of grams, so downstream
+    joins see a w-fold-reduced relation with the match guarantee
+    intact — that is the whole point of winnowing over "hash every
+    gram".
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), " "), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size("__toks") >= k + w - 1
+    )
+    n_grams = F.size("__toks") - F.lit(k - 1)
+    grams = base.select(
+        id_col,
+        n_grams.alias("__ng"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i, k)),
+            )
+        ).alias("__p0", "__gram"),
+    ).select(
+        id_col,
+        "__ng",
+        (F.col("__p0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("__gram"), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    packed = (
+        F.col("h") * F.lit(_WINNOW_POS_SPAN)
+        + (F.lit(_WINNOW_POS_SPAN - 1) - F.col("pos"))
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = (
+        grams.select(
+            id_col,
+            "__ng",
+            "pos",
+            F.min(packed).over(win).alias("__sel"),
+        )
+        .where(F.col("pos") <= F.col("__ng") - F.lit(w - 1))
+        .select(id_col, "__sel")
+        .distinct()
+    )
+    return sel.select(
+        id_col,
+        F.expr(f"__sel div {_WINNOW_POS_SPAN}").alias("fp_hash"),
+        (
+            F.lit(_WINNOW_POS_SPAN - 1)
+            - (F.col("__sel") % F.lit(_WINNOW_POS_SPAN))
+        ).cast("int").alias("fp_pos"),
+    )

@@ -1421,3 +1421,150 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003 — the
+# MOSS algorithm; the brief's rolling-hash document fingerprinting).
+# Guarantee: any shared token run of >= w + k - 1 (= 6) tokens between
+# two documents shares a selected fingerprint, at ~2/(w+1) the density
+# of hashing every gram. The selection (40-bit md5 gram hash, window
+# argmin, rightmost tie) replays exactly in DuckDB via the same
+# hash*2^20 + (2^20-1-pos) integer packing.
+# ---------------------------------------------------------------------------
+
+_WINNOW_CTES = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS tk
+  FROM documents
+),
+base AS (SELECT doc_id, tk, len(tk) - 2 AS ng FROM toks WHERE len(tk) >= 6),
+grams AS (
+  SELECT doc_id, ng, i.i AS pos,
+         CAST(('0x' || substr(
+            md5(array_to_string(list_slice(tk, i.i, i.i + 2), ' ')), 1, 10))
+          AS BIGINT) AS h
+  FROM base, UNNEST(range(1, ng + 1)) AS i(i)
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         MIN(h * 1048576 + (1048575 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+  FROM grams
+  QUALIFY pos <= ng - 3
+),
+fps AS (
+  SELECT doc_id, s // 1048576 AS fp_hash,
+         1048575 - (s % 1048576) AS fp_pos
+  FROM sel
+)"""
+
+WINNOW_STATS_ORACLE = f"""
+WITH {_WINNOW_CTES}
+SELECT d.source AS source,
+       CAST(COUNT(DISTINCT f.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(COUNT(DISTINCT f.fp_hash) AS BIGINT) AS n_distinct_hashes
+FROM fps f JOIN documents d ON d.doc_id = f.doc_id
+GROUP BY 1
+"""
+
+
+@query("doc_winnow_stats", oracle=WINNOW_STATS_ORACLE)
+def doc_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winnowing fingerprint census — the density/coverage
+    observability for the MOSS-style fingerprint layer (a source whose
+    fingerprint density collapses is boilerplate-heavy; one whose
+    distinct-hash ratio collapses is self-copying).
+
+    Scale: gram explode is scan-side; the winnowing window partitions
+    by doc (never global); selection DISTINCT and the census
+    aggregates are all map-side combinable. Fingerprint volume is
+    ~2/(w+1) of gram volume by construction — the operator's entire
+    reason to exist at 100 TB.
+    """
+    from ..operators.text import winnow_fingerprints
+
+    docs = Catalog(spark, sf_dir).documents
+    fps = winnow_fingerprints(docs)
+    return (
+        fps.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.countDistinct("fp_hash").alias("n_distinct_hashes"),
+        )
+    )
+
+
+WINNOW_PAIRS_DF_CAP = 50
+WINNOW_PAIRS_TOP_K = 20
+
+WINNOW_PAIRS_ORACLE = f"""
+WITH {_WINNOW_CTES},
+hcounts AS (
+  SELECT fp_hash, COUNT(DISTINCT doc_id) AS df FROM fps GROUP BY 1
+),
+keep AS (
+  SELECT DISTINCT f.doc_id, f.fp_hash
+  FROM fps f JOIN hcounts c
+    ON c.fp_hash = f.fp_hash AND c.df BETWEEN 2 AND {WINNOW_PAIRS_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS shared_fps
+  FROM keep a JOIN keep b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(shared_fps AS BIGINT) AS shared_fps
+FROM pairs
+ORDER BY shared_fps DESC, doc_a, doc_b
+LIMIT {WINNOW_PAIRS_TOP_K}
+"""
+
+
+@query("doc_winnow_pairs", oracle=WINNOW_PAIRS_ORACLE)
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top shared-fingerprint document pairs — MOSS-style copy/
+    plagiarism detection over the winnowed layer: two documents
+    sharing ANY token run of >= 6 tokens are guaranteed to collide on
+    at least one fingerprint hash, so this board surfaces cross-doc
+    copying that whole-document hashing (dedup_exact) and
+    set-similarity (MinHash) both miss when the copied span is a small
+    fraction of each document.
+
+    Scale: pair enumeration happens only inside per-hash buckets
+    DF-capped at {cap} docs (the stop-gram guard — a boilerplate gram
+    in D docs would otherwise mint D² pairs; same economics as the
+    BM25 df guard and the LSH mega-bucket reroute), so the join is
+    bucket-bounded; the board lowers to TakeOrderedAndProject.
+    """.format(cap=WINNOW_PAIRS_DF_CAP)
+    from ..caching import scoped_persist
+    from ..operators.text import winnow_fingerprints
+
+    docs = Catalog(spark, sf_dir).documents
+    fps = winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+    hcounts = fps.groupBy("fp_hash").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    keep = scoped_persist(
+        fps.join(
+            hcounts.where(
+                (F.col("df") >= 2) & (F.col("df") <= WINNOW_PAIRS_DF_CAP)
+            ).select("fp_hash"),
+            "fp_hash",
+        )
+    )
+    a = keep.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
+        .limit(WINNOW_PAIRS_TOP_K)
+    )

@@ -722,3 +722,51 @@ def test_bpe_oracle_parity_on_vocabulary_exhaustion(spark, tmp_path):
             o = oracle_pdf[col].map(lambda v: None if pd.isna(v) else v)
             assert list(s) == list(o), f"{qname}.{col}: {list(s)} != {list(o)}"
     con.close()
+
+
+def test_winnow_fingerprints_matches_python_reference(spark):
+    """Winnowing selection contract vs a direct python reference:
+    k-gram md5-prefix hashes, per-window argmin with rightmost
+    tie-break, overlapping selections collapsed — and the MOSS
+    guarantee: docs sharing a run of >= w+k-1 tokens share a
+    fingerprint hash."""
+    import hashlib
+
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    def ref(text, k=WINNOW_K, w=WINNOW_W):
+        toks = [t for t in text.strip().split(" ") if t]
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams
+        ]
+        fps = set()
+        for i in range(len(hs) - w + 1):
+            # min on (hash, -pos): rightmost position among hash ties
+            h, negp = min((hs[i + j], -(i + j + 1)) for j in range(w))
+            fps.add((h, -negp))
+        return fps
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "a b a b a b a b a b"),          # heavy hash ties
+        (3, "one two three four five six"),   # exactly k+w-1 tokens
+        (4, "short doc"),                     # below threshold -> empty
+        (5, "  padded   tokens  with   extra spaces here now ok "),
+        (6, "xx quick brown fox jumps over the zz"),  # shares a 6-run w/ 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_hash, r.fp_pos))
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == ref(text), f"doc {doc_id}"
+    # the guarantee: docs 1 and 6 share "quick brown fox jumps over
+    # the" (6 tokens = w+k-1) -> at least one shared fp HASH
+    h1 = {h for h, _ in got[1]}
+    h6 = {h for h, _ in got[6]}
+    assert h1 & h6
