@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for ALL 199 registered queries (100% oracle-backed
+    """DuckDB twins for ALL 200 registered queries (100% oracle-backed
     since r9) — including the full MinHash/SimHash/hyperplane-LSH
     pipelines via engine-portable hash families, the HLL-distinct and
     approx-top-k sketches via error-corridor / exact-regime oracles,

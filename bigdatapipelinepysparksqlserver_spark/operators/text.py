@@ -1225,3 +1225,84 @@ def winnow_fingerprints(
             - (F.col("__sel") % F.lit(_WINNOW_POS_SPAN))
         ).cast("int").alias("fp_pos"),
     )
+
+
+def winnow_store_bucketed(
+    spark,
+    docs: DataFrame,
+    table: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = 50,
+    num_buckets: int = 32,
+    path: "str | None" = None,
+) -> DataFrame:
+    """The corpus fingerprint index as a BUCKETED catalog table — the
+    repeated-use form of winnowing (same economics as
+    ``dedup.minhash_band_store_bucketed``): bucketed AND sorted on
+    ``fp_hash``, so an incremental copy-probe joins batch fingerprints
+    against the corpus index with NO Exchange on the stored side —
+    per-batch network is O(batch) regardless of corpus size.
+
+    Hyper-common fingerprints (df > ``df_cap`` docs) are excluded at
+    BUILD time — the stop-gram guard applied once at ingest instead of
+    per probe (a boilerplate gram in D docs would mint D matches per
+    probing doc; the same reasoning as the BM25 df guard). Returns the
+    re-read table DataFrame, ready to probe.
+    """
+    from ..sources.lake import write_bucketed_table
+
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select(id_col, "fp_hash")
+        .distinct()
+    )
+    hcounts = fps.groupBy("fp_hash").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    kept = fps.join(
+        hcounts.where(F.col("__df") <= df_cap).select("fp_hash"), "fp_hash"
+    )
+    write_bucketed_table(
+        spark, kept, table, bucket_col=["fp_hash"],
+        num_buckets=num_buckets, sort_col=["fp_hash"], path=path,
+    )
+    return spark.table(table)
+
+
+def winnow_copies_incremental(
+    base_fps: DataFrame,
+    batch: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Copy-probe of a NEW batch against a corpus fingerprint index:
+    (batch_doc, base_doc, shared_fps) for every base document sharing
+    ≥ ``min_shared`` winnowed fingerprint hashes with a batch document
+    — i.e. every base doc with which a batch doc shares a token run of
+    ≥ w+k−1 tokens (on fingerprints the index retained).
+
+    ``base_fps`` is (id, fp_hash) — pass the bucketed store from
+    :func:`winnow_store_bucketed` and the join leaves the stored side
+    Exchange-free (pytest-asserted); only the batch's fingerprints
+    shuffle. Base-base pairs are never enumerated.
+    """
+    bfps = (
+        winnow_fingerprints(batch, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col).alias("batch_doc"), "fp_hash")
+        .distinct()
+    )
+    probe = bfps.join(
+        base_fps.select(F.col(id_col).alias("base_doc"), "fp_hash"),
+        "fp_hash",
+    )
+    return (
+        probe.groupBy("batch_doc", "base_doc")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

@@ -1568,3 +1568,79 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
         .limit(WINNOW_PAIRS_TOP_K)
     )
+
+
+# Incremental copy-probe: batch (source='src0') fingerprints vs the
+# rest-of-corpus index, hyper-common hashes excluded at build. The
+# oracle replays both fingerprint sets from the same packing and
+# restricts to cross pairs — fingerprint candidacy is pairwise, so the
+# probe plan computes exactly that restriction without enumerating
+# base-base pairs.
+_WINNOW_INCR_BATCH = "src0"
+
+WINNOW_INCR_ORACLE = f"""
+WITH {_WINNOW_CTES},
+dsrc AS (SELECT doc_id, source FROM documents),
+basefps AS (
+  SELECT DISTINCT f.doc_id, f.fp_hash
+  FROM fps f JOIN dsrc d ON d.doc_id = f.doc_id
+  WHERE d.source <> '{_WINNOW_INCR_BATCH}'
+),
+hc AS (
+  SELECT fp_hash FROM basefps GROUP BY 1
+  HAVING COUNT(DISTINCT doc_id) <= {WINNOW_PAIRS_DF_CAP}
+),
+batchfps AS (
+  SELECT DISTINCT f.doc_id, f.fp_hash
+  FROM fps f JOIN dsrc d ON d.doc_id = f.doc_id
+  WHERE d.source = '{_WINNOW_INCR_BATCH}'
+),
+probe AS (
+  SELECT b.doc_id AS batch_doc, a.doc_id AS base_doc, COUNT(*) AS shared_fps
+  FROM batchfps b
+  JOIN (SELECT f.* FROM basefps f JOIN hc USING (fp_hash)) a
+    ON a.fp_hash = b.fp_hash
+  GROUP BY 1, 2
+)
+SELECT batch_doc, base_doc, CAST(shared_fps AS BIGINT) AS shared_fps
+FROM probe
+ORDER BY shared_fps DESC, batch_doc, base_doc
+LIMIT {WINNOW_PAIRS_TOP_K}
+"""
+
+
+@query("doc_winnow_incremental", oracle=WINNOW_INCR_ORACLE)
+def doc_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental copy detection: the top base documents sharing
+    winnowed fingerprints with a NEW batch (source='src0') — every
+    batch doc that copies a ≥ 6-token run from the corpus collides
+    here, with base-base pairs never enumerated (probe work ∝ batch).
+
+    Scale: the production path is :func:`winnow_store_bucketed` —
+    fp_hash-bucketed corpus index, probe join Exchange-free on the
+    stored side (pytest-asserted in test_bucketing) with the
+    stop-gram df-cap paid once at build. The graded form computes the
+    same kept-fingerprint relation inline so the oracle can replay it;
+    the plans differ only in where the base side's partitioning comes
+    from (bucket layout vs exchange).
+    """
+    from ..caching import scoped_persist
+    from ..operators.text import winnow_copies_incremental, winnow_fingerprints
+
+    docs = Catalog(spark, sf_dir).documents
+    batch = docs.where(F.col("source") == _WINNOW_INCR_BATCH)
+    base = docs.where(F.col("source") != _WINNOW_INCR_BATCH)
+    base_fps = scoped_persist(
+        winnow_fingerprints(base).select("doc_id", "fp_hash").distinct()
+    )
+    hc = base_fps.groupBy("fp_hash").agg(
+        F.countDistinct("doc_id").alias("__df")
+    )
+    kept = base_fps.join(
+        hc.where(F.col("__df") <= WINNOW_PAIRS_DF_CAP).select("fp_hash"),
+        "fp_hash",
+    )
+    out = winnow_copies_incremental(kept, batch)
+    return out.orderBy(
+        F.col("shared_fps").desc(), "batch_doc", "base_doc"
+    ).limit(WINNOW_PAIRS_TOP_K)

@@ -153,3 +153,73 @@ def test_bucketed_band_store_probe_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_band_store_b")  # path dies with tmp_path
         release_caches()
+
+
+def test_winnow_store_probe_exchange_free(spark, tmp_path):
+    """The winnowing fingerprint index as a bucketed table: the
+    incremental copy-probe must (a) find the planted copy and miss the
+    unrelated doc, (b) equal the inline (non-stored) probe, and (c)
+    join with NO Exchange on the stored side — the O(batch)-network
+    ingest contract, same as the MinHash band store."""
+    import re
+
+    from bigdatapipelinepysparksqlserver_spark.caching import release_caches
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        winnow_copies_incremental,
+        winnow_fingerprints,
+        winnow_store_bucketed,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (i, f"doc number {i} the quick brown fox jumps over the lazy dog "
+                f"while unique tail {i} trails behind")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # copies a long run from every base doc (the shared middle)
+            (100, "copied middle the quick brown fox jumps over the lazy dog end"),
+            (101, "glaciers carve moraine debris through alpine valleys slowly"),
+        ],
+        "doc_id long, text string",
+    )
+    store = winnow_store_bucketed(
+        spark, base, "t_winnow_store", num_buckets=8,
+        path=str(tmp_path / "winnow_store"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = winnow_copies_incremental(store, batch)
+        rows = got.collect()
+        assert {r.batch_doc for r in rows} == {100}  # 101 matches nothing
+        # inline twin (no store) must agree — note the shared middle is
+        # hyper-common across base docs, so only hashes under the df
+        # cap survive; with 30 base docs and cap 50 nothing is dropped
+        inline_fps = winnow_fingerprints(base).select("doc_id", "fp_hash").distinct()
+        want = winnow_copies_incremental(inline_fps, batch).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
+
+        release_caches()
+        spark.catalog.clearCache()
+        bfps = winnow_fingerprints(batch).select(
+            F.col("doc_id").alias("__pid"), "fp_hash"
+        )
+        j = bfps.join(
+            store.select("fp_hash", F.col("doc_id").alias("__cid")), "fp_hash"
+        )
+        j.collect()
+        plan = _plan(j).rsplit("== Initial Plan ==", 1)[0]
+        store_scan = [
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln and "t_winnow_store" in ln
+        ]
+        assert store_scan and "SelectedBucketsCount" in store_scan[0], plan
+        n_ex = len(re.findall(r"Exchange hashpartitioning\(fp_hash#", plan))
+        assert n_ex == 1, f"expected only the probe-side shuffle:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_winnow_store")
