@@ -14,6 +14,7 @@ from .cdc import (  # noqa: F401
     foreach_batch_incremental_mart_publish,
     foreach_batch_ivf_store_upsert,
     foreach_batch_lm_quality_gate,
+    foreach_batch_online_copy_gate,
     foreach_batch_online_corpus_dedup,
     foreach_batch_online_semantic_dedup,
     foreach_batch_token_budget_ingest,

@@ -1117,3 +1117,77 @@ def foreach_batch_edge_store_append(
         edge_store_append_batch(rows, store_path, batch_id, buckets=b)
 
     return _sink
+
+
+def foreach_batch_online_copy_gate(
+    store_path: str,
+    min_shared: int = 1,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: continuously copy-gated corpus ingestion over
+    a growing WINNOWING fingerprint index — the streaming twin of
+    ``operators.text.winnow_copies_incremental`` and the third member
+    of the online-ingest trio (LSH set-similarity dedup, semantic
+    dedup, and now MOSS-style copied-run detection: a batch doc is
+    rejected when it shares ≥ ``min_shared`` winnowed fingerprints —
+    i.e. a ≥ w+k−1-token run — with anything accepted so far, or with
+    a smaller-id doc of its own batch).
+
+    Store layout (exactly-once by batch-scoped overwrite, the same
+    replay argument as the other online sinks):
+
+    - ``{store}/docs/batch=N`` — accepted (doc_id, text)
+    - ``{store}/fps/batch=N``  — their (doc_id, fp_hash) rows
+
+    Per-batch cost: O(batch) fingerprinting + one hash join against
+    the stored index; the accepted corpus is never re-fingerprinted.
+    Over-drop one-sidedness matches the LSH sink: a doc can be dropped
+    because of a neighbor that was itself dropped, but no two accepted
+    docs share a fingerprinted run.
+    """
+    import os
+
+    from ..operators.text import winnow_copies_incremental, winnow_fingerprints
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text")
+        if docs.isEmpty():
+            return
+        docs = docs.persist()
+        docs_dir = os.path.join(store_path, "docs")
+        fps_dir = os.path.join(store_path, "fps")
+        if _prior_batches(spark, fps_dir, batch_id):
+            base_fps = spark.read.parquet(fps_dir).where(
+                F.col("batch") != batch_id
+            ).select("doc_id", "fp_hash")
+        else:
+            base_fps = spark.createDataFrame([], "doc_id long, fp_hash long")
+        cross = winnow_copies_incremental(
+            base_fps, docs, min_shared=min_shared
+        ).select(F.col("batch_doc").alias("doc_id"))
+        # within-batch: greedy pairwise, larger id drops
+        bfps = winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+        a = bfps.select(F.col("doc_id").alias("id1"), "fp_hash")
+        b = bfps.select(F.col("doc_id").alias("id2"), "fp_hash")
+        within = (
+            a.join(b, "fp_hash")
+            .where(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .where(F.col("s") >= min_shared)
+            .select(F.col("id2").alias("doc_id"))
+        )
+        drops = cross.unionByName(within).distinct()
+        accepted = docs.join(drops, "doc_id", "left_anti").persist()
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"batch={batch_id}")
+        )
+        winnow_fingerprints(accepted).select("doc_id", "fp_hash").distinct(
+        ).write.mode("overwrite").parquet(
+            os.path.join(fps_dir, f"batch={batch_id}")
+        )
+        docs.unpersist()
+        accepted.unpersist()
+        release_caches()
+
+    return _sink

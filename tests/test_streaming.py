@@ -1584,3 +1584,83 @@ def test_event_time_transitions_numeric_id_tiebreak(spark, tmp_path):
     for r in spark.sql("SELECT * FROM tie_trans_test").collect():
         got[(r.user_id, r.from_type, r.to_type)] += r.delta
     assert dict(got) == {(1, "view", "buy"): 1}
+
+
+def test_online_copy_gate_across_microbatches(spark, tmp_path):
+    """Continuously copy-gated ingestion over the growing winnowing
+    index: batch 2's doc copying a >= w+k-1-token run from an ACCEPTED
+    batch-1 doc is rejected via the STORED fingerprints (the corpus is
+    never re-fingerprinted); within-batch copies drop the larger id;
+    the final store holds no fingerprint-sharing pair."""
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_online_copy_gate,
+    )
+
+    run = "the quick brown fox jumps over the lazy dog tonight"
+    a = f"document alpha says {run} and then wanders off elsewhere"
+    a_copy = f"plagiarist beta states {run} before changing the subject"
+    b = "completely different material about rivers mountains and quiet valleys"
+    c = "a third unrelated document concerning abstract algebra and topology today"
+    schema = "doc_id long, text string"
+    src = tmp_path / "gate_src"
+    spark.createDataFrame(
+        [(1, a), (2, a_copy), (3, b)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(10, f"late gamma quotes {run} yet again differently"), (11, c)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    store = str(tmp_path / "gate_store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_online_copy_gate(store)
+        )
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+
+    kept = spark.read.parquet(f"{store}/docs")
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert kept_ids == {1, 3, 11}
+    # invariant: no two accepted docs share a fingerprint hash
+    fps = winnow_fingerprints(kept.select("doc_id", "text"))
+    dup_hashes = (
+        fps.groupBy("fp_hash")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert dup_hashes == 0
+    # stored fingerprints cover exactly the accepted docs
+    stored_ids = {
+        r.doc_id for r in spark.read.parquet(f"{store}/fps").collect()
+    }
+    assert stored_ids == kept_ids
+
+    # exactly-once: replaying batch 0 from a fresh checkpoint over the
+    # SAME store converges to identical content (batch-scoped overwrite)
+    before = sorted(map(tuple, kept.collect()))
+    q2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(foreach_batch_online_copy_gate(store))
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    after = sorted(map(tuple, spark.read.parquet(f"{store}/docs").collect()))
+    assert after == before
