@@ -804,3 +804,41 @@ def test_html_extract_matches_python_reference(spark, page):
     assert (r.text, r.n_lines, r.n_kept, r.n_links) == (
         text, n_lines, n_kept, n_links,
     )
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=2), min_size=6, max_size=40
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_winnow_fingerprints_property_vs_reference(toks):
+    """Winnowing selection equals the direct python reference on random
+    short-alphabet token lists (heavy gram collisions stress the
+    rightmost-tie argmin and the overlapping-window DISTINCT)."""
+    import hashlib
+
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+    from bigdatapipelinepysparksqlserver_spark.session import get_spark
+
+    spark = get_spark("winnow-prop")
+    text = " ".join(toks)
+
+    def ref(k=WINNOW_K, w=WINNOW_W):
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams]
+        fps = set()
+        for i in range(len(hs) - w + 1):
+            h, negp = min((hs[i + j], -(i + j + 1)) for j in range(w))
+            fps.add((h, -negp))
+        return fps
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r.fp_hash, r.fp_pos) for r in winnow_fingerprints(df).collect()
+    }
+    assert got == ref()
