@@ -1260,7 +1260,7 @@ def winnow_store_bucketed(
         .distinct()
     )
     hcounts = fps.groupBy("fp_hash").agg(
-        F.countDistinct(id_col).alias("__df")
+        F.count(F.lit(1)).alias("__df")  # fps already distinct on (id, hash)
     )
     kept = fps.join(
         hcounts.where(F.col("__df") <= df_cap).select("fp_hash"), "fp_hash"

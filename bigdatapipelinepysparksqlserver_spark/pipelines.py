@@ -430,6 +430,12 @@ class PipelineScheduler:
             return []
         if self.last_fire is None:
             return [latest]
+        if latest <= self.last_fire:
+            return []
+        if not self.catchup:
+            # O(1): a months-long outage owes exactly one fire — don't
+            # materialize tens of thousands of instants to keep [-1]
+            return [latest]
         fires = []
         f = self.last_fire + self.interval
         while f <= latest:

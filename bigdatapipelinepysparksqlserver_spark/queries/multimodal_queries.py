@@ -3,12 +3,14 @@
 The metadata path (binary length stats, frame-sampling plan) is
 SQL-expressible and oracle-checked. The Pandas-UDF decode path runs the
 REAL mapInPandas pipeline with the deterministic surrogate decoder —
-`media_decode_features` keeps the production shape (array feature
-column, rows-only), while `media_decode_check` is its oracle-checked
-twin: same kernel, exploded to scalar rows, with DuckDB recomputing the
-byte statistics from hex(BLOB) and replicating the float32 storage
-narrowing via REAL casts — so the whole Arrow batch path (binary
-serialization, per-partition batching, schema) is value-verified.
+`media_decode_features` grades the full decode output with the feature
+vector carried as a fixed-point string (oracle-backed since r9; the
+underlying operator still returns the production array form), and
+`media_decode_check` is the per-scalar twin: same kernel, exploded to
+scalar rows, with DuckDB recomputing the byte statistics from
+hex(BLOB) and replicating the float32 storage narrowing via REAL casts
+— so the whole Arrow batch path (binary serialization, per-partition
+batching, schema) is value-verified.
 """
 
 from __future__ import annotations

@@ -1537,19 +1537,20 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of each document.
 
     Scale: pair enumeration happens only inside per-hash buckets
-    DF-capped at {cap} docs (the stop-gram guard — a boilerplate gram
-    in D docs would otherwise mint D² pairs; same economics as the
-    BM25 df guard and the LSH mega-bucket reroute), so the join is
-    bucket-bounded; the board lowers to TakeOrderedAndProject.
-    """.format(cap=WINNOW_PAIRS_DF_CAP)
+    DF-capped at 50 docs (WINNOW_PAIRS_DF_CAP; the stop-gram guard — a
+    boilerplate gram in D docs would otherwise mint D² pairs; same
+    economics as the BM25 df guard and the LSH mega-bucket reroute),
+    so the join is bucket-bounded; the board lowers to
+    TakeOrderedAndProject.
+    """
     from ..caching import scoped_persist
     from ..operators.text import winnow_fingerprints
 
     docs = Catalog(spark, sf_dir).documents
     fps = winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
-    hcounts = fps.groupBy("fp_hash").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # fps is already distinct on (doc_id, fp_hash): per-hash doc_ids are
+    # unique, so a plain count avoids a second distinct-aggregate pass
+    hcounts = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
     keep = scoped_persist(
         fps.join(
             hcounts.where(
@@ -1634,7 +1635,7 @@ def doc_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_fingerprints(base).select("doc_id", "fp_hash").distinct()
     )
     hc = base_fps.groupBy("fp_hash").agg(
-        F.countDistinct("doc_id").alias("__df")
+        F.count(F.lit(1)).alias("__df")  # base_fps already distinct
     )
     kept = base_fps.join(
         hc.where(F.col("__df") <= WINNOW_PAIRS_DF_CAP).select("fp_hash"),

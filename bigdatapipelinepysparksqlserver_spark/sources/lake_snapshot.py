@@ -211,7 +211,14 @@ class SnapshotLakeTable:
         df = self.spark.createDataFrame(
             rows, ", ".join(f"{c} string" for c in self.partition_cols)
         )
-        sch = {f.name: f.dataType for f in self.read().schema.fields}
+        # cast targets come from the DECLARED schema (an empty local
+        # frame resolves a DDL-string schema too) — not from read(),
+        # whose explicit-path resolution would list every live
+        # partition just to learn two dtypes
+        sch = {
+            f.name: f.dataType
+            for f in self.spark.createDataFrame([], self.schema).schema.fields
+        }
         return df.select(
             *[F.col(c).cast(sch[c]).alias(c) for c in self.partition_cols]
         )
