@@ -770,3 +770,56 @@ def test_winnow_fingerprints_matches_python_reference(spark):
     h1 = {h for h, _ in got[1]}
     h6 = {h for h, _ in got[6]}
     assert h1 & h6
+
+
+def test_winnow_pairs_bounded_under_clone_flood(spark):
+    """Adversarial skew: 2000 near-identical boilerplate docs would
+    mint ~2M pairs per shared gram without the df-cap; the stop-gram
+    guard excludes hyper-common hashes at the bucket level so the pair
+    relation stays bounded and the board still surfaces the SMALL
+    copy families (exact-clone floods are dedup_exact's job, pinned
+    here as the documented division of labor)."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    boiler = "subscribe to our newsletter for updates terms of service apply here"
+    flood = [(i, f"{boiler} item {i}") for i in range(2000)]
+    # one small genuine copy family (3 docs sharing a distinct run)
+    run = "the rare shared analytical passage appears in exactly three docs"
+    fam = [
+        (9001, f"alpha text {run} tail one"),
+        (9002, f"beta intro {run} tail two"),
+        (9003, f"gamma note {run} tail three"),
+    ]
+    docs = spark.createDataFrame(flood + fam, "doc_id long, text string")
+
+    t0 = time.time()
+    fps = winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+    hc = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
+    kept = fps.join(
+        hc.where((F.col("df") >= 2) & (F.col("df") <= 50)).select("fp_hash"),
+        "fp_hash",
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .collect()
+    )
+    wall = time.time() - t0
+    pair_ids = {(r.doc_a, r.doc_b) for r in pairs}
+    # the genuine family survives the cap...
+    assert {(9001, 9002), (9001, 9003), (9002, 9003)} <= pair_ids
+    # ...and the flood's shared boilerplate (df=2000 > cap) mints no
+    # pair explosion: only the "item {i}"-adjacent grams (df small)
+    # can pair flood docs, keeping the relation bucket-bounded
+    assert len(pairs) < 50_000, len(pairs)
+    assert wall < 60, f"clone flood blew the pair budget: {wall:.1f}s"
