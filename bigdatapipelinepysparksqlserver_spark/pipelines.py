@@ -445,7 +445,17 @@ class PipelineScheduler:
 
     def on_tick(self, now: datetime) -> list[dict]:
         """Run every fire due at ``now`` under the catchup policy.
-        Returns the per-fire reports appended to :attr:`history`."""
+        Returns the per-fire reports appended to :attr:`history`.
+
+        A retries-exhausted failure is RECORDED (``status="FAILED"``)
+        and the grid advances — the Airflow contract: a failed run
+        exists in history and its instant is never re-fired (ADVICE r9:
+        letting the exception escape re-fired the same instant on every
+        tick forever, and under ``catchup=True`` aborted the remaining
+        due fires). Callers inspect :attr:`history` / the returned
+        records for failures; the FAILED ledger rows the attempts left
+        are purged by the next successful attempt's ``purge_failed``.
+        """
         fires = self.due_fires(now)
         if not fires:
             return []
@@ -465,6 +475,9 @@ class PipelineScheduler:
             except SingleFlightError as e:
                 rec["status"] = "SKIPPED_RUNNING"
                 rec["error"] = str(e)
+            except Exception as e:  # retries exhausted
+                rec["status"] = "FAILED"
+                rec["error"] = f"{type(e).__name__}: {e}"
             self.last_fire = fire
             self.history.append(rec)
             out.append(rec)

@@ -59,15 +59,23 @@ class JdbcDialect:
         return f"CREATE TABLE {table} AS SELECT * FROM {source} WITH NO DATA"
 
     def swap_statements(
-        self, table: str, staging: str, identity_insert: bool = False
+        self,
+        table: str,
+        staging: str,
+        identity_insert: bool = False,
+        columns: list[str] | None = None,
     ) -> list[str]:
         """The transactional truncate-and-fill swap, as an ordered
         statement list executed inside ONE transaction. DELETE (not
         TRUNCATE) keeps the rollback guarantee unconditional across
-        dialects."""
+        dialects. ``columns`` (when known) makes the INSERT's column
+        list explicit — required by the SQL Server dialect's
+        IDENTITY_INSERT path, positional-safe everywhere else."""
+        cols = f" ({', '.join(columns)})" if columns else ""
+        body = ", ".join(columns) if columns else "*"
         return [
             f"DELETE FROM {table}",
-            f"INSERT INTO {table} SELECT * FROM {staging}",
+            f"INSERT INTO {table}{cols} SELECT {body} FROM {staging}",
         ]
 
     def top_n(self, select_body: str, n: int, order_by: str | None = None) -> str:
@@ -103,25 +111,47 @@ class SqlServerDialect(JdbcDialect):
         return f"SELECT * INTO {table} FROM {source} WHERE 1 = 0"
 
     def swap_statements(
-        self, table: str, staging: str, identity_insert: bool = False
+        self,
+        table: str,
+        staging: str,
+        identity_insert: bool = False,
+        columns: list[str] | None = None,
     ) -> list[str]:
         # TRUNCATE TABLE is fully transactional in T-SQL (logs page
         # deallocations), so the reference's BEGIN TRAN; TRUNCATE;
         # INSERT; COMMIT (load_sales_mart.py:96-99) keeps the
         # rollback-to-previous-snapshot guarantee while skipping
         # DELETE's per-row logging on a mart-sized table.
-        fill = f"INSERT INTO {table} SELECT * FROM {staging}"
         if identity_insert:
             # a mart table with an IDENTITY id must accept the staged
             # ids verbatim — without the bracket the INSERT-SELECT
-            # throws error 544 and the publish rolls back
+            # throws error 544 and the publish rolls back. T-SQL
+            # additionally REQUIRES an explicit column list under
+            # SET IDENTITY_INSERT ON (error 8101 on ``INSERT ...
+            # SELECT *``), so the caller must supply the staging
+            # schema's columns (JdbcMartPublisher reads them from
+            # connection metadata when not passed).
+            if not columns:
+                raise ValueError(
+                    "SqlServerDialect.swap_statements(identity_insert=True)"
+                    " requires an explicit column list: T-SQL rejects"
+                    " INSERT .. SELECT * under SET IDENTITY_INSERT ON"
+                    " (error 8101)"
+                )
+            col_list = ", ".join(columns)
             return [
                 f"TRUNCATE TABLE {table}",
                 f"SET IDENTITY_INSERT {table} ON",
-                fill,
+                f"INSERT INTO {table} ({col_list})"
+                f" SELECT {col_list} FROM {staging}",
                 f"SET IDENTITY_INSERT {table} OFF",
             ]
-        return [f"TRUNCATE TABLE {table}", fill]
+        cols = f" ({', '.join(columns)})" if columns else ""
+        body = ", ".join(columns) if columns else "*"
+        return [
+            f"TRUNCATE TABLE {table}",
+            f"INSERT INTO {table}{cols} SELECT {body} FROM {staging}",
+        ]
 
     def top_n(self, select_body: str, n: int, order_by: str | None = None) -> str:
         order = f" ORDER BY {order_by}" if order_by else ""

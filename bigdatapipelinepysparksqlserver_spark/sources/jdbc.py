@@ -171,12 +171,38 @@ class JdbcMartPublisher:
         finally:
             rs.close()
 
+    def _table_columns(self, conn, name: str) -> list[str]:
+        """Ordered column names of ``name`` from connection metadata —
+        the explicit column list T-SQL requires under
+        SET IDENTITY_INSERT ON (error 8101 on ``SELECT *``)."""
+        md = conn.getMetaData()
+        # quote each identifier: the Spark JDBC writer creates QUOTED
+        # (case-exact) columns, and an unquoted name would be folded
+        # by the engine (Derby → upper) and miss them
+        q = md.getIdentifierQuoteString() or '"'
+        rs = md.getColumns(None, None, name.upper(), None)
+        try:
+            cols = []
+            while rs.next():
+                cols.append(
+                    (int(rs.getInt("ORDINAL_POSITION")),
+                     rs.getString("COLUMN_NAME"))
+                )
+            return [f"{q}{c}{q}" for _, c in sorted(cols)]
+        finally:
+            rs.close()
+
     def publish_statements(
-        self, table: str, first_publish: bool, identity_insert: bool = False
+        self,
+        table: str,
+        first_publish: bool,
+        identity_insert: bool = False,
+        columns: list[str] | None = None,
     ) -> list[str]:
         """The swap as an ordered statement list (pure — this is what
         the dialect unit tests assert), executed by :meth:`publish`
-        inside one transaction."""
+        inside one transaction. ``columns`` is the staging table's
+        ordered column list; mandatory for the T-SQL identity path."""
         staging = self.staging_name(table)
         stmts = []
         if first_publish:
@@ -184,7 +210,9 @@ class JdbcMartPublisher:
             # to the same transactional fill path
             stmts.append(self.dialect.create_empty_like(table, staging))
         stmts.extend(
-            self.dialect.swap_statements(table, staging, identity_insert)
+            self.dialect.swap_statements(
+                table, staging, identity_insert, columns=columns
+            )
         )
         return stmts
 
@@ -194,7 +222,14 @@ class JdbcMartPublisher:
             conn.setAutoCommit(False)
             st = conn.createStatement()
             first = not self._table_exists(conn, table)
-            for sql in self.publish_statements(table, first, identity_insert):
+            cols = (
+                self._table_columns(conn, self.staging_name(table))
+                if identity_insert
+                else None
+            )
+            for sql in self.publish_statements(
+                table, first, identity_insert, columns=cols
+            ):
                 st.executeUpdate(sql)
             conn.commit()
         except Exception:

@@ -78,6 +78,49 @@ from ..schemas import LAKE_PARTITION_COLS
 from .fs import LocalFS, SnapshotFS
 
 POINTER = "_CURRENT"
+ROLLBACK_KEEP = "_ROLLBACK_KEEP"  # manifests/ marker: highest once-live id
+
+# Hive/Spark partition-path escaping (ADVICE r9): the writer escapes
+# these characters as %XX in partition directory names (Spark's
+# ExternalCatalogUtils.escapePathName, mirroring Hive FileUtils), and a
+# NULL partition value is written as __HIVE_DEFAULT_PARTITION__. The
+# manifest stores rel paths in the ESCAPED (on-disk) form; every
+# surface that decodes values out of (partitions()) or composes rel
+# paths from raw values (drop_partition_values, apply_rebuild's
+# changed-set) must round-trip through these two functions or a value
+# containing ':', '/', '=', … silently fails to match.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_HIVE_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^') | frozenset(
+    chr(i) for i in range(1, 32)
+)
+
+
+def escape_partition_value(v) -> str:
+    """Raw partition value -> the directory-name form Spark writes."""
+    if v is None:
+        return _HIVE_NULL
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c for c in str(v)
+    )
+
+
+def unescape_partition_value(s: str):
+    """Directory-name form -> raw value (None for the Hive null dir)."""
+    if s == _HIVE_NULL:
+        return None
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 3 <= n:
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 class SnapshotLakeTable:
@@ -172,16 +215,31 @@ class SnapshotLakeTable:
     def rollback(self, mid: int) -> int:
         """Point the live pointer BACK at a retained manifest — the
         operational undo for a bad publish. Pure pointer swap; nothing
-        is deleted (the rolled-back-from manifest is reaped as an
-        orphan ahead of the pointer by the next publish, same protocol
-        as ``rollback_store_version``)."""
+        is deleted. The rolled-back-FROM manifest is recorded in a
+        ``_ROLLBACK_KEEP`` marker (ADVICE r9) so the next publish's
+        crashed-orphan reap does NOT mistake it — a once-live snapshot
+        a retain-window reader may still be pinned to — for a crashed
+        publish; it ages out of the retain window like any other
+        snapshot."""
         if mid not in self._manifest_ids():
             raise FileNotFoundError(
                 f"rollback target m{mid} not on disk under {self.root} "
                 f"(have: {self._manifest_ids()}; widen retain= to keep more)"
             )
+        cur = self.current_id()
+        if cur is not None and cur > mid:
+            keep = max(cur, self._rollback_keep_id() or 0)
+            self.fs.set_pointer(
+                f"{self.root}/manifests/{ROLLBACK_KEEP}", f"m{keep}"
+            )
         self.fs.set_pointer(f"{self.root}/{POINTER}", f"m{mid}")
         return mid
+
+    def _rollback_keep_id(self) -> int | None:
+        raw = self.fs.read_pointer(f"{self.root}/manifests/{ROLLBACK_KEEP}")
+        if raw is None or not (raw.startswith("m") and raw[1:].isdigit()):
+            return None
+        return int(raw[1:])
 
     def read(self) -> DataFrame:
         """Scan the LIVE snapshot — pinned: the resolved leaf dirs are
@@ -207,7 +265,12 @@ class SnapshotLakeTable:
         rows = []
         for rel in m:
             vals = dict(p.split("=", 1) for p in rel.split("/"))
-            rows.append(tuple(vals[c] for c in self.partition_cols))
+            rows.append(
+                tuple(
+                    unescape_partition_value(vals[c])
+                    for c in self.partition_cols
+                )
+            )
         df = self.spark.createDataFrame(
             rows, ", ".join(f"{c} string" for c in self.partition_cols)
         )
@@ -260,7 +323,10 @@ class SnapshotLakeTable:
                     f"{self.partition_cols}, got {vals!r}"
                 )
             rels.add(
-                "/".join(f"{k}={v}" for k, v in zip(self.partition_cols, vals))
+                "/".join(
+                    f"{k}={escape_partition_value(v)}"
+                    for k, v in zip(self.partition_cols, vals)
+                )
             )
         cur = self.current_manifest() or {}
         self._publish_manifest({r: t for r, t in cur.items() if r not in rels})
@@ -280,16 +346,26 @@ class SnapshotLakeTable:
             )
         cur = cur or 0
         # reap crashed-publish orphans AHEAD of the pointer (invisible
-        # to every reader by construction; single-writer contract)
+        # to every reader by construction; single-writer contract).
+        # Ids at or below the rollback high-water mark were once LIVE
+        # (a rollback moved the pointer back over them, ADVICE r9) —
+        # they are retained snapshots readers may be pinned to, not
+        # crashed orphans, so the reap starts above the mark and the
+        # next id allocates past it (no collision with a survivor).
+        keep = self._rollback_keep_id() or 0
+        high = max(cur, keep)
         for i in ids:
-            if i > cur:
+            if i > high:
                 self.fs.remove_file(f"{self.root}/manifests/m{i}.json")
         data = f"{self.root}/data"
         if self.fs.is_dir(data):
             for d in self.fs.list_dir(data):
-                if d.startswith("txn=") and d[4:].isdigit() and int(d[4:]) > cur:
+                if d.startswith("txn=") and d[4:].isdigit() and int(d[4:]) > high:
                     self.fs.rmtree(f"{data}/{d}")
-        return cur + 1
+        if keep and keep <= cur:
+            # marker is stale once the pointer re-passes it
+            self.fs.remove_file(f"{self.root}/manifests/{ROLLBACK_KEEP}")
+        return high + 1
 
     def _walk_partitions(self, base: str, depth: int) -> list[str]:
         """Rel paths of partition leaf dirs under ``base`` holding at
@@ -342,7 +418,10 @@ class SnapshotLakeTable:
             manifest = dict(self.current_manifest() or {})
             if changed_year_months is not None:
                 lead = self.partition_cols[0]
-                dropped = {f"{lead}={v}/" for v in changed_year_months}
+                dropped = {
+                    f"{lead}={escape_partition_value(v)}/"
+                    for v in changed_year_months
+                }
                 manifest = {
                     rel: txn
                     for rel, txn in manifest.items()

@@ -621,6 +621,15 @@ def streaming_transition_counts(
     ARRIVAL order within the watermark — an event arriving after a
     later-timestamped neighbor was already consumed cannot retract the
     pair it split; the batch twin is the replayable exact form.
+
+    .. deprecated:: prefer
+        :func:`streaming_transition_counts_event_time` for new
+        pipelines — it buffers per-key events until the WATERMARK seals
+        them, so pairs are emitted in event-time order regardless of
+        arrival order (shuffled-arrival pytest ≡ the batch twin), at
+        the cost of watermark-bounded state and emission latency. Use
+        THIS arrival-order form only when sub-watermark latency matters
+        more than late-event exactness.
     """
     import pandas as pd  # local import: only the streaming path needs it
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -1122,6 +1131,7 @@ def foreach_batch_edge_store_append(
 def foreach_batch_online_copy_gate(
     store_path: str,
     min_shared: int = 1,
+    df_cap: int = 50,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: continuously copy-gated corpus ingestion over
     a growing WINNOWING fingerprint index — the streaming twin of
@@ -1143,6 +1153,17 @@ def foreach_batch_online_copy_gate(
     Over-drop one-sidedness matches the LSH sink: a doc can be dropped
     because of a neighbor that was itself dropped, but no two accepted
     docs share a fingerprinted run.
+
+    ``df_cap`` is the stop-gram guard the batch paths apply at build
+    time (``winnow_store_bucketed``), applied here on READ of the
+    accumulated index (ADVICE r9): a fingerprint present in more than
+    ``df_cap`` accepted documents is a boilerplate run, and joining it
+    would mint df matches per probing doc, every batch, growing with
+    the corpus. The cap is computed over the accumulated index each
+    batch (the probe join scans that same relation anyway), so a
+    fingerprint that crosses the cap as the corpus grows stops matching
+    from that batch on — exactly the build-time semantics. The same cap
+    bounds the within-batch pair enumeration.
     """
     import os
 
@@ -1157,16 +1178,30 @@ def foreach_batch_online_copy_gate(
         docs_dir = os.path.join(store_path, "docs")
         fps_dir = os.path.join(store_path, "fps")
         if _prior_batches(spark, fps_dir, batch_id):
-            base_fps = spark.read.parquet(fps_dir).where(
+            base_all = spark.read.parquet(fps_dir).where(
                 F.col("batch") != batch_id
             ).select("doc_id", "fp_hash")
+            # stop-gram guard: drop hyper-common fingerprints before
+            # the probe join (one agg over the relation the join scans
+            # regardless — no extra asymptotic cost)
+            base_ok = base_all.groupBy("fp_hash").agg(
+                F.count(F.lit(1)).alias("__df")
+            ).where(F.col("__df") <= df_cap).select("fp_hash")
+            base_fps = base_all.join(base_ok, "fp_hash")
         else:
             base_fps = spark.createDataFrame([], "doc_id long, fp_hash long")
         cross = winnow_copies_incremental(
             base_fps, docs, min_shared=min_shared
         ).select(F.col("batch_doc").alias("doc_id"))
-        # within-batch: greedy pairwise, larger id drops
-        bfps = winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+        # within-batch: greedy pairwise, larger id drops; the same
+        # df_cap bounds a boilerplate gram's B² pair blowup
+        bfps_all = (
+            winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+        )
+        bok = bfps_all.groupBy("fp_hash").agg(
+            F.count(F.lit(1)).alias("__df")
+        ).where(F.col("__df") <= df_cap).select("fp_hash")
+        bfps = bfps_all.join(bok, "fp_hash")
         a = bfps.select(F.col("doc_id").alias("id1"), "fp_hash")
         b = bfps.select(F.col("doc_id").alias("id2"), "fp_hash")
         within = (

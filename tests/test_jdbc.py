@@ -180,6 +180,34 @@ def test_jdbc_mart_publish_transactional_swap(spark, derby_cfg):
     assert sorted(r.id for r in pub.read(spark, "MART1").collect()) == [10, 11, 12]
 
 
+def test_jdbc_publish_identity_insert_reads_columns_from_metadata(
+    spark, derby_cfg
+):
+    """identity_insert publish resolves the staging table's ordered
+    column list from connection metadata and executes the explicit
+    column-listed INSERT (ADVICE r9: T-SQL error 8101 requires a column
+    list under SET IDENTITY_INSERT ON — the generic dialect proves the
+    metadata→column-list→execution path on Derby)."""
+    from bigdatapipelinepysparksqlserver_spark.sources.jdbc import JdbcMartPublisher
+
+    pub = JdbcMartPublisher(spark, derby_cfg)
+    v = spark.range(0, 4).selectExpr(
+        "id", "CAST('x' AS STRING) AS tag", "id * 2 AS amount"
+    )
+    pub.write_staging("MARTID", v)
+    conn = pub._connection()
+    try:
+        assert [
+            c.strip('"').upper()
+            for c in pub._table_columns(conn, "MARTID_STAGING")
+        ] == ["ID", "TAG", "AMOUNT"]
+    finally:
+        conn.close()
+    pub.publish("MARTID", identity_insert=True)
+    got = pub.read(spark, "MARTID").collect()
+    assert sorted((r.id, r.amount) for r in got) == [(i, 2 * i) for i in range(4)]
+
+
 def test_jdbc_ledger_state_machine_and_full_pipeline(spark, derby_cfg, tmp_path):
     """The ledger where the reference keeps it — a lineage table in the
     database, mutated with real INSERT/UPDATE/DELETE — driving the full
@@ -247,13 +275,21 @@ def test_sqlserver_dialect_swap_matches_reference_tsql():
         "TRUNCATE TABLE SALES_MART",
         "INSERT INTO SALES_MART SELECT * FROM SALES_MART_STAGING",
     ]
-    # identity-safe staging: the bracket that prevents T-SQL error 544
-    assert d.swap_statements("M", "M_STAGING", identity_insert=True) == [
+    # identity-safe staging: the bracket that prevents T-SQL error 544,
+    # with the EXPLICIT column list T-SQL requires under
+    # SET IDENTITY_INSERT ON (SELECT * throws error 8101)
+    assert d.swap_statements(
+        "M", "M_STAGING", identity_insert=True, columns=["id", "amount"]
+    ) == [
         "TRUNCATE TABLE M",
         "SET IDENTITY_INSERT M ON",
-        "INSERT INTO M SELECT * FROM M_STAGING",
+        "INSERT INTO M (id, amount) SELECT id, amount FROM M_STAGING",
         "SET IDENTITY_INSERT M OFF",
     ]
+    # the identity path without a column list would be invalid T-SQL
+    # (error 8101) — refused at build time, never shipped to the server
+    with pytest.raises(ValueError, match="8101"):
+        d.swap_statements("M", "M_STAGING", identity_insert=True)
     assert (
         d.create_empty_like("SALES_MART", "SALES_MART_STAGING")
         == "SELECT * INTO SALES_MART FROM SALES_MART_STAGING WHERE 1 = 0"

@@ -224,6 +224,46 @@ def test_metadata_only_partition_drop(spark, tmp_path):
     assert lake.read().count() == 1
 
 
+def test_partition_values_hive_escape_round_trip(spark, tmp_path):
+    """ADVICE r9: partition values containing characters Spark
+    %XX-escapes in directory names (':', '/', '=', space-adjacent
+    specials) and NULL (__HIVE_DEFAULT_PARTITION__) must round-trip
+    through partitions() UNESCAPED, and a drop composed from the raw
+    value must actually match the manifest entry."""
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("year_month", "country"),
+        schema="id long, paid double, year_month int, country string",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, 1.0, 202405, "US:east"),
+            (2, 2.0, 202405, "a/b=c"),
+            (3, 3.0, 202406, None),
+            (4, 4.0, 202406, "plain"),
+        ],
+        "id long, paid double, year_month int, country string",
+    )
+    lake.write_full(df)
+    key = lambda t: (t[0], t[1] or "")  # noqa: E731
+    got = sorted(
+        ((r.year_month, r.country) for r in lake.partitions().collect()),
+        key=key,
+    )
+    assert got == sorted(
+        [(202405, "US:east"), (202405, "a/b=c"), (202406, None), (202406, "plain")],
+        key=key,
+    )
+    # drop built from the RAW (unescaped) values must match
+    lake.drop_partition_values([(202405, "US:east"), (202406, None)])
+    got = sorted(
+        (r.year_month, r.country) for r in lake.partitions().collect()
+    )
+    assert got == [(202405, "a/b=c"), (202406, "plain")]
+    assert sorted(r.id for r in lake.read().collect()) == [2, 4]
+
+
 def test_read_is_pinned_across_publish(spark, tmp_path):
     """A DataFrame resolved before a rebuild keeps answering from ITS
     snapshot afterwards (retain window) — the repeatable-read property
@@ -242,8 +282,11 @@ def test_read_is_pinned_across_publish(spark, tmp_path):
 
 def test_time_travel_and_rollback(spark, tmp_path):
     """read_snapshot(mid) answers the table AS OF that publish within
-    the retain window; rollback() is a pure pointer swap whose
-    rolled-back-from manifest is reaped by the next publish."""
+    the retain window; rollback() is a pure pointer swap. The
+    rolled-back-FROM manifest is a once-live snapshot a retain-window
+    reader may be pinned to (ADVICE r9): the next publish must NOT reap
+    it as a crashed orphan — it stays readable and ages out of the
+    retain window like any other snapshot."""
     lake = SnapshotLakeTable(spark, str(tmp_path / "lake"), retain=2)
     mk = lambda paid: spark.createDataFrame(  # noqa: E731
         [(1, 202405, "US", paid), (2, 202406, "DE", paid * 2)],
@@ -260,10 +303,25 @@ def test_time_travel_and_rollback(spark, tmp_path):
 
     assert lake.rollback(2) == 2
     assert lake.read().agg(F.sum("paid")).first()[0] == 30.0
-    # next publish reaps the rolled-back-from m3 and renumbers over it
+    # a reader pinned to the rolled-back-from snapshot BEFORE the next
+    # publish must keep resolving (the r9 bug reaped its files here)
+    pinned = lake.read_snapshot(3)
     lake.overwrite_partitions(mk(7.0))
-    assert lake.current_id() == 3
+    assert lake.current_id() == 4  # allocates PAST the survivor
     assert lake.read().agg(F.sum("paid")).first()[0] == 21.0
+    assert pinned.agg(F.sum("paid")).first()[0] == 300.0
+    assert lake.read_snapshot(3).agg(F.sum("paid")).first()[0] == 300.0
+
+    # a GENUINE crashed publish (manifest + txn above the high-water
+    # mark, pointer never swapped) is still reaped by the next publish
+    lake.fs.set_pointer(
+        f"{lake.root}/manifests/m9.json", '{"id": 9, "txns": {}}'
+    )
+    lake.fs.makedirs(f"{lake.root}/data/txn=9/year_month=209901/country=XX")
+    lake.overwrite_partitions(mk(2.0))
+    assert lake.current_id() == 5
+    assert 9 not in lake.snapshots()
+    assert not lake.fs.is_dir(f"{lake.root}/data/txn=9")
 
     with pytest.raises(FileNotFoundError, match="widen retain"):
         lake.rollback(99)

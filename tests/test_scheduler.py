@@ -85,15 +85,65 @@ def test_transient_failure_retries_then_succeeds():
     assert len(attempts) == 3 and slept == [10.0, 10.0]
 
 
-def test_retries_exhausted_raises():
+def test_retries_exhausted_records_failed_and_advances_grid():
+    """ADVICE r9: a retries-exhausted failure must be RECORDED and the
+    grid must move on (Airflow contract) — not escape on_tick and
+    re-fire the same instant on every subsequent tick forever."""
+    attempts = []
+
+    def hard(fire):
+        attempts.append(fire)
+        raise RuntimeError("hard")
+
     sched = PipelineScheduler(
-        lambda fire: (_ for _ in ()).throw(RuntimeError("hard")),
+        hard,
+        schedule_interval=timedelta(minutes=15),
         retries=2,
         anchor=T0,
         sleep=lambda s: None,
     )
-    with pytest.raises(RuntimeError, match="hard"):
-        sched.on_tick(T0)
+    recs = sched.on_tick(T0)
+    assert [r["status"] for r in recs] == ["FAILED"]
+    assert "RuntimeError: hard" in recs[0]["error"]
+    assert len(attempts) == 3  # 1 + 2 retries, then recorded
+    assert sched.last_fire == T0
+    # the SAME instant never re-fires; the NEXT grid instant does
+    assert sched.on_tick(T0 + timedelta(minutes=7)) == []
+    assert len(attempts) == 3
+    recs = sched.on_tick(T0 + timedelta(minutes=15))
+    assert [r["fire"] for r in recs] == [T0 + timedelta(minutes=15)]
+    assert [r["status"] for r in sched.history] == ["FAILED", "FAILED"]
+
+
+def test_catchup_true_failure_does_not_abort_remaining_fires():
+    """Under catchup=True a failed backfill instant is recorded and the
+    remaining due instants still run (ADVICE r9: the escaping exception
+    aborted the rest of the backfill)."""
+    ran = []
+
+    def flaky_grid(fire):
+        ran.append(fire)
+        if fire == T0 + timedelta(minutes=15):
+            raise RuntimeError("backfill instant dies")
+        return {}
+
+    sched = PipelineScheduler(
+        flaky_grid,
+        schedule_interval=timedelta(minutes=15),
+        retries=0,
+        anchor=T0,
+        catchup=True,
+        sleep=lambda s: None,
+    )
+    sched.on_tick(T0)
+    recs = sched.on_tick(T0 + timedelta(minutes=45))
+    assert [r["status"] for r in recs] == ["FAILED", "SUCCESS", "SUCCESS"]
+    assert ran == [
+        T0,
+        T0 + timedelta(minutes=15),
+        T0 + timedelta(minutes=30),
+        T0 + timedelta(minutes=45),
+    ]
 
 
 def test_single_flight_never_retried():

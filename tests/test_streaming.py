@@ -1664,3 +1664,63 @@ def test_online_copy_gate_across_microbatches(spark, tmp_path):
     q2.awaitTermination(180)
     after = sorted(map(tuple, spark.read.parquet(f"{store}/docs").collect()))
     assert after == before
+
+
+def test_online_copy_gate_df_cap_stops_boilerplate_blowup(spark, tmp_path):
+    """ADVICE r9: the streaming gate applies the build-time stop-gram
+    guard on read of the accumulated index — a boilerplate run present
+    in > df_cap accepted docs stops matching (no D-matches-per-probe
+    blowup, no pairwise drop cascade among boilerplate carriers), while
+    a rare-run copy is still rejected through the same join."""
+    from bigdatapipelinepysparksqlserver_spark.streaming import (
+        foreach_batch_online_copy_gate,
+    )
+
+    boiler = (
+        "this message is confidential and intended solely for the named"
+        " recipient do not distribute"
+    )
+    rare = "the migratory patterns of arctic terns span both polar circles"
+    uniq = [
+        "alpha reports quarterly earnings beat expectations handily",
+        "beta discusses upcoming maintenance windows next week",
+        "gamma summarizes the offsite agenda and travel notes",
+        "delta shares the revised onboarding checklist draft",
+        "epsilon proposes a new rotation for incident duty",
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "cap_src"
+    batch1 = [(i + 1, f"{uniq[i]} {boiler}") for i in range(5)]
+    batch1.append((6, f"zeta archives {rare} for the science digest"))
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(
+        [
+            # only boilerplate in common with the corpus -> ACCEPTED
+            (10, f"eta announces the holiday schedule {boiler}"),
+            # copies doc 6's rare run -> REJECTED
+            (11, f"theta plagiarizes {rare} without attribution"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    store = str(tmp_path / "cap_store")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(
+            foreach_batch_online_copy_gate(store, df_cap=3)
+        )
+        .option("checkpointLocation", str(tmp_path / "cap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept_ids = {r.doc_id for r in spark.read.parquet(f"{store}/docs").collect()}
+    # all five boilerplate carriers survive batch 1 (the shared run's
+    # fingerprints have df=5 > 3 and never enter the pair join), the
+    # rare doc survives, doc 10 passes the capped cross-probe, doc 11
+    # is caught by the rare (uncapped) fingerprints
+    assert kept_ids == {1, 2, 3, 4, 5, 6, 10}
