@@ -424,54 +424,55 @@ def _store_versions(root: str, fs: SnapshotFS) -> list[int]:
     )
 
 
-def publish_store_version(
-    root: str, staging: str, fs: SnapshotFS | None = None, retain: int = 1
-) -> int:
-    """Publish ``staging`` as the next store version: rename it to
-    {root}/v{N+1} (NOT required atomic — no reader can resolve it yet),
-    atomically swap the pointer, then GC versions older than ``retain``
-    behind the new live one (the MartPublisher protocol verbatim).
+def _store_protocol(
+    root: str, fs: SnapshotFS | None, retain: int = 1, grace_seconds: float = 0.0
+):
+    from ..sources.pointer import VersionedPointerPublisher
 
-    Version numbers derive from the POINTER, not from max(dirs): a
-    crashed publish leaves an orphan directory AHEAD of the pointer
-    that no reader can ever resolve — it is reaped BEFORE numbering,
-    so (a) its number is safely reused, and (b) it can never displace
-    the genuine previous live version out of the retain window (a GC
-    keyed off max(dirs) would delete the version concurrent readers
-    are still probing while retaining the unreadable orphan).
+    return VersionedPointerPublisher(
+        fs,
+        root,
+        retain=retain,
+        grace_seconds=grace_seconds,
+        what="versioned store",
+        recover_hint="e.g. rollback_store_version(root, <max version>)",
+    )
+
+
+def publish_store_version(
+    root: str,
+    staging: str,
+    fs: SnapshotFS | None = None,
+    retain: int = 1,
+    grace_seconds: float = 0.0,
+) -> int:
+    """Publish ``staging`` as the next store version: claim {root}/v{N}
+    (exclusive create), rename staging into it (NOT required atomic —
+    no reader can resolve it yet), conditionally swap the pointer, then
+    GC versions older than ``retain`` behind the new live one.
+
+    The lifecycle — pointer-derived numbering, lost-pointer refusal,
+    age-gated crashed-orphan reaping, rollback survivors, the CAS
+    commit that makes a concurrent publish lose EXPLICITLY
+    (:class:`~..sources.pointer.ConcurrentPublishError`) instead of
+    silently clobbering — is the shared
+    :class:`~..sources.pointer.VersionedPointerPublisher` protocol;
+    see that module for the full argument. ``grace_seconds`` is the
+    multi-writer in-flight window (0 = single-writer mode, crashed
+    orphans reaped immediately and their numbers reused).
     Returns the published version number."""
     fs = fs or LocalFS()
     if not fs.is_dir(staging):
         raise FileNotFoundError(f"no staging store at {staging}")
     fs.makedirs(root)
-    cur_name = fs.read_pointer(f"{root}/{STORE_POINTER}")
-    existing = _store_versions(root, fs)
-    if cur_name is None and existing:
-        # A lost/unreadable pointer with snapshots on disk is a
-        # recoverable operational error (partial restore, sync tool
-        # skipping the underscore file) — refusing here is the
-        # difference between "re-point and carry on" and silently
-        # rmtree'ing every retained snapshot as a "crashed-publish
-        # orphan". Recover with rollback_store_version(root, max(v)).
-        raise FileNotFoundError(
-            f"versioned store {root} has version dirs {existing} but no "
-            f"{STORE_POINTER} pointer; restore the pointer (e.g. "
-            f"rollback_store_version(root, {max(existing)})) before "
-            "publishing — refusing to reap them as orphans"
-        )
-    cur = int(cur_name[1:]) if cur_name else 0
-    # reap crashed-publish orphans: version dirs the pointer never
-    # named are invisible to every reader by construction
-    for v in _store_versions(root, fs):
-        if v > cur:
-            fs.rmtree(f"{root}/v{v}")
-    nxt = cur + 1
-    fs.rename_dir(staging, f"{root}/v{nxt}")
-    fs.set_pointer(f"{root}/{STORE_POINTER}", f"v{nxt}")
-    for v in _store_versions(root, fs):
-        if v < nxt - retain:
-            fs.rmtree(f"{root}/v{v}")
-    return nxt
+    pub = _store_protocol(root, fs, retain, grace_seconds)
+    nxt, observed = pub.begin()
+    try:
+        fs.rename_dir(staging, f"{root}/v{nxt}")
+    except Exception:
+        pub.abort(nxt)
+        raise
+    return pub.commit(nxt, observed)
 
 
 def compact_store_live(
@@ -526,19 +527,13 @@ def rollback_store_version(
     operational undo for a bad publish (compaction that regressed a
     probe, an append batch that poisoned stats). Pure pointer swap:
     atomic, readers see whole snapshots before and after, nothing is
-    deleted (the rolled-back-from version stays on disk and a later
-    publish reaps it as an orphan ahead of the pointer — by design,
-    its content was never trusted).
+    deleted.
 
     Only a version that EXISTS on disk can be rolled back to; the GC
     retain window (``publish_store_version(retain=N)``) bounds how far
-    back that is. Returns the version rolled back to.
+    back that is. The rolled-back-FROM version is recorded as a
+    retained survivor (shared protocol, ADVICE r9): the next publish
+    allocates past it instead of reaping a snapshot an in-flight
+    reader may still be pinned to. Returns the version rolled back to.
     """
-    fs = fs or LocalFS()
-    if not fs.is_dir(f"{root}/v{version}"):
-        raise FileNotFoundError(
-            f"rollback target v{version} not on disk under {root} "
-            f"(have: {_store_versions(root, fs)}; widen retain= to keep more)"
-        )
-    fs.set_pointer(f"{root}/{STORE_POINTER}", f"v{version}")
-    return version
+    return _store_protocol(root, fs).rollback(version)

@@ -208,20 +208,37 @@ class MartPublisher:
 
     Crash safety (every step idempotent, validated by the kill-point
     test): die after the vN rename → orphan snapshot, pointer unchanged,
-    next publish allocates vN+1 past it and GC reaps it; die after the
-    pointer rename → fully published, only GC remains. ``retain``
-    previous snapshots stay on disk for in-flight readers that resolved
-    the pointer just before a publish (retain=1 covers one publish
-    cycle; raise it if readers can straddle several)."""
+    the next publish's orphan reap clears it and reuses its number; die
+    after the pointer rename → fully published, only GC remains.
+    ``retain`` previous snapshots stay on disk for in-flight readers
+    that resolved the pointer just before a publish (retain=1 covers
+    one publish cycle; raise it if readers can straddle several).
+
+    The full lifecycle — pointer-derived numbering, lost-pointer
+    refusal, age-gated orphan reap, rollback survivors, and the
+    CONDITIONAL pointer swap that makes a racing publish lose with an
+    explicit retryable :class:`~.sources.pointer.ConcurrentPublishError`
+    instead of silently clobbering — is the shared
+    :class:`~.sources.pointer.VersionedPointerPublisher` protocol
+    (VERDICT r9 #2+#3), one implementation for the mart, the index
+    stores, and the snapshot lake. ``grace_seconds`` is the
+    multi-writer in-flight window (0 = single-writer mode)."""
 
     POINTER = "_CURRENT"
 
-    def __init__(self, root: str, retain: int = 1, fs: "SnapshotFS | None" = None):
+    def __init__(
+        self,
+        root: str,
+        retain: int = 1,
+        fs: "SnapshotFS | None" = None,
+        grace_seconds: float = 0.0,
+    ):
         from .sources.fs import LocalFS, SnapshotFS  # noqa: F811
 
         self.root = root
         self.retain = retain
         self.fs: SnapshotFS = fs if fs is not None else LocalFS()
+        self.grace_seconds = grace_seconds
 
     def staging_path(self, table: str) -> str:
         return os.path.join(self.root, f"{table}_staging")
@@ -229,22 +246,22 @@ class MartPublisher:
     def table_root(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def _versions(self, table: str) -> list[int]:
-        root = self.table_root(table)
-        if not self.fs.is_dir(root):
-            return []
-        return sorted(
-            int(d[1:])
-            for d in self.fs.list_dir(root)
-            if d.startswith("v") and d[1:].isdigit()
+    def _protocol(self, table: str):
+        from .sources.pointer import VersionedPointerPublisher
+
+        return VersionedPointerPublisher(
+            self.fs,
+            self.table_root(table),
+            retain=self.retain,
+            grace_seconds=self.grace_seconds,
+            what="mart table",
         )
 
+    def _versions(self, table: str) -> list[int]:
+        return self._protocol(table).version_ids()
+
     def current_version(self, table: str) -> "int | None":
-        ptr = os.path.join(self.table_root(table), self.POINTER)
-        name = self.fs.read_pointer(ptr)
-        if name is None:
-            return None
-        return int(name[1:]) if name.startswith("v") and name[1:].isdigit() else None
+        return self._protocol(table).current_id()
 
     def final_path(self, table: str) -> str:
         """Resolve the pointer to the live immutable snapshot directory."""
@@ -258,30 +275,29 @@ class MartPublisher:
         df.write.mode("overwrite").parquet(self.staging_path(table))
 
     def publish(self, table: str) -> None:
-        """M5 — rename staging to the next version dir (readers still on
-        the pointer's version — safe even if the rename is a visible
-        copy+delete), then atomically swap the pointer."""
+        """M5 — claim the next version dir, rename staging into it
+        (readers still on the pointer's version — safe even if the
+        rename is a visible copy+delete), then CONDITIONALLY swap the
+        pointer (shared protocol; a racing publish loses cleanly)."""
         staging = self.staging_path(table)
         if not self.fs.is_dir(staging):
             raise FileNotFoundError(f"no staging snapshot for {table}")
         root = self.table_root(table)
         self.fs.makedirs(root)
-        versions = self._versions(table)
-        nxt = (versions[-1] + 1) if versions else 1
-        self.fs.rename_dir(staging, os.path.join(root, f"v{nxt}"))
-        # the ONLY step that must be atomic (SnapshotFS.set_pointer
-        # contract): readers see either the old or the new version name
-        self.fs.set_pointer(os.path.join(root, self.POINTER), f"v{nxt}")
-        self._gc(table, nxt)
+        pub = self._protocol(table)
+        nxt, observed = pub.begin()
+        try:
+            self.fs.rename_dir(staging, os.path.join(root, f"v{nxt}"))
+        except Exception:
+            pub.abort(nxt)
+            raise
+        pub.commit(nxt, observed)
 
-    def _gc(self, table: str, current: int) -> None:
-        """Reap snapshots older than ``retain`` behind the live one, and
-        orphans ahead of it (from publishes that died before the pointer
-        swap). Never touches the live version."""
-        root = self.table_root(table)
-        for v in self._versions(table):
-            if v != current and (v < current - self.retain or v > current):
-                self.fs.rmtree(os.path.join(root, f"v{v}"))
+    def rollback(self, table: str, version: int) -> int:
+        """Point the live pointer BACK at a retained version (shared
+        protocol: the rolled-back-from snapshot is recorded as a
+        retained survivor, never reaped as a crashed orphan)."""
+        return self._protocol(table).rollback(version)
 
     def recover(self, table: str) -> None:
         """Crash recovery — retained for API parity: the pointer design

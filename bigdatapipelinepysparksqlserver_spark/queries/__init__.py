@@ -98,8 +98,28 @@ _GRADED_PREFIX = (
     # sampled triangle board).)
     "events_tier_pit",
     "sessionize_session_window",
-    "copurchase_khop_reach",
     "cdc_snapshot_demo",
+    # (r10 rotation, VERDICT r9 #4 — five never-before-graded entries
+    # enter: the winnowing triad (doc_winnow_stats / doc_winnow_pairs /
+    # doc_winnow_incremental, r9's MOSS fingerprint layer) plus this
+    # round's decontaminate_spans (winnow-based fuzzy decontamination,
+    # VERDICT r9 #1) and doc_winnow_span_verify (exact copied-run
+    # lengths on flagged pairs, VERDICT r9 #6). Every ceded query stays
+    # registered + oracle-backed past the cap and was green at all
+    # three SFs for >=1 full round. Ceding: copurchase_khop_reach +
+    # part_copurchase_communities (the graph family keeps pagerank,
+    # cheapest-path SSSP, and the wedge-sampled triangle board
+    # in-window — frontier iteration runs inside cheapest_path's
+    # relaxation loop), bigram_lm_score (LM scoring stays graded via
+    # trigram_lm_store_probe in-window; the bigram form past-cap),
+    # ab_conversion_chi2 (hypothesis-testing stays via value_drift_ks
+    # in-window; chi2/PSI/MWU oracle-backed past-cap),
+    # dedup_jaccard_prefix (exact set-similarity stays oracle-backed
+    # past-cap; the dedup family keeps exact/minhash/apply/incremental
+    # in-window and the entering winnow queries grade the
+    # copied-span-detection axis).)
+    "doc_winnow_stats", "doc_winnow_pairs", "doc_winnow_incremental",
+    "decontaminate_spans", "doc_winnow_span_verify",
     # (r8 continuation rotation: sql_facade_agg cedes — the S7 temp-view
     # + SQL facade machinery executes inside every spark.sql-routed
     # oracle twin and stays oracle-backed past-cap; rolling_active_users
@@ -149,7 +169,7 @@ _GRADED_PREFIX = (
     # part_copurchase_communities enters — label propagation, the
     # third iterative-graph semiring (mode-argmax) next to PageRank's
     # sum-product, both LPA randomness sources pinned.)
-    "part_copurchase_pagerank", "part_copurchase_communities",
+    "part_copurchase_pagerank",
     "copurchase_cheapest_path", "copurchase_triangles_node_est",
     # (r8 continuation rotation: value_drift_psi cedes — the drift
     # family keeps THREE oracle-backed reps past-cap (PSI, KS, MWU) and
@@ -165,7 +185,7 @@ _GRADED_PREFIX = (
     # RANGE frame in user_decay_score); user_survival_km enters —
     # censoring-aware Kaplan-Meier retention, the survival-analysis
     # family's first rep, risk sets via contribution explode.)
-    "session_peak_concurrency", "ab_conversion_chi2",
+    "session_peak_concurrency",
     "value_mad_outliers", "user_survival_km", "value_drift_ks",
     "user_streaks", "weighted_median_price",
     # dedup family (exact → LSH scale path → clusters → end-to-end
@@ -185,7 +205,7 @@ _GRADED_PREFIX = (
     # set-similarity scale story between the quadratic baseline and
     # MinHash.)
     "dedup_exact", "dedup_minhash",
-    "dedup_apply", "dedup_incremental", "dedup_jaccard_prefix",
+    "dedup_apply", "dedup_incremental",
     # text analysis (r7 late rotation: text_token_count cedes — the
     # token machinery stays graded inside token_budget_mix's oracle
     # and the per-doc counts past-cap; bigram_lm_score enters as the
@@ -194,7 +214,7 @@ _GRADED_PREFIX = (
     # stays graded via quality_gate_by_lang's composed oracle past-cap;
     # tfidf_top_terms enters as the keyword-extraction representative)
     "text_quality_score", "text_repetition_score",
-    "bigram_lm_score", "html_extract_clean",
+    "html_extract_clean",
     "trigram_lm_store_probe",
     # training-data ops + sketches (r6: the HLL distinct sketch joins
     # the window — corridor-oracle-backed; r7 late rotation:

@@ -1526,23 +1526,9 @@ LIMIT {WINNOW_PAIRS_TOP_K}
 """
 
 
-@query("doc_winnow_pairs", oracle=WINNOW_PAIRS_ORACLE)
-def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top shared-fingerprint document pairs — MOSS-style copy/
-    plagiarism detection over the winnowed layer: two documents
-    sharing ANY token run of >= 6 tokens are guaranteed to collide on
-    at least one fingerprint hash, so this board surfaces cross-doc
-    copying that whole-document hashing (dedup_exact) and
-    set-similarity (MinHash) both miss when the copied span is a small
-    fraction of each document.
-
-    Scale: pair enumeration happens only inside per-hash buckets
-    DF-capped at 50 docs (WINNOW_PAIRS_DF_CAP; the stop-gram guard — a
-    boilerplate gram in D docs would otherwise mint D² pairs; same
-    economics as the BM25 df guard and the LSH mega-bucket reroute),
-    so the join is bucket-bounded; the board lowers to
-    TakeOrderedAndProject.
-    """
+def _winnow_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped top-k shared-fingerprint pair board (shared by
+    doc_winnow_pairs and the exact-span verify)."""
     from ..caching import scoped_persist
     from ..operators.text import winnow_fingerprints
 
@@ -1569,6 +1555,26 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_fps").desc(), "doc_a", "doc_b")
         .limit(WINNOW_PAIRS_TOP_K)
     )
+
+
+@query("doc_winnow_pairs", oracle=WINNOW_PAIRS_ORACLE)
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top shared-fingerprint document pairs — MOSS-style copy/
+    plagiarism detection over the winnowed layer: two documents
+    sharing ANY token run of >= 6 tokens are guaranteed to collide on
+    at least one fingerprint hash, so this board surfaces cross-doc
+    copying that whole-document hashing (dedup_exact) and
+    set-similarity (MinHash) both miss when the copied span is a small
+    fraction of each document.
+
+    Scale: pair enumeration happens only inside per-hash buckets
+    DF-capped at 50 docs (WINNOW_PAIRS_DF_CAP; the stop-gram guard — a
+    boilerplate gram in D docs would otherwise mint D² pairs; same
+    economics as the BM25 df guard and the LSH mega-bucket reroute),
+    so the join is bucket-bounded; the board lowers to
+    TakeOrderedAndProject.
+    """
+    return _winnow_top_pairs(spark, sf_dir)
 
 
 # Incremental copy-probe: batch (source='src0') fingerprints vs the
@@ -1645,3 +1651,85 @@ def doc_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("shared_fps").desc(), "batch_doc", "base_doc"
     ).limit(WINNOW_PAIRS_TOP_K)
+
+
+# Exact copy-span verification (VERDICT r9 #6): the pair board reports
+# shared-FINGERPRINT counts; policy thresholds need true copied-span
+# lengths. The oracle replays the pair selection, then the 6-gram
+# diagonal-run check, on the SAME flagged pairs.
+WINNOW_SPAN_ORACLE = f"""
+WITH {_WINNOW_CTES},
+hcounts AS (
+  SELECT fp_hash, COUNT(DISTINCT doc_id) AS df FROM fps GROUP BY 1
+),
+keep AS (
+  SELECT DISTINCT f.doc_id, f.fp_hash
+  FROM fps f JOIN hcounts c
+    ON c.fp_hash = f.fp_hash AND c.df BETWEEN 2 AND {WINNOW_PAIRS_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS shared_fps
+  FROM keep a JOIN keep b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_a, doc_b, shared_fps FROM pairs
+  ORDER BY shared_fps DESC, doc_a, doc_b
+  LIMIT {WINNOW_PAIRS_TOP_K}
+),
+b6 AS (SELECT doc_id, tk, len(tk) - 5 AS n6 FROM toks WHERE len(tk) >= 6),
+g6 AS (
+  SELECT doc_id, i.i AS pos,
+         CAST(('0x' || substr(
+            md5(array_to_string(list_slice(tk, i.i, i.i + 5), ' ')), 1, 10))
+          AS BIGINT) AS gh
+  FROM b6, UNNEST(range(1, n6 + 1)) AS i(i)
+),
+m AS (
+  SELECT DISTINCT t.doc_a, t.doc_b, a.pos AS pa, b.pos AS pb
+  FROM top t
+  JOIN g6 a ON a.doc_id = t.doc_a
+  JOIN g6 b ON b.doc_id = t.doc_b AND b.gh = a.gh
+),
+chains AS (
+  SELECT doc_a, doc_b, COUNT(*) AS chain
+  FROM (
+    SELECT doc_a, doc_b, pa - pb AS d, pa,
+           pa - ROW_NUMBER() OVER (
+             PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+    FROM m
+  )
+  GROUP BY doc_a, doc_b, d, grp
+),
+runs AS (
+  SELECT doc_a, doc_b, MAX(chain) + 5 AS longest
+  FROM chains GROUP BY 1, 2
+)
+SELECT t.doc_a, t.doc_b, CAST(t.shared_fps AS BIGINT) AS shared_fps,
+       CAST(COALESCE(r.longest, 0) AS BIGINT) AS longest_run_tokens
+FROM top t LEFT JOIN runs r USING (doc_a, doc_b)
+"""
+
+
+@query("doc_winnow_span_verify", oracle=WINNOW_SPAN_ORACLE)
+def doc_winnow_span_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact longest-common-token-run verification of the winnow pair
+    board: each flagged pair's ``shared_fps`` count is joined by the
+    TRUE copied-span length in tokens, computed only for the ≤ top-k
+    flagged pairs (the candidate-proportional verify pattern) — a pair
+    sharing fingerprints through a hash collision or sub-window repeat
+    verifies to 0, and policy thresholds ("reject ≥ 50 copied tokens")
+    become decidable.
+
+    Scale: gram volume ∝ flagged documents' tokens (≤ 2k docs at any
+    corpus size — the board is top-k); the diagonal-run window
+    partitions by (pair, diagonal), never global; everything else is
+    hash joins on 8-byte keys.
+    """
+    from ..operators.text import winnow_span_verify
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = _winnow_top_pairs(spark, sf_dir)
+    return winnow_span_verify(docs, pairs)

@@ -271,6 +271,79 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPANS_DF_CAP = 50
+SPANS_TOP_K = 20
+
+DECONT_SPANS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS tk
+  FROM documents
+),
+base AS (SELECT doc_id, tk, len(tk) - 2 AS ng FROM toks WHERE len(tk) >= 6),
+grams AS (
+  SELECT doc_id, ng, i.i AS pos,
+         CAST(('0x' || substr(
+            md5(array_to_string(list_slice(tk, i.i, i.i + 2), ' ')), 1, 10))
+          AS BIGINT) AS h
+  FROM base, UNNEST(range(1, ng + 1)) AS i(i)
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         MIN(h * 1048576 + (1048575 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+  FROM grams
+  QUALIFY pos <= ng - 3
+),
+fps AS (SELECT DISTINCT doc_id, s // 1048576 AS fp_hash FROM sel),
+eval AS (SELECT doc_id AS eval_id, fp_hash FROM fps WHERE doc_id < 3),
+surv AS (
+  SELECT f.doc_id, f.fp_hash
+  FROM fps f JOIN (SELECT DISTINCT fp_hash FROM eval) e USING (fp_hash)
+),
+hc AS (SELECT fp_hash FROM surv GROUP BY 1 HAVING COUNT(*) <= {cap}),
+hits AS (
+  SELECT s.doc_id, e.eval_id
+  FROM surv s JOIN hc USING (fp_hash) JOIN eval e USING (fp_hash)
+)
+SELECT doc_id, eval_id, CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM hits
+GROUP BY 1, 2
+ORDER BY shared_fps DESC, doc_id, eval_id
+LIMIT {k}
+""".format(cap=SPANS_DF_CAP, k=SPANS_TOP_K)
+
+
+@query("decontaminate_spans", oracle=DECONT_SPANS_ORACLE, headline=True)
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (fuzzy) decontamination — the winnowing upgrade of
+    :func:`decontaminate`: a corpus document sharing ANY ≥ 6-token run
+    with an eval item (docs 0-2 stand in for the eval set) collides on
+    a winnowed fingerprint, so contamination survives edits that break
+    the exact 8-gram probe (one changed token inside the probe window
+    blinds ``ngram_probe_hits``; the MOSS guarantee has no such single
+    point of failure — only spans shorter than w+k−1 escape).
+
+    Scale: eval fingerprints BROADCAST (eval sets are KBs–MBs); the
+    corpus is fingerprinted and probed in one pass — no corpus-wide
+    shuffle before the join, and post-join rows ∝ contamination. The
+    df-cap stop-gram guard (50) keeps an eval item quoting boilerplate
+    from flagging the whole corpus; it is computed over join survivors
+    (provably equal to the corpus df for surviving hashes), never as a
+    corpus-wide frequency pass.
+    """
+    from ..operators.text import decontaminate_spans as _spans
+
+    docs = Catalog(spark, sf_dir).documents
+    eval_docs = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    out = _spans(docs, eval_docs, df_cap=SPANS_DF_CAP)
+    return out.orderBy(
+        F.col("shared_fps").desc(), "doc_id", "eval_id"
+    ).limit(SPANS_TOP_K)
+
+
 PACK_BUDGET = 256
 
 PACK_ORACLE = f"""

@@ -60,10 +60,17 @@ Scale notes (100 TB):
   long an in-flight reader's snapshot stays valid, identical to the
   mart contract.
 
-Single-writer assumption: publishes are serialized by the pipeline's
-single-flight ledger (C5) — concurrent PUBLISHERS are out of contract
-(use a conditional pointer put on object stores if ever needed);
-concurrent READERS are the whole point.
+Writer topology: publishes are normally serialized by the pipeline's
+single-flight ledger (C5). Since r10 the publish lifecycle is the
+shared :class:`~.pointer.VersionedPointerPublisher` protocol, whose
+COMMIT is a conditional pointer put (``SnapshotFS.set_pointer_if``):
+if two publishers do race — the scheduler and a streaming foreachBatch
+publisher are both capable — exactly one wins and the loser's txn/
+manifest are reaped with an explicit retryable
+:class:`~.pointer.ConcurrentPublishError`, never a silent last-writer-
+wins clobber. Pass ``grace_seconds`` > the longest publish when
+overlap is possible so in-flight claims aren't reaped as crashed
+orphans; concurrent READERS are the whole point and need nothing.
 """
 
 from __future__ import annotations
@@ -76,6 +83,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import LAKE_PARTITION_COLS
 from .fs import LocalFS, SnapshotFS
+from .pointer import VersionedPointerPublisher
 
 POINTER = "_CURRENT"
 ROLLBACK_KEEP = "_ROLLBACK_KEEP"  # manifests/ marker: highest once-live id
@@ -123,6 +131,59 @@ def unescape_partition_value(s: str):
     return "".join(out)
 
 
+class _LakeProtocol(VersionedPointerPublisher):
+    """The shared pointer lifecycle bound to the lake's two-piece
+    artifact layout: a version id *i* owns ``manifests/m<i>.json`` AND
+    ``data/txn=<i>/``. The txn directory is the exclusive-create CLAIM
+    (unique ids even under racing publishers); retain GC stays
+    lake-specific (manifest window + referenced-partition reaping)."""
+
+    def __init__(self, lake: "SnapshotLakeTable"):
+        super().__init__(
+            lake.fs,
+            lake.root,
+            prefix="m",
+            retain=lake.retain,
+            grace_seconds=lake.grace_seconds,
+            what="snapshot lake",
+            recover_hint="set it to m<max manifest id>",
+        )
+        self.lake = lake
+
+    def keep_marker_path(self) -> str:
+        return f"{self.root}/manifests/{ROLLBACK_KEEP}"
+
+    def version_ids(self) -> list[int]:
+        return self.lake._manifest_ids()
+
+    def orphan_ids(self) -> list[int]:
+        ids = set(self.lake._manifest_ids())
+        data = f"{self.root}/data"
+        if self.fs.is_dir(data):
+            ids.update(
+                int(d[4:])
+                for d in self.fs.list_dir(data)
+                if d.startswith("txn=") and d[4:].isdigit()
+            )
+        return sorted(ids)
+
+    def claim(self, i: int) -> bool:
+        return self.fs.make_dir_exclusive(f"{self.root}/data/txn={i}")
+
+    def reap(self, i: int) -> None:
+        self.fs.remove_file(f"{self.root}/manifests/m{i}.json")
+        self.fs.rmtree(f"{self.root}/data/txn={i}")
+
+    def artifact_age(self, i: int) -> float:
+        return min(
+            self.fs.age_seconds(f"{self.root}/data/txn={i}"),
+            self.fs.age_seconds(f"{self.root}/manifests/m{i}.json"),
+        )
+
+    def gc(self, current: int) -> None:
+        self.lake._gc(current)
+
+
 class SnapshotLakeTable:
     """Drop-in for :class:`~.lake.LakeTable` in the CDC pipeline with
     snapshot-isolated publishes (same read/rebuild surface; rebuilds go
@@ -136,25 +197,25 @@ class SnapshotLakeTable:
         schema=None,
         fs: SnapshotFS | None = None,
         retain: int = 1,
+        grace_seconds: float = 0.0,
     ):
         self.spark = spark
         self.root = root
         self.partition_cols = tuple(partition_cols)
         self.fs = fs or LocalFS()
         self.retain = retain
+        self.grace_seconds = grace_seconds
         if schema is None:
             from ..schemas import SALES_HISTORY
 
             schema = SALES_HISTORY
         self.schema = schema
+        self._proto = _LakeProtocol(self)
 
     # -- snapshot resolution ------------------------------------------------
 
     def current_id(self) -> int | None:
-        name = self.fs.read_pointer(f"{self.root}/{POINTER}")
-        if name is None:
-            return None
-        return int(name[1:]) if name.startswith("m") and name[1:].isdigit() else None
+        return self._proto.current_id()
 
     def _manifest_ids(self) -> list[int]:
         mdir = f"{self.root}/manifests"
@@ -215,31 +276,13 @@ class SnapshotLakeTable:
     def rollback(self, mid: int) -> int:
         """Point the live pointer BACK at a retained manifest — the
         operational undo for a bad publish. Pure pointer swap; nothing
-        is deleted. The rolled-back-FROM manifest is recorded in a
-        ``_ROLLBACK_KEEP`` marker (ADVICE r9) so the next publish's
-        crashed-orphan reap does NOT mistake it — a once-live snapshot
-        a retain-window reader may still be pinned to — for a crashed
-        publish; it ages out of the retain window like any other
-        snapshot."""
-        if mid not in self._manifest_ids():
-            raise FileNotFoundError(
-                f"rollback target m{mid} not on disk under {self.root} "
-                f"(have: {self._manifest_ids()}; widen retain= to keep more)"
-            )
-        cur = self.current_id()
-        if cur is not None and cur > mid:
-            keep = max(cur, self._rollback_keep_id() or 0)
-            self.fs.set_pointer(
-                f"{self.root}/manifests/{ROLLBACK_KEEP}", f"m{keep}"
-            )
-        self.fs.set_pointer(f"{self.root}/{POINTER}", f"m{mid}")
-        return mid
-
-    def _rollback_keep_id(self) -> int | None:
-        raw = self.fs.read_pointer(f"{self.root}/manifests/{ROLLBACK_KEEP}")
-        if raw is None or not (raw.startswith("m") and raw[1:].isdigit()):
-            return None
-        return int(raw[1:])
+        is deleted. The rolled-back-FROM manifest is recorded as a
+        retained survivor (shared protocol, ADVICE r9) so the next
+        publish's crashed-orphan reap does NOT mistake it — a once-live
+        snapshot a retain-window reader may still be pinned to — for a
+        crashed publish; it ages out of the retain window like any
+        other snapshot."""
+        return self._proto.rollback(mid)
 
     def read(self) -> DataFrame:
         """Scan the LIVE snapshot — pinned: the resolved leaf dirs are
@@ -333,40 +376,6 @@ class SnapshotLakeTable:
 
     # -- internals ----------------------------------------------------------
 
-    def _next_id(self) -> int:
-        cur = self.current_id()
-        ids = self._manifest_ids()
-        if cur is None and ids:
-            # same recoverable-error stance as publish_store_version: a
-            # lost pointer over real snapshots must never become a reap
-            raise FileNotFoundError(
-                f"snapshot lake {self.root} has manifests {ids} but no "
-                f"{POINTER} pointer; restore the pointer (set it to "
-                f"m{max(ids)}) before publishing"
-            )
-        cur = cur or 0
-        # reap crashed-publish orphans AHEAD of the pointer (invisible
-        # to every reader by construction; single-writer contract).
-        # Ids at or below the rollback high-water mark were once LIVE
-        # (a rollback moved the pointer back over them, ADVICE r9) —
-        # they are retained snapshots readers may be pinned to, not
-        # crashed orphans, so the reap starts above the mark and the
-        # next id allocates past it (no collision with a survivor).
-        keep = self._rollback_keep_id() or 0
-        high = max(cur, keep)
-        for i in ids:
-            if i > high:
-                self.fs.remove_file(f"{self.root}/manifests/m{i}.json")
-        data = f"{self.root}/data"
-        if self.fs.is_dir(data):
-            for d in self.fs.list_dir(data):
-                if d.startswith("txn=") and d[4:].isdigit() and int(d[4:]) > high:
-                    self.fs.rmtree(f"{data}/{d}")
-        if keep and keep <= cur:
-            # marker is stale once the pointer re-passes it
-            self.fs.remove_file(f"{self.root}/manifests/{ROLLBACK_KEEP}")
-        return high + 1
-
     def _walk_partitions(self, base: str, depth: int) -> list[str]:
         """Rel paths of partition leaf dirs under ``base`` holding at
         least one data file, via the fs seam (no Spark job)."""
@@ -396,7 +405,7 @@ class SnapshotLakeTable:
         replace_all: bool,
         changed_year_months: Sequence | None = None,
     ) -> list[str]:
-        nxt = self._next_id()
+        nxt, observed = self._proto.begin()  # claims data/txn=<nxt>
         txn_dir = f"{self.root}/data/txn={nxt}"
         # one file per partition via the partition-key hash repartition
         # (same small-files stance as LakeTable._writer); the write is
@@ -405,13 +414,17 @@ class SnapshotLakeTable:
             *[c for c in df.columns if c not in self.partition_cols],
             *self.partition_cols,
         )
-        (
-            ordered.repartition(*[F.col(c) for c in self.partition_cols])
-            .write.partitionBy(*self.partition_cols)
-            .mode("overwrite")
-            .parquet(txn_dir)
-        )
-        written = self._walk_partitions(txn_dir, len(self.partition_cols))
+        try:
+            (
+                ordered.repartition(*[F.col(c) for c in self.partition_cols])
+                .write.partitionBy(*self.partition_cols)
+                .mode("overwrite")
+                .parquet(txn_dir)
+            )
+            written = self._walk_partitions(txn_dir, len(self.partition_cols))
+        except Exception:
+            self._proto.abort(nxt)
+            raise
         if replace_all:
             manifest = {rel: nxt for rel in written}
         else:
@@ -430,30 +443,51 @@ class SnapshotLakeTable:
             manifest.update({rel: nxt for rel in written})
         if not written:
             self.fs.rmtree(txn_dir)  # empty extract: manifest-only publish
-        self._publish_manifest(manifest, nxt)
+        self._commit_manifest(manifest, nxt, observed)
         return written
 
-    def _publish_manifest(self, manifest: dict[str, int], nxt: int | None = None) -> None:
-        if nxt is None:
-            nxt = self._next_id()
+    def _publish_manifest(self, manifest: dict[str, int]) -> None:
+        """Manifest-only publish (metadata drop): same claim → write →
+        conditional-swap lifecycle, no data write."""
+        nxt, observed = self._proto.begin()
+        self.fs.rmtree(f"{self.root}/data/txn={nxt}")  # claim dir unused
+        self._commit_manifest(manifest, nxt, observed)
+
+    def _commit_manifest(
+        self, manifest: dict[str, int], nxt: int, observed: str | None
+    ) -> None:
         self.fs.makedirs(f"{self.root}/manifests")
-        # unique name + fsync'd write; invisible until the pointer swap
+        # unique name (the txn claim made <nxt> ours alone) + fsync'd
+        # write; invisible until the pointer swap
         self.fs.set_pointer(
             f"{self.root}/manifests/m{nxt}.json",
             json.dumps({"id": nxt, "txns": manifest}, sort_keys=True),
         )
-        # the ONLY visibility event (SnapshotFS.set_pointer atomicity)
-        self.fs.set_pointer(f"{self.root}/{POINTER}", f"m{nxt}")
-        self._gc(nxt)
+        # the ONLY visibility event — CONDITIONAL: a concurrent publish
+        # that moved the pointer first wins; ours is reaped and
+        # ConcurrentPublishError raised (shared protocol)
+        self._proto.commit(nxt, observed)
 
     def _gc(self, current: int) -> None:
         """Reap manifests behind the retain window and data partition
         dirs no retained manifest references. Never touches anything a
-        reader inside the retain window can still resolve."""
-        keep_ids = [i for i in self._manifest_ids() if current - self.retain <= i <= current]
+        reader inside the retain window can still resolve, nor a
+        concurrent publisher's in-flight (younger than grace) claim.
+        The keep set is the protocol's live LINEAGE (last retain+1
+        lives), not an id-arithmetic window — see
+        ``VersionedPointerPublisher.retained_ids``."""
+        keep_ids = [
+            i
+            for i in self._manifest_ids()
+            if i in self._proto.retained_ids(current)
+        ]
+        grace = self.grace_seconds
         for i in self._manifest_ids():
-            if i not in keep_ids:
-                self.fs.remove_file(f"{self.root}/manifests/m{i}.json")
+            if i in keep_ids:
+                continue
+            if i > current and self._proto.artifact_age(i) < grace:
+                continue  # in-flight concurrent publish — not ours to reap
+            self.fs.remove_file(f"{self.root}/manifests/m{i}.json")
         referenced: set[tuple[int, str]] = set()
         for i in keep_ids:
             for rel, txn in self._read_manifest(i).items():
@@ -466,6 +500,8 @@ class SnapshotLakeTable:
                 continue
             txn = int(d[4:])
             base = f"{data}/{d}"
+            if txn > current and self.fs.age_seconds(base) < grace:
+                continue  # in-flight concurrent publish's data write
             live = False
             for rel in self._walk_partitions(base, len(self.partition_cols)):
                 if (txn, rel) in referenced:

@@ -139,8 +139,13 @@ def test_reader_never_sees_missing_path_during_publishes(spark, tmp_path, fs_cls
 
 def test_publish_crash_between_version_rename_and_pointer_swap(spark, tmp_path, monkeypatch):
     """Kill-point: die after staging→vN rename but before the pointer
-    swap. Readers stay on the old version; the next publish allocates
-    past the orphan and GC reaps it."""
+    swap. Readers stay on the old version. Since the shared protocol
+    (r10) a publish failing by EXCEPTION aborts its claim on the way
+    out, and a true process death leaves an orphan the next publish's
+    begin() reaps (grace=0) — either way the number is reused and the
+    GENUINE previous live version stays retained (the old max(dirs)
+    numbering kept the unreadable orphan and reaped the real previous
+    version instead)."""
     import os
 
     lake = _lake(spark, tmp_path)
@@ -160,21 +165,38 @@ def test_publish_crash_between_version_rename_and_pointer_swap(spark, tmp_path, 
         mart.publish("sales_history_1")
     monkeypatch.undo()
 
-    # pointer untouched → readers still on v1, orphan v2 invisible
+    # pointer untouched → readers still on v1; the failed publish
+    # aborted its claim, so no orphan v2 remains either
     assert mart.current_version("sales_history_1") == 1
     assert mart.read(spark, "sales_history_1").count() == 2
+    assert not os.path.isdir(
+        os.path.join(mart.table_root("sales_history_1"), "v2")
+    )
     mart.recover("sales_history_1")  # no-op by design
     assert mart.current_version("sales_history_1") == 1
 
-    # next cycle publishes v3 past the orphan and GC reaps v1 and v2
+    # next cycle reuses v2; v1 — the GENUINE previous live version
+    # concurrent readers may still be probing — stays retained
     mart.write_staging("sales_history_1", mart_client_count_df(lake.read(), REFRESH))
     mart.publish("sales_history_1")
-    assert mart.current_version("sales_history_1") == 3
+    assert mart.current_version("sales_history_1") == 2
     assert mart.read(spark, "sales_history_1").count() == 2
     dirs = sorted(
         d for d in os.listdir(mart.table_root("sales_history_1")) if d.startswith("v")
     )
-    assert dirs == ["v2", "v3"]  # v2 retained (previous), v1 reaped
+    assert dirs == ["v1", "v2"]
+
+    # the TRUE process-death shape (orphan dir left behind, no abort):
+    # reaped by the next publish's begin(), number reused, previous
+    # live version still retained
+    os.makedirs(os.path.join(mart.table_root("sales_history_1"), "v3"))
+    mart.write_staging("sales_history_1", mart_client_count_df(lake.read(), REFRESH))
+    mart.publish("sales_history_1")
+    assert mart.current_version("sales_history_1") == 3
+    dirs = sorted(
+        d for d in os.listdir(mart.table_root("sales_history_1")) if d.startswith("v")
+    )
+    assert dirs == ["v2", "v3"]
 
 
 def test_recover_falls_back_when_pointer_names_missing_dir(spark, tmp_path):

@@ -27,7 +27,10 @@ FLAGSHIPS = {
     # cdc_snapshot_demo — the snapshot-isolated lake protocol — and
     # copurchase_triangles_node_est — the per-node sampled triangle
     # board — pinned in their place.)
-    "dedup_jaccard_prefix",
+    # (r10 rotation: dedup_jaccard_prefix ceded — exact set-similarity
+    # stays oracle-backed past-cap; the winnowing copy-detection board
+    # and span-level decontamination pin as the r10 flagships.)
+    "doc_winnow_pairs", "decontaminate_spans",
     "mart_client_count", "tpch_q1", "cdc_roundtrip_demo", "user_streaks",
     "dedup_exact", "dedup_minhash", "semantic_dedup",
     "sessionize_session_window", "hybrid_search_rrf",

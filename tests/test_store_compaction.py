@@ -699,9 +699,11 @@ def test_publish_gc_survives_crashed_publish_orphan(tmp_path):
 
 
 def test_rollback_store_version_restores_previous_snapshot(tmp_path):
-    """Rollback = atomic pointer swap to a retained version; the bad
-    version stays on disk but is reaped as an orphan by the NEXT
-    publish (pointer-derived numbering), which then renumbers over it."""
+    """Rollback = atomic pointer swap to a retained version; the
+    rolled-back-FROM version is a once-live snapshot readers may still
+    be pinned to (shared protocol, ADVICE r9): the next publish
+    allocates PAST it instead of reaping/renumbering over it, and it
+    ages out of the retain window like any other snapshot."""
     import os
 
     import pytest
@@ -731,12 +733,17 @@ def test_rollback_store_version_restores_previous_snapshot(tmp_path):
     with open(os.path.join(store_live_path(root, fs), "data.txt")) as f:
         assert f.read() == "good"
 
-    # next publish reaps the rolled-back-from v2 and renumbers over it
+    # the next publish allocates PAST the survivor; retain=1 counts
+    # previous LIVES (lineage), so the version readers were actually
+    # on just before this publish — v1, live again since the rollback
+    # — is what stays; v2 ("bad", two lives back) ages out
     publish_store_version(root, stage("fixed"), fs, retain=1)
-    assert store_live_path(root, fs).endswith("/v2")
+    assert store_live_path(root, fs).endswith("/v3")
     with open(os.path.join(store_live_path(root, fs), "data.txt")) as f:
         assert f.read() == "fixed"
-    assert sorted(n for n in os.listdir(root) if n.startswith("v")) == ["v1", "v2"]
+    assert sorted(n for n in os.listdir(root) if n.startswith("v")) == ["v1", "v3"]
+    with open(os.path.join(root, "v1", "data.txt")) as f:
+        assert f.read() == "good"
 
     # beyond the retain window -> explicit error naming what exists
     with pytest.raises(FileNotFoundError):

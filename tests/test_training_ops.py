@@ -823,3 +823,88 @@ def test_winnow_pairs_bounded_under_clone_flood(spark):
     # can pair flood docs, keeping the relation bucket-bounded
     assert len(pairs) < 50_000, len(pairs)
     assert wall < 60, f"clone flood blew the pair budget: {wall:.1f}s"
+
+
+def test_decontaminate_spans_catches_edited_contamination(spark):
+    """VERDICT r9 #1 done-criterion: a lightly-edited contaminated doc
+    is caught by the winnow span probe but MISSED by the exact 8-gram
+    prefix probe (one token change inside the probe window blinds it;
+    any untouched >= 6-token span still collides on a fingerprint)."""
+    import pyspark.sql.functions as F
+
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        decontaminate_spans,
+        ngram_probe_hits,
+    )
+
+    eval_text = (
+        "what is the boiling point of water at standard atmospheric"
+        " pressure in celsius"
+    )
+    # contaminated: copies an INTERIOR 8-token span of the eval item,
+    # but its first tokens differ and one eval-prefix token is edited
+    contaminated = (
+        "quiz item: THE boiling point of water at standard atmospheric"
+        " pressure is one hundred degrees"
+    )
+    clean = (
+        "a completely unrelated passage about mountain weather patterns"
+        " and seasonal rainfall totals"
+    )
+    corpus = spark.createDataFrame(
+        [(10, contaminated), (11, clean)], "doc_id long, text string"
+    )
+    eval_docs = spark.createDataFrame(
+        [(1, eval_text)], "eval_id long, text string"
+    )
+
+    # the exact prefix probe (what the `decontaminate` query builds —
+    # first 8 tokens of the eval item) misses: the copied span starts
+    # at eval token 2 and doc 10's own prefix differs
+    probes = eval_docs.select(
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), " "), 1, 8)
+        ).alias("probe")
+    )
+    exact = ngram_probe_hits(
+        corpus, probes, text_col="text", id_col="doc_id", n=8
+    ).collect()
+    assert exact == [], exact
+
+    spans = decontaminate_spans(corpus, eval_docs).collect()
+    got = {(r.doc_id, r.eval_id) for r in spans}
+    assert got == {(10, 1)}, spans
+    assert all(r.shared_fps >= 1 for r in spans)
+
+
+def test_winnow_span_verify_exact_planted_lengths(spark):
+    """VERDICT r9 #6 done-criterion: the exact verify reports the TRUE
+    longest copied token run for flagged pairs — a planted 9-token span
+    verifies to exactly 9; a planted 6-token (minimum-guarantee) span
+    to exactly 6; a pair with no >= 6-token common run verifies to 0."""
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        winnow_span_verify,
+    )
+
+    nine = "alpha beta gamma delta epsilon zeta eta theta iota"
+    six = "uno dos tres cuatro cinco seis"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {nine} trailing material here"),
+            (2, f"other opening {nine} different ending text"),
+            (3, f"lead {six} tail padding tokens extra"),
+            (4, f"start {six} closing remarks appended now"),
+            (5, "wholly distinct content about topic one two"),
+            (6, "entirely different sentences concerning another matter"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 5), (3, 4, 1), (5, 6, 1)],
+        "doc_a long, doc_b long, shared_fps long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.longest_run_tokens
+        for r in winnow_span_verify(docs, pairs).collect()
+    }
+    assert got == {(1, 2): 9, (3, 4): 6, (5, 6): 0}, got
