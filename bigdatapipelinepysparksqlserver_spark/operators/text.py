@@ -1341,6 +1341,41 @@ def decontaminate_spans(
     )
 
 
+def decontaminate_spans_stored(
+    spark,
+    table: str,
+    eval_docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    eval_id_col: str = "eval_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Repeated-use :func:`decontaminate_spans`: probe the eval set's
+    winnow fingerprints against a PRE-BUILT corpus index
+    (:func:`winnow_store_bucketed` — fp_hash-bucketed, stop-gram
+    df-cap paid once at build). The corpus is never re-fingerprinted:
+    per-probe cost is one broadcast hash join over the stored relation
+    (no Exchange on either side — the eval fps broadcast), which is the
+    right economics when the same corpus is screened against every new
+    eval suite. Same output contract as the inline form under the same
+    df-cap (pytest-asserted)."""
+    efps = (
+        winnow_fingerprints(
+            eval_docs, k=k, w=w, id_col=eval_id_col, text_col=text_col
+        )
+        .select(F.col(eval_id_col), "fp_hash")
+        .distinct()
+    )
+    stored = spark.table(table)  # (doc_id, fp_hash), df-capped at build
+    return (
+        stored.join(F.broadcast(efps), "fp_hash")
+        .groupBy("doc_id", eval_id_col)
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 def winnow_span_verify(
     docs: DataFrame,
     pairs: DataFrame,

@@ -223,3 +223,48 @@ def test_winnow_store_probe_exchange_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_winnow_store")
+
+
+def test_decontaminate_spans_stored_equals_inline(spark, tmp_path):
+    """The repeated-use decontamination form (eval fps probed against
+    the winnow_store_bucketed corpus index) must equal the inline
+    decontaminate_spans under the same df-cap, with NO Exchange at all
+    in the probe (stored side bucketed, eval side broadcast)."""
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        decontaminate_spans,
+        decontaminate_spans_stored,
+        winnow_store_bucketed,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the mitochondria is the powerhouse of the cell as taught"),
+            (2, "unrelated prose about tides and lunar gravitational pull"),
+            (3, "exam prep says the mitochondria is the powerhouse of the"
+                " cell remember this"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(7, "question: the mitochondria is the powerhouse of the cell"
+             " true or false")],
+        "eval_id long, text string",
+    )
+    winnow_store_bucketed(
+        spark, corpus, "t_decont_store", num_buckets=4,
+        path=str(tmp_path / "decont_store"),
+    )
+    try:
+        stored = decontaminate_spans_stored(
+            spark, "t_decont_store", eval_docs
+        )
+        inline = decontaminate_spans(corpus, eval_docs)
+        got = sorted(map(tuple, stored.collect()))
+        want = sorted(map(tuple, inline.collect()))
+        assert got == want and {r[0] for r in got} == {1, 3}, (got, want)
+        # probe plan: no Exchange anywhere (broadcast join over the
+        # bucketed scan; the groupBy keys include the bucket column)
+        plan = stored._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_decont_store")
