@@ -131,6 +131,64 @@ def unescape_partition_value(s: str):
     return "".join(out)
 
 
+def _merge_schema(prior, new):
+    """Additive schema merge (prior column order kept, brand-new
+    columns appended): the lake's evolution contract. A type CHANGE on
+    an existing column is refused — rewriting history is a migration,
+    not an evolution."""
+    if prior is None:
+        return new
+    from pyspark.sql.types import StructType
+
+    by_name = {f.name: f for f in prior.fields}
+    for f in new.fields:
+        if f.name in by_name and by_name[f.name].dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution rejected: column {f.name!r} changes type "
+                f"{by_name[f.name].dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()}; additive evolution only"
+            )
+    prior_names = {f.name for f in prior.fields}
+    return StructType(
+        list(prior.fields) + [f for f in new.fields if f.name not in prior_names]
+    )
+
+
+def _stat_encode(v, widen: int = 0):
+    """Encode a column value for manifest zone-map storage/comparison.
+
+    Encodings are chosen so PYTHON comparison of two encoded values
+    orders the same as SQL comparison of the originals: ints/floats
+    natively; timestamps/dates as fixed-width sortable strings;
+    Decimals as floats WIDENED one ulp outward (``widen`` = -1 for a
+    stored min, +1 for a stored max) so float rounding can only make
+    the zone LARGER — pruning stays conservative. Everything else is
+    str (correct for string columns; do not put binary/array columns
+    in ``stats_cols``)."""
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return v
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if widen < 0:
+            return math.nextafter(f, -math.inf)
+        if widen > 0:
+            return math.nextafter(f, math.inf)
+        return f
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    return str(v)
+
+
 class _LakeProtocol(VersionedPointerPublisher):
     """The shared pointer lifecycle bound to the lake's two-piece
     artifact layout: a version id *i* owns ``manifests/m<i>.json`` AND
@@ -198,6 +256,7 @@ class SnapshotLakeTable:
         fs: SnapshotFS | None = None,
         retain: int = 1,
         grace_seconds: float = 0.0,
+        stats_cols: Sequence[str] = (),
     ):
         self.spark = spark
         self.root = root
@@ -205,6 +264,13 @@ class SnapshotLakeTable:
         self.fs = fs or LocalFS()
         self.retain = retain
         self.grace_seconds = grace_seconds
+        # zone-map columns: per-partition [min, max] recorded in the
+        # manifest at publish (computed from the just-written change
+        # set only), so readers can prune partitions on NON-partition
+        # columns driver-side before Spark ever lists a directory —
+        # the Iceberg partition-stats idea at the engine's
+        # per-partition granularity
+        self.stats_cols = tuple(stats_cols)
         if schema is None:
             from ..schemas import SALES_HISTORY
 
@@ -227,17 +293,106 @@ class SnapshotLakeTable:
             if n.startswith("m") and n.endswith(".json") and n[1:-5].isdigit()
         )
 
-    def _read_manifest(self, mid: int) -> dict[str, int]:
+    def _read_manifest_doc(self, mid: int) -> dict:
         raw = self.fs.read_pointer(f"{self.root}/manifests/m{mid}.json")
         if raw is None:
             raise FileNotFoundError(f"manifest m{mid} missing under {self.root}")
-        return {rel: int(txn) for rel, txn in json.loads(raw)["txns"].items()}
+        return json.loads(raw)
+
+    def _read_manifest_full(self, mid: int) -> tuple[dict[str, int], dict]:
+        doc = self._read_manifest_doc(mid)
+        txns = {rel: int(txn) for rel, txn in doc["txns"].items()}
+        return txns, doc.get("stats", {})
+
+    def _read_manifest(self, mid: int) -> dict[str, int]:
+        return self._read_manifest_full(mid)[0]
+
+    def _manifest_schema(self, mid: int | None):
+        """The schema RECORDED in a manifest (additively merged across
+        publishes — see ``_merge_schema``), as a StructType, or None
+        for pre-evolution manifests."""
+        if mid is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        doc = self._read_manifest_doc(mid)
+        sj = doc.get("schema")
+        return None if sj is None else StructType.fromJson(sj)
+
+    def live_schema(self):
+        """The live snapshot's full (evolved) schema: the manifest's
+        recorded schema when present, else the declared one."""
+        rec = self._manifest_schema(self.current_id())
+        if rec is not None:
+            return rec
+        return self.spark.createDataFrame([], self.schema).schema
 
     def current_manifest(self) -> dict[str, int] | None:
         """The live snapshot's {partition rel path -> owning txn} map,
         or None before the first publish."""
         cur = self.current_id()
         return None if cur is None else self._read_manifest(cur)
+
+    def current_stats(self) -> dict:
+        """The live snapshot's zone maps: {rel -> {col -> [min, max]}}
+        (empty for partitions published before stats_cols was set, or
+        when no stats_cols are configured)."""
+        cur = self.current_id()
+        return {} if cur is None else self._read_manifest_full(cur)[1]
+
+    def pruned_partitions(self, ranges: dict, mid: int | None = None) -> dict[str, int]:
+        """The manifest entries whose zone maps INTERSECT every range
+        in ``ranges`` ({col: (lo, hi)}, either bound None = open).
+        Conservative: a partition with no recorded stats for a column
+        is always kept. Sound only for range/equality predicates on the
+        named columns (an IS NULL probe must use :meth:`read` — NULLs
+        are invisible to min/max zones)."""
+        cur = mid if mid is not None else self.current_id()
+        if cur is None:
+            return {}
+        txns, stats = self._read_manifest_full(cur)
+        keep: dict[str, int] = {}
+        for rel, txn in txns.items():
+            st = stats.get(rel, {})
+            ok = True
+            for col, (lo, hi) in ranges.items():
+                b = st.get(col)
+                if not b or b[0] is None or b[1] is None:
+                    continue  # no zone -> keep (conservative)
+                if hi is not None and b[0] > _stat_encode(hi):
+                    ok = False
+                    break
+                if lo is not None and b[1] < _stat_encode(lo):
+                    ok = False
+                    break
+            if ok:
+                keep[rel] = txn
+        return keep
+
+    def _scan_rels(self, man: dict[str, int], rels, rec=None) -> DataFrame:
+        """Explicit-path scan of manifest entries. ``rec`` (a recorded
+        evolved schema) makes files missing later-added columns fill
+        NULL; the discovered ``txn`` partition level is dropped."""
+        if not rels:
+            return self.spark.createDataFrame([], rec or self.schema)
+        paths = [f"{self.root}/data/txn={man[rel]}/{rel}" for rel in sorted(rels)]
+        reader = self.spark.read.option("basePath", f"{self.root}/data")
+        if rec is not None:
+            reader = reader.schema(rec)
+        return reader.parquet(*paths).drop("txn")
+
+    def read_pruned(self, ranges: dict) -> DataFrame:
+        """Scan the live snapshot restricted to partitions whose zone
+        maps can satisfy ``ranges`` — manifest-level pruning on
+        NON-partition columns, decided driver-side from pure metadata
+        before Spark lists a single directory. The caller still applies
+        its own row filter (zones bound partitions, not rows); at a
+        100 TB lake a selective time-range probe goes from listing
+        every partition to opening only the months that can match."""
+        keep = self.pruned_partitions(ranges)
+        return self._scan_rels(
+            keep, list(keep), self._manifest_schema(self.current_id())
+        )
 
     def exists(self) -> bool:
         m = self.current_manifest()
@@ -262,15 +417,61 @@ class SnapshotLakeTable:
         ``rollback_store_version`` target. Within the retain window the
         referenced partition dirs are immutable and un-GC'd, so the
         read is exactly the table as of that publish ("what did the
-        June partitions look like before this morning's CDC run")."""
+        June partitions look like before this morning's CDC run").
+        Time travel reads under the snapshot's OWN recorded schema —
+        a later evolution does not retroactively add columns."""
         m = self._read_manifest(mid)
-        if not m:
-            return self.spark.createDataFrame([], self.schema)
-        paths = [f"{self.root}/data/txn={txn}/{rel}" for rel, txn in sorted(m.items())]
+        return self._scan_rels(m, list(m), self._manifest_schema(mid))
+
+    def snapshot_diff(self, from_mid: int, to_mid: int) -> dict:
+        """What changed between two retained snapshots, at PARTITION
+        grain, from pure manifest metadata (no file listing, no Spark
+        job): partitions ``added`` (only in ``to``), ``removed`` (only
+        in ``from``), and ``rewritten`` (present in both but owned by a
+        different txn — the manifest's immutability makes txn identity
+        a complete change detector: a partition's bytes can only change
+        by being rewritten into a new txn)."""
+        a = self._read_manifest(from_mid)
+        b = self._read_manifest(to_mid)
+        return {
+            "added": sorted(set(b) - set(a)),
+            "removed": sorted(set(a) - set(b)),
+            "rewritten": sorted(
+                r for r in set(a) & set(b) if a[r] != b[r]
+            ),
+        }
+
+    def snapshot_diff_rows(self, from_mid: int, to_mid: int) -> DataFrame:
+        """Row-level diff between two retained snapshots: one row per
+        inserted (``change='insert'``) or deleted (``'delete'``) row —
+        an update appears as delete+insert. Scans ONLY the partitions
+        the manifest diff marks changed (added/removed/rewritten), so
+        the cost ∝ change set at any lake size; unchanged partitions
+        are proven identical by txn identity and never read. The
+        comparison is ``exceptAll`` both ways (duplicate-correct).
+        Across a schema evolution both sides read under the MERGED
+        schema, so a pre-evolution row diffs with NULL in the later
+        columns rather than failing to align."""
+        d = self.snapshot_diff(from_mid, to_mid)
+        a = self._read_manifest(from_mid)
+        b = self._read_manifest(to_mid)
+        old_rels = d["removed"] + d["rewritten"]
+        new_rels = d["added"] + d["rewritten"]
+        sa = self._manifest_schema(from_mid)
+        sb = self._manifest_schema(to_mid)
+        merged = sa if sb is None else _merge_schema(sa, sb)
+
+        old_df = self._scan_rels(a, old_rels, merged)
+        new_df = self._scan_rels(b, new_rels, merged)
+        cols = new_df.columns
         return (
-            self.spark.read.option("basePath", f"{self.root}/data")
-            .parquet(*paths)
-            .drop("txn")
+            new_df.exceptAll(old_df.select(cols))
+            .withColumn("change", F.lit("insert"))
+            .unionByName(
+                old_df.select(cols)
+                .exceptAll(new_df)
+                .withColumn("change", F.lit("delete"))
+            )
         )
 
     def rollback(self, mid: int) -> int:
@@ -290,16 +491,12 @@ class SnapshotLakeTable:
         invisible to this DataFrame. Partition columns come from the
         directory structure under the shared basePath, so Catalyst's
         PartitionFilters pruning works exactly as on a plain
-        partitioned table; the synthetic ``txn`` level is dropped."""
-        m = self.current_manifest()
-        if not m:
-            return self.spark.createDataFrame([], self.schema)
-        paths = [f"{self.root}/data/txn={txn}/{rel}" for rel, txn in sorted(m.items())]
-        return (
-            self.spark.read.option("basePath", f"{self.root}/data")
-            .parquet(*paths)
-            .drop("txn")
-        )
+        partitioned table; the synthetic ``txn`` level is dropped.
+        Under the manifest's RECORDED schema (additive evolution), so
+        pre-evolution partitions fill NULL for later columns."""
+        cur = self.current_id()
+        m = self.current_manifest() or {}
+        return self._scan_rels(m, list(m), self._manifest_schema(cur))
 
     def partitions(self) -> DataFrame:
         """Distinct live partition values — decoded from the MANIFEST
@@ -415,6 +612,16 @@ class SnapshotLakeTable:
             *self.partition_cols,
         )
         try:
+            # schema-evolution gate BEFORE the data write: a refused
+            # (type-changing) publish aborts its claim without having
+            # written anything
+            rec_schema = (
+                ordered.schema
+                if replace_all
+                else _merge_schema(
+                    self._manifest_schema(self.current_id()), ordered.schema
+                )
+            )
             (
                 ordered.repartition(*[F.col(c) for c in self.partition_cols])
                 .write.partitionBy(*self.partition_cols)
@@ -425,6 +632,7 @@ class SnapshotLakeTable:
         except Exception:
             self._proto.abort(nxt)
             raise
+        prior_stats = self.current_stats()
         if replace_all:
             manifest = {rel: nxt for rel in written}
         else:
@@ -443,25 +651,79 @@ class SnapshotLakeTable:
             manifest.update({rel: nxt for rel in written})
         if not written:
             self.fs.rmtree(txn_dir)  # empty extract: manifest-only publish
-        self._commit_manifest(manifest, nxt, observed)
+        # zone maps: carried entries keep their prior stats; written
+        # entries get fresh ones computed from the just-written txn dir
+        # (change-set-sized, column-pruned read-back — never the lake)
+        stats = {
+            rel: prior_stats[rel]
+            for rel in manifest
+            if rel not in set(written) and rel in prior_stats
+        }
+        if self.stats_cols and written:
+            stats.update(self._collect_stats(txn_dir, written))
+        self._commit_manifest(manifest, nxt, observed, stats, rec_schema)
         return written
+
+    def _collect_stats(self, txn_dir: str, written: list[str]) -> dict:
+        """Per-partition [min, max] of each stats column over the
+        just-written partitions. One change-set-sized Spark job; the
+        collect is one row per written partition (control-plane)."""
+        df = (
+            self.spark.read.option("basePath", txn_dir)
+            .parquet(*[f"{txn_dir}/{rel}" for rel in written])
+        )
+        aggs = []
+        for c in self.stats_cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = df.groupBy(*self.partition_cols).agg(*aggs).collect()
+        out: dict = {}
+        for r in rows:
+            rel = "/".join(
+                f"{k}={escape_partition_value(r[k])}"
+                for k in self.partition_cols
+            )
+            out[rel] = {
+                c: [
+                    _stat_encode(r[f"__mn_{c}"], widen=-1),
+                    _stat_encode(r[f"__mx_{c}"], widen=1),
+                ]
+                for c in self.stats_cols
+            }
+        return out
 
     def _publish_manifest(self, manifest: dict[str, int]) -> None:
         """Manifest-only publish (metadata drop): same claim → write →
-        conditional-swap lifecycle, no data write."""
+        conditional-swap lifecycle, no data write. Surviving entries
+        keep their zone maps."""
         nxt, observed = self._proto.begin()
         self.fs.rmtree(f"{self.root}/data/txn={nxt}")  # claim dir unused
-        self._commit_manifest(manifest, nxt, observed)
+        prior_stats = self.current_stats()
+        stats = {rel: prior_stats[rel] for rel in manifest if rel in prior_stats}
+        self._commit_manifest(
+            manifest, nxt, observed, stats,
+            self._manifest_schema(self.current_id()),
+        )
 
     def _commit_manifest(
-        self, manifest: dict[str, int], nxt: int, observed: str | None
+        self,
+        manifest: dict[str, int],
+        nxt: int,
+        observed: str | None,
+        stats: dict | None = None,
+        rec_schema=None,
     ) -> None:
         self.fs.makedirs(f"{self.root}/manifests")
         # unique name (the txn claim made <nxt> ours alone) + fsync'd
         # write; invisible until the pointer swap
+        doc: dict = {"id": nxt, "txns": manifest}
+        if stats:
+            doc["stats"] = stats
+        if rec_schema is not None:
+            doc["schema"] = rec_schema.jsonValue()
         self.fs.set_pointer(
             f"{self.root}/manifests/m{nxt}.json",
-            json.dumps({"id": nxt, "txns": manifest}, sort_keys=True),
+            json.dumps(doc, sort_keys=True),
         )
         # the ONLY visibility event — CONDITIONAL: a concurrent publish
         # that moved the pointer first wins; ours is reaped and

@@ -264,6 +264,233 @@ def test_partition_values_hive_escape_round_trip(spark, tmp_path):
     assert sorted(r.id for r in lake.read().collect()) == [2, 4]
 
 
+def test_manifest_zone_map_pruning(spark, tmp_path):
+    """r10 zone maps: per-partition [min, max] of configured columns
+    recorded in the manifest at publish; read_pruned/pruned_partitions
+    prune on NON-partition columns driver-side from pure metadata —
+    conservative for missing stats, exact-equal results vs full scan +
+    filter, decimal bounds widened so float rounding can only widen a
+    zone, and carried (unchanged) partitions keep their stats across
+    later publishes."""
+    from datetime import datetime as dt
+    from decimal import Decimal
+
+    from bigdatapipelinepysparksqlserver_spark.sources.lake_snapshot import (
+        SnapshotLakeTable,
+    )
+
+    schema = (
+        "id long, ts timestamp, paid decimal(18,2),"
+        " year_month int, country string"
+    )
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("year_month", "country"),
+        schema=schema,
+        retain=2,
+        stats_cols=("ts", "paid"),
+    )
+    rows = [
+        (1, dt(2024, 5, 3, 10, 0), Decimal("10.00"), 202405, "US"),
+        (2, dt(2024, 5, 28, 9, 0), Decimal("20.50"), 202405, "US"),
+        (3, dt(2024, 6, 2, 8, 0), Decimal("99.99"), 202406, "DE"),
+        (4, dt(2024, 7, 15, 7, 0), Decimal("5.25"), 202407, "DE"),
+    ]
+    lake.write_full(spark.createDataFrame(rows, schema))
+
+    st = lake.current_stats()
+    assert set(st) == {
+        "year_month=202405/country=US",
+        "year_month=202406/country=DE",
+        "year_month=202407/country=DE",
+    }
+    # a June-only time probe prunes to the June partition
+    keep = lake.pruned_partitions(
+        {"ts": (dt(2024, 6, 1), dt(2024, 6, 30))}
+    )
+    assert list(keep) == ["year_month=202406/country=DE"]
+    got = lake.read_pruned({"ts": (dt(2024, 6, 1), dt(2024, 6, 30))})
+    want = lake.read().where(
+        "ts BETWEEN '2024-06-01' AND '2024-06-30'"
+    )
+    assert sorted(r.id for r in got.where(
+        "ts BETWEEN '2024-06-01' AND '2024-06-30'").collect()
+    ) == sorted(r.id for r in want.collect()) == [3]
+
+    # decimal boundary: probing exactly a partition's max must keep it
+    # (stored bounds are ulp-widened floats — never exclude the edge)
+    keep = lake.pruned_partitions({"paid": (Decimal("20.50"), None)})
+    assert "year_month=202405/country=US" in keep
+    assert "year_month=202406/country=DE" in keep
+    assert "year_month=202407/country=DE" not in keep
+
+    # a later publish touching ONE partition: carried partitions keep
+    # their zones, the rewritten one gets fresh zones
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(9, dt(2024, 6, 20, 6, 0), Decimal("1.00"), 202406, "DE")],
+            schema,
+        )
+    )
+    st2 = lake.current_stats()
+    assert st2["year_month=202405/country=US"] == st["year_month=202405/country=US"]
+    assert st2["year_month=202406/country=DE"] != st["year_month=202406/country=DE"]
+    # the June partition's paid zone now tops out at 1.00
+    keep = lake.pruned_partitions({"paid": (Decimal("50"), None)})
+    assert "year_month=202406/country=DE" not in keep
+
+    # conservative fallback: partitions published WITHOUT stats_cols
+    # are always kept
+    bare = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "bare"),
+        partition_cols=("year_month", "country"),
+        schema=schema,
+        stats_cols=(),
+    )
+    bare.write_full(spark.createDataFrame(rows, schema))
+    with_stats = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "bare"),
+        partition_cols=("year_month", "country"),
+        schema=schema,
+        stats_cols=("ts",),
+    )
+    with_stats.overwrite_partitions(
+        spark.createDataFrame(
+            [(9, dt(2024, 6, 20), Decimal("1.00"), 202406, "DE")], schema
+        )
+    )
+    keep = with_stats.pruned_partitions({"ts": (dt(2030, 1, 1), None)})
+    # stat-less partitions kept (conservative); the stated June one
+    # has a zone and is provably out of range
+    assert "year_month=202406/country=DE" not in keep
+    assert "year_month=202405/country=US" in keep
+
+
+def test_snapshot_diff_partition_and_row_level(spark, tmp_path):
+    """r10 snapshot diff: partition-grain changes from pure manifest
+    metadata (txn identity = complete change detector), row-level
+    insert/delete diff scanning ONLY changed partitions; an update
+    shows as delete+insert; unchanged partitions never read."""
+    lake = SnapshotLakeTable(spark, str(tmp_path / "lake"), retain=3)
+    schema = "id int, year_month int, country string, paid double"
+    v1_rows = [
+        (1, 202405, "US", 1.0),
+        (2, 202406, "DE", 2.0),
+        (3, 202407, "FR", 3.0),
+    ]
+    lake.write_full(spark.createDataFrame(v1_rows, schema))
+    m1 = lake.current_id()
+    # rewrite June (update row 2 -> 20.0 and add row 4), add August,
+    # drop July
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [
+                (2, 202406, "DE", 20.0),
+                (4, 202406, "DE", 4.0),
+                (5, 202408, "US", 5.0),
+            ],
+            schema,
+        )
+    )
+    lake.drop_partition_values([(202407, "FR")])
+    m2 = lake.current_id()
+
+    d = lake.snapshot_diff(m1, m2)
+    assert d == {
+        "added": ["year_month=202408/country=US"],
+        "removed": ["year_month=202407/country=FR"],
+        "rewritten": ["year_month=202406/country=DE"],
+    }
+    got = sorted(
+        (r.change, r.id, r.paid)
+        for r in lake.snapshot_diff_rows(m1, m2).collect()
+    )
+    assert got == [
+        ("delete", 2, 2.0),
+        ("delete", 3, 3.0),
+        ("insert", 2, 20.0),
+        ("insert", 4, 4.0),
+        ("insert", 5, 5.0),
+    ]
+    # reverse direction inverts the roles
+    rev = lake.snapshot_diff(m2, m1)
+    assert rev["added"] == ["year_month=202407/country=FR"]
+    assert rev["removed"] == ["year_month=202408/country=US"]
+    # identical snapshots: empty diff, zero rows scanned
+    assert lake.snapshot_diff(m2, m2) == {
+        "added": [], "removed": [], "rewritten": []
+    }
+    assert lake.snapshot_diff_rows(m2, m2).count() == 0
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """r10 schema evolution: a publish carrying a NEW column records
+    the merged schema in the manifest; read() fills NULL for
+    pre-evolution partitions (no rewrite), time travel reads each
+    snapshot under its OWN schema, the row diff aligns across the
+    evolution, and a type CHANGE is refused."""
+    import pytest as _pytest
+
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("year_month", "country"),
+        schema="id int, paid double, year_month int, country string",
+        retain=3,
+    )
+    lake.write_full(
+        spark.createDataFrame(
+            [(1, 1.0, 202405, "US"), (2, 2.0, 202406, "DE")],
+            "id int, paid double, year_month int, country string",
+        )
+    )
+    m1 = lake.current_id()
+    # evolve: June rewritten WITH a channel column
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(3, 3.0, "web", 202406, "DE")],
+            "id int, paid double, channel string, year_month int, country string",
+        )
+    )
+    m2 = lake.current_id()
+
+    live = lake.read()
+    assert "channel" in live.columns
+    got = {r.id: r.channel for r in live.collect()}
+    assert got == {1: None, 3: "web"}  # pre-evolution partition fills NULL
+    assert [f.name for f in lake.live_schema().fields] == [
+        "id", "paid", "year_month", "country", "channel",
+    ]
+    # time travel: snapshot 1 has no channel column
+    assert "channel" not in lake.read_snapshot(m1).columns
+    # row diff across the evolution aligns on the merged schema
+    diff = {
+        (r.change, r.id): r.channel
+        for r in lake.snapshot_diff_rows(m1, m2).collect()
+    }
+    assert diff == {("delete", 2): None, ("insert", 3): "web"}
+    # a later publish WITHOUT the new column keeps it in the merged
+    # schema (additive — columns never silently vanish)
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(4, 4.0, 202407, "FR")],
+            "id int, paid double, year_month int, country string",
+        )
+    )
+    assert "channel" in lake.read().columns
+    # type change refused
+    with _pytest.raises(ValueError, match="additive evolution only"):
+        lake.overwrite_partitions(
+            spark.createDataFrame(
+                [(5, "oops", 202408, "US")],
+                "id int, paid string, year_month int, country string",
+            )
+        )
+
+
 def test_read_is_pinned_across_publish(spark, tmp_path):
     """A DataFrame resolved before a rebuild keeps answering from ITS
     snapshot afterwards (retain window) — the repeatable-read property

@@ -256,6 +256,102 @@ def test_mart_contention_exactly_one_wins(spark, tmp_path, fs_cls):
 # ---------------------------------------------------------------------------
 
 
+def test_randomized_protocol_lifecycle_matches_model(tmp_path):
+    """Model-based check over the SHARED protocol (no Spark): a
+    deterministic random sequence of publishes, crashed publishes
+    (claim + artifacts, no commit), rollbacks, and losing concurrent
+    publishes must always leave (a) the pointer naming a version whose
+    payload matches a dict model, (b) every lineage-retained version
+    readable, (c) no silent content loss — the loser of every race
+    raised ConcurrentPublishError."""
+    import os
+    import random
+
+    rng = random.Random(7)
+    fs = _fs("LocalFS")
+    root = str(tmp_path / "store")
+    fs.makedirs(root)
+    RETAIN = 2
+    GRACE = 3600.0  # multi-writer mode: in-flight claims protected
+
+    def new_pub():
+        return VersionedPointerPublisher(
+            fs, root, retain=RETAIN, grace_seconds=GRACE, what="t"
+        )
+
+    def payload(i):
+        p = os.path.join(root, f"v{i}", "data.txt")
+        with open(p) as f:
+            return f.read()
+
+    live = None          # model: payload of the live version
+    history = []         # model: payloads in live order
+    seq = 0
+    for step in range(60):
+        op = rng.choice(["publish", "publish", "publish", "crash", "race", "rollback"])
+        pub = new_pub()
+        if op == "publish":
+            seq += 1
+            tag = f"p{seq}"
+            nxt, obs = pub.begin()
+            with open(os.path.join(root, f"v{nxt}", "data.txt"), "w") as f:
+                f.write(tag)
+            pub.commit(nxt, obs)
+            live = tag
+            history.append((nxt, tag))
+        elif op == "crash":
+            seq += 1
+            nxt, obs = pub.begin()
+            with open(os.path.join(root, f"v{nxt}", "data.txt"), "w") as f:
+                f.write(f"crashed{seq}")
+            # no commit: in-flight/crashed claim; grace keeps it on
+            # disk, the pointer never names it
+        elif op == "race":
+            seq += 1
+            a = new_pub()
+            na, oa = a.begin()
+            with open(os.path.join(root, f"v{na}", "data.txt"), "w") as f:
+                f.write(f"loser{seq}")
+            b = new_pub()
+            nb, ob = b.begin()
+            tag = f"winner{seq}"
+            with open(os.path.join(root, f"v{nb}", "data.txt"), "w") as f:
+                f.write(tag)
+            b.commit(nb, ob)
+            with pytest.raises(ConcurrentPublishError):
+                a.commit(na, oa)
+            assert not fs.is_dir(os.path.join(root, f"v{na}"))
+            live = tag
+            history.append((nb, tag))
+        else:  # rollback to a still-on-disk once-live version
+            cur = pub.current_id()
+            candidates = [
+                (i, t) for i, t in history
+                if cur is not None and i < cur and fs.is_dir(f"{root}/v{i}")
+            ]
+            if not candidates:
+                continue
+            target, tag = candidates[-1]
+            pub.rollback(target)
+            live = tag
+            history.append((target, tag))
+
+        # invariants after every step
+        pub = new_pub()
+        cur = pub.current_id()
+        if live is None:
+            assert cur is None
+            continue
+        assert cur is not None
+        assert payload(cur) == live, f"step {step}: live content diverged"
+        # every retained-by-lineage id still on disk is readable and
+        # holds exactly the payload the model recorded for it
+        by_id = dict(history)
+        for i in pub.retained_ids(cur):
+            if fs.is_dir(f"{root}/v{i}") and i in by_id:
+                assert payload(i) == by_id[i], f"step {step}: v{i} corrupted"
+
+
 @pytest.mark.parametrize("fs_cls", FS)
 def test_lake_contention_exactly_one_wins(spark, tmp_path, fs_cls):
     """Two writers over the SAME lake root: A claims its txn, B's full
