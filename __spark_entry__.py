@@ -38,10 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for ALL 203 registered queries (100% oracle-backed
-    since r9; r10 adds winnow-based span decontamination, exact
-    copy-span verification, and the snapshot-diff/zone-map golden) —
-    including the full MinHash/SimHash/hyperplane-LSH
+    """DuckDB twins for ALL 204 registered queries (100% oracle-backed
+    since r9; r10 adds winnow-based span decontamination + its apply
+    census, exact copy-span verification, and the snapshot-diff/
+    zone-map golden) — including the full MinHash/SimHash/hyperplane-LSH
     pipelines via engine-portable hash families, the HLL-distinct and
     approx-top-k sketches via error-corridor / exact-regime oracles,
     and (since r6) the POLICY-SIZED LSH forms, whose oracles recompute

@@ -344,6 +344,82 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(SPANS_TOP_K)
 
 
+DECONT_APPLY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS tk
+  FROM documents
+),
+base AS (SELECT doc_id, tk, len(tk) - 2 AS ng FROM toks WHERE len(tk) >= 6),
+grams AS (
+  SELECT doc_id, ng, i.i AS pos,
+         CAST(('0x' || substr(
+            md5(array_to_string(list_slice(tk, i.i, i.i + 2), ' ')), 1, 10))
+          AS BIGINT) AS h
+  FROM base, UNNEST(range(1, ng + 1)) AS i(i)
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         MIN(h * 1048576 + (1048575 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+  FROM grams
+  QUALIFY pos <= ng - 3
+),
+fps AS (SELECT DISTINCT doc_id, s // 1048576 AS fp_hash FROM sel),
+eval AS (SELECT doc_id AS eval_id, fp_hash FROM fps WHERE doc_id < 3),
+surv AS (
+  SELECT f.doc_id, f.fp_hash
+  FROM fps f JOIN (SELECT DISTINCT fp_hash FROM eval) e USING (fp_hash)
+),
+hc AS (SELECT fp_hash FROM surv GROUP BY 1 HAVING COUNT(*) <= {cap}),
+flagged AS (
+  SELECT DISTINCT s.doc_id
+  FROM surv s JOIN hc USING (fp_hash)
+)
+SELECT d.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(f.doc_id) AS BIGINT) AS n_flagged,
+       CAST(COUNT(*) - COUNT(f.doc_id) AS BIGINT) AS n_surviving
+FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+GROUP BY 1
+""".format(cap=SPANS_DF_CAP)
+
+
+@query("decontaminate_spans_apply", oracle=DECONT_APPLY_ORACLE)
+def decontaminate_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY form of span decontamination: per-source corpus
+    census after dropping every document that shares a winnowed
+    fingerprint span with the eval set — the funnel report a training
+    pipeline publishes next to the drop itself (the surviving corpus
+    is the same anti-join without the aggregate).
+
+    Scale: everything up to the flagged set is the decontaminate_spans
+    plan (one corpus fingerprint pass, broadcast eval probe); the
+    census is one left-anti-shaped aggregate keyed on 8-byte doc ids.
+    """
+    from ..operators.text import decontaminate_spans as _spans
+
+    docs = Catalog(spark, sf_dir).documents
+    eval_docs = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    flagged = (
+        _spans(docs, eval_docs, df_cap=SPANS_DF_CAP)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(flagged.withColumn("__f", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__f").alias("n_flagged"),
+            (F.count(F.lit(1)) - F.count("__f")).alias("n_surviving"),
+        )
+    )
+
+
 PACK_BUDGET = 256
 
 PACK_ORACLE = f"""

@@ -649,8 +649,10 @@ class SnapshotLakeTable:
                     if not any(rel.startswith(d) for d in dropped)
                 }
             manifest.update({rel: nxt for rel in written})
-        if not written:
-            self.fs.rmtree(txn_dir)  # empty extract: manifest-only publish
+        # NOTE: an empty extract leaves the claimed txn dir in place —
+        # deleting it before commit would let a concurrent publisher
+        # claim the same id (two writers composing m<N>.json). The
+        # post-commit GC reaps the unreferenced empty dir.
         # zone maps: carried entries keep their prior stats; written
         # entries get fresh ones computed from the just-written txn dir
         # (change-set-sized, column-pruned read-back — never the lake)
@@ -672,8 +674,14 @@ class SnapshotLakeTable:
             self.spark.read.option("basePath", txn_dir)
             .parquet(*[f"{txn_dir}/{rel}" for rel in written])
         )
+        # a stats column the written frame doesn't carry (e.g. one this
+        # lake will only gain by a later schema evolution) simply gets
+        # no zone — readers keep the partition conservatively
+        present = [c for c in self.stats_cols if c in df.columns]
+        if not present:
+            return {}
         aggs = []
-        for c in self.stats_cols:
+        for c in present:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
         rows = df.groupBy(*self.partition_cols).agg(*aggs).collect()
@@ -688,7 +696,7 @@ class SnapshotLakeTable:
                     _stat_encode(r[f"__mn_{c}"], widen=-1),
                     _stat_encode(r[f"__mx_{c}"], widen=1),
                 ]
-                for c in self.stats_cols
+                for c in present
             }
         return out
 
@@ -697,7 +705,10 @@ class SnapshotLakeTable:
         conditional-swap lifecycle, no data write. Surviving entries
         keep their zone maps."""
         nxt, observed = self._proto.begin()
-        self.fs.rmtree(f"{self.root}/data/txn={nxt}")  # claim dir unused
+        # the claimed (empty) txn dir stays until post-commit GC: it IS
+        # the id reservation — deleting it pre-commit would let a
+        # concurrent publisher claim the same id and overwrite our
+        # manifest file before the CAS arbitrates
         prior_stats = self.current_stats()
         stats = {rel: prior_stats[rel] for rel in manifest if rel in prior_stats}
         self._commit_manifest(

@@ -612,7 +612,11 @@ def test_randomized_lifecycle_matches_dict_model(spark, tmp_path):
     operations (full load, partition overwrite, rebuild-with-drops,
     metadata drop, rollback) against SnapshotLakeTable must track a
     plain dict {partition: rows} model exactly after EVERY step — the
-    manifest lifecycle has no op-order-dependent state."""
+    manifest lifecycle has no op-order-dependent state. The lake runs
+    with zone maps on (stats_cols=paid) and every step additionally
+    probes a random paid range through read_pruned, which must equal
+    the model's filtered rows — pruning is provably lossless across
+    the whole op mix (carried stats, drops, rollbacks)."""
     import random
 
     rng = random.Random(0)
@@ -622,6 +626,7 @@ def test_randomized_lifecycle_matches_dict_model(spark, tmp_path):
         partition_cols=("year_month", "country"),
         schema="id long, paid double, year_month int, country string",
         retain=2,
+        stats_cols=("paid",),
     )
     YMS = [202401, 202402, 202403]
     CTS = ["US", "DE"]
@@ -650,6 +655,23 @@ def test_randomized_lifecycle_matches_dict_model(spark, tmp_path):
         assert got == want
         got_parts = sorted(map(tuple, lake.partitions().collect()))
         assert got_parts == sorted(model.keys())
+        # zone-map losslessness: a random paid range through
+        # read_pruned + the row filter == the model filtered directly
+        lo = rng.uniform(0, next_id[0] or 1)
+        hi = lo + rng.uniform(0, next_id[0] or 1)
+        pruned = sorted(
+            r.id
+            for r in lake.read_pruned({"paid": (lo, hi)})
+            .where(f"paid >= {lo} AND paid <= {hi}")
+            .collect()
+        )
+        want_ids = sorted(
+            row[0]
+            for rows in model.values()
+            for row in rows
+            if lo <= row[1] <= hi
+        )
+        assert pruned == want_ids, f"paid in [{lo}, {hi}]"
 
     states_by_mid: dict = {}
     for step in range(24):

@@ -256,6 +256,42 @@ def test_mart_contention_exactly_one_wins(spark, tmp_path, fs_cls):
 # ---------------------------------------------------------------------------
 
 
+def test_lake_manifest_only_publish_keeps_claim_until_commit(spark, tmp_path):
+    """A metadata-only publish (partition drop) must HOLD its claimed
+    txn dir until after the pointer commit: releasing it mid-publish
+    would let a concurrent publisher claim the same id and overwrite
+    the in-flight manifest file before the CAS arbitrates. Post-commit
+    GC reaps the empty reservation."""
+    from bigdatapipelinepysparksqlserver_spark.sources.lake_snapshot import (
+        SnapshotLakeTable,
+    )
+
+    fs = _fs("LocalFS")
+    root = str(tmp_path / "lake")
+    w1 = SnapshotLakeTable(spark, root, fs=fs, retain=1, grace_seconds=3600.0)
+    w2 = SnapshotLakeTable(spark, root, fs=fs, retain=1, grace_seconds=3600.0)
+    w1.write_full(
+        spark.createDataFrame(
+            [(1, 202405, "US", 1.0), (2, 202406, "DE", 2.0)],
+            "id int, year_month int, country string, paid double",
+        )
+    )
+    # w1 starts a manifest-only publish: begin() reserves the id via
+    # the (empty) txn dir — it must still exist mid-flight
+    n1, o1 = w1._proto.begin()
+    assert fs.is_dir(f"{root}/data/txn={n1}")
+    # a concurrent begin claims a DIFFERENT id
+    n2, o2 = w2._proto.begin()
+    assert n2 != n1
+    w2._proto.abort(n2)
+    # w1 completes; the empty reservation dir is GC'd post-commit
+    cur = w1.current_manifest() or {}
+    w1._commit_manifest(cur, n1, o1)
+    assert w1.current_id() == n1
+    assert not fs.is_dir(f"{root}/data/txn={n1}")
+    assert w1.read().count() == 2  # content untouched by the no-op drop
+
+
 def test_randomized_protocol_lifecycle_matches_model(tmp_path):
     """Model-based check over the SHARED protocol (no Spark): a
     deterministic random sequence of publishes, crashed publishes
