@@ -29,22 +29,23 @@ from bigdatapipelinepysparksqlserver_spark.session import get_spark  # noqa: E40
 # is loaded" (every ratio inflates together; see loadavg) from "this
 # query regressed" (one ratio inflates alone, persistently).
 FLOORS_S = {
-    "ann_topk_cosine": 0.525,  # r9
-    "asof_attribution": 0.522,  # r9
-    "bm25_store_probe": 2.969,  # r9
+    "ann_topk_cosine": 0.517,  # r10
+    "asof_attribution": 0.451,  # r10
+    "bm25_store_probe": 2.909,  # r10
     "decontaminate": 0.512,  # r9
-    "dedup_exact": 0.155,  # r9
-    "dedup_minhash": 1.421,        # r8
+    "decontaminate_spans": 1.296,  # r10 (new headliner)
+    "dedup_exact": 0.145,  # r10
+    "dedup_minhash": 1.306,  # r10
     "mart_client_count": 0.556,    # r7
-    "mart_sales_agg": 0.842,  # r9
-    "part_copurchase_pagerank": 3.718,  # r9
+    "mart_sales_agg": 0.781,  # r10
+    "part_copurchase_pagerank": 3.581,  # r10
     "semantic_dedup": 4.024,  # r9
     "sessionize": 0.918,  # r9
     "text_quality_score": 0.400,   # r4
     "text_repetition_score": 0.571,  # r8
     "tpch_q1": 0.693,              # r4
-    "tpch_q18": 0.683,             # r7
-    "tpch_q3": 0.680,              # r7
+    "tpch_q18": 0.591,  # r10
+    "tpch_q3": 0.615,  # r10
     "tpch_q5": 0.572,  # r9
 }
 
