@@ -344,6 +344,81 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(SPANS_TOP_K)
 
 
+# Stored-index probe twin: the oracle replays the BUILD-time stop-gram
+# cap (df over the FULL corpus fps <= cap), which keeps a superset of
+# the inline form's survivor-cap for eval-matching hashes — identical
+# join results, as the equivalence pytest also pins.
+DECONT_STORE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS tk
+  FROM documents
+),
+base AS (SELECT doc_id, tk, len(tk) - 2 AS ng FROM toks WHERE len(tk) >= 6),
+grams AS (
+  SELECT doc_id, ng, i.i AS pos,
+         CAST(('0x' || substr(
+            md5(array_to_string(list_slice(tk, i.i, i.i + 2), ' ')), 1, 10))
+          AS BIGINT) AS h
+  FROM base, UNNEST(range(1, ng + 1)) AS i(i)
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         MIN(h * 1048576 + (1048575 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+  FROM grams
+  QUALIFY pos <= ng - 3
+),
+fps AS (SELECT DISTINCT doc_id, s // 1048576 AS fp_hash FROM sel),
+capped AS (
+  SELECT f.doc_id, f.fp_hash
+  FROM fps f JOIN (
+    SELECT fp_hash FROM fps GROUP BY 1 HAVING COUNT(*) <= {cap}
+  ) k USING (fp_hash)
+),
+eval AS (SELECT doc_id AS eval_id, fp_hash FROM fps WHERE doc_id < 3)
+SELECT c.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM capped c JOIN eval e USING (fp_hash)
+GROUP BY 1, 2
+ORDER BY shared_fps DESC, doc_id, eval_id
+LIMIT {k}
+""".format(cap=SPANS_DF_CAP, k=SPANS_TOP_K)
+
+
+@query("decontaminate_spans_store_probe", oracle=DECONT_STORE_ORACLE)
+def decontaminate_spans_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPEATED-USE decontamination path graded end-to-end: build
+    the corpus winnow index as a bucketed catalog table (stop-gram
+    df-cap paid once at build), probe the eval set's broadcast
+    fingerprints against it — the same economics as bm25_store_probe:
+    build-per-call dominates the graded wall, while the probe alone is
+    one broadcast hash join over the stored relation, Exchange-free,
+    with the corpus never re-fingerprinted across eval suites.
+    """
+    from ..operators.text import (
+        decontaminate_spans_stored,
+        winnow_store_bucketed,
+    )
+    from .storepaths import process_scoped_store_path
+
+    docs = Catalog(spark, sf_dir).documents
+    eval_docs = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    # process-scoped PATH (shared tmp, swept across dead harnesses) +
+    # session-scoped table name (catalogs are per-process); the table
+    # is left registered so the returned plan stays lazy — the next
+    # call's write_bucketed_table replaces it
+    winnow_store_bucketed(
+        spark, docs, "decont_span_store", df_cap=SPANS_DF_CAP,
+        path=process_scoped_store_path("decont_span_store", sf_dir),
+    )
+    out = decontaminate_spans_stored(spark, "decont_span_store", eval_docs)
+    return out.orderBy(
+        F.col("shared_fps").desc(), "doc_id", "eval_id"
+    ).limit(SPANS_TOP_K)
+
+
 DECONT_APPLY_ORACLE = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS tk

@@ -180,17 +180,31 @@ class JdbcMartPublisher:
         # (case-exact) columns, and an unquoted name would be folded
         # by the engine (Derby → upper) and miss them
         q = md.getIdentifierQuoteString() or '"'
-        rs = md.getColumns(None, None, name.upper(), None)
-        try:
-            cols = []
-            while rs.next():
-                cols.append(
-                    (int(rs.getInt("ORDINAL_POSITION")),
-                     rs.getString("COLUMN_NAME"))
-                )
-            return [f"{q}{c}{q}" for _, c in sorted(cols)]
-        finally:
-            rs.close()
+        # getColumns' table argument is a LIKE pattern — MARTID_STAGING
+        # would also match MARTIDXSTAGING and interleave a sibling
+        # table's columns into one ordinal-sorted list (r10 review
+        # finding), and drivers disagree on pattern escaping (Derby
+        # reports an EMPTY search-escape string). So: query with the
+        # raw pattern but keep only rows whose TABLE_NAME equals the
+        # candidate EXACTLY — wildcard semantics can then never leak a
+        # sibling in. Candidates in stored-case order: exact, upper
+        # (unquoted-create engines fold up), lower.
+        for cand in (name, name.upper(), name.lower()):
+            rs = md.getColumns(None, None, cand, None)
+            try:
+                cols = []
+                while rs.next():
+                    if rs.getString("TABLE_NAME") != cand:
+                        continue
+                    cols.append(
+                        (int(rs.getInt("ORDINAL_POSITION")),
+                         rs.getString("COLUMN_NAME"))
+                    )
+            finally:
+                rs.close()
+            if cols:
+                return [f"{q}{c}{q}" for _, c in sorted(cols)]
+        return []
 
     def publish_statements(
         self,

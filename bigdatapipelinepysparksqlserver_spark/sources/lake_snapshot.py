@@ -359,12 +359,18 @@ class SnapshotLakeTable:
                 b = st.get(col)
                 if not b or b[0] is None or b[1] is None:
                     continue  # no zone -> keep (conservative)
-                if hi is not None and b[0] > _stat_encode(hi):
-                    ok = False
-                    break
-                if lo is not None and b[1] < _stat_encode(lo):
-                    ok = False
-                    break
+                try:
+                    if hi is not None and b[0] > _stat_encode(hi):
+                        ok = False
+                        break
+                    if lo is not None and b[1] < _stat_encode(lo):
+                        ok = False
+                        break
+                except TypeError:
+                    # probe bound's encoded type doesn't compare with
+                    # the stored zone (e.g. numeric zone, string bound)
+                    # -> keep conservatively rather than wrong-prune
+                    continue
             if ok:
                 keep[rel] = txn
         return keep
@@ -388,11 +394,16 @@ class SnapshotLakeTable:
         before Spark lists a single directory. The caller still applies
         its own row filter (zones bound partitions, not rows); at a
         100 TB lake a selective time-range probe goes from listing
-        every partition to opening only the months that can match."""
-        keep = self.pruned_partitions(ranges)
-        return self._scan_rels(
-            keep, list(keep), self._manifest_schema(self.current_id())
+        every partition to opening only the months that can match.
+        Pointer resolved once (snapshot-consistent manifest+schema);
+        sound only for range/equality predicates on the RAW stats
+        columns — a derived-expression filter (to_date(ts), abs(x))
+        or an IS NULL probe must use :meth:`read`."""
+        cur = self.current_id()
+        keep = (
+            self.pruned_partitions(ranges, mid=cur) if cur is not None else {}
         )
+        return self._scan_rels(keep, list(keep), self._manifest_schema(cur))
 
     def exists(self) -> bool:
         m = self.current_manifest()
@@ -493,9 +504,11 @@ class SnapshotLakeTable:
         PartitionFilters pruning works exactly as on a plain
         partitioned table; the synthetic ``txn`` level is dropped.
         Under the manifest's RECORDED schema (additive evolution), so
-        pre-evolution partitions fill NULL for later columns."""
+        pre-evolution partitions fill NULL for later columns. The
+        pointer is resolved ONCE — manifest and schema always come
+        from the same snapshot even under a concurrent publish."""
         cur = self.current_id()
-        m = self.current_manifest() or {}
+        m = {} if cur is None else self._read_manifest(cur)
         return self._scan_rels(m, list(m), self._manifest_schema(cur))
 
     def partitions(self) -> DataFrame:
@@ -622,10 +635,17 @@ class SnapshotLakeTable:
                     self._manifest_schema(self.current_id()), ordered.schema
                 )
             )
+            # mode("append"), NOT overwrite: Spark's overwrite DELETES
+            # the target dir before recreating it, which would release
+            # the exclusive-create id claim mid-publish — a concurrent
+            # begin() could then claim the SAME id and the CAS loser
+            # would reap the winner's live artifacts (r10 review
+            # finding). The claimed dir is freshly created and empty,
+            # so append is write-equivalent and never deletes it.
             (
                 ordered.repartition(*[F.col(c) for c in self.partition_cols])
                 .write.partitionBy(*self.partition_cols)
-                .mode("overwrite")
+                .mode("append")
                 .parquet(txn_dir)
             )
             written = self._walk_partitions(txn_dir, len(self.partition_cols))
@@ -749,17 +769,14 @@ class SnapshotLakeTable:
         The keep set is the protocol's live LINEAGE (last retain+1
         lives), not an id-arithmetic window — see
         ``VersionedPointerPublisher.retained_ids``."""
-        keep_ids = [
-            i
-            for i in self._manifest_ids()
-            if i in self._proto.retained_ids(current)
-        ]
+        retained = self._proto.retained_ids(current)
+        keep_ids = [i for i in self._manifest_ids() if i in retained]
         grace = self.grace_seconds
         for i in self._manifest_ids():
             if i in keep_ids:
                 continue
-            if i > current and self._proto.artifact_age(i) < grace:
-                continue  # in-flight concurrent publish — not ours to reap
+            if i != current and self._proto.artifact_age(i) < grace:
+                continue  # possibly in-flight concurrent publish
             self.fs.remove_file(f"{self.root}/manifests/m{i}.json")
         referenced: set[tuple[int, str]] = set()
         for i in keep_ids:
@@ -773,8 +790,8 @@ class SnapshotLakeTable:
                 continue
             txn = int(d[4:])
             base = f"{data}/{d}"
-            if txn > current and self.fs.age_seconds(base) < grace:
-                continue  # in-flight concurrent publish's data write
+            if txn != current and self.fs.age_seconds(base) < grace:
+                continue  # possibly in-flight concurrent publish
             live = False
             for rel in self._walk_partitions(base, len(self.partition_cols)):
                 if (txn, rel) in referenced:

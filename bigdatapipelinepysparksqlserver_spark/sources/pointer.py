@@ -143,14 +143,21 @@ class VersionedPointerPublisher:
         )
 
     def retained_ids(self, current: int) -> set[int]:
-        """The GC keep set: the last ``retain``+1 recorded lives (plus
-        ``current``, unconditionally); arithmetic window when no
-        lineage exists yet (legacy layout)."""
-        lineage = self._lineage()
-        if lineage:
-            keep = set(lineage[-(self.retain + 1):])
-        else:
-            keep = {i for i in self.version_ids() if current - self.retain <= i <= current}
+        """The GC keep set: the UNION of the last ``retain``+1 recorded
+        lives (lineage) and the arithmetic id window
+        [current−retain, current], plus ``current`` unconditionally.
+        The union is strictly conservative — either rule alone has a
+        blind spot: the arithmetic window evicts the true previous live
+        when ids skip past a dead claim; a fresh lineage (first publish
+        after an upgrade from a pre-lineage layout, when the file holds
+        fewer than retain+1 entries) would evict snapshots the
+        configured window still owes to readers (r10 review finding)."""
+        keep = set(self._lineage()[-(self.retain + 1):])
+        keep.update(
+            i
+            for i in self.version_ids()
+            if current - self.retain <= i <= current
+        )
         keep.add(current)
         return keep
 
@@ -203,16 +210,20 @@ class VersionedPointerPublisher:
         return i in self.version_ids()
 
     def gc(self, current: int) -> None:
-        """Retain GC after a successful commit: keep the last
-        ``retain``+1 LIVES (lineage — see :meth:`retained_ids`), reap
-        the rest. Ids above ``current`` younger than the grace window
-        are a concurrent publisher's in-flight claim — never touched
-        here (their commit either wins a later CAS or self-reaps)."""
+        """Retain GC after a successful commit: keep
+        :meth:`retained_ids`, reap the rest. Any other id younger than
+        the grace window — above OR below ``current`` (a slower
+        claimant's id can sit below a winner that skipped past it) —
+        may be a concurrent publisher's in-flight claim and is never
+        touched here: its commit either wins a later CAS or self-reaps,
+        and a crashed one ages past the grace and is reaped then. With
+        grace > 0 the disk floor is therefore one grace window of
+        publishes beyond the retain set."""
         keep = self.retained_ids(current)
         for i in self.version_ids():
             if i in keep:
                 continue
-            if i > current and self.artifact_age(i) < self.grace_seconds:
+            if i != current and self.artifact_age(i) < self.grace_seconds:
                 continue
             self.reap(i)
 

@@ -190,11 +190,20 @@ def test_jdbc_publish_identity_insert_reads_columns_from_metadata(
     metadata→column-list→execution path on Derby)."""
     from bigdatapipelinepysparksqlserver_spark.sources.jdbc import JdbcMartPublisher
 
+    from bigdatapipelinepysparksqlserver_spark.sources.jdbc import write_jdbc
+
     pub = JdbcMartPublisher(spark, derby_cfg)
     v = spark.range(0, 4).selectExpr(
         "id", "CAST('x' AS STRING) AS tag", "id * 2 AS amount"
     )
     pub.write_staging("MARTID", v)
+    # adversarial sibling: '_' in getColumns' LIKE pattern would match
+    # it and interleave its columns (r10 review finding) — the exact
+    # TABLE_NAME post-filter must exclude it
+    write_jdbc(
+        spark.range(1).selectExpr("id AS zz_other"), derby_cfg,
+        "MARTIDXSTAGING", mode="overwrite",
+    )
     conn = pub._connection()
     try:
         assert [

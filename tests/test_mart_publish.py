@@ -247,14 +247,14 @@ def test_snapshot_time_travel_reads_retained_version(spark, tmp_path):
 
     # r10: mart rollback through the shared protocol — the pointer
     # swings back; the next publish allocates PAST the rolled-back-from
-    # v2 (never renumbers over a once-live snapshot), and retain=1
-    # keeps the previous LIVE (v1, live again since the rollback) while
-    # v2 — two lives back — ages out of the lineage window
+    # v2 (never renumbers over a once-live snapshot). Retention is the
+    # union of the lineage tail (v1, the previous LIVE) and the id
+    # window (v2, the survivor): both readable after the publish
     assert mart.rollback("sales_history_2", 1) == 1
     assert mart.read(spark, "sales_history_2").count() == v1.count()
     run_pipeline_2(spark, lake, mart, REFRESH)
     assert mart.current_version("sales_history_2") == 3
-    assert mart.list_versions("sales_history_2") == [1, 3]
+    assert mart.list_versions("sales_history_2") == [1, 2, 3]
     assert mart.read_version(spark, "sales_history_2", 1).count() == v1.count()
     with pytest.raises(FileNotFoundError):
         mart.rollback("sales_history_2", 99)

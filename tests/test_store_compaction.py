@@ -733,17 +733,26 @@ def test_rollback_store_version_restores_previous_snapshot(tmp_path):
     with open(os.path.join(store_live_path(root, fs), "data.txt")) as f:
         assert f.read() == "good"
 
-    # the next publish allocates PAST the survivor; retain=1 counts
-    # previous LIVES (lineage), so the version readers were actually
-    # on just before this publish — v1, live again since the rollback
-    # — is what stays; v2 ("bad", two lives back) ages out
+    # the next publish allocates PAST the survivor. Retention is the
+    # UNION of the lineage tail (v1 — the version readers were on just
+    # before this publish, live again since the rollback) and the id
+    # window [current-retain, current] (v2 — the rolled-back-from
+    # survivor): both stay, nothing a reader could be pinned to is
+    # evicted
     publish_store_version(root, stage("fixed"), fs, retain=1)
     assert store_live_path(root, fs).endswith("/v3")
     with open(os.path.join(store_live_path(root, fs), "data.txt")) as f:
         assert f.read() == "fixed"
-    assert sorted(n for n in os.listdir(root) if n.startswith("v")) == ["v1", "v3"]
+    assert sorted(
+        n for n in os.listdir(root) if n.startswith("v")
+    ) == ["v1", "v2", "v3"]
     with open(os.path.join(root, "v1", "data.txt")) as f:
         assert f.read() == "good"
+    # ...and both age out once the window and lineage move past them
+    publish_store_version(root, stage("next"), fs, retain=1)
+    assert sorted(
+        n for n in os.listdir(root) if n.startswith("v")
+    ) == ["v3", "v4"]
 
     # beyond the retain window -> explicit error naming what exists
     with pytest.raises(FileNotFoundError):
