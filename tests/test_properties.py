@@ -842,3 +842,53 @@ def test_winnow_fingerprints_property_vs_reference(toks):
         (r.fp_hash, r.fp_pos) for r in winnow_fingerprints(df).collect()
     }
     assert got == ref()
+
+
+_ZONE_VALUE_STRATEGIES = [
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.decimals(
+        allow_nan=False, allow_infinity=False, places=2,
+        min_value=-10**12, max_value=10**12,
+    ),
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1970, 1, 2),
+        max_value=__import__("datetime").datetime(2100, 1, 1),
+    ),
+    st.text(alphabet="abcxyz 0123", min_size=0, max_size=12),
+]
+
+
+@given(
+    data=st.data(),
+    type_ix=st.integers(min_value=0, max_value=len(_ZONE_VALUE_STRATEGIES) - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_zone_map_encoding_is_containment_conservative(data, type_ix):
+    """Zone-map conservativeness (r10, no Spark): for any same-type
+    value set, the STORED bounds [enc(min, widen=-1), enc(max, +1)]
+    must never exclude an in-range probe — i.e. the pruning predicate
+    (stored_min > enc(probe) or stored_max < enc(probe)) is False for
+    every value inside [min, max]. This is the invariant read_pruned's
+    losslessness rests on, per supported type (int, float, Decimal
+    with its ulp-widened float encoding, datetime's fixed-width
+    strftime, plain strings)."""
+    from bigdatapipelinepysparksqlserver_spark.sources.lake_snapshot import (
+        _stat_encode,
+    )
+
+    strat = _ZONE_VALUE_STRATEGIES[type_ix]
+    vals = data.draw(st.lists(strat, min_size=2, max_size=8))
+    lo, hi = min(vals), max(vals)
+    stored_min = _stat_encode(lo, widen=-1)
+    stored_max = _stat_encode(hi, widen=1)
+    # encoding preserves order at the bound level
+    assert stored_min <= stored_max
+    for probe in vals:
+        e = _stat_encode(probe)
+        assert not (stored_min > e), (lo, hi, probe)
+        assert not (stored_max < e), (lo, hi, probe)
+    # ...and a probe strictly outside a DEGENERATE zone on the safe
+    # side is prunable for exact types (ints): no false keeps forever
+    if type_ix == 0 and hi < 2**40:
+        assert _stat_encode(hi + 1) > stored_max
