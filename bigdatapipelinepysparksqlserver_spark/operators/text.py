@@ -1376,7 +1376,7 @@ def decontaminate_spans_stored(
     )
 
 
-def winnow_span_verify(
+def _winnow_diagonal_runs(
     docs: DataFrame,
     pairs: DataFrame,
     k: int = WINNOW_K,
@@ -1385,23 +1385,18 @@ def winnow_span_verify(
     text_col: str = "text",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-) -> DataFrame:
-    """Exact longest-common-token-run verification for FLAGGED pairs
-    (VERDICT r9 #6): winnowing reports shared-fingerprint counts, which
-    bound but do not equal copied-span length; policy thresholds
-    ("reject if ≥ 50 copied tokens") need the true length. Adds
-    ``longest_run_tokens`` to each input pair.
-
-    Bounded by construction — only the flagged pairs' documents are
-    re-tokenized (the ``emb_neardup`` candidate-proportional verify
-    pattern): each side's g-grams (g = w+k−1, the winnow guarantee
-    span) explode with positions, join per pair on gram hash, and
-    maximal DIAGONAL runs of matches (consecutive positions on both
-    sides) give the exact longest common run: a common run of L ≥ g
-    tokens is exactly a chain of L−g+1 consecutive g-gram matches on
-    one diagonal. Pairs whose overlap never reaches g tokens verify to
-    0 — "shared fingerprints but sub-threshold span" (hash collision
-    or sub-window repeat), exactly what a reviewer wants surfaced.
+) -> tuple[DataFrame, int]:
+    """Every maximal common token run between the FLAGGED pairs'
+    documents, exactly: one row per (pair, run) with the run's start
+    position in each side and its token length. Bounded by
+    construction — only the flagged pairs' documents are re-tokenized
+    (the ``emb_neardup`` candidate-proportional verify pattern): each
+    side's g-grams (g = w+k−1, the winnow guarantee span) explode with
+    positions, join per pair on gram hash, and maximal DIAGONAL chains
+    of matches (consecutive positions on both sides) are the runs — a
+    common run of L ≥ g tokens is exactly a chain of L−g+1 consecutive
+    g-gram matches on one diagonal. Returns ``(runs, g)`` where runs =
+    (a_col, b_col, pa_start, pb_start, run_tokens).
 
     Plan: gram volume ∝ flagged docs' tokens; the match join is
     per-pair hash-keyed; the run detection is one window partitioned
@@ -1458,13 +1453,104 @@ def winnow_span_verify(
     runs = (
         diag.withColumn("__grp", F.col("pa") - F.row_number().over(rw))
         .groupBy(a_col, b_col, "__d", "__grp")
-        .agg(F.count(F.lit(1)).alias("__chain"))
-        .groupBy(a_col, b_col)
-        .agg((F.max("__chain") + F.lit(g - 1)).alias("longest_run_tokens"))
+        .agg(
+            F.min("pa").alias("pa_start"),
+            (F.min("pa") - F.col("__d")).alias("pb_start"),
+            (F.count(F.lit(1)) + F.lit(g - 1)).alias("run_tokens"),
+        )
+        .select(a_col, b_col, "pa_start", "pb_start", "run_tokens")
     )
-    return pairs.join(runs, [a_col, b_col], "left").withColumn(
+    return runs, g
+
+
+def winnow_span_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Exact longest-common-token-run verification for FLAGGED pairs
+    (VERDICT r9 #6): winnowing reports shared-fingerprint counts, which
+    bound but do not equal copied-span length; policy thresholds
+    ("reject if ≥ 50 copied tokens") need the true length. Adds
+    ``longest_run_tokens`` to each input pair; pairs whose overlap
+    never reaches g = w+k−1 tokens verify to 0 — "shared fingerprints
+    but sub-threshold span" (hash collision or sub-window repeat),
+    exactly what a reviewer wants surfaced. Runs come from
+    :func:`_winnow_diagonal_runs` (see there for the exactness and
+    plan-shape argument)."""
+    runs, _ = _winnow_diagonal_runs(
+        docs, pairs, k=k, w=w, id_col=id_col, text_col=text_col,
+        a_col=a_col, b_col=b_col,
+    )
+    longest = runs.groupBy(a_col, b_col).agg(
+        F.max("run_tokens").alias("longest_run_tokens")
+    )
+    return pairs.join(longest, [a_col, b_col], "left").withColumn(
         "longest_run_tokens",
         F.coalesce(F.col("longest_run_tokens"), F.lit(0)).cast("bigint"),
+    )
+
+
+def winnow_span_scrub_plan(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Duplicate-SPAN removal plan (the ExactSubstr-dedup shape: keep
+    the first occurrence, cut the duplicated span from later documents
+    instead of dropping them whole): for every flagged pair (a < b)
+    each exact common run is a cut interval in the LARGER-id doc b;
+    intervals from all of b's pairs/diagonals are MERGED (overlaps
+    collapse) and summarized as one row per victim doc —
+    ``(doc_id, n_spans, tokens_to_remove)``. The actual scrub is the
+    corresponding token-slice rewrite; planning and rewriting are
+    split so the plan is auditable (and oracle-checkable) before any
+    text is touched.
+
+    Plan shape: runs from :func:`_winnow_diagonal_runs` (bounded to
+    flagged pairs); interval merging is the gaps-and-islands pattern —
+    one window partitioned by victim doc ordered by span start
+    (cumulative max of prior ends → island ids), never global.
+    """
+    from pyspark.sql import Window
+
+    runs, _ = _winnow_diagonal_runs(
+        docs, pairs, k=k, w=w, id_col=id_col, text_col=text_col,
+        a_col=a_col, b_col=b_col,
+    )
+    spans = runs.select(
+        F.col(b_col).alias(id_col),
+        F.col("pb_start").alias("s"),
+        (F.col("pb_start") + F.col("run_tokens") - 1).alias("e"),
+    ).distinct()
+    win = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max_end = F.max("e").over(win.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        spans.withColumn(
+            "__new", (prev_max_end.isNull() | (F.col("s") > prev_max_end)).cast("int")
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "__isl")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    return islands.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).alias("tokens_to_remove"),
     )
 
 

@@ -1713,6 +1713,101 @@ FROM top t LEFT JOIN runs r USING (doc_a, doc_b)
 """
 
 
+# Duplicate-span SCRUB PLAN oracle: the same pair board + diagonal
+# runs, then victim spans (larger id cuts), gaps-and-islands interval
+# merge, per-victim counts. e = pb_start + (chain + g - 1) - 1.
+WINNOW_SCRUB_ORACLE = f"""
+WITH {_WINNOW_CTES},
+hcounts AS (
+  SELECT fp_hash, COUNT(DISTINCT doc_id) AS df FROM fps GROUP BY 1
+),
+keep AS (
+  SELECT DISTINCT f.doc_id, f.fp_hash
+  FROM fps f JOIN hcounts c
+    ON c.fp_hash = f.fp_hash AND c.df BETWEEN 2 AND {WINNOW_PAIRS_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+  FROM keep a JOIN keep b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_a, doc_b FROM pairs
+  ORDER BY shared_fps DESC, doc_a, doc_b
+  LIMIT {WINNOW_PAIRS_TOP_K}
+),
+b6 AS (SELECT doc_id, tk, len(tk) - 5 AS n6 FROM toks WHERE len(tk) >= 6),
+g6 AS (
+  SELECT doc_id, i.i AS pos,
+         CAST(('0x' || substr(
+            md5(array_to_string(list_slice(tk, i.i, i.i + 5), ' ')), 1, 10))
+          AS BIGINT) AS gh
+  FROM b6, UNNEST(range(1, n6 + 1)) AS i(i)
+),
+m AS (
+  SELECT DISTINCT t.doc_a, t.doc_b, a.pos AS pa, b.pos AS pb
+  FROM top t
+  JOIN g6 a ON a.doc_id = t.doc_a
+  JOIN g6 b ON b.doc_id = t.doc_b AND b.gh = a.gh
+),
+chains AS (
+  SELECT doc_b, MIN(pb) AS s, MIN(pb) + COUNT(*) + 4 AS e
+  FROM (
+    SELECT doc_a, doc_b, pa - pb AS d, pa, pb,
+           pa - ROW_NUMBER() OVER (
+             PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+    FROM m
+  )
+  GROUP BY doc_a, doc_b, d, grp
+),
+spans AS (SELECT DISTINCT doc_b AS doc_id, s, e FROM chains),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+    FROM spans
+  )
+),
+merged AS (
+  SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me FROM isl GROUP BY 1, 2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(me - ms + 1) AS BIGINT) AS tokens_to_remove
+FROM merged
+GROUP BY 1
+ORDER BY tokens_to_remove DESC, doc_id
+"""
+
+
+@query("doc_winnow_span_scrub", oracle=WINNOW_SCRUB_ORACLE)
+def doc_winnow_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span removal PLAN over the winnow pair board — the
+    ExactSubstr-dedup shape (keep the first occurrence, cut the
+    duplicated span from later docs instead of dropping them whole):
+    per victim document, the merged cut intervals' count and total
+    tokens to remove. Split from the rewrite itself so the plan is
+    auditable (and graded) before any text changes.
+
+    Scale: runs bounded to the top-k flagged pairs; interval merging
+    is one gaps-and-islands window per victim doc (never global);
+    output is victim-cardinality.
+    """
+    from ..operators.text import winnow_span_scrub_plan
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = _winnow_top_pairs(spark, sf_dir)
+    return winnow_span_scrub_plan(docs, pairs).orderBy(
+        F.col("tokens_to_remove").desc(), "doc_id"
+    )
+
+
 @query("doc_winnow_span_verify", oracle=WINNOW_SPAN_ORACLE)
 def doc_winnow_span_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact longest-common-token-run verification of the winnow pair

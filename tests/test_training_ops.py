@@ -908,3 +908,42 @@ def test_winnow_span_verify_exact_planted_lengths(spark):
         for r in winnow_span_verify(docs, pairs).collect()
     }
     assert got == {(1, 2): 9, (3, 4): 6, (5, 6): 0}, got
+
+
+def test_winnow_span_scrub_plan_merges_overlapping_intervals(spark):
+    """The scrub PLAN cuts duplicated spans from the LARGER-id doc and
+    merges overlapping intervals across pairs: a victim doc copying
+    two OVERLAPPING runs (from two different sources) yields ONE
+    merged cut whose length is the union, not the sum; disjoint runs
+    stay separate spans; a doc that only ever appears as doc_a (the
+    kept first occurrence) is never scrubbed."""
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        winnow_span_scrub_plan,
+    )
+
+    # victim doc 9 text: tokens 1..16; it copies tokens 3..10 from doc
+    # 1 and tokens 7..14 from doc 2 (overlap 7..10 -> union 3..14 = 12
+    # tokens), plus a DISJOINT 6-token run (tokens 20..25) from doc 3
+    runab = "t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14"  # 12 tokens
+    a_part = " ".join(runab.split()[:8])   # t3..t10
+    b_part = " ".join(runab.split()[4:])   # t7..t14
+    six = "q1 q2 q3 q4 q5 q6"
+    docs = spark.createDataFrame(
+        [
+            (1, f"source one says {a_part} and stops"),
+            (2, f"source two states {b_part} then ends"),
+            (3, f"source three holds {six} here"),
+            (9, f"victim t1 t2 {runab} t15 t16 pad filler {six} tail"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 9, 3), (2, 9, 3), (3, 9, 1)],
+        "doc_a long, doc_b long, shared_fps long",
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.tokens_to_remove)
+        for r in winnow_span_scrub_plan(docs, pairs).collect()
+    }
+    # doc 9: merged [t3..t14] = 12 tokens + disjoint 6-token run
+    assert got == {9: (2, 18)}, got
