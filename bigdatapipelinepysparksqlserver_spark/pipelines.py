@@ -306,14 +306,19 @@ class MartPublisher:
         this is a no-op unless the pointer names a missing dir (manual
         deletion), in which case it falls back to the newest complete
         snapshot."""
-        cur = self.current_version(table)
         root = self.table_root(table)
+        ptr = os.path.join(root, self.POINTER)
+        observed = self.fs.read_pointer(ptr)
+        cur = self.current_version(table)
         if cur is not None and not self.fs.is_dir(os.path.join(root, f"v{cur}")):
             versions = [v for v in self._versions(table) if v != cur]
             if versions:
-                self.fs.set_pointer(
-                    os.path.join(root, self.POINTER), f"v{versions[-1]}"
-                )
+                # CAS, not a blind write: a concurrent publish landing
+                # between our read and this set must win, never be
+                # silently erased by the repair. If it did land, the
+                # pointer now names that fresh (complete) snapshot and
+                # no repair is needed anyway.
+                self.fs.set_pointer_if(ptr, observed, f"v{versions[-1]}")
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.final_path(table))

@@ -44,6 +44,18 @@ class JdbcConfig:
         }
 
 
+def normalize_identifier_quote(raw: str | None) -> str:
+    """Normalize ``DatabaseMetaData.getIdentifierQuoteString()``.
+
+    JDBC spec: a driver that does NOT support quoted identifiers
+    returns a single SPACE — which is truthy, so a naive ``raw or '"'``
+    would wrap every column in spaces and emit invalid SQL. A blank /
+    whitespace answer means "no quoting" (empty string → bare names);
+    a None/empty answer from a non-compliant driver falls back to the
+    ANSI double quote."""
+    return (raw or '"').strip()
+
+
 def jdbc_scan_options(
     cfg: JdbcConfig,
     table: str,
@@ -179,7 +191,7 @@ class JdbcMartPublisher:
         # quote each identifier: the Spark JDBC writer creates QUOTED
         # (case-exact) columns, and an unquoted name would be folded
         # by the engine (Derby → upper) and miss them
-        q = md.getIdentifierQuoteString() or '"'
+        q = normalize_identifier_quote(md.getIdentifierQuoteString())
         # getColumns' table argument is a LIKE pattern — MARTID_STAGING
         # would also match MARTIDXSTAGING and interleave a sibling
         # table's columns into one ordinal-sorted list (r10 review

@@ -689,11 +689,26 @@ class SnapshotLakeTable:
     def _collect_stats(self, txn_dir: str, written: list[str]) -> dict:
         """Per-partition [min, max] of each stats column over the
         just-written partitions. One change-set-sized Spark job; the
-        collect is one row per written partition (control-plane)."""
-        df = (
-            self.spark.read.option("basePath", txn_dir)
-            .parquet(*[f"{txn_dir}/{rel}" for rel in written])
-        )
+        collect is one row per written partition (control-plane).
+
+        The manifest keys stats by the ON-DISK escaped rel, so the
+        read-back partition values must round-trip to exactly the
+        directory spelling. Spark's partition type inference breaks
+        that (dir ``m=06`` reads back as int 6 → rel ``m=6`` — the
+        stats would silently never attach and pruning would be lost),
+        so it is disabled for this read: values come back as the raw
+        strings the directories spell, and re-escaping reproduces the
+        manifest key byte-for-byte."""
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prior = self.spark.conf.get(conf_key, "true")
+        self.spark.conf.set(conf_key, "false")
+        try:
+            df = (
+                self.spark.read.option("basePath", txn_dir)
+                .parquet(*[f"{txn_dir}/{rel}" for rel in written])
+            )
+        finally:
+            self.spark.conf.set(conf_key, prior)
         # a stats column the written frame doesn't carry (e.g. one this
         # lake will only gain by a later schema evolution) simply gets
         # no zone — readers keep the partition conservatively

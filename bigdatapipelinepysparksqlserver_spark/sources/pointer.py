@@ -135,11 +135,14 @@ class VersionedPointerPublisher:
             if i is None:
                 continue
             entries = [e for e in entries if e != i] + [i]
+        # keep at least retain+1 lives: with retain >= LINEAGE_KEEP a
+        # fixed cap could no longer hold the whole GC keep set and the
+        # overflow would fall back to the arithmetic id window — the
+        # exact skipped-id blind spot the lineage exists to close
+        keep_n = max(self.LINEAGE_KEEP, self.retain + 1)
         self.fs.set_pointer(
             self.lineage_path(),
-            " ".join(
-                f"{self.prefix}{i}" for i in entries[-self.LINEAGE_KEEP:]
-            ),
+            " ".join(f"{self.prefix}{i}" for i in entries[-keep_n:]),
         )
 
     def retained_ids(self, current: int) -> set[int]:
@@ -306,19 +309,41 @@ class VersionedPointerPublisher:
         """Point the live pointer BACK at a retained id. Records the
         rolled-back-from id so later publishes treat the once-live
         snapshots above the pointer as retained history, not crashed
-        orphans (they age out of the retain window normally)."""
+        orphans (they age out of the retain window normally).
+
+        The swap itself is a CAS, like every other pointer mutation: an
+        unconditional write could land between a concurrent commit's
+        read-compare and its set, silently erasing that commit — the
+        exact lost update the protocol promises cannot happen. A
+        rollback that loses the race raises
+        :class:`ConcurrentPublishError`; re-inspect the new live
+        snapshot and re-issue if still wanted."""
         if not self.has_version(mid):
             raise FileNotFoundError(
                 f"rollback target {self.prefix}{mid} not on disk under "
                 f"{self.root} (have: {self.version_ids()}; widen retain= "
                 "to keep more)"
             )
-        cur = self.current_id()
+        observed = self.fs.read_pointer(self.pointer_path())
+        cur = self._parse(observed)
         if cur is not None and cur > mid:
+            # written BEFORE the swap so a crash between the two leaves
+            # the once-live ids above the pointer protected; if the CAS
+            # below loses, the marker is conservative junk that the next
+            # winning commit (whose id is > high_water ≥ marker) clears
             keep = max(cur, self.keep_id() or 0)
             self.fs.set_pointer(
                 self.keep_marker_path(), f"{self.prefix}{keep}"
             )
-        self.fs.set_pointer(self.pointer_path(), f"{self.prefix}{mid}")
+        if not self.fs.set_pointer_if(
+            self.pointer_path(), observed, f"{self.prefix}{mid}"
+        ):
+            raise ConcurrentPublishError(
+                f"{self.what} {self.root}: pointer moved past "
+                f"{observed!r} while rolling back to {self.prefix}{mid} — "
+                "a concurrent publish won; nothing changed. Re-inspect "
+                "the new live snapshot and re-issue the rollback if "
+                "still wanted."
+            )
         self._lineage_append(mid)  # mid is live again
         return mid

@@ -380,3 +380,18 @@ def test_publisher_composes_dialect_statements(spark):
         "TRUNCATE TABLE MART",
         "INSERT INTO MART SELECT * FROM MART_STAGING",
     ]
+
+
+def test_normalize_identifier_quote():
+    """JDBC spec: a driver without quoted-identifier support returns a
+    single SPACE from getIdentifierQuoteString() — that must mean 'no
+    quoting' (bare names), never space-wrapped columns (ADVICE r10)."""
+    from bigdatapipelinepysparksqlserver_spark.sources.jdbc import (
+        normalize_identifier_quote,
+    )
+
+    assert normalize_identifier_quote('"') == '"'
+    assert normalize_identifier_quote("`") == "`"
+    assert normalize_identifier_quote(" ") == ""    # spec: unsupported
+    assert normalize_identifier_quote("") == '"'    # non-compliant → ANSI
+    assert normalize_identifier_quote(None) == '"'

@@ -423,3 +423,105 @@ def test_lake_contention_exactly_one_wins(spark, tmp_path, fs_cls):
     assert w1.current_id() == 3
     assert w1.read().agg({"paid": "sum"}).first()[0] == 300.0
     assert pinned.agg({"paid": "sum"}).first()[0] == 3.0  # undisturbed
+
+
+# ---------------------------------------------------------------------------
+# Rollback is a CAS too (ADVICE r10 medium)
+# ---------------------------------------------------------------------------
+
+
+class _CommitBetweenReadAndSwap(fsmod.LocalFS):
+    """Injects a concurrent commit between a rollback's pointer read
+    and its swap: the first conditional put that tries to move the
+    pointer BACKWARD first applies the racing commit's forward move."""
+
+    def __init__(self, race_to: str):
+        self.race_to = race_to
+        self.tripped = False
+
+    def set_pointer_if(self, path, expect, value) -> bool:
+        exp_n = int(expect[1:]) if expect else 0
+        val_n = int(value[1:])
+        if not self.tripped and val_n < exp_n:
+            self.tripped = True
+            assert super().set_pointer_if(path, expect, self.race_to)
+        return super().set_pointer_if(path, expect, value)
+
+
+def test_rollback_loses_cas_to_concurrent_commit(tmp_path):
+    """A rollback racing a concurrent commit must NOT silently erase
+    the commit (the pre-fix unconditional set_pointer could land
+    between the commit's read-compare and set). With every pointer
+    mutation a CAS, the rollback loses explicitly and the committed
+    snapshot stays live."""
+    fs = _CommitBetweenReadAndSwap(race_to="v3")
+    root = str(tmp_path / "store")
+    pub = VersionedPointerPublisher(
+        fs, root, retain=2, grace_seconds=3600.0, what="versioned store"
+    )
+    for _ in (1, 2):
+        nxt, obs = pub.begin()
+        pub.commit(nxt, obs)
+    assert pub.current_id() == 2
+    # v3's artifacts exist (the racing publisher's claimed+written id)
+    assert fs.make_dir_exclusive(f"{root}/v3")
+
+    with pytest.raises(ConcurrentPublishError, match="rolling back"):
+        pub.rollback(1)
+    assert fs.tripped
+    # the concurrent commit survived; nothing was silently overwritten
+    assert pub.current_id() == 3
+    # the retained rollback target is still on disk — re-issuable
+    assert fs.is_dir(f"{root}/v1")
+    clean = fsmod.LocalFS()
+    pub2 = VersionedPointerPublisher(
+        clean, root, retain=2, grace_seconds=3600.0, what="versioned store"
+    )
+    assert pub2.rollback(1) == 1
+    assert pub2.current_id() == 1
+
+
+def test_rollback_cas_success_path_unchanged(tmp_path):
+    """No race → rollback still lands, records lineage, and protects
+    the rolled-back-from id via the keep marker."""
+    fs = fsmod.LocalFS()
+    root = str(tmp_path / "store")
+    pub = VersionedPointerPublisher(fs, root, retain=2, what="versioned store")
+    for _ in (1, 2, 3):
+        nxt, obs = pub.begin()
+        pub.commit(nxt, obs)
+    assert pub.rollback(2) == 2
+    assert pub.current_id() == 2
+    assert pub.keep_id() == 3          # once-live v3 protected
+    assert pub._lineage()[-1] == 2     # live transition recorded
+
+
+# ---------------------------------------------------------------------------
+# Lineage capacity must track retain (ADVICE r10 low)
+# ---------------------------------------------------------------------------
+
+
+def test_lineage_holds_retain_plus_one_lives_when_retain_large(tmp_path):
+    """With retain >= LINEAGE_KEEP the lineage file must still hold
+    retain+1 recorded lives; a fixed 16-entry cap would push the oldest
+    owed lives out and fall back to the arithmetic id window — the
+    skipped-id blind spot the lineage exists to close."""
+    fs = fsmod.LocalFS()
+    root = str(tmp_path / "store")
+    retain = 20
+    pub = VersionedPointerPublisher(
+        fs, root, retain=retain, grace_seconds=3600.0, what="versioned store"
+    )
+    lives = []
+    for k in range(30):
+        nxt, obs = pub.begin()
+        pub.commit(nxt, obs)
+        lives.append(nxt)
+        # a dead claim after every commit forces the next id to SKIP,
+        # pushing old lives below the arithmetic [cur-retain, cur]
+        # window so only the lineage can retain them
+        assert fs.make_dir_exclusive(f"{root}/v{nxt + 1}")
+    assert len(pub._lineage()) >= retain + 1
+    keep = pub.retained_ids(lives[-1])
+    for owed in lives[-(retain + 1):]:
+        assert owed in keep, f"live id {owed} fell out of the keep set"
