@@ -1522,6 +1522,33 @@ def winnow_span_scrub_plan(
     one window partitioned by victim doc ordered by span start
     (cumulative max of prior ends → island ids), never global.
     """
+    islands = _winnow_cut_intervals(
+        docs, pairs, k=k, w=w, id_col=id_col, text_col=text_col,
+        a_col=a_col, b_col=b_col,
+    )
+    return islands.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).alias("tokens_to_remove"),
+    )
+
+
+def _winnow_cut_intervals(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """MERGED cut intervals per victim document: (id_col, ms, me),
+    1-based inclusive token positions in the victim's filtered token
+    sequence. For every flagged pair (a < b) each exact common run is
+    a cut interval in the LARGER-id doc b (keep-first-occurrence);
+    overlapping/adjacent-overlapping intervals from all of b's pairs
+    and diagonals collapse via gaps-and-islands. Shared by the scrub
+    PLAN (summary) and scrub APPLY (token-slice rewrite)."""
     from pyspark.sql import Window
 
     runs, _ = _winnow_diagonal_runs(
@@ -1535,7 +1562,7 @@ def winnow_span_scrub_plan(
     ).distinct()
     win = Window.partitionBy(id_col).orderBy("s", "e")
     prev_max_end = F.max("e").over(win.rowsBetween(Window.unboundedPreceding, -1))
-    islands = (
+    return (
         spans.withColumn(
             "__new", (prev_max_end.isNull() | (F.col("s") > prev_max_end)).cast("int")
         )
@@ -1547,10 +1574,73 @@ def winnow_span_scrub_plan(
         )
         .groupBy(id_col, "__isl")
         .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .select(id_col, "ms", "me")
     )
-    return islands.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("me") - F.col("ms") + 1).alias("tokens_to_remove"),
+
+
+def winnow_span_scrub_apply(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Duplicate-span removal APPLY (VERDICT r10 #1 — completes the
+    plan/apply split): emit the corpus with every planned cut interval
+    actually removed from its victim document. Victims (the larger id
+    of each flagged pair) have the tokens inside
+    :func:`_winnow_cut_intervals`'s merged intervals sliced out and
+    the survivors re-joined with single spaces (the same whitespace
+    normalization the winnow tokenizer applies, so the rewrite is
+    idempotent under re-winnowing); every other document's text passes
+    through BYTE-IDENTICAL. First occurrences are never touched — the
+    cut is always on the b side of an (a < b) pair.
+
+    Output: the input docs frame with ``text_col`` rewritten plus
+    ``tokens_removed`` (0 for untouched docs). Convergence: re-running
+    the winnow pair board on the output finds no cross-doc common run
+    ≥ g = w+k−1 tokens against a scrubbed victim (pytest-pinned).
+
+    Plan shape: intervals are victim-cardinality (bounded by the
+    flagged pair board); the rewrite is native array expressions —
+    ``filter(tokens, (t, i) -> !exists(cuts, c -> between))`` inside
+    whole-stage codegen, zero row UDFs, zero extra shuffles beyond the
+    one broadcast-or-hash join of cuts onto the corpus.
+    """
+    intervals = _winnow_cut_intervals(
+        docs, pairs, k=k, w=w, id_col=id_col, text_col=text_col,
+        a_col=a_col, b_col=b_col,
+    )
+    cuts = intervals.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("ms"), F.col("me"))).alias("__cuts")
+    )
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), " "), lambda t: t != ""
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__cuts"),
+            lambda c: (c["ms"] <= i + 1) & (i + 1 <= c["me"]),
+        ),
+    )
+    out_cols = [
+        F.when(F.col("__cuts").isNull(), F.col(c))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(c)
+        if c == text_col
+        else F.col(c)
+        for c in docs.columns
+    ]
+    return docs.join(cuts, id_col, "left").select(
+        *out_cols,
+        F.when(F.col("__cuts").isNull(), F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .cast("bigint")
+        .alias("tokens_removed"),
     )
 
 

@@ -118,8 +118,36 @@ _GRADED_PREFIX = (
     # past-cap; the dedup family keeps exact/minhash/apply/incremental
     # in-window and the entering winnow queries grade the
     # copied-span-detection axis).)
-    "doc_winnow_stats", "doc_winnow_pairs", "doc_winnow_incremental",
+    # (r11 rotation, VERDICT r10 #4 — six never-before-driver-graded
+    # entries enter; every ceded query stays registered + oracle-backed
+    # past the cap and was green at all three SFs for >=1 full round.
+    # Ceding: doc_winnow_stats (the winnow census — its fingerprint
+    # selection machinery executes inside the in-window pairs/
+    # incremental/span oracles), decontaminate (the exact 8-gram probe,
+    # superseded as the graded rep by the edit-robust
+    # decontaminate_spans family now holding FOUR in-window seats; the
+    # exact probe stays oracle-backed past-cap with a deprecation
+    # pointer), tpch_q18 (TPC-H keeps q1 full-scan-agg + q3 selective
+    # join in-window; the HAVING-semi shape stays oracle-backed
+    # past-cap with q4/q21/q22), text_repetition_score (the text family
+    # keeps quality/html/LM in-window; repetition past-cap),
+    # bpe_sample_audit (BPE keeps bpe_vocab_top, which transitively
+    # pins all merge rounds; the audit past-cap), user_streaks
+    # (gaps-and-islands stays graded THROUGH the entering span-scrub
+    # pair — interval merging IS the same islands window — plus the
+    # past-cap oracle). Entering: doc_winnow_span_scrub (the cut-
+    # interval PLAN), doc_winnow_span_scrub_apply (r11's headline: the
+    # ExactSubstr-style token-slice REWRITE, convergence-pinned),
+    # decontaminate_spans_apply + decontaminate_spans_store_probe
+    # (the fuzzy-decontamination family's apply and stored-index probe
+    # paths), cdc_snapshot_diff_demo (snapshot-diff change detection
+    # golden), lake_zone_readwhere_demo (r11 zone-map-pruned SQL reads
+    # — manifest pruning asserted inline from inputFiles()).)
+    "doc_winnow_pairs", "doc_winnow_incremental",
     "decontaminate_spans", "doc_winnow_span_verify",
+    "doc_winnow_span_scrub", "doc_winnow_span_scrub_apply",
+    "decontaminate_spans_apply", "decontaminate_spans_store_probe",
+    "cdc_snapshot_diff_demo", "lake_zone_readwhere_demo",
     # (r8 continuation rotation: sql_facade_agg cedes — the S7 temp-view
     # + SQL facade machinery executes inside every spark.sql-routed
     # oracle twin and stays oracle-backed past-cap; rolling_active_users
@@ -129,7 +157,7 @@ _GRADED_PREFIX = (
     "asof_attribution",
     # TPC-H representatives (full-scan agg / selective join / 6-way join /
     # HAVING-semi) — the other 18 shapes are oracle-backed past the cap
-    "tpch_q1", "tpch_q3", "tpch_q18",
+    "tpch_q1", "tpch_q3",
     # pipeline lifecycle
     "cdc_roundtrip_demo",
     # event analytics + semi-structured + percentiles + graph (r7 late
@@ -187,7 +215,7 @@ _GRADED_PREFIX = (
     # family's first rep, risk sets via contribution explode.)
     "session_peak_concurrency",
     "value_mad_outliers", "user_survival_km", "value_drift_ks",
-    "user_streaks", "weighted_median_price",
+    "weighted_median_price",
     # dedup family (exact → LSH scale path → clusters → end-to-end
     # surviving corpus → incremental batch-vs-base probe (r6) →
     # policy-sized SimHash blocking (r6: the graded form of the
@@ -213,7 +241,7 @@ _GRADED_PREFIX = (
     # (r7 closing rotation: text_language_id cedes — language gating
     # stays graded via quality_gate_by_lang's composed oracle past-cap;
     # tfidf_top_terms enters as the keyword-extraction representative)
-    "text_quality_score", "text_repetition_score",
+    "text_quality_score",
     "html_extract_clean",
     "trigram_lm_store_probe",
     # training-data ops + sketches (r6: the HLL distinct sketch joins
@@ -235,7 +263,6 @@ _GRADED_PREFIX = (
     # round changes it), with bpe_train_merges + bpe_token_count
     # oracle-backed past-cap.)
     "token_budget_mix", "corpus_snapshot_diff", "bpe_vocab_top",
-    "bpe_sample_audit", "decontaminate",
     "doc_pack_plan",
     "sketch_distinct_clients",
     # retrieval (r6: BM25 with the df-threshold skew guard engaged;

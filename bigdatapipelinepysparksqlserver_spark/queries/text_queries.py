@@ -1716,9 +1716,9 @@ FROM top t LEFT JOIN runs r USING (doc_a, doc_b)
 # Duplicate-span SCRUB PLAN oracle: the same pair board + diagonal
 # runs, then victim spans (larger id cuts), gaps-and-islands interval
 # merge, per-victim counts. e = pb_start + (chain + g - 1) - 1.
-WINNOW_SCRUB_ORACLE = f"""
-WITH {_WINNOW_CTES},
-hcounts AS (
+# pair board → diagonal runs → victim spans → gaps-and-islands merge,
+# shared by the scrub PLAN and scrub APPLY oracles
+_WINNOW_MERGED_CTES = f"""hcounts AS (
   SELECT fp_hash, COUNT(DISTINCT doc_id) AS df FROM fps GROUP BY 1
 ),
 keep AS (
@@ -1777,12 +1777,48 @@ isl AS (
 ),
 merged AS (
   SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me FROM isl GROUP BY 1, 2
-)
+)"""
+
+WINNOW_SCRUB_ORACLE = f"""
+WITH {_WINNOW_CTES},
+{_WINNOW_MERGED_CTES}
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
        CAST(SUM(me - ms + 1) AS BIGINT) AS tokens_to_remove
 FROM merged
 GROUP BY 1
 ORDER BY tokens_to_remove DESC, doc_id
+"""
+
+
+# Scrub APPLY oracle: token-slice removal replayed from the same
+# merged intervals — victims re-join their surviving tokens with
+# single spaces; every other document's text passes through verbatim.
+WINNOW_SCRUB_APPLY_ORACLE = f"""
+WITH {_WINNOW_CTES},
+{_WINNOW_MERGED_CTES},
+victims AS (SELECT DISTINCT doc_id FROM merged),
+kept AS (
+  SELECT t.doc_id, i.i AS p, t.tk[i.i] AS tok
+  FROM toks t JOIN victims v USING (doc_id),
+       UNNEST(range(1, len(t.tk) + 1)) AS i(i)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m
+    WHERE m.doc_id = t.doc_id AND i.i BETWEEN m.ms AND m.me)
+),
+rewritten AS (
+  SELECT v.doc_id,
+         COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS new_text
+  FROM victims v LEFT JOIN kept k USING (doc_id)
+  GROUP BY v.doc_id
+),
+removed AS (SELECT doc_id, SUM(me - ms + 1) AS tr FROM merged GROUP BY 1)
+SELECT d.doc_id,
+       CASE WHEN r.doc_id IS NOT NULL THEN r.new_text ELSE d.text END AS text,
+       CAST(COALESCE(x.tr, 0) AS BIGINT) AS tokens_removed
+FROM documents d
+LEFT JOIN rewritten r USING (doc_id)
+LEFT JOIN removed x USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -1805,6 +1841,39 @@ def doc_winnow_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _winnow_top_pairs(spark, sf_dir)
     return winnow_span_scrub_plan(docs, pairs).orderBy(
         F.col("tokens_to_remove").desc(), "doc_id"
+    )
+
+
+@query(
+    "doc_winnow_span_scrub_apply",
+    oracle=WINNOW_SCRUB_APPLY_ORACLE,
+    headline=True,  # r11 flagship: the ExactSubstr-style scrub rewrite
+)
+def doc_winnow_span_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span removal APPLY (VERDICT r10 #1): the corpus with
+    every planned cut interval actually sliced out of its victim
+    document — ExactSubstr-style dedup that keeps first occurrences
+    byte-identical and rewrites only the later copies, re-joining the
+    surviving tokens with single spaces. Returns (doc_id, text,
+    tokens_removed) over the WHOLE corpus so the oracle value-hashes
+    both the rewritten victims and the untouched pass-through.
+
+    Scale: cut intervals are victim-cardinality (bounded by the top-k
+    flagged pair board); the rewrite is a native
+    ``filter(tokens, (t, i) -> !exists(cuts, ...))`` array expression
+    inside whole-stage codegen — zero row UDFs; the only new exchange
+    joins victim cuts (tiny) onto the corpus scan. Convergence
+    (re-winnowing the output finds no cross-doc run ≥ g against a
+    scrubbed victim) is pytest-pinned in tests/test_training_ops.py.
+    """
+    from ..operators.text import winnow_span_scrub_apply
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = _winnow_top_pairs(spark, sf_dir)
+    return (
+        winnow_span_scrub_apply(docs, pairs)
+        .select("doc_id", "text", "tokens_removed")
+        .orderBy("doc_id")
     )
 
 

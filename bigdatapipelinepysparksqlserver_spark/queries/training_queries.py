@@ -259,7 +259,15 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: flag documents containing any probe
     8-gram (here: the first 8 words of docs 0-2 stand in for an eval
     set). Broadcast hash join on exploded n-grams — one corpus pass
-    regardless of probe count."""
+    regardless of probe count.
+
+    .. deprecated:: r11
+        Prefer :func:`decontaminate_spans` for screening: the exact
+        8-gram probe misses one-token-edited contamination that the
+        winnow-based span probe catches (pytest-pinned in
+        tests/test_training_ops.py). This exact form remains for
+        byte-identical-leak audits, where a hit is proof, not signal.
+    """
     docs = Catalog(spark, sf_dir).documents
     probes = docs.where(F.col("doc_id") < 3).select(
         F.concat_ws(

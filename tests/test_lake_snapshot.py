@@ -481,12 +481,105 @@ def test_additive_schema_evolution(spark, tmp_path):
         )
     )
     assert "channel" in lake.read().columns
-    # type change refused
-    with _pytest.raises(ValueError, match="additive evolution only"):
+    # incompatible type change refused, naming the column
+    with _pytest.raises(ValueError, match="'paid'.*not a safe widening"):
         lake.overwrite_partitions(
             spark.createDataFrame(
                 [(5, "oops", 202408, "US")],
                 "id int, paid string, year_month int, country string",
+            )
+        )
+
+
+def test_type_widening_schema_evolution(spark, tmp_path):
+    """VERDICT r10 #2: safe type WIDENING on the snapshot lake — a
+    publish carrying a widened column (int->long, float->double,
+    decimal(18,2)->(28,2): the SURVEY §1.2 decimal seam) records the
+    wider type in the manifest; readers upcast pre-widening files in
+    place (no rewrite); a later NARROW publish still reads under the
+    recorded wide type; unsafe changes raise naming the column."""
+    import pytest as _pytest
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("year_month",),
+        schema="id int, qty float, amount decimal(18,2), year_month int",
+        retain=3,
+    )
+    lake.write_full(
+        spark.createDataFrame(
+            [(1, 1.5, Decimal("10.25"), 202405)],
+            "id int, qty float, amount decimal(18,2), year_month int",
+        )
+    )
+    # widen all three in one publish of a NEW partition (old files
+    # keep their narrow physical types — no rewrite)
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(2**40, 2.5, Decimal("99999999999999999999999999.99"), 202406)],
+            "id long, qty double, amount decimal(28,2), year_month int",
+        )
+    )
+    live = lake.read()
+    types = {f.name: f.dataType for f in live.schema.fields}
+    assert types["id"] == T.LongType()
+    assert types["qty"] == T.DoubleType()
+    assert types["amount"] == T.DecimalType(28, 2)
+    rows = {r.id: (r.qty, r.amount) for r in live.collect()}
+    assert rows[1] == (1.5, Decimal("10.25"))          # upcast in place
+    assert rows[2**40] == (
+        2.5, Decimal("99999999999999999999999999.99"),
+    )
+    # a later publish at the OLD narrow types still merges to wide
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(3, 3.5, Decimal("7.00"), 202407)],
+            "id int, qty float, amount decimal(18,2), year_month int",
+        )
+    )
+    live2 = lake.read()
+    assert {f.name: f.dataType for f in live2.schema.fields}["id"] == T.LongType()
+    assert live2.count() == 3
+    # scale growth widens too (s grows, integer digits kept)
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(4, 4.5, Decimal("1.2345"), 202408)],
+            "id int, qty float, amount decimal(30,4), year_month int",
+        )
+    )
+    assert {
+        f.name: f.dataType for f in lake.read().schema.fields
+    }["amount"] == T.DecimalType(30, 4)
+    # a NARROWER decimal that still fits under the recorded wide type
+    # is a plain narrow publish (merged schema stays (30,4)) — but two
+    # decimals where NEITHER covers the other's integer digits AND
+    # scale are incomparable -> refused by column name
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(5, 5.5, Decimal("1.23"), 202409)],
+            "id int, qty float, amount decimal(4,3), year_month int",
+        )
+    )
+    assert {
+        f.name: f.dataType for f in lake.read().schema.fields
+    }["amount"] == T.DecimalType(30, 4)
+    with _pytest.raises(ValueError, match="'amount'.*not a safe widening"):
+        lake.overwrite_partitions(
+            spark.createDataFrame(
+                [(7, 7.5, Decimal("0.12345678"), 202411)],
+                "id int, qty float, amount decimal(10,8), year_month int",
+            )
+        )
+    # float -> decimal is not a widening either
+    with _pytest.raises(ValueError, match="'qty'.*not a safe widening"):
+        lake.overwrite_partitions(
+            spark.createDataFrame(
+                [(6, Decimal("1.00"), Decimal("1.00"), 202410)],
+                "id int, qty decimal(10,2), amount decimal(18,2), year_month int",
             )
         )
 
@@ -801,3 +894,97 @@ def test_register_view_sql_facade(spark, tmp_path):
     assert spark.sql("SELECT SUM(paid) FROM snap_sales").first()[0] == 12.0
     lake.register_view("snap_sales")  # re-register -> live snapshot
     assert spark.sql("SELECT SUM(paid) FROM snap_sales").first()[0] == 106.0
+
+
+def test_read_where_prunes_from_sql_predicate(spark, tmp_path):
+    """VERDICT r10 #3: read_where / register_view(where=...) give SQL
+    consumers manifest-level zone pruning on NON-partition columns —
+    a probe outside every zone opens ZERO parquet files, an inside
+    probe opens only the matching partitions, and results always equal
+    read().where(predicate) exactly."""
+    from datetime import datetime as dt
+    from decimal import Decimal
+
+    from bigdatapipelinepysparksqlserver_spark.sources.lake_snapshot import (
+        SnapshotLakeTable,
+        extract_prune_ranges,
+    )
+
+    schema = (
+        "id long, ts timestamp, paid decimal(18,2),"
+        " year_month int, country string"
+    )
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("year_month", "country"),
+        schema=schema,
+        retain=2,
+        stats_cols=("ts", "paid"),
+    )
+    rows = [
+        (1, dt(2024, 5, 3, 10, 0), Decimal("10.00"), 202405, "US"),
+        (2, dt(2024, 5, 28, 9, 0), Decimal("20.50"), 202405, "US"),
+        (3, dt(2024, 6, 2, 8, 0), Decimal("99.99"), 202406, "DE"),
+        (4, dt(2024, 7, 15, 7, 0), Decimal("5.25"), 202407, "DE"),
+    ]
+    lake.write_full(spark.createDataFrame(rows, schema))
+
+    # outside every zone: the explicit-path scan is EMPTY — zero files
+    out = lake.read_where("ts >= '2030-01-01'")
+    assert out.inputFiles() == []
+    assert out.count() == 0
+
+    # inside: only the June partition's file is opened
+    june = lake.read_where(
+        "ts >= '2024-06-01' AND ts < '2024-07-01'"
+    )
+    files = june.inputFiles()
+    assert len(files) == 1 and "year_month=202406" in files[0]
+    assert [r.id for r in june.collect()] == [3]
+
+    # equality + decimal bound, mixed with an unextractable conjunct
+    # (still pruned by the extractable part, filtered by the full
+    # predicate)
+    got = lake.read_where("paid >= 50 AND id % 2 = 1")
+    assert len(got.inputFiles()) == 1
+    assert [r.id for r in got.collect()] == [3]
+
+    # the boundary day's PARTITION is never pruned by a date-only
+    # upper bound (the widened '2024-06-02~' keeps the June zone); the
+    # row filter then decides — Spark casts the literal to midnight,
+    # so row 3 (08:00) is row-filtered out, exactly like read().where
+    b = lake.read_where("ts <= '2024-06-02'")
+    assert any("year_month=202406" in f for f in b.inputFiles())
+    assert {r.id for r in b.collect()} == {
+        r.id for r in lake.read().where("ts <= '2024-06-02'").collect()
+    } == {1, 2}
+
+    # equivalence sweep: read_where == read().where for every shape,
+    # including unprunable ones (OR, functions) that fall back whole
+    for pred in (
+        "ts >= '2024-06-01' AND ts < '2024-07-01'",
+        "paid BETWEEN 10 AND 30",
+        "paid = 99.99",
+        "'2024-06-01' <= ts AND paid > 1",
+        "id = 1 OR id = 4",
+        "year(ts) = 2024 AND paid < 11",
+        "country = 'US'",
+    ):
+        want = sorted(r.id for r in lake.read().where(pred).collect())
+        got = sorted(r.id for r in lake.read_where(pred).collect())
+        assert got == want, (pred, got, want)
+
+    # SQL facade: a pruned view behaves like the predicate, with the
+    # pruning visible in the file count
+    lake.register_view("lake_june", where="ts >= '2024-06-01' AND ts < '2024-07-01'")
+    assert [
+        r.id for r in spark.sql("SELECT id FROM lake_june").collect()
+    ] == [3]
+
+    # extractor conservatism unit checks
+    assert extract_prune_ranges("a >= 1 AND a < 5", ["a"]) == {"a": (1, 5)}
+    assert extract_prune_ranges("a in (1, 2)", ["a"]) == {}
+    assert extract_prune_ranges("NOT a = 1", ["a"]) == {}
+    assert extract_prune_ranges("upper(c) = 'X'", ["c"]) == {}
+    assert extract_prune_ranges("b = 'o''brien'", ["b"]) == {}  # quoted quote

@@ -30,12 +30,19 @@ FLAGSHIPS = {
     # (r10 rotation: dedup_jaccard_prefix ceded — exact set-similarity
     # stays oracle-backed past-cap; the winnowing copy-detection board
     # and span-level decontamination pin as the r10 flagships.)
+    # (r11 rotation: user_streaks and decontaminate ceded the window
+    # with documented family coverage (queries/__init__.py — islands
+    # machinery graded through the entering span-scrub pair; the exact
+    # probe superseded by the decontaminate_spans family);
+    # doc_winnow_span_scrub_apply — the ExactSubstr-style token-slice
+    # rewrite — and cdc_snapshot_diff_demo pin as the r11 flagships.)
     "doc_winnow_pairs", "decontaminate_spans",
-    "mart_client_count", "tpch_q1", "cdc_roundtrip_demo", "user_streaks",
+    "doc_winnow_span_scrub_apply", "cdc_snapshot_diff_demo",
+    "mart_client_count", "tpch_q1", "cdc_roundtrip_demo",
     "dedup_exact", "dedup_minhash", "semantic_dedup",
     "sessionize_session_window", "hybrid_search_rrf",
     "asof_attribution", "text_quality_score",
-    "decontaminate", "doc_pack_plan", "ann_topk_cosine",
+    "doc_pack_plan", "ann_topk_cosine",
     "media_dedup_audit", "session_peak_concurrency",
     "events_tier_pit",
     "cdc_snapshot_demo", "copurchase_triangles_node_est",

@@ -947,3 +947,101 @@ def test_winnow_span_scrub_plan_merges_overlapping_intervals(spark):
     }
     # doc 9: merged [t3..t14] = 12 tokens + disjoint 6-token run
     assert got == {9: (2, 18)}, got
+
+
+def test_winnow_span_scrub_apply_rewrites_and_converges(spark):
+    """VERDICT r10 #1 done-criteria for the scrub APPLY:
+
+    - the victim's planned cut intervals are sliced out of its token
+      sequence (merged-union semantics, same as the plan);
+    - the kept FIRST occurrence and unrelated docs pass through
+      byte-identical (original whitespace preserved);
+    - tokens_removed matches the plan's tokens_to_remove;
+    - CONVERGENCE: re-running the winnow pair board over the scrubbed
+      corpus finds no cross-doc common run >= g = w+k-1 tokens against
+      a scrubbed victim.
+    """
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_span_scrub_apply,
+        winnow_span_verify,
+    )
+
+    runab = "t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14"  # 12 tokens
+    a_part = " ".join(runab.split()[:8])   # t3..t10
+    b_part = " ".join(runab.split()[4:])   # t7..t14
+    six = "q1 q2 q3 q4 q5 q6"
+    doc1 = f"source one  says {a_part} and stops"  # double space kept
+    docs = spark.createDataFrame(
+        [
+            (1, doc1),
+            (2, f"source two states {b_part} then ends"),
+            (3, f"source three holds {six} here"),
+            (9, f"victim t1 t2 {runab} t15 t16 pad filler {six} tail"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 9, 3), (2, 9, 3), (3, 9, 1)],
+        "doc_a long, doc_b long, shared_fps long",
+    )
+    out = {
+        r.doc_id: r
+        for r in winnow_span_scrub_apply(docs, pairs).collect()
+    }
+    # non-victims byte-identical (doc 1's double space survives)
+    assert out[1].text == doc1
+    assert out[2].tokens_removed == 0 and out[3].tokens_removed == 0
+    # victim: union [t3..t14] + [q1..q6] cut, survivors single-spaced
+    assert out[9].text == "victim t1 t2 t15 t16 pad filler tail"
+    assert out[9].tokens_removed == 18
+
+    # convergence: the scrubbed corpus re-winnows to an empty board
+    scrubbed = winnow_span_scrub_apply(docs, pairs).drop("tokens_removed")
+    fps = (
+        winnow_fingerprints(scrubbed)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    board = (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp_hash")
+        .where("a.doc_id < b.doc_id")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .collect()
+    )
+    # sources 1 and 2 legitimately still share their sub-threshold
+    # (< g) 4-token overlap; no surviving pair may involve the victim
+    assert all(9 not in (r.doc_a, r.doc_b) for r in board), board
+    # and NO pair anywhere retains a run >= g (the winnow guarantee
+    # span): sub-threshold fingerprint hits verify to 0
+    allpairs = spark.createDataFrame(
+        [(1, 2, 1), (1, 9, 1), (2, 9, 1), (3, 9, 1)],
+        "doc_a long, doc_b long, shared_fps long",
+    )
+    post = winnow_span_verify(scrubbed, allpairs).collect()
+    assert all(r.longest_run_tokens == 0 for r in post), post
+
+
+def test_winnow_span_scrub_apply_empties_total_victim(spark):
+    """A victim whose ENTIRE token sequence is duplicated scrubs to the
+    empty string (not a dropped row, not original text) — the
+    all-tokens-cut edge the left-join rewrite must not lose."""
+    from bigdatapipelinepysparksqlserver_spark.operators.text import (
+        winnow_span_scrub_apply,
+    )
+
+    span = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"prefix {span} suffix"), (2, span)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 5)], "doc_a long, doc_b long, shared_fps long"
+    )
+    out = {r.doc_id: r for r in winnow_span_scrub_apply(docs, pairs).collect()}
+    assert out[2].text == "" and out[2].tokens_removed == 10
+    assert out[1].text == f"prefix {span} suffix"
