@@ -431,6 +431,7 @@ class _LakeProtocol(VersionedPointerPublisher):
 
     def reap(self, i: int) -> None:
         self.fs.remove_file(f"{self.root}/manifests/m{i}.json")
+        self.fs.rmtree(f"{self.root}/manifests/m{i}.shards")
         self.fs.rmtree(f"{self.root}/data/txn={i}")
 
     def artifact_age(self, i: int) -> float:
@@ -458,6 +459,7 @@ class SnapshotLakeTable:
         retain: int = 1,
         grace_seconds: float = 0.0,
         stats_cols: Sequence[str] = (),
+        manifest_shard_size: int = 20000,
     ):
         self.spark = spark
         self.root = root
@@ -465,6 +467,11 @@ class SnapshotLakeTable:
         self.fs = fs or LocalFS()
         self.retain = retain
         self.grace_seconds = grace_seconds
+        # manifests with more entries than this shard into bounded
+        # m<N>.shards/s<k>.json files (Iceberg's manifest-list idea);
+        # below it the single-JSON layout stays (~37 bytes/entry —
+        # one read to ~10^5 partitions). Readers are shard-transparent.
+        self.manifest_shard_size = manifest_shard_size
         # zone-map columns: per-partition [min, max] recorded in the
         # manifest at publish (computed from the just-written change
         # set only), so readers can prune partitions on NON-partition
@@ -502,6 +509,24 @@ class SnapshotLakeTable:
 
     def _read_manifest_full(self, mid: int) -> tuple[dict[str, int], dict]:
         doc = self._read_manifest_doc(mid)
+        if "txn_shards" in doc:
+            txns: dict[str, int] = {}
+            stats: dict = {}
+            for k in range(int(doc["txn_shards"])):
+                raw = self.fs.read_pointer(
+                    f"{self.root}/manifests/m{mid}.shards/s{k}.json"
+                )
+                if raw is None:
+                    raise FileNotFoundError(
+                        f"manifest m{mid} shard s{k} missing under "
+                        f"{self.root} (of {doc['txn_shards']})"
+                    )
+                shard = json.loads(raw)
+                txns.update(
+                    {rel: int(txn) for rel, txn in shard["txns"].items()}
+                )
+                stats.update(shard.get("stats", {}))
+            return txns, stats
         txns = {rel: int(txn) for rel, txn in doc["txns"].items()}
         return txns, doc.get("stats", {})
 
@@ -1082,7 +1107,7 @@ class SnapshotLakeTable:
         self.fs.makedirs(f"{self.root}/manifests")
         # unique name (the txn claim made <nxt> ours alone) + fsync'd
         # write; invisible until the pointer swap
-        doc: dict = {"id": nxt, "txns": manifest}
+        doc: dict = {"id": nxt}
         parent = self._proto._parse(observed)
         if parent is not None:
             # the snapshot this publish was composed AGAINST — the CDF
@@ -1090,10 +1115,38 @@ class SnapshotLakeTable:
             # a rolled-back-to snapshot records THAT id, so the chain
             # walk never crosses abandoned history)
             doc["parent"] = parent
-        if stats:
-            doc["stats"] = stats
         if rec_schema is not None:
             doc["schema"] = rec_schema.jsonValue()
+        stats = stats or {}
+        if len(manifest) > self.manifest_shard_size:
+            # Iceberg-style manifest LIST: past ~10^5 partitions one
+            # JSON blob becomes a multi-MB read/rewrite on every
+            # publish and a single-file hotspot. Entries are split by
+            # sorted-rel slicing into bounded shard files written
+            # BEFORE the pointer swap (unique m<nxt>.shards/ dir — the
+            # claim made <nxt> ours alone, so shards are as invisible
+            # and immutable as the doc itself); the doc records only
+            # the shard count. _read_manifest_full stays the single
+            # read seam, so every reader is shard-transparent.
+            rels = sorted(manifest)
+            size = self.manifest_shard_size
+            n_shards = (len(rels) + size - 1) // size
+            self.fs.makedirs(f"{self.root}/manifests/m{nxt}.shards")
+            for k in range(n_shards):
+                part = rels[k * size : (k + 1) * size]
+                shard = {"txns": {r: manifest[r] for r in part}}
+                sh_stats = {r: stats[r] for r in part if r in stats}
+                if sh_stats:
+                    shard["stats"] = sh_stats
+                self.fs.set_pointer(
+                    f"{self.root}/manifests/m{nxt}.shards/s{k}.json",
+                    json.dumps(shard, sort_keys=True),
+                )
+            doc["txn_shards"] = n_shards
+        else:
+            doc["txns"] = manifest
+            if stats:
+                doc["stats"] = stats
         self.fs.set_pointer(
             f"{self.root}/manifests/m{nxt}.json",
             json.dumps(doc, sort_keys=True),
@@ -1120,6 +1173,7 @@ class SnapshotLakeTable:
             if i != current and self._proto.artifact_age(i) < grace:
                 continue  # possibly in-flight concurrent publish
             self.fs.remove_file(f"{self.root}/manifests/m{i}.json")
+            self.fs.rmtree(f"{self.root}/manifests/m{i}.shards")
         referenced: set[tuple[int, str]] = set()
         for i in keep_ids:
             for rel, txn in self._read_manifest(i).items():
@@ -1140,5 +1194,10 @@ class SnapshotLakeTable:
                     live = True
                 else:
                     self.fs.rmtree(f"{base}/{rel}")
-            if not live:
+            # a RETAINED snapshot's txn dir survives even with no live
+            # partitions: it may hold the publish's recorded change-data
+            # feed (_cdf) — a deletes-only publish writes no partitions
+            # at all — and changes_between must be able to read it for
+            # as long as the manifest itself is retained
+            if not live and txn not in retained:
                 self.fs.rmtree(base)

@@ -988,3 +988,91 @@ def test_read_where_prunes_from_sql_predicate(spark, tmp_path):
     assert extract_prune_ranges("NOT a = 1", ["a"]) == {}
     assert extract_prune_ranges("upper(c) = 'X'", ["c"]) == {}
     assert extract_prune_ranges("b = 'o''brien'", ["b"]) == {}  # quoted quote
+
+
+def test_sharded_manifest_lifecycle(spark, tmp_path):
+    """VERDICT r10 #7: manifests past the shard threshold split into
+    bounded m<N>.shards/s<k>.json files, transparently to every reader
+    — read, zone pruning (stats travel in the shards), carried-stats
+    publish, metadata drop, rollback, and GC (no orphan shard dirs)."""
+    import json as _json
+    import os as _os
+    from decimal import Decimal
+
+    schema = "id long, paid decimal(18,2), year_month int, country string"
+    root = str(tmp_path / "lake")
+    lake = SnapshotLakeTable(
+        spark,
+        root,
+        partition_cols=("year_month", "country"),
+        schema=schema,
+        retain=1,
+        stats_cols=("paid",),
+        manifest_shard_size=2,  # force sharding at tiny scale
+    )
+    rows = [
+        (i, Decimal(f"{10 * i}.00"), 202400 + i, c)  # 5 distinct partitions
+        for i, c in enumerate(["US", "DE", "FR", "US", "DE"], start=1)
+    ]
+    lake.write_full(spark.createDataFrame(rows, schema))
+    m1 = lake.current_id()
+    # 5 partitions / shard_size 2 -> 3 shards; the doc holds no txns
+    doc = _json.loads(
+        open(_os.path.join(root, "manifests", f"m{m1}.json")).read()
+    )
+    assert doc["txn_shards"] == 3 and "txns" not in doc
+    assert sorted(_os.listdir(_os.path.join(root, "manifests", f"m{m1}.shards"))) == [
+        "s0.json", "s1.json", "s2.json",
+    ]
+    assert len(lake.current_manifest()) == 5
+    assert lake.read().count() == 5
+
+    # zone maps round-trip through shards: prune on paid
+    keep = lake.pruned_partitions({"paid": (Decimal("45"), None)})
+    assert all("year_month=" in rel for rel in keep)
+    assert {rel for rel in keep} == {
+        rel
+        for rel, st in lake.current_stats().items()
+        if st["paid"][1] >= 45
+    }
+    got = {r.id for r in lake.read_where("paid >= 45").collect()}
+    assert got == {5}
+
+    # carried stats survive a partial overwrite (old shards reread)
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(9, Decimal("1.00"), 202401, "US")], schema
+        )
+    )
+    m2 = lake.current_id()
+    assert lake.read().count() == 5  # id 1 replaced by id 9... same slot
+    st2 = lake.current_stats()
+    assert len(st2) == 5 and all("paid" in v for v in st2.values())
+
+    # metadata-only drop keeps sharding consistent
+    lake.drop_partition_values([(202402, "DE")])
+    assert len(lake.current_manifest()) == 4
+
+    # rollback to the retained previous snapshot still resolves shards
+    lake.rollback(m2)
+    assert lake.read().count() == 5
+
+    # more publishes: GC must reap old shard dirs with their manifests
+    for k in range(3):
+        lake.overwrite_partitions(
+            spark.createDataFrame(
+                [(20 + k, Decimal("2.00"), 202401, "US")], schema
+            )
+        )
+    mdir = _os.path.join(root, "manifests")
+    manifest_ids = {
+        int(n[1:-5]) for n in _os.listdir(mdir)
+        if n.endswith(".json") and n[1:-5].isdigit()
+    }
+    shard_ids = {
+        int(n[1:-7]) for n in _os.listdir(mdir)
+        if n.endswith(".shards") and n[1:-7].isdigit()
+    }
+    assert shard_ids <= manifest_ids, (
+        f"orphan shard dirs: {shard_ids - manifest_ids}"
+    )

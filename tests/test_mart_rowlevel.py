@@ -283,3 +283,28 @@ def test_changes_between_walks_parent_chain(spark, tmp_path):
     # past the first publish there is no parent: explicit gap
     with pytest.raises(CdfGapError, match="no usable parent"):
         lake.changes_between(0, m1)
+
+
+def test_deletes_only_publish_keeps_its_cdf_while_retained(spark, tmp_path):
+    """A deletes-only publish writes NO partitions — its txn dir holds
+    only the recorded CDF. GC must keep that dir for as long as the
+    manifest is retained (reaping it would silently downgrade
+    changes_between to the scan-based fallback)."""
+    lake = SnapshotLakeTable(
+        spark, str(tmp_path / "lake"), schema=SCHEMA, retain=4
+    )
+    corpus = _Corpus(spark, lake)
+    corpus.seed([_row(1, "10.00", 100, 202405, "US")])
+    m1 = lake.current_id()
+    corpus.apply(deletes=[1])  # partition empties; txn carries only _cdf
+    m2 = lake.current_id()
+    assert lake.current_manifest() == {}
+    # the CDF is readable — no CdfGapError, exact content
+    got = {(r.id, r.change) for r in lake.changes_between(m1, m2).collect()}
+    assert got == {(1, "delete")}
+    # and one more publish later (GC ran again) it STILL is
+    corpus.apply(inserts=[_row(2, "5.00", 101, 202406, "DE")])
+    m3 = lake.current_id()
+    assert {
+        (r.id, r.change) for r in lake.changes_between(m1, m3).collect()
+    } == {(1, "delete"), (2, "insert")}

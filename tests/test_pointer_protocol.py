@@ -525,3 +525,40 @@ def test_lineage_holds_retain_plus_one_lives_when_retain_large(tmp_path):
     keep = pub.retained_ids(lives[-1])
     for owed in lives[-(retain + 1):]:
         assert owed in keep, f"live id {owed} fell out of the keep set"
+
+
+def test_gc_never_reaps_young_claimant_below_winner(tmp_path):
+    """Adversarial GC (the pointer.py gc() `i != current` guard): a
+    claimant that crashed BELOW the eventual winner's id (A claimed 2,
+    B won with 3) sits outside the keep set with retain=0 — GC must
+    still leave it alone while younger than the grace window (it is
+    indistinguishable from an in-flight publisher), and reap it only
+    once aged past the grace."""
+    import os as _os
+    import time as _time
+
+    fs = fsmod.LocalFS()
+    root = str(tmp_path / "store")
+    GRACE = 3600.0
+    pub = VersionedPointerPublisher(
+        fs, root, retain=0, grace_seconds=GRACE, what="versioned store"
+    )
+    n1, o1 = pub.begin()
+    pub.commit(n1, o1)
+    # A claims v2 and crashes before commit
+    nxt_a, _ = pub.begin()
+    assert nxt_a == 2
+    # B publishes fully — claims PAST the young v2, wins with v3
+    nxt_b, obs_b = pub.begin()
+    assert nxt_b == 3
+    pub.commit(nxt_b, obs_b)  # runs gc(3)
+    # the young crashed claim BELOW the winner survives the GC
+    assert fs.is_dir(f"{root}/v2"), "young below-winner claim reaped"
+    # age it past the grace: the next commit's GC reaps it
+    old = _time.time() - GRACE - 10
+    _os.utime(f"{root}/v2", (old, old))
+    n4, o4 = pub.begin()
+    pub.commit(n4, o4)
+    assert not fs.is_dir(f"{root}/v2"), "aged crashed claim not reaped"
+    # ...and nothing live was touched
+    assert pub.current_id() == n4
