@@ -1194,10 +1194,12 @@ class SnapshotLakeTable:
                     live = True
                 else:
                     self.fs.rmtree(f"{base}/{rel}")
-            # a RETAINED snapshot's txn dir survives even with no live
-            # partitions: it may hold the publish's recorded change-data
-            # feed (_cdf) — a deletes-only publish writes no partitions
-            # at all — and changes_between must be able to read it for
-            # as long as the manifest itself is retained
-            if not live and txn not in retained:
+            # a RETAINED snapshot's txn dir survives with no live
+            # partitions IF it holds a recorded change-data feed — a
+            # deletes-only publish writes nothing BUT its _cdf, and
+            # changes_between must be able to read it for as long as
+            # the manifest itself is retained. A bare reservation dir
+            # (manifest-only publish, empty extract) is reaped as ever.
+            keeps_cdf = txn in retained and self.fs.is_dir(f"{base}/_cdf")
+            if not live and not keeps_cdf:
                 self.fs.rmtree(base)
