@@ -247,7 +247,19 @@ class RowLevelMart:
         try:
             diff = self.lake.changes_between(frm, to_mid)
         except CdfGapError:
-            diff = self.lake.snapshot_diff_rows(frm, to_mid)
+            try:
+                diff = self.lake.snapshot_diff_rows(frm, to_mid)
+            except FileNotFoundError as e:
+                # the applied-from snapshot aged past the lake's retain
+                # window (too many un-refreshed publishes): neither the
+                # CDF chain nor the scan diff can reach it any more
+                raise RuntimeError(
+                    f"row-level mart {self.root} fell behind the lake's "
+                    f"retain window (applied m{frm} is gone: {e}). Run "
+                    "repair() — a partition-grain rebuild from the "
+                    "current snapshot — or widen the lake's retain= / "
+                    "refresh more often."
+                ) from e
         diff = diff.where(F.col("paid") > 0).persist()
         try:
             touched = sorted(

@@ -400,9 +400,14 @@ def lake_zone_readwhere_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions opens ~3.6% of the data before a single row filter
     runs. The publish itself is the lake's ordinary one-txn write.
     """
+    from ..sources.catalog import Catalog
     from ..sources.lake_snapshot import SnapshotLakeTable
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # through the Catalog loader, NOT a raw parquet read: driver
+    # testdata generations store o_orderdate as TIMESTAMP(NANOS)-as-
+    # long / NTZ, and the catalog's _repair_nano_ts normalization is
+    # what makes date_format/zone probes type-correct on all of them
+    orders = Catalog(spark, sf_dir).orders
     df = orders.withColumn(
         "year_month", F.date_format("o_orderdate", "yyyyMM").cast("int")
     )

@@ -260,8 +260,8 @@ _DATEISH = re.compile(
 )
 _CONJUNCT = re.compile(
     r"^\s*(?:"
-    r"(?P<col1>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op1>=|==|<=|>=|<|>)\s*(?P<lit1>.+?)"
-    r"|(?P<lit2>.+?)\s*(?P<op2>=|==|<=|>=|<|>)\s*(?P<col2>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?P<col1>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op1>==|<=|>=|=|<|>)\s*(?P<lit1>.+?)"
+    r"|(?P<lit2>.+?)\s*(?P<op2>==|<=|>=|=|<|>)\s*(?P<col2>[A-Za-z_][A-Za-z0-9_]*)"
     r"|(?P<col3>[A-Za-z_][A-Za-z0-9_]*)\s+between\s+(?P<lo3>.+?)\s+and\s+(?P<hi3>.+?)"
     r")\s*$",
     re.IGNORECASE,
@@ -318,15 +318,31 @@ def extract_prune_ranges(predicate: str, stats_cols) -> dict:
     honest subset: extraction can only shrink the scan toward what
     the row filter would keep anyway."""
     cols = set(stats_cols)
-    # strip quoted strings before the structural OR/NOT/paren scan so
-    # literal contents can't fake (or mask) a keyword
-    stripped = re.sub(r"'[^']*'", "''", predicate)
-    if re.search(r"\bor\b|\bnot\b|!=|<>|\bin\b|[()]", stripped, re.IGNORECASE):
+    # MASK quoted strings before ANY structural decision — the OR/NOT/
+    # paren scan, the BETWEEN cutter, and the AND split all run on the
+    # masked text, so a literal like 'x and paid > 5' can never fake a
+    # conjunct (and produce a WRONG bound) or smuggle a keyword.
+    # Placeholders are quoted \x00<i>\x00 tokens (no spaces, keywords,
+    # or operators), restored per-conjunct before literal parsing.
+    literals: list[str] = []
+
+    def _mask(m: "re.Match[str]") -> str:
+        literals.append(m.group(0))
+        return f"'\x00{len(literals) - 1}\x00'"
+
+    masked = re.sub(r"'(?:[^']|'')*'", _mask, predicate)
+
+    def _unmask(s: str) -> str:
+        return re.sub(
+            r"'\x00(\d+)\x00'", lambda m: literals[int(m.group(1))], s
+        )
+
+    if re.search(r"\bor\b|\bnot\b|!=|<>|\bin\b|[()]", masked, re.IGNORECASE):
         return {}
     # BETWEEN owns one AND; cut each BETWEEN..AND.. out as one unit
     # before splitting conjuncts on the remaining ANDs
     parts: list[str] = []
-    rest = predicate
+    rest = masked
     bet = re.compile(
         r"[A-Za-z_][A-Za-z0-9_]*\s+between\s+\S+\s+and\s+\S+", re.IGNORECASE
     )
@@ -337,6 +353,7 @@ def extract_prune_ranges(predicate: str, stats_cols) -> dict:
         parts.append(m.group(0))
         rest = rest[: m.start()] + " 1=1 " + rest[m.end():]
     parts.extend(re.split(r"\band\b", rest, flags=re.IGNORECASE))
+    parts = [_unmask(p) for p in parts]
 
     out: dict = {}
 
@@ -773,7 +790,11 @@ class SnapshotLakeTable:
                 )
             try:
                 doc = self._read_manifest_doc(cur)
-            except Exception as e:  # manifest aged out of retain
+            except FileNotFoundError as e:  # aged out of the retain
+                # window — the one RECOVERABLE miss. Anything else
+                # (corrupt JSON, fs faults) propagates: downgrading an
+                # infrastructure error to the scan fallback would just
+                # re-hit it with a more confusing stack.
                 raise CdfGapError(
                     f"manifest m{cur} is not readable (reaped past the "
                     f"retain window?): {e}; use snapshot_diff_rows "
@@ -955,6 +976,16 @@ class SnapshotLakeTable:
             )
         nxt, observed = self._proto.begin()  # claims data/txn=<nxt>
         txn_dir = f"{self.root}/data/txn={nxt}"
+        # resolve the prior snapshot ONCE (doc + shards): at 10^5
+        # sharded entries, separate current_stats()/current_manifest()/
+        # _manifest_schema() calls would each re-read the whole shard
+        # set — multiplying exactly the metadata cost sharding bounds
+        prior_id = self._proto._parse(observed)
+        if prior_id is not None:
+            prior_txns, prior_stats = self._read_manifest_full(prior_id)
+            prior_schema = self._manifest_schema(prior_id)
+        else:
+            prior_txns, prior_stats, prior_schema = {}, {}, None
         # one file per partition via the partition-key hash repartition
         # (same small-files stance as LakeTable._writer); the write is
         # invisible — nothing references txn=<nxt> yet
@@ -969,9 +1000,7 @@ class SnapshotLakeTable:
             rec_schema = (
                 ordered.schema
                 if replace_all
-                else _merge_schema(
-                    self._manifest_schema(self.current_id()), ordered.schema
-                )
+                else _merge_schema(prior_schema, ordered.schema)
             )
             # mode("append"), NOT overwrite: Spark's overwrite DELETES
             # the target dir before recreating it, which would release
@@ -997,11 +1026,10 @@ class SnapshotLakeTable:
         except Exception:
             self._proto.abort(nxt)
             raise
-        prior_stats = self.current_stats()
         if replace_all:
             manifest = {rel: nxt for rel in written}
         else:
-            manifest = dict(self.current_manifest() or {})
+            manifest = dict(prior_txns)
             if changed_year_months is not None:
                 lead = self.partition_cols[0]
                 dropped = {
@@ -1027,11 +1055,13 @@ class SnapshotLakeTable:
             if rel not in set(written) and rel in prior_stats
         }
         if self.stats_cols and written:
-            stats.update(self._collect_stats(txn_dir, written))
+            stats.update(self._collect_stats(txn_dir, written, rec_schema))
         self._commit_manifest(manifest, nxt, observed, stats, rec_schema)
         return written
 
-    def _collect_stats(self, txn_dir: str, written: list[str]) -> dict:
+    def _collect_stats(
+        self, txn_dir: str, written: list[str], rec_schema=None
+    ) -> dict:
         """Per-partition [min, max] of each stats column over the
         just-written partitions. One change-set-sized Spark job; the
         collect is one row per written partition (control-plane).
@@ -1040,26 +1070,38 @@ class SnapshotLakeTable:
         read-back partition values must round-trip to exactly the
         directory spelling. Spark's partition type inference breaks
         that (dir ``m=06`` reads back as int 6 → rel ``m=6`` — the
-        stats would silently never attach and pruning would be lost),
-        so it is disabled for this read: values come back as the raw
-        strings the directories spell, and re-escaping reproduces the
-        manifest key byte-for-byte."""
-        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        prior = self.spark.conf.get(conf_key, "true")
-        self.spark.conf.set(conf_key, "false")
-        try:
-            df = (
-                self.spark.read.option("basePath", txn_dir)
-                .parquet(*[f"{txn_dir}/{rel}" for rel in written])
-            )
-        finally:
-            self.spark.conf.set(conf_key, prior)
-        # a stats column the written frame doesn't carry (e.g. one this
-        # lake will only gain by a later schema evolution) simply gets
-        # no zone — readers keep the partition conservatively
-        present = [c for c in self.stats_cols if c in df.columns]
+        stats would silently never attach and pruning would be lost).
+        The read therefore declares an EXPLICIT schema: partition
+        columns as strings (values come back exactly as the
+        directories spell them, minus Hive escaping, which re-escaping
+        restores byte-for-byte) and stats columns at the recorded
+        (possibly widened) types. Explicit schema also means no
+        session-conf mutation — concurrent readers are never exposed
+        to a publisher's read settings — and column pruning down to
+        exactly the stats columns."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        rec = rec_schema or self.spark.createDataFrame([], self.schema).schema
+        data_fields = {f.name: f for f in rec.fields}
+        # a stats column the lake doesn't carry yet (one it will only
+        # gain by a later schema evolution) simply gets no zone —
+        # readers keep the partition conservatively
+        present = [
+            c
+            for c in self.stats_cols
+            if c in data_fields and c not in self.partition_cols
+        ]
         if not present:
             return {}
+        read_schema = StructType(
+            [StructField(c, data_fields[c].dataType) for c in present]
+            + [StructField(pc, StringType()) for pc in self.partition_cols]
+        )
+        df = (
+            self.spark.read.option("basePath", txn_dir)
+            .schema(read_schema)
+            .parquet(*[f"{txn_dir}/{rel}" for rel in written])
+        )
         aggs = []
         for c in present:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
@@ -1071,13 +1113,15 @@ class SnapshotLakeTable:
                 f"{k}={escape_partition_value(r[k])}"
                 for k in self.partition_cols
             )
-            out[rel] = {
-                c: [
-                    _stat_encode(r[f"__mn_{c}"], widen=-1),
-                    _stat_encode(r[f"__mx_{c}"], widen=1),
-                ]
-                for c in present
-            }
+            zones = {}
+            for c in present:
+                mn = _stat_encode(r[f"__mn_{c}"], widen=-1)
+                mx = _stat_encode(r[f"__mx_{c}"], widen=1)
+                if mn is None or mx is None:
+                    continue  # all-NULL / absent column: no zone
+                zones[c] = [mn, mx]
+            if zones:
+                out[rel] = zones
         return out
 
     def _publish_manifest(self, manifest: dict[str, int]) -> None:
@@ -1089,11 +1133,16 @@ class SnapshotLakeTable:
         # the id reservation — deleting it pre-commit would let a
         # concurrent publisher claim the same id and overwrite our
         # manifest file before the CAS arbitrates
-        prior_stats = self.current_stats()
+        prior_id = self._proto._parse(observed)
+        # one resolve of the prior snapshot (doc + shards), not one per
+        # stats/schema accessor — the sharded-manifest cost discipline
+        prior_stats = (
+            self._read_manifest_full(prior_id)[1] if prior_id is not None else {}
+        )
         stats = {rel: prior_stats[rel] for rel in manifest if rel in prior_stats}
         self._commit_manifest(
             manifest, nxt, observed, stats,
-            self._manifest_schema(self.current_id()),
+            self._manifest_schema(prior_id),
         )
 
     def _commit_manifest(

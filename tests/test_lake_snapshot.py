@@ -988,6 +988,20 @@ def test_read_where_prunes_from_sql_predicate(spark, tmp_path):
     assert extract_prune_ranges("NOT a = 1", ["a"]) == {}
     assert extract_prune_ranges("upper(c) = 'X'", ["c"]) == {}
     assert extract_prune_ranges("b = 'o''brien'", ["b"]) == {}  # quoted quote
+    # string-literal CONTENTS can never fake a conjunct (r11 review:
+    # the structural split must run on quote-masked text, or a literal
+    # like 'x and a > 5' produces a WRONG bound and drops rows)
+    assert extract_prune_ranges("note = 'abc and a > 5 and x'", ["a"]) == {}
+    assert extract_prune_ranges("note = 'a between 1 and 2'", ["a"]) == {}
+    assert extract_prune_ranges(
+        "note = 'or maybe' AND a >= 3", ["a", "note"]
+    ) == {"note": ("or maybe", "or maybe"), "a": (3, None)}
+    # == parses in the forward direction too (alternation order)
+    assert extract_prune_ranges("a == 5", ["a"]) == {"a": (5, 5)}
+    # spaced string literals inside BETWEEN survive the masking
+    assert extract_prune_ranges(
+        "ts BETWEEN '2024-05-01 00:00:00' AND '2024-06-30 12:00:00'", ["ts"]
+    ) == {"ts": ("2024-05-01 00:00:00", "2024-06-30 12:00:00~")}
 
 
 def test_sharded_manifest_lifecycle(spark, tmp_path):
