@@ -38,13 +38,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for ALL 208 registered queries (100% oracle-backed
+    """DuckDB twins for ALL 209 registered queries (100% oracle-backed
     since r9; r10 added winnow-based span decontamination + its apply
     census, exact copy-span verification, and the snapshot-diff/
     zone-map golden; r11 adds the duplicate-span scrub APPLY — the
     token-slice rewrite replayed from the scrub plan's own CTE chain —
-    and the zone-map-pruned read_where demo, a replaying oracle over
-    orders) — including the full MinHash/SimHash/hyperplane-LSH
+    the zone-map-pruned read_where demo, and the CDF-fed row-level
+    mart demo, both replaying oracles over orders) — including the
+    full MinHash/SimHash/hyperplane-LSH
     pipelines via engine-portable hash families, the HLL-distinct and
     approx-top-k sketches via error-corridor / exact-regime oracles,
     and (since r6) the POLICY-SIZED LSH forms, whose oracles recompute

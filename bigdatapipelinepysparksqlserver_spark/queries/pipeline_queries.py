@@ -453,3 +453,104 @@ def lake_zone_readwhere_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# Row-level mart oracle: a true REPLAYING oracle — the lake is seeded
+# from orders, one deterministic update cycle (every 97th order key
+# gets +10.00) flows through the recorded CDF and the signed integer-
+# cents fold, and DuckDB recomputes the post-change mart straight from
+# orders. Any fold error (sign, multiplicity, cents rounding, partition
+# routing) diverges from the straight recompute.
+ROWLEVEL_MART_ORACLE = """
+WITH after AS (
+  SELECT o_orderpriority AS product,
+         CASE WHEN o_orderkey % 97 = 0
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS paid
+  FROM orders
+)
+SELECT product,
+       CAST(COUNT(*) AS BIGINT) AS sales_count,
+       CAST(SUM(CAST(paid * 100 AS BIGINT)) AS BIGINT) AS paid_cents
+FROM after
+WHERE paid > 0
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("rowlevel_mart_demo", oracle=ROWLEVEL_MART_ORACLE)
+def rowlevel_mart_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level (CDF-fed) incremental mart end-to-end (VERDICT r10
+    #5): orders seed a month-partitioned snapshot lake; the mart
+    bootstraps; one update cycle (every 97th order +10.00) publishes
+    with a writer-recorded change feed; ``refresh_to`` folds the CDF
+    rows into the partials with signed integer-cents arithmetic. The
+    returned per-product mart is BIT-EQUAL to DuckDB recomputing the
+    post-change aggregate from orders directly — the fold never sees
+    that recompute, so sign/multiplicity/rounding errors all diverge.
+
+    Scale: the refresh reads only the 2×(changes) CDF rows and the
+    touched partials (BASELINE r11: flat ~4 s wall across a 333×
+    hot-partition growth, vs partition recompute growing with rows).
+    """
+    from ..plans.mart_rowlevel import RowLevelMart
+    from ..sources.catalog import Catalog
+    from ..sources.lake_snapshot import SnapshotLakeTable
+
+    orders = Catalog(spark, sf_dir).orders
+    base = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("paid"),
+        F.col("o_custkey").alias("client_id"),
+        F.lit("M").alias("gender"),
+        F.col("o_orderpriority").alias("product"),
+        F.lit("STD").alias("size"),
+        F.lit("none").alias("color"),
+        F.date_format("o_orderdate", "yyyyMM").cast("int").alias("year_month"),
+        F.lit("US").alias("country"),
+    )
+    root = tempfile.mkdtemp(prefix="rlmart_")
+    try:
+        lake = SnapshotLakeTable(
+            spark, f"{root}/lake", schema=base.schema, retain=4
+        )
+        lake.write_full(base)
+        mart = RowLevelMart(spark, lake, f"{root}/mart")
+        mart.bootstrap()
+
+        hit = F.col("id") % 97 == 0
+        old = base.where(hit)
+        new = old.withColumn(
+            "paid", (F.col("paid") + 10).cast("decimal(18,2)")
+        )
+        changed_yms = [
+            r.year_month
+            for r in old.select("year_month").distinct().collect()
+        ]
+        content = base.withColumn(
+            "paid",
+            F.when(hit, (F.col("paid") + 10).cast("decimal(18,2)"))
+            .otherwise(F.col("paid")),
+        ).where(F.col("year_month").isin(changed_yms))
+        cdf = old.withColumn("change", F.lit("delete")).unionByName(
+            new.withColumn("change", F.lit("insert"))
+        )
+        lake.apply_rebuild(content, changed_year_months=changed_yms, changes=cdf)
+        mart.refresh_to()
+
+        agg = (
+            mart.sales_partial.read()
+            .groupBy("product")
+            .agg(
+                F.sum("sales_count").alias("sales_count"),
+                F.sum("paid_cents").alias("paid_cents"),
+            )
+            .orderBy("product")
+        )
+        rows = [(r.product, r.sales_count, r.paid_cents) for r in agg.collect()]
+        return spark.createDataFrame(
+            rows, "product string, sales_count bigint, paid_cents bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
