@@ -33,19 +33,20 @@ FLOORS_S = {
     "asof_attribution": 0.451,  # r10
     "bm25_store_probe": 2.909,  # r10
     "decontaminate": 0.512,  # r9
-    "decontaminate_spans": 1.296,  # r10 (new headliner)
-    "dedup_exact": 0.145,  # r10
+    "doc_winnow_span_scrub_apply": 4.175,  # r11 (new headliner)
+    "decontaminate_spans": 1.229,  # r11
+    "dedup_exact": 0.139,  # r11
     "dedup_minhash": 1.306,  # r10
-    "mart_client_count": 0.556,    # r7
+    "mart_client_count": 0.529,    # r11
     "mart_sales_agg": 0.781,  # r10
-    "part_copurchase_pagerank": 3.581,  # r10
+    "part_copurchase_pagerank": 3.554,  # r11
     "semantic_dedup": 4.024,  # r9
-    "sessionize": 0.918,  # r9
-    "text_quality_score": 0.400,   # r4
-    "text_repetition_score": 0.571,  # r8
+    "sessionize": 0.917,  # r11
+    "text_quality_score": 0.397,  # r11
+    "text_repetition_score": 0.567,  # r11
     "tpch_q1": 0.693,              # r4
-    "tpch_q18": 0.591,  # r10
-    "tpch_q3": 0.615,  # r10
+    "tpch_q18": 0.552,  # r11
+    "tpch_q3": 0.592,  # r11
     "tpch_q5": 0.572,  # r9
 }
 

@@ -407,6 +407,30 @@ def extract_prune_ranges(predicate: str, stats_cols) -> dict:
     return {c: b for c, b in out.items() if b != (None, None)}
 
 
+def zones_may_match(zones: dict, ranges: dict) -> bool:
+    """Can a partition with these zone maps hold a row satisfying
+    every range in ``ranges``? The single prune decision, shared by
+    :meth:`SnapshotLakeTable.pruned_partitions` and the property tests
+    that pin its soundness. Conservative in every uncertain direction:
+    a missing/NULL zone keeps the partition, and a probe bound whose
+    encoded type doesn't compare with the stored zone keeps it too."""
+    for col, (lo, hi) in ranges.items():
+        b = zones.get(col)
+        if not b or b[0] is None or b[1] is None:
+            continue  # no zone -> keep (conservative)
+        try:
+            if hi is not None and b[0] > _stat_encode(hi):
+                return False
+            if lo is not None and b[1] < _stat_encode(lo):
+                return False
+        except TypeError:
+            # probe bound's encoded type doesn't compare with the
+            # stored zone (e.g. numeric zone, string bound) -> keep
+            # conservatively rather than wrong-prune
+            continue
+    return True
+
+
 class _LakeProtocol(VersionedPointerPublisher):
     """The shared pointer lifecycle bound to the lake's two-piece
     artifact layout: a version id *i* owns ``manifests/m<i>.json`` AND
@@ -594,29 +618,11 @@ class SnapshotLakeTable:
         if cur is None:
             return {}
         txns, stats = self._read_manifest_full(cur)
-        keep: dict[str, int] = {}
-        for rel, txn in txns.items():
-            st = stats.get(rel, {})
-            ok = True
-            for col, (lo, hi) in ranges.items():
-                b = st.get(col)
-                if not b or b[0] is None or b[1] is None:
-                    continue  # no zone -> keep (conservative)
-                try:
-                    if hi is not None and b[0] > _stat_encode(hi):
-                        ok = False
-                        break
-                    if lo is not None and b[1] < _stat_encode(lo):
-                        ok = False
-                        break
-                except TypeError:
-                    # probe bound's encoded type doesn't compare with
-                    # the stored zone (e.g. numeric zone, string bound)
-                    # -> keep conservatively rather than wrong-prune
-                    continue
-            if ok:
-                keep[rel] = txn
-        return keep
+        return {
+            rel: txn
+            for rel, txn in txns.items()
+            if zones_may_match(stats.get(rel, {}), ranges)
+        }
 
     def _scan_rels(self, man: dict[str, int], rels, rec=None) -> DataFrame:
         """Explicit-path scan of manifest entries. ``rec`` (a recorded

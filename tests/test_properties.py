@@ -892,3 +892,110 @@ def test_zone_map_encoding_is_containment_conservative(data, type_ix):
     # side is prunable for exact types (ints): no false keeps forever
     if type_ix == 0 and hi < 2**40:
         assert _stat_encode(hi + 1) > stored_max
+
+
+# ---------------------------------------------------------------------------
+# Zone-map predicate pruning soundness (r11 read_where): for ANY
+# conjunctive predicate the extractor + zone check may only prune
+# partitions containing NO matching row — DuckDB is the row-level
+# referee. This pins the quote-masking fix (a string literal spelling
+# 'x and v > 5' must never fake a conjunct into a wrong bound).
+# ---------------------------------------------------------------------------
+
+_TRICKY_STRINGS = [
+    "plain",
+    "x and v > 5",
+    "v between 1 and 2",
+    "or maybe not",
+    "a <= b",
+    "zz",
+]
+
+_row = st.tuples(
+    st.integers(min_value=-20, max_value=20),
+    st.sampled_from(_TRICKY_STRINGS),
+    st.datetimes(
+        min_value=datetime(2024, 5, 1), max_value=datetime(2024, 8, 1)
+    ).map(lambda d: d.replace(microsecond=0)),
+)
+_partitions = st.lists(
+    st.lists(_row, min_size=1, max_size=4), min_size=1, max_size=5
+)
+
+_num_atom = st.tuples(
+    st.sampled_from(["=", "==", "<", "<=", ">", ">="]),
+    st.integers(min_value=-20, max_value=20),
+).map(lambda t: f"v {t[0]} {t[1]}")
+_between_atom = st.tuples(
+    st.integers(min_value=-20, max_value=20),
+    st.integers(min_value=0, max_value=10),
+).map(lambda t: f"v BETWEEN {t[0]} AND {t[0] + t[1]}")
+_str_atom = st.tuples(
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+    st.sampled_from(_TRICKY_STRINGS),
+).map(lambda t: f"s {t[0]} '{t[1]}'")
+_ts_atom = st.tuples(
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+    st.dates(
+        min_value=datetime(2024, 4, 20).date(),
+        max_value=datetime(2024, 8, 10).date(),
+    ),
+    st.booleans(),
+).map(
+    lambda t: f"ts {t[0]} '{t[1].isoformat()}"
+    + (" 12:30:00'" if t[2] else "'")
+)
+_predicate = st.lists(
+    st.one_of(_num_atom, _between_atom, _str_atom, _ts_atom),
+    min_size=1,
+    max_size=3,
+).map(" AND ".join)
+
+
+@given(parts=_partitions, pred=_predicate)
+@settings(max_examples=120, deadline=None)
+def test_zone_prune_never_drops_a_matching_row(parts, pred):
+    import duckdb
+
+    from bigdatapipelinepysparksqlserver_spark.sources.lake_snapshot import (
+        _stat_encode,
+        extract_prune_ranges,
+        zones_may_match,
+    )
+
+    ranges = extract_prune_ranges(pred, ["v", "s", "ts"])
+    kept = set()
+    for i, rows in enumerate(parts):
+        zones = {
+            "v": [
+                _stat_encode(min(r[0] for r in rows), widen=-1),
+                _stat_encode(max(r[0] for r in rows), widen=1),
+            ],
+            "s": [
+                _stat_encode(min(r[1] for r in rows), widen=-1),
+                _stat_encode(max(r[1] for r in rows), widen=1),
+            ],
+            "ts": [
+                _stat_encode(min(r[2] for r in rows), widen=-1),
+                _stat_encode(max(r[2] for r in rows), widen=1),
+            ],
+        }
+        if zones_may_match(zones, ranges):
+            kept.add(i)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (pid INT, v INT, s VARCHAR, ts TIMESTAMP)")
+    for i, rows in enumerate(parts):
+        for v, s, ts in rows:
+            con.execute("INSERT INTO t VALUES (?, ?, ?, ?)", [i, v, s, ts])
+    matching = {
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT pid FROM t WHERE {pred}"
+        ).fetchall()
+    }
+    con.close()
+    assert matching <= kept, (
+        f"pruned a partition with matching rows: pred={pred!r} "
+        f"ranges={ranges!r} matching={matching} kept={kept}"
+    )
