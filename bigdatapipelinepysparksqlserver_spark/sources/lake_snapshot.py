@@ -84,7 +84,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import LAKE_PARTITION_COLS
 from .fs import LocalFS, SnapshotFS
-from .pointer import VersionedPointerPublisher
+from .pointer import ConcurrentPublishError, VersionedPointerPublisher
 
 POINTER = "_CURRENT"
 ROLLBACK_KEEP = "_ROLLBACK_KEEP"  # manifests/ marker: highest once-live id
@@ -548,8 +548,11 @@ class SnapshotLakeTable:
             raise FileNotFoundError(f"manifest m{mid} missing under {self.root}")
         return json.loads(raw)
 
-    def _read_manifest_full(self, mid: int) -> tuple[dict[str, int], dict]:
-        doc = self._read_manifest_doc(mid)
+    def _read_manifest_full(
+        self, mid: int, doc: dict | None = None
+    ) -> tuple[dict[str, int], dict]:
+        if doc is None:
+            doc = self._read_manifest_doc(mid)
         if "txn_shards" in doc:
             txns: dict[str, int] = {}
             stats: dict = {}
@@ -574,17 +577,73 @@ class SnapshotLakeTable:
     def _read_manifest(self, mid: int) -> dict[str, int]:
         return self._read_manifest_full(mid)[0]
 
+    @staticmethod
+    def _schema_from_doc(doc: dict | None):
+        from pyspark.sql.types import StructType
+
+        sj = None if doc is None else doc.get("schema")
+        return None if sj is None else StructType.fromJson(sj)
+
     def _manifest_schema(self, mid: int | None):
         """The schema RECORDED in a manifest (additively merged across
         publishes — see ``_merge_schema``), as a StructType, or None
         for pre-evolution manifests."""
         if mid is None:
             return None
-        from pyspark.sql.types import StructType
+        return self._schema_from_doc(self._read_manifest_doc(mid))
 
-        doc = self._read_manifest_doc(mid)
-        sj = doc.get("schema")
-        return None if sj is None else StructType.fromJson(sj)
+    def _rel_of(self, vals) -> str:
+        """Partition values (in partition_cols order) -> the manifest's
+        on-disk escaped rel key."""
+        return "/".join(
+            f"{k}={escape_partition_value(v)}"
+            for k, v in zip(self.partition_cols, vals)
+        )
+
+    @staticmethod
+    def _current_name_of(name: str, renames) -> str:
+        """Follow the rename chain forward from a (possibly retired)
+        name to its current spelling."""
+        for _at, frm, to in renames:
+            if frm == name:
+                name = to
+        return name
+
+    @classmethod
+    def _check_retired(cls, cols, retired, renames) -> None:
+        """Refuse any incoming column spelled as a RETIRED physical
+        name: files written before the rename still carry that column,
+        so a new field under the same name would silently read their
+        stale bytes (the no-reuse rule that makes name-based rename
+        sound without parquet field IDs)."""
+        reused = sorted(set(cols) & set(retired))
+        if reused:
+            hints = ", ".join(
+                f"{n!r} (renamed to {cls._current_name_of(n, renames)!r})"
+                for n in reused
+            )
+            raise ValueError(
+                f"publish rejected: column name(s) {hints} were "
+                "renamed away and a physical name is never reused "
+                "(files written before the rename still carry it); "
+                "use the current name"
+            )
+
+    @staticmethod
+    def _physical_map(names, renames, file_txn: int) -> dict[str, str]:
+        """{current field name -> physical column name} for data files
+        written at ``file_txn``, by unwinding every rename NEWER than
+        the file (renames are metadata-only: a file keeps the column
+        names current when it was written, forever). ``renames`` is the
+        doc-recorded chronological ``[[at_txn, from, to], ...]``."""
+        phys = {n: n for n in names}
+        for at, frm, to in reversed(renames):
+            if at > file_txn:
+                for cur, p in phys.items():
+                    if p == to:
+                        phys[cur] = frm
+                        break
+        return phys
 
     def live_schema(self):
         """The live snapshot's full (evolved) schema: the manifest's
@@ -624,17 +683,61 @@ class SnapshotLakeTable:
             if zones_may_match(stats.get(rel, {}), ranges)
         }
 
-    def _scan_rels(self, man: dict[str, int], rels, rec=None) -> DataFrame:
+    def _scan_rels(
+        self, man: dict[str, int], rels, rec=None, renames=None
+    ) -> DataFrame:
         """Explicit-path scan of manifest entries. ``rec`` (a recorded
         evolved schema) makes files missing later-added columns fill
-        NULL; the discovered ``txn`` partition level is dropped."""
+        NULL; the discovered ``txn`` partition level is dropped.
+        ``renames`` (the doc's rename history) reads files that predate
+        a column rename under their PHYSICAL names and aliases them to
+        the current ones — rels are grouped by owning-txn rename
+        signature, so the number of scans is bounded by the number of
+        rename events (tiny), never the partition count."""
         if not rels:
             return self.spark.createDataFrame([], rec or self.schema)
-        paths = [f"{self.root}/data/txn={man[rel]}/{rel}" for rel in sorted(rels)]
-        reader = self.spark.read.option("basePath", f"{self.root}/data")
-        if rec is not None:
-            reader = reader.schema(rec)
-        return reader.parquet(*paths).drop("txn")
+        names = [f.name for f in rec.fields] if rec is not None else []
+        groups: dict = {}
+        for rel in sorted(rels):
+            sig = None
+            if rec is not None and renames:
+                pm = self._physical_map(names, renames, man[rel])
+                if any(k != v for k, v in pm.items()):
+                    sig = tuple(pm[n] for n in names)
+            groups.setdefault(sig, []).append(rel)
+        from pyspark.sql.types import StructField, StructType
+
+        frames = []
+        for sig in sorted(groups, key=lambda s: (s is not None, s)):
+            paths = [
+                f"{self.root}/data/txn={man[rel]}/{rel}" for rel in groups[sig]
+            ]
+            reader = self.spark.read.option("basePath", f"{self.root}/data")
+            if rec is None:
+                frames.append(reader.parquet(*paths).drop("txn"))
+                continue
+            if sig is None:
+                frames.append(reader.schema(rec).parquet(*paths).drop("txn"))
+                continue
+            phys_schema = StructType(
+                [
+                    StructField(p, f.dataType, f.nullable, f.metadata)
+                    for p, f in zip(sig, rec.fields)
+                ]
+            )
+            df = reader.schema(phys_schema).parquet(*paths).drop("txn")
+            frames.append(
+                df.select(
+                    *[
+                        F.col(p).alias(f.name)
+                        for p, f in zip(sig, rec.fields)
+                    ]
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def read_pruned(self, ranges: dict) -> DataFrame:
         """Scan the live snapshot restricted to partitions whose zone
@@ -649,10 +752,18 @@ class SnapshotLakeTable:
         columns — a derived-expression filter (to_date(ts), abs(x))
         or an IS NULL probe must use :meth:`read`."""
         cur = self.current_id()
-        keep = (
-            self.pruned_partitions(ranges, mid=cur) if cur is not None else {}
+        if cur is None:
+            return self._scan_rels({}, [])
+        doc = self._read_manifest_doc(cur)
+        txns, stats = self._read_manifest_full(cur, doc=doc)
+        keep = {
+            rel: txn
+            for rel, txn in txns.items()
+            if zones_may_match(stats.get(rel, {}), ranges)
+        }
+        return self._scan_rels(
+            keep, list(keep), self._schema_from_doc(doc), doc.get("renames")
         )
-        return self._scan_rels(keep, list(keep), self._manifest_schema(cur))
 
     def read_where(self, predicate: str) -> DataFrame:
         """Zone-map-aware scan from a plain SQL predicate (VERDICT r10
@@ -704,9 +815,14 @@ class SnapshotLakeTable:
         read is exactly the table as of that publish ("what did the
         June partitions look like before this morning's CDC run").
         Time travel reads under the snapshot's OWN recorded schema —
-        a later evolution does not retroactively add columns."""
-        m = self._read_manifest(mid)
-        return self._scan_rels(m, list(m), self._manifest_schema(mid))
+        a later evolution does not retroactively add columns, and a
+        later RENAME does not retroactively rename them (each doc
+        carries its own rename history)."""
+        doc = self._read_manifest_doc(mid)
+        m, _ = self._read_manifest_full(mid, doc=doc)
+        return self._scan_rels(
+            m, list(m), self._schema_from_doc(doc), doc.get("renames")
+        )
 
     def snapshot_diff(self, from_mid: int, to_mid: int) -> dict:
         """What changed between two retained snapshots, at PARTITION
@@ -736,18 +852,57 @@ class SnapshotLakeTable:
         comparison is ``exceptAll`` both ways (duplicate-correct).
         Across a schema evolution both sides read under the MERGED
         schema, so a pre-evolution row diffs with NULL in the later
-        columns rather than failing to align."""
-        d = self.snapshot_diff(from_mid, to_mid)
-        a = self._read_manifest(from_mid)
-        b = self._read_manifest(to_mid)
+        columns rather than failing to align; across a column RENAME
+        the diff is reported under the ``to`` snapshot's (current)
+        names. The two snapshots must share a rename lineage (the
+        ``from`` doc's rename history a prefix of the ``to`` doc's) —
+        diffing across a rollback that abandoned a rename is refused
+        rather than silently mis-aligned."""
+        a_doc = self._read_manifest_doc(from_mid)
+        b_doc = self._read_manifest_doc(to_mid)
+        a, _ = self._read_manifest_full(from_mid, doc=a_doc)
+        b, _ = self._read_manifest_full(to_mid, doc=b_doc)
+        d = {
+            "added": sorted(set(b) - set(a)),
+            "removed": sorted(set(a) - set(b)),
+            "rewritten": sorted(r for r in set(a) & set(b) if a[r] != b[r]),
+        }
         old_rels = d["removed"] + d["rewritten"]
         new_rels = d["added"] + d["rewritten"]
-        sa = self._manifest_schema(from_mid)
-        sb = self._manifest_schema(to_mid)
-        merged = sa if sb is None else _merge_schema(sa, sb)
+        sa = self._schema_from_doc(a_doc)
+        sb = self._schema_from_doc(b_doc)
+        a_ren = a_doc.get("renames", []) or []
+        b_ren = b_doc.get("renames", []) or []
+        if a_ren != b_ren[: len(a_ren)]:
+            raise ValueError(
+                f"snapshots m{from_mid} and m{to_mid} are on divergent "
+                "rename lineages (a rollback abandoned a rename between "
+                "them); re-derive the diff from reads of each snapshot"
+            )
+        if sa is not None and b_ren:
+            # express the from-side schema under the to-side's names
+            # (renames recorded AFTER from_mid applied forward) so the
+            # merge/diff aligns renamed columns instead of treating the
+            # rename as a drop+add
+            from pyspark.sql.types import StructField, StructType
 
-        old_df = self._scan_rels(a, old_rels, merged)
-        new_df = self._scan_rels(b, new_rels, merged)
+            pairs = [[f.name, f] for f in sa.fields]
+            for at, frm, to in b_ren:
+                if at > from_mid:
+                    for p in pairs:
+                        if p[0] == frm:
+                            p[0] = to
+                            break
+            sa = StructType(
+                [
+                    StructField(n, f.dataType, f.nullable, f.metadata)
+                    for n, f in pairs
+                ]
+            )
+        merged = sa if sb is None else (_merge_schema(sa, sb) if sa else sb)
+
+        old_df = self._scan_rels(a, old_rels, merged, b_ren)
+        new_df = self._scan_rels(b, new_rels, merged, b_ren)
         cols = new_df.columns
         return (
             new_df.exceptAll(old_df.select(cols))
@@ -806,7 +961,8 @@ class SnapshotLakeTable:
                     f"retain window?): {e}; use snapshot_diff_rows "
                     "between retained snapshots"
                 ) from e
-            chain.append(cur)
+            if not doc.get("no_row_changes"):
+                chain.append(cur)
             parent = doc.get("parent")
             if parent is None or parent >= cur:
                 raise CdfGapError(
@@ -814,25 +970,75 @@ class SnapshotLakeTable:
                     "published before CDF support or a first publish; "
                     "use snapshot_diff_rows"
                 )
+            if cur == to_mid:
+                to_doc = doc
             cur = parent
-        paths = []
         for i in chain:
-            d = f"{self.root}/data/txn={i}/_cdf"
-            if not self.fs.is_dir(d):
+            if not self.fs.is_dir(f"{self.root}/data/txn={i}/_cdf"):
                 raise CdfGapError(
                     f"publish m{i} recorded no change-data feed (pass "
                     "changes= at publish time); use snapshot_diff_rows"
                 )
-            paths.append(d)
-        rec = self._manifest_schema(to_mid)
-        reader = self.spark.read
-        if rec is not None:
-            reader = reader.schema(
-                StructType(
-                    list(rec.fields) + [StructField("change", StringType())]
+        rec = self._schema_from_doc(to_doc)
+        renames = to_doc.get("renames", []) or []
+        if rec is None:
+            if not chain:
+                base = self.spark.createDataFrame([], self.schema).schema
+                return self.spark.createDataFrame(
+                    [],
+                    StructType(
+                        list(base.fields)
+                        + [StructField("change", StringType())]
+                    ),
+                )
+            return self.spark.read.parquet(
+                *[f"{self.root}/data/txn={i}/_cdf" for i in chain]
+            )
+        full = StructType(
+            list(rec.fields) + [StructField("change", StringType())]
+        )
+        if not chain:
+            return self.spark.createDataFrame([], full)
+        # a hop's CDF files carry the column names current AT that
+        # publish; group hops by rename signature and alias back to the
+        # to-side (current) names — same per-group discipline as
+        # _scan_rels, bounded by the rename count
+        names = [f.name for f in full.fields]
+        groups: dict = {}
+        for i in chain:
+            pm = self._physical_map(names, renames, i)
+            sig = (
+                tuple(pm[n] for n in names)
+                if any(k != v for k, v in pm.items())
+                else None
+            )
+            groups.setdefault(sig, []).append(i)
+        frames = []
+        for sig, hops in groups.items():
+            paths = [f"{self.root}/data/txn={i}/_cdf" for i in hops]
+            if sig is None:
+                frames.append(self.spark.read.schema(full).parquet(*paths))
+                continue
+            phys = StructType(
+                [
+                    StructField(p, f.dataType, f.nullable, f.metadata)
+                    for p, f in zip(sig, full.fields)
+                ]
+            )
+            frames.append(
+                self.spark.read.schema(phys)
+                .parquet(*paths)
+                .select(
+                    *[
+                        F.col(p).alias(f.name)
+                        for p, f in zip(sig, full.fields)
+                    ]
                 )
             )
-        return reader.parquet(*paths)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def rollback(self, mid: int) -> int:
         """Point the live pointer BACK at a retained manifest — the
@@ -857,8 +1063,13 @@ class SnapshotLakeTable:
         pointer is resolved ONCE — manifest and schema always come
         from the same snapshot even under a concurrent publish."""
         cur = self.current_id()
-        m = {} if cur is None else self._read_manifest(cur)
-        return self._scan_rels(m, list(m), self._manifest_schema(cur))
+        if cur is None:
+            return self._scan_rels({}, [])
+        doc = self._read_manifest_doc(cur)
+        m, _ = self._read_manifest_full(cur, doc=doc)
+        return self._scan_rels(
+            m, list(m), self._schema_from_doc(doc), doc.get("renames")
+        )
 
     def partitions(self) -> DataFrame:
         """Distinct live partition values — decoded from the MANIFEST
@@ -943,6 +1154,288 @@ class SnapshotLakeTable:
         cur = self.current_manifest() or {}
         self._publish_manifest({r: t for r, t in cur.items() if r not in rels})
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Column RENAME as pure metadata (no data rewrite): publish a
+        manifest whose recorded schema, zone maps, and rename history
+        carry ``old`` -> ``new``; every reader maps files written
+        before the rename back to their physical column name on the
+        fly (``_scan_rels``). Completes the evolution lattice next to
+        additive columns and type widening.
+
+        Name-mapping discipline (the table-format rule that makes
+        name-based rename sound without parquet field IDs): a renamed-
+        away name is RETIRED forever — a later publish or rename
+        reusing it is refused, because files written before the rename
+        still carry that physical column and a new field with the same
+        name would silently read their stale bytes. Partition columns
+        cannot be renamed (their name is the directory layout).
+
+        Row-neutral: the manifest records ``no_row_changes``, so
+        :meth:`changes_between` crosses the rename as an empty hop
+        (with later hops' CDF files name-mapped) instead of raising.
+        Returns the published manifest id."""
+        cur = self.current_id()
+        if cur is None:
+            raise ValueError(
+                "rename_column needs a live snapshot (write_full first)"
+            )
+        if old in self.partition_cols or new in self.partition_cols:
+            raise ValueError(
+                f"cannot rename partition column {old!r} -> {new!r}: "
+                "partition names are the directory layout"
+            )
+        doc = self._read_manifest_doc(cur)
+        txns, stats = self._read_manifest_full(cur, doc=doc)
+        schema = self._schema_from_doc(doc)
+        if schema is None:
+            schema = self.spark.createDataFrame([], self.schema).schema
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} to rename (have {names})")
+        if new in names:
+            raise ValueError(f"rename target {new!r} already exists")
+        retired = doc.get("retired", []) or []
+        if new in retired:
+            raise ValueError(
+                f"rename target {new!r} is a retired physical name "
+                "(files written before its rename still carry it); "
+                "pick a fresh name"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        nxt, observed = self._proto.begin()
+        if self._proto._parse(observed) != cur:
+            self._proto.abort(nxt)
+            raise ConcurrentPublishError(
+                f"snapshot moved (expected m{cur}) during rename; retry"
+            )
+        new_schema = StructType(
+            [
+                StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+        new_stats = {
+            rel: {(new if c == old else c): z for c, z in zones.items()}
+            for rel, zones in stats.items()
+        }
+        renames = list(doc.get("renames", []) or []) + [[nxt, old, new]]
+        self._commit_manifest(
+            txns, nxt, observed, new_stats, new_schema,
+            renames=renames, retired=retired + [old],
+            no_row_changes=True,
+        )
+        # keep this instance's zone-probe config aligned; other
+        # instances probing the old name just lose pruning (zones keyed
+        # by the new name no longer match), which is conservative
+        self.stats_cols = tuple(
+            new if c == old else c for c in self.stats_cols
+        )
+        return nxt
+
+    def merge_rows(
+        self,
+        source: DataFrame,
+        key_cols: Sequence[str],
+        delete_col: str | None = None,
+        validate_keys: bool = True,
+        record_changes: bool = True,
+        broadcast_keys: bool = True,
+    ) -> dict:
+        """Row-level MERGE by key — the lakehouse upsert/delete DML the
+        partition-replace CDC surface can't express: each source row
+        REPLACES every live row sharing its key (wherever it lives,
+        even across partitions), or INSERTS if the key is absent;
+        rows flagged true in ``delete_col`` delete their key instead
+        (absent key -> no-op). One CAS-committed publish; readers see
+        the whole merge or none of it.
+
+        Plan shape (and why it holds at 100 TB):
+
+        1. locate matched keys with a column-pruned scan of key +
+           partition columns only — zone-map-pruned to partitions whose
+           recorded [min, max] intersects the batch's key range when a
+           key column is in ``stats_cols`` (the Delta/Iceberg
+           MERGE file-skipping idea at partition grain), with the
+           batch keys broadcast so the lake side never shuffles;
+        2. net change = batch-sized ``exceptAll`` both ways between the
+           matched old rows and the upserts — an upsert identical to
+           its live row cancels out, so untouched-in-practice
+           partitions are NOT rewritten and the recorded CDF equals
+           ``snapshot_diff_rows`` exactly;
+        3. rewrite ONLY partitions carrying a net change (old rows
+           minus net deletes, plus net inserts), publish with the net
+           CDF; a partition merged to empty drops from the manifest.
+
+        The publish verifies the snapshot hasn't moved since the change
+        set was computed (``expect_mid``) and raises the retryable
+        :class:`~.pointer.ConcurrentPublishError` otherwise. Source
+        keys must be unique (checked unless ``validate_keys=False``);
+        multiple LIVE rows sharing a key all collapse to the single
+        source row. Source columns follow the evolution rules (missing
+        table columns fill NULL, widened types merge, retired names are
+        refused). Set ``broadcast_keys=False`` when the batch is too
+        large to broadcast (the locate join then shuffles both sides).
+        Returns {"written": [...], "replaced": [...]}."""
+        key_cols = list(key_cols)
+        cur = self.current_id()
+        if cur is None:
+            raise ValueError(
+                "merge_rows needs a live snapshot (write_full first)"
+            )
+        doc = self._read_manifest_doc(cur)
+        txns, stats = self._read_manifest_full(cur, doc=doc)
+        renames = doc.get("renames", []) or []
+        self._check_retired(
+            source.columns, doc.get("retired", []) or [], renames
+        )
+        rec = self._schema_from_doc(doc)
+        if rec is None:
+            rec = self.spark.createDataFrame([], self.schema).schema
+        if delete_col is not None and (
+            delete_col in key_cols
+            or delete_col in self.partition_cols
+            or delete_col in {f.name for f in rec.fields}
+        ):
+            raise ValueError(
+                f"delete_col {delete_col!r} collides with a key, "
+                "partition, or table column (it is a batch-only flag)"
+            )
+        for k in key_cols:
+            if k not in source.columns:
+                raise ValueError(f"key column {k!r} missing from source")
+            if k not in {f.name for f in rec.fields}:
+                raise ValueError(f"key column {k!r} is not a table column")
+        for p in self.partition_cols:
+            if p not in source.columns:
+                raise ValueError(
+                    f"partition column {p!r} missing from source (merge "
+                    "routes every upsert to its partition)"
+                )
+        if validate_keys:
+            dup = (
+                source.groupBy(*key_cols)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"duplicate source keys in merge batch: "
+                    f"{tuple(dup[0][k] for k in key_cols)!r} "
+                    "(each key may appear once)"
+                )
+        upserts_src = source
+        if delete_col is not None:
+            flag = F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            upserts_src = source.where(~flag).drop(delete_col)
+        else:
+            upserts_src = source
+        merged = _merge_schema(
+            rec, upserts_src.drop(*self.partition_cols).schema
+        )
+        # align the batch to the merged schema (order, casts, NULL-fill
+        # for table columns the batch doesn't carry)
+        upserts = upserts_src.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in upserts_src.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in merged.fields
+            ]
+        ).persist()
+        skeys = source.select(*key_cols).persist()
+        bkeys = F.broadcast(skeys) if broadcast_keys else skeys
+        net_del = net_ins = None
+        try:
+            # 1. locate: which live partitions hold a batch key?
+            zone_keys = [k for k in key_cols if k in self.stats_cols]
+            cand = txns
+            if zone_keys:
+                r = skeys.agg(
+                    *[
+                        a
+                        for k in zone_keys
+                        for a in (
+                            F.min(k).alias(f"__mn_{k}"),
+                            F.max(k).alias(f"__mx_{k}"),
+                        )
+                    ]
+                ).first()
+                rngs = {
+                    k: (r[f"__mn_{k}"], r[f"__mx_{k}"]) for k in zone_keys
+                }
+                cand = {
+                    rel: t
+                    for rel, t in txns.items()
+                    if zones_may_match(stats.get(rel, {}), rngs)
+                }
+            loc = (
+                self._scan_rels(cand, list(cand), merged, renames)
+                .select(*key_cols, *self.partition_cols)
+                .join(bkeys, key_cols, "leftsemi")
+                .select(*self.partition_cols)
+                .distinct()
+                .collect()
+            )
+            matched_rels = sorted(
+                {
+                    self._rel_of([row[c] for c in self.partition_cols])
+                    for row in loc
+                }
+                & set(txns)
+            )
+            matched_old = self._scan_rels(
+                txns, matched_rels, merged, renames
+            ).join(bkeys, key_cols, "leftsemi")
+            # 2. net change (batch-sized both sides)
+            net_del = matched_old.exceptAll(upserts).persist()
+            net_ins = upserts.exceptAll(matched_old).persist()
+            aff_vals = (
+                net_del.select(*self.partition_cols)
+                .union(net_ins.select(*self.partition_cols))
+                .distinct()
+                .collect()
+            )
+            if not aff_vals:
+                return {"written": [], "replaced": []}
+            aff_rels = sorted(
+                {
+                    self._rel_of([row[c] for c in self.partition_cols])
+                    for row in aff_vals
+                }
+                & set(txns)
+            )
+            # 3. rewrite only net-affected partitions
+            content = (
+                self._scan_rels(txns, aff_rels, merged, renames)
+                .exceptAll(net_del)
+                .unionByName(net_ins)
+            )
+            cdf = None
+            if record_changes:
+                cdf = net_del.withColumn(
+                    "change", F.lit("delete")
+                ).unionByName(net_ins.withColumn("change", F.lit("insert")))
+            written = self._publish(
+                content,
+                replace_all=False,
+                changes=cdf,
+                replace_rels=set(aff_rels),
+                expect_mid=cur,
+            )
+            return {"written": written, "replaced": aff_rels}
+        finally:
+            for df in (upserts, skeys, net_del, net_ins):
+                if df is not None:
+                    df.unpersist()
+
     # -- internals ----------------------------------------------------------
 
     def _walk_partitions(self, base: str, depth: int) -> list[str]:
@@ -974,11 +1467,17 @@ class SnapshotLakeTable:
         replace_all: bool,
         changed_year_months: Sequence | None = None,
         changes: DataFrame | None = None,
+        replace_rels: "set[str] | None" = None,
+        expect_mid=...,
     ) -> list[str]:
         if changes is not None and "change" not in changes.columns:
             raise ValueError(
                 "changes (the CDF record) must carry a 'change' column "
                 "('insert' | 'delete'; an update is delete+insert)"
+            )
+        if replace_rels is not None and changed_year_months is not None:
+            raise ValueError(
+                "replace_rels and changed_year_months are exclusive"
             )
         nxt, observed = self._proto.begin()  # claims data/txn=<nxt>
         txn_dir = f"{self.root}/data/txn={nxt}"
@@ -987,11 +1486,39 @@ class SnapshotLakeTable:
         # _manifest_schema() calls would each re-read the whole shard
         # set — multiplying exactly the metadata cost sharding bounds
         prior_id = self._proto._parse(observed)
+        if expect_mid is not ... and prior_id != expect_mid:
+            # the caller composed its change set against a snapshot
+            # that is no longer live (merge_rows resolves the snapshot
+            # once and derives replaced partitions + CDF from it) —
+            # proceeding would publish a stale delta over someone
+            # else's rows. Same retryable contract as the commit CAS.
+            self._proto.abort(nxt)
+            raise ConcurrentPublishError(
+                f"snapshot moved (expected m{expect_mid}, live is "
+                f"m{prior_id}) since the change set was computed; "
+                "recompute against the new snapshot and retry"
+            )
         if prior_id is not None:
-            prior_txns, prior_stats = self._read_manifest_full(prior_id)
-            prior_schema = self._manifest_schema(prior_id)
+            prior_doc = self._read_manifest_doc(prior_id)
+            prior_txns, prior_stats = self._read_manifest_full(
+                prior_id, doc=prior_doc
+            )
+            prior_schema = self._schema_from_doc(prior_doc)
         else:
+            prior_doc = {}
             prior_txns, prior_stats, prior_schema = {}, {}, None
+        if replace_all:
+            # a full rewrite references only its own txn, so no mixed
+            # old/new files remain and the rename namespace resets
+            renames, retired = [], []
+        else:
+            renames = prior_doc.get("renames", []) or []
+            retired = prior_doc.get("retired", []) or []
+            try:
+                self._check_retired(df.columns, retired, renames)
+            except ValueError:
+                self._proto.abort(nxt)
+                raise
         # one file per partition via the partition-key hash repartition
         # (same small-files stance as LakeTable._writer); the write is
         # invisible — nothing references txn=<nxt> yet
@@ -1034,6 +1561,13 @@ class SnapshotLakeTable:
             raise
         if replace_all:
             manifest = {rel: nxt for rel in written}
+        elif replace_rels is not None:
+            manifest = {
+                rel: txn
+                for rel, txn in prior_txns.items()
+                if rel not in replace_rels
+            }
+            manifest.update({rel: nxt for rel in written})
         else:
             manifest = dict(prior_txns)
             if changed_year_months is not None:
@@ -1062,7 +1596,10 @@ class SnapshotLakeTable:
         }
         if self.stats_cols and written:
             stats.update(self._collect_stats(txn_dir, written, rec_schema))
-        self._commit_manifest(manifest, nxt, observed, stats, rec_schema)
+        self._commit_manifest(
+            manifest, nxt, observed, stats, rec_schema,
+            renames=renames, retired=retired,
+        )
         return written
 
     def _collect_stats(
@@ -1142,13 +1679,17 @@ class SnapshotLakeTable:
         prior_id = self._proto._parse(observed)
         # one resolve of the prior snapshot (doc + shards), not one per
         # stats/schema accessor — the sharded-manifest cost discipline
-        prior_stats = (
-            self._read_manifest_full(prior_id)[1] if prior_id is not None else {}
-        )
+        if prior_id is not None:
+            prior_doc = self._read_manifest_doc(prior_id)
+            prior_stats = self._read_manifest_full(prior_id, doc=prior_doc)[1]
+        else:
+            prior_doc, prior_stats = {}, {}
         stats = {rel: prior_stats[rel] for rel in manifest if rel in prior_stats}
         self._commit_manifest(
             manifest, nxt, observed, stats,
-            self._manifest_schema(prior_id),
+            self._schema_from_doc(prior_doc),
+            renames=prior_doc.get("renames", []) or [],
+            retired=prior_doc.get("retired", []) or [],
         )
 
     def _commit_manifest(
@@ -1158,11 +1699,22 @@ class SnapshotLakeTable:
         observed: str | None,
         stats: dict | None = None,
         rec_schema=None,
+        renames=None,
+        retired=None,
+        no_row_changes: bool = False,
     ) -> None:
         self.fs.makedirs(f"{self.root}/manifests")
         # unique name (the txn claim made <nxt> ours alone) + fsync'd
         # write; invisible until the pointer swap
         doc: dict = {"id": nxt}
+        if renames:
+            doc["renames"] = renames
+        if retired:
+            doc["retired"] = retired
+        if no_row_changes:
+            # a metadata-only publish (rename) changes no rows; the CDF
+            # chain walk treats it as an empty hop instead of a gap
+            doc["no_row_changes"] = True
         parent = self._proto._parse(observed)
         if parent is not None:
             # the snapshot this publish was composed AGAINST — the CDF

@@ -1,0 +1,339 @@
+"""Column RENAME evolution and row-level MERGE on the snapshot lake
+(r11): rename is pure metadata with retired-name discipline — readers
+map pre-rename files back to their physical column names on the fly —
+and merge_rows is a keyed upsert/delete whose net-change CDF equals
+the scan-computed snapshot diff exactly, rewriting only partitions
+that carry a net change."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatapipelinepysparksqlserver_spark.sources.lake_snapshot import (
+    SnapshotLakeTable,
+)
+from bigdatapipelinepysparksqlserver_spark.sources.pointer import (
+    ConcurrentPublishError,
+)
+
+
+def _mk(spark, tmp_path, **kw):
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("ym",),
+        schema="id int, amt double, note string, ym int",
+        retain=6,
+        **kw,
+    )
+    lake.write_full(
+        spark.createDataFrame(
+            [
+                (1, 1.0, "a", 202405),
+                (2, 2.0, "b", 202405),
+                (3, 3.0, "c", 202406),
+            ],
+            "id int, amt double, note string, ym int",
+        )
+    )
+    return lake
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """Rename = one manifest publish, zero data movement: the live
+    schema and reads use the new name (old files name-mapped on the
+    fly), time travel keeps each snapshot's own names, the retired
+    physical name can never come back, and zone maps follow the
+    rename so read_where stays load-bearing."""
+    lake = _mk(spark, tmp_path, stats_cols=("id",))
+    m1 = lake.current_id()
+    data_before = sorted(
+        p for p in (tmp_path / "lake" / "data").rglob("*.parquet")
+    )
+
+    lake.rename_column("amt", "amount")
+    assert [f.name for f in lake.live_schema().fields] == [
+        "id", "amount", "note", "ym",
+    ]
+    # no data file was written, moved, or rewritten
+    assert data_before == sorted(
+        p for p in (tmp_path / "lake" / "data").rglob("*.parquet")
+    )
+    assert sorted(
+        (r.id, r.amount, r.note) for r in lake.read().collect()
+    ) == [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c")]
+    # time travel under the snapshot's OWN (old) name
+    assert "amt" in lake.read_snapshot(m1).columns
+    assert "amount" not in lake.read_snapshot(m1).columns
+
+    # post-rename publish under the NEW name mixes with old files
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(4, 4.0, "d", 202407)],
+            "id int, amount double, note string, ym int",
+        )
+    )
+    assert sorted(
+        (r.id, r.amount) for r in lake.read().collect()
+    ) == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+    # zone maps were renamed with the column: a probe on the renamed
+    # stats column still prunes (and stays correct)
+    assert sorted(
+        r.id for r in lake.read_where("id >= 3").collect()
+    ) == [3, 4]
+
+    # the retired physical name is refused forever — for publishes...
+    with pytest.raises(ValueError, match="'amt'.*renamed to 'amount'"):
+        lake.overwrite_partitions(
+            spark.createDataFrame(
+                [(9, 9.0, "z", 202408)],
+                "id int, amt double, note string, ym int",
+            )
+        )
+    # ...and as a rename target
+    lake.rename_column("note", "comment")
+    with pytest.raises(ValueError, match="retired physical name"):
+        lake.rename_column("comment", "amt")
+    # rename chains resolve per-file: amount kept, note->comment
+    assert sorted(
+        (r.id, r.amount, r.comment) for r in lake.read().collect()
+    ) == [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c"), (4, 4.0, "d")]
+
+    # guard rails
+    with pytest.raises(ValueError, match="partition"):
+        lake.rename_column("ym", "month")
+    with pytest.raises(ValueError, match="already exists"):
+        lake.rename_column("id", "amount")
+    with pytest.raises(ValueError, match="no column"):
+        lake.rename_column("ghost", "x")
+
+
+def test_rename_diff_and_cdf_alignment(spark, tmp_path):
+    """snapshot_diff_rows across a rename reports under the CURRENT
+    names (renamed columns align instead of reading as drop+add), and
+    changes_between crosses the rename as an empty hop, name-mapping
+    CDF files recorded before it."""
+    lake = _mk(spark, tmp_path)
+    m1 = lake.current_id()
+
+    # publish WITH a recorded CDF under the old name
+    ins = spark.createDataFrame(
+        [(4, 4.0, "d", 202406)], "id int, amt double, note string, ym int"
+    )
+    content = lake.read().where(F.col("ym") == 202406).unionByName(ins)
+    lake.apply_rebuild(
+        content,
+        changed_year_months=[202406],
+        changes=ins.withColumn("change", F.lit("insert")),
+    )
+    lake.rename_column("amt", "amount")
+    # and one more CDF publish under the NEW name
+    ins2 = spark.createDataFrame(
+        [(5, 5.0, "e", 202407)],
+        "id int, amount double, note string, ym int",
+    )
+    lake.apply_rebuild(
+        ins2,
+        changed_year_months=[202407],
+        changes=ins2.withColumn("change", F.lit("insert")),
+    )
+    m_now = lake.current_id()
+
+    cdf = lake.changes_between(m1, m_now)
+    assert cdf.columns == ["id", "amount", "note", "ym", "change"]
+    assert sorted((r.change, r.id, r.amount) for r in cdf.collect()) == [
+        ("insert", 4, 4.0),
+        ("insert", 5, 5.0),
+    ]
+    diff = lake.snapshot_diff_rows(m1, m_now)
+    assert sorted(map(tuple, cdf.collect())) == sorted(
+        map(tuple, diff.collect())
+    )
+    # a rename-only interval is an empty (not gap) change feed
+    pre_rename = m1 + 1
+    mid_cdf = lake.changes_between(pre_rename, pre_rename + 1)
+    assert mid_cdf.count() == 0
+
+
+def test_merge_rows_upsert_delete_move(spark, tmp_path):
+    """One merge batch: update-in-place, update that MOVES partitions,
+    insert, delete, and an identical (no-op) upsert. Net-change
+    discipline: the no-op row's partition is rewritten only because
+    other rows touch it; a fully-untouched partition keeps its owning
+    txn; the recorded CDF equals snapshot_diff_rows exactly."""
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("ym",),
+        schema="id int, amt double, ym int",
+        retain=6,
+    )
+    lake.write_full(
+        spark.createDataFrame(
+            [
+                (1, 1.0, 202405),
+                (2, 2.0, 202405),
+                (3, 3.0, 202406),
+                (4, 4.0, 202407),
+            ],
+            "id int, amt double, ym int",
+        )
+    )
+    pre = lake.current_id()
+    untouched_txn = lake.current_manifest()["ym=202407"]
+
+    src = spark.createDataFrame(
+        [
+            (1, 1.0, 202405, False),   # identical -> no net change
+            (2, 22.0, 202406, False),  # update, moves 05 -> 06
+            (3, None, None, True),     # delete
+            (5, 5.0, 202405, False),   # insert
+        ],
+        "id int, amt double, ym int, is_del boolean",
+    )
+    res = lake.merge_rows(src, key_cols=["id"], delete_col="is_del")
+    assert res["replaced"] == ["ym=202405", "ym=202406"]
+    assert sorted((r.id, r.amt, r.ym) for r in lake.read().collect()) == [
+        (1, 1.0, 202405),
+        (2, 22.0, 202406),
+        (4, 4.0, 202407),
+        (5, 5.0, 202405),
+    ]
+    # untouched partition was not rewritten (same owning txn)
+    assert lake.current_manifest()["ym=202407"] == untouched_txn
+    # recorded CDF == scan-computed diff, exactly
+    cdf = lake.changes_between(pre, lake.current_id())
+    diff = lake.snapshot_diff_rows(pre, lake.current_id())
+    assert sorted(map(tuple, cdf.collect())) == sorted(
+        map(tuple, diff.collect())
+    )
+    assert sorted((r.change, r.id) for r in cdf.collect()) == [
+        ("delete", 2),
+        ("delete", 3),
+        ("insert", 2),
+        ("insert", 5),
+    ]
+
+    # delete the last row of a partition -> partition leaves the
+    # manifest entirely
+    lake.merge_rows(
+        spark.createDataFrame(
+            [(4, None, None, True)], "id int, amt double, ym int, is_del boolean"
+        ),
+        key_cols=["id"],
+        delete_col="is_del",
+    )
+    assert "ym=202407" not in lake.current_manifest()
+
+    # an all-no-op merge publishes NOTHING (snapshot id unchanged)
+    before = lake.current_id()
+    res3 = lake.merge_rows(
+        spark.createDataFrame([(1, 1.0, 202405)], "id int, amt double, ym int"),
+        key_cols=["id"],
+    )
+    assert res3 == {"written": [], "replaced": []}
+    assert lake.current_id() == before
+
+    # duplicate source keys refused
+    with pytest.raises(ValueError, match="duplicate source keys"):
+        lake.merge_rows(
+            spark.createDataFrame(
+                [(7, 1.0, 202405), (7, 2.0, 202406)],
+                "id int, amt double, ym int",
+            ),
+            key_cols=["id"],
+        )
+
+
+def test_merge_zone_pruned_location_scan(spark, tmp_path):
+    """With a key column in stats_cols, the matched-key location scan
+    only touches partitions whose key zone intersects the batch's key
+    range — the MERGE twin of read_where's manifest-level pruning."""
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("ym",),
+        schema="id int, amt double, ym int",
+        retain=3,
+        stats_cols=("id",),
+    )
+    # ids cluster by partition: ym=202405 holds 1-2, 202406 holds
+    # 100-101, 202407 holds 200-201
+    lake.write_full(
+        spark.createDataFrame(
+            [
+                (1, 1.0, 202405), (2, 2.0, 202405),
+                (100, 3.0, 202406), (101, 4.0, 202406),
+                (200, 5.0, 202407), (201, 6.0, 202407),
+            ],
+            "id int, amt double, ym int",
+        )
+    )
+    scanned: list[list[str]] = []
+    orig = lake._scan_rels
+
+    def spy(man, rels, rec=None, renames=None):
+        scanned.append(sorted(rels))
+        return orig(man, rels, rec, renames)
+
+    lake._scan_rels = spy
+    lake.merge_rows(
+        spark.createDataFrame([(100, 33.0, 202406)], "id int, amt double, ym int"),
+        key_cols=["id"],
+    )
+    lake._scan_rels = orig
+    # first scan = location probe: zone-pruned to the one partition
+    # whose id-zone can hold 100
+    assert scanned[0] == ["ym=202406"]
+    assert all("ym=202405" not in s for s in scanned)
+    assert sorted((r.id, r.amt) for r in lake.read().collect()) == [
+        (1, 1.0), (2, 2.0), (100, 33.0), (101, 4.0), (200, 5.0), (201, 6.0),
+    ]
+
+
+def test_merge_refuses_stale_snapshot(spark, tmp_path):
+    """The publish-time expect_mid guard: a merge change set computed
+    against a snapshot that is no longer live raises the retryable
+    ConcurrentPublishError instead of publishing a stale delta."""
+    lake = _mk(spark, tmp_path)
+    stale = lake.current_id()
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(9, 9.0, "z", 202408)], "id int, amt double, note string, ym int"
+        )
+    )
+    df = spark.createDataFrame(
+        [(1, 11.0, "a", 202405)], "id int, amt double, note string, ym int"
+    )
+    with pytest.raises(ConcurrentPublishError, match="snapshot moved"):
+        lake._publish(
+            df, replace_all=False, replace_rels=set(), expect_mid=stale
+        )
+
+
+def test_merge_after_rename_and_evolution(spark, tmp_path):
+    """merge_rows composes with the evolution lattice: after a rename,
+    a merge batch under the CURRENT names updates pre-rename files
+    (name-mapped old rows), a batch missing a table column NULL-fills
+    it, and a batch using the retired name is refused."""
+    lake = _mk(spark, tmp_path)
+    lake.rename_column("amt", "amount")
+
+    res = lake.merge_rows(
+        spark.createDataFrame(
+            [(2, 22.0, 202405)], "id int, amount double, ym int"
+        ),
+        key_cols=["id"],
+    )
+    assert res["replaced"] == ["ym=202405"]
+    rows = {r.id: (r.amount, r.note) for r in lake.read().collect()}
+    # the merged row NULL-fills the note column it didn't carry
+    assert rows[2] == (22.0, None)
+    assert rows[1] == (1.0, "a")
+
+    with pytest.raises(ValueError, match="renamed to 'amount'"):
+        lake.merge_rows(
+            spark.createDataFrame([(3, 3.5, 202406)], "id int, amt double, ym int"),
+            key_cols=["id"],
+        )
