@@ -807,6 +807,44 @@ class SnapshotLakeTable:
         """Manifest ids readable right now (the retain window + live)."""
         return self._manifest_ids()
 
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY twin: one row per READABLE snapshot
+        (retain window + live), newest first, from pure manifest
+        metadata — no file listing, no data scan. Columns: the
+        snapshot id, the parent it was composed against, whether it is
+        live, partition / freshly-written-partition counts, zone-map
+        coverage, schema width, cumulative rename count, whether the
+        publish was row-neutral (a rename), and whether it recorded a
+        change-data feed. The operational first stop before
+        ``read_snapshot`` / ``rollback`` / ``changes_between``."""
+        rows = []
+        cur = self.current_id()
+        for mid in self._manifest_ids():
+            doc = self._read_manifest_doc(mid)
+            txns, stats = self._read_manifest_full(mid, doc=doc)
+            sch = self._schema_from_doc(doc)
+            rows.append(
+                (
+                    mid,
+                    doc.get("parent"),
+                    mid == cur,
+                    len(txns),
+                    sum(1 for t in txns.values() if t == mid),
+                    len(stats),
+                    None if sch is None else len(sch.fields),
+                    len(doc.get("renames", []) or []),
+                    bool(doc.get("no_row_changes")),
+                    self.fs.is_dir(f"{self.root}/data/txn={mid}/_cdf"),
+                )
+            )
+        return self.spark.createDataFrame(
+            sorted(rows, reverse=True),
+            "snapshot_id int, parent int, is_live boolean, "
+            "partitions int, partitions_written int, zoned_partitions int, "
+            "schema_columns int, renames int, row_neutral boolean, "
+            "has_cdf boolean",
+        )
+
     def read_snapshot(self, mid: int) -> DataFrame:
         """Time travel: scan a RETAINED older snapshot by manifest id —
         the lake twin of the mart's ``read_version`` / the stores'

@@ -205,6 +205,54 @@ def foreach_batch_partition_overwrite(
     return _sink
 
 
+def foreach_batch_keyed_merge(
+    lake,
+    key_cols,
+    delete_col: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    max_retries: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: each micro-batch row-level MERGEs into a
+    :class:`~..sources.lake_snapshot.SnapshotLakeTable` by key
+    (``merge_rows`` — upsert, cross-partition move, ``delete_col``
+    deletes), one CAS-committed publish per batch.
+
+    Exactly-once EFFECTS without a batch ledger: replay safety falls
+    out of merge's net-change discipline, not checkpoint bookkeeping.
+    A crashed-and-replayed micro-batch re-merges rows that are already
+    live, the batch-sized ``exceptAll`` cancels them to an EMPTY
+    change set, and merge publishes nothing — the lake (snapshot id
+    included) is untouched. This holds for deletes too (the key is
+    already gone → no matched row → no net change). The only
+    requirement is the standard foreachBatch one: ``transform`` must
+    be deterministic per batch.
+
+    Concurrency: another publisher (the scheduler's CDC rebuild, a
+    second stream) racing this sink trips either the ``expect_mid``
+    guard or the commit CAS; both raise the retryable
+    :class:`~..sources.pointer.ConcurrentPublishError`, and the sink
+    recomputes against the new live snapshot up to ``max_retries``
+    times — each retry re-reads the moved snapshot, so the merge is
+    never applied twice. Pass a lake constructed with
+    ``grace_seconds`` > the longest publish when writers overlap.
+    """
+    from ..sources.pointer import ConcurrentPublishError
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        if out.isEmpty():
+            return
+        for attempt in range(max_retries + 1):
+            try:
+                lake.merge_rows(out, key_cols=key_cols, delete_col=delete_col)
+                return
+            except ConcurrentPublishError:
+                if attempt == max_retries:
+                    raise
+
+    return _sink
+
+
 def foreach_batch_incremental_mart(
     lake: LakeTable,
     partials,

@@ -337,3 +337,112 @@ def test_merge_after_rename_and_evolution(spark, tmp_path):
             spark.createDataFrame([(3, 3.5, 202406)], "id int, amt double, ym int"),
             key_cols=["id"],
         )
+
+
+def test_foreach_batch_keyed_merge_replay_safe(spark, tmp_path):
+    """The streaming merge sink: a micro-batch merges by key; a
+    REPLAYED batch cancels to an empty net change and publishes
+    nothing (snapshot id unchanged — exactly-once effects from the
+    net-change discipline, no batch ledger); deletes replay safely
+    too; ConcurrentPublishError is retried against the moved
+    snapshot."""
+    from bigdatapipelinepysparksqlserver_spark.streaming.cdc import (
+        foreach_batch_keyed_merge,
+    )
+
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("ym",),
+        schema="id int, amt double, ym int",
+        retain=6,
+    )
+    lake.write_full(
+        spark.createDataFrame(
+            [(1, 1.0, 202405), (2, 2.0, 202406)], "id int, amt double, ym int"
+        )
+    )
+    sink = foreach_batch_keyed_merge(lake, key_cols=["id"], delete_col="is_del")
+
+    batch = spark.createDataFrame(
+        [(2, 22.0, 202406, False), (3, 3.0, 202407, False), (1, None, None, True)],
+        "id int, amt double, ym int, is_del boolean",
+    )
+    sink(batch, 0)
+    after = lake.current_id()
+    assert sorted((r.id, r.amt) for r in lake.read().collect()) == [
+        (2, 22.0), (3, 3.0),
+    ]
+    # crash-replay of the SAME batch: no-op, no new snapshot
+    sink(batch, 0)
+    assert lake.current_id() == after
+    assert sorted((r.id, r.amt) for r in lake.read().collect()) == [
+        (2, 22.0), (3, 3.0),
+    ]
+    # empty batch: no-op
+    sink(batch.where("id < 0"), 1)
+    assert lake.current_id() == after
+
+    # a concurrent publisher moving the pointer mid-merge: first
+    # attempt raises, the retry recomputes against the new snapshot
+    calls = {"n": 0}
+    orig = lake.merge_rows
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConcurrentPublishError("simulated race")
+        return orig(*a, **kw)
+
+    lake.merge_rows = flaky
+    sink(
+        spark.createDataFrame(
+            [(4, 4.0, 202408, False)], "id int, amt double, ym int, is_del boolean"
+        ),
+        2,
+    )
+    lake.merge_rows = orig
+    assert calls["n"] == 2
+    assert (4, 4.0) in {(r.id, r.amt) for r in lake.read().collect()}
+
+
+def test_history_metadata_board(spark, tmp_path):
+    """history(): one metadata row per readable snapshot, newest
+    first — parent chain, live flag, written-partition counts, rename
+    and CDF markers — without listing a single data file."""
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("ym",),
+        schema="id int, amt double, ym int",
+        retain=6,
+        stats_cols=("id",),
+    )
+    lake.write_full(
+        spark.createDataFrame(
+            [(1, 1.0, 202405), (2, 2.0, 202406)], "id int, amt double, ym int"
+        )
+    )
+    ins = spark.createDataFrame([(3, 3.0, 202407)], "id int, amt double, ym int")
+    lake.overwrite_partitions(
+        ins, changes=ins.withColumn("change", F.lit("insert"))
+    )
+    lake.rename_column("amt", "amount")
+
+    h = {r.snapshot_id: r for r in lake.history().collect()}
+    assert sorted(h) == [1, 2, 3]
+    ids = [r.snapshot_id for r in lake.history().collect()]
+    assert ids == sorted(ids, reverse=True)  # newest first
+
+    assert h[1].parent is None and not h[1].is_live
+    assert h[1].partitions == 2 and h[1].partitions_written == 2
+    assert h[1].zoned_partitions == 2 and not h[1].has_cdf
+
+    assert h[2].parent == 1 and h[2].partitions == 3
+    assert h[2].partitions_written == 1 and h[2].has_cdf
+    assert not h[2].row_neutral
+
+    assert h[3].parent == 2 and h[3].is_live
+    assert h[3].row_neutral and h[3].renames == 1
+    assert h[3].partitions_written == 0 and not h[3].has_cdf
+    assert h[3].schema_columns == 3
