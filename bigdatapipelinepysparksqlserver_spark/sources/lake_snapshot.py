@@ -299,9 +299,34 @@ def _widen_dateish_hi(v):
     timestamp, and plain string zones alike. A STRICT ``<`` bound
     stays raw — a zone whose min spells the same instant with more
     precision compares above the raw literal and prunes, which is
-    sound because that instant itself fails the strict filter."""
+    sound because that instant itself fails the strict filter.
+    (A larger-than-true upper bound only keeps more partitions, so the
+    'T' separator — 0x54, above ' ' — needs no handling here.)"""
     if isinstance(v, str) and _DATEISH.match(v):
         return v + "~"
+    return v
+
+
+def _weaken_dateish_lo(v):
+    """A date-like string used as a LOWER bound is weakened to its
+    DATE PREFIX (first 10 chars). Two spelling hazards make the full
+    literal unsound on the low side (either can prune a partition the
+    row filter would keep):
+
+    - against a DATE-typed zone, Spark casts the time-bearing literal
+      by TRUNCATION ('2024-06-01 12:30' filters like '2024-06-01'),
+      while the stored zone spells only the date — the full-string
+      compare sits ABOVE the zone max and wrong-prunes;
+    - a 'T'-separated ISO literal compares above every space-separated
+      zone spelling of the same instant (' ' 0x20 < 'T' 0x54).
+
+    The date prefix is <= every cast interpretation of the literal
+    (date truncation, timestamp parse, raw string), so a zone that
+    ends below the prefix ends below the true bound — prune stays
+    sound at day granularity, which is what partition zones resolve
+    anyway. Upper bounds are unaffected (see ``_widen_dateish_hi``)."""
+    if isinstance(v, str) and _DATEISH.match(v):
+        return v[:10]
     return v
 
 
@@ -382,7 +407,7 @@ def extract_prune_ranges(predicate: str, stats_cols) -> dict:
             lo = _parse_literal(m.group("lo3"))
             hi = _parse_literal(m.group("hi3"))
             if col in cols and lo is not None and hi is not None:
-                add(col, lo=lo, hi=_widen_dateish_hi(hi))
+                add(col, lo=_weaken_dateish_lo(lo), hi=_widen_dateish_hi(hi))
             continue
         if m.group("col1"):
             col, op, lit = m.group("col1"), m.group("op1"), m.group("lit1")
@@ -397,13 +422,13 @@ def extract_prune_ranges(predicate: str, stats_cols) -> dict:
         if v is None:
             continue
         if op in ("=", "=="):
-            add(col, lo=v, hi=_widen_dateish_hi(v))
+            add(col, lo=_weaken_dateish_lo(v), hi=_widen_dateish_hi(v))
         elif op == "<=":
             add(col, hi=_widen_dateish_hi(v))
         elif op == "<":
             add(col, hi=v)
         elif op in (">", ">="):
-            add(col, lo=v)
+            add(col, lo=_weaken_dateish_lo(v))
     return {c: b for c, b in out.items() if b != (None, None)}
 
 
@@ -594,11 +619,54 @@ class SnapshotLakeTable:
 
     def _rel_of(self, vals) -> str:
         """Partition values (in partition_cols order) -> the manifest's
-        on-disk escaped rel key."""
+        on-disk escaped rel key. ONLY safe for values whose ``str()``
+        matches Spark's directory rendering (strings read back from
+        the dirs themselves, e.g. ``_collect_stats``); for TYPED
+        values collected from a scan use :meth:`_rel_value_index` —
+        ``str(True)`` is ``'True'`` but the directory says ``true``."""
         return "/".join(
             f"{k}={escape_partition_value(v)}"
             for k, v in zip(self.partition_cols, vals)
         )
+
+    def _rel_value_index(self, txns) -> dict[tuple, str]:
+        """{typed partition-value tuple -> manifest rel}: every rel's
+        directory values decoded through the SAME Spark cast the
+        scanner applies, so a tuple collected from a scan (or passed
+        by a caller as Python values) looks up its rel regardless of
+        spelling divergences between ``str()`` and Spark's directory
+        rendering (booleans, fractional seconds, ...). One
+        manifest-sized local job; built at most once per operation."""
+        if not txns:
+            return {}
+        rows, rels = [], []
+        for i, rel in enumerate(sorted(txns)):
+            vals = dict(p.split("=", 1) for p in rel.split("/"))
+            rows.append(
+                (i,)
+                + tuple(
+                    unescape_partition_value(vals[c])
+                    for c in self.partition_cols
+                )
+            )
+            rels.append(rel)
+        sch = {
+            f.name: f.dataType
+            for f in self.spark.createDataFrame([], self.schema).schema.fields
+        }
+        df = self.spark.createDataFrame(
+            rows,
+            "__i int, "
+            + ", ".join(f"{c} string" for c in self.partition_cols),
+        )
+        typed = df.select(
+            "__i",
+            *[F.col(c).cast(sch[c]).alias(c) for c in self.partition_cols],
+        ).collect()
+        return {
+            tuple(r[c] for c in self.partition_cols): rels[r["__i"]]
+            for r in typed
+        }
 
     @staticmethod
     def _current_name_of(name: str, renames) -> str:
@@ -666,6 +734,29 @@ class SnapshotLakeTable:
         cur = self.current_id()
         return {} if cur is None else self._read_manifest_full(cur)[1]
 
+    @staticmethod
+    def _prune_txns(txns: dict, stats: dict, ranges: dict) -> dict[str, int]:
+        """THE zone-prune decision over a manifest — one definition
+        shared by pruned_partitions / read_pruned / merge_rows so the
+        three surfaces can never diverge."""
+        if not ranges:
+            return dict(txns)
+        return {
+            rel: txn
+            for rel, txn in txns.items()
+            if zones_may_match(stats.get(rel, {}), ranges)
+        }
+
+    @staticmethod
+    def _diff_rels(a: dict, b: dict) -> dict:
+        """Partition-grain manifest diff (txn identity = change
+        detector), shared by snapshot_diff and snapshot_diff_rows."""
+        return {
+            "added": sorted(set(b) - set(a)),
+            "removed": sorted(set(a) - set(b)),
+            "rewritten": sorted(r for r in set(a) & set(b) if a[r] != b[r]),
+        }
+
     def pruned_partitions(self, ranges: dict, mid: int | None = None) -> dict[str, int]:
         """The manifest entries whose zone maps INTERSECT every range
         in ``ranges`` ({col: (lo, hi)}, either bound None = open).
@@ -677,11 +768,7 @@ class SnapshotLakeTable:
         if cur is None:
             return {}
         txns, stats = self._read_manifest_full(cur)
-        return {
-            rel: txn
-            for rel, txn in txns.items()
-            if zones_may_match(stats.get(rel, {}), ranges)
-        }
+        return self._prune_txns(txns, stats, ranges)
 
     def _scan_rels(
         self, man: dict[str, int], rels, rec=None, renames=None
@@ -756,11 +843,7 @@ class SnapshotLakeTable:
             return self._scan_rels({}, [])
         doc = self._read_manifest_doc(cur)
         txns, stats = self._read_manifest_full(cur, doc=doc)
-        keep = {
-            rel: txn
-            for rel, txn in txns.items()
-            if zones_may_match(stats.get(rel, {}), ranges)
-        }
+        keep = self._prune_txns(txns, stats, ranges)
         return self._scan_rels(
             keep, list(keep), self._schema_from_doc(doc), doc.get("renames")
         )
@@ -870,15 +953,9 @@ class SnapshotLakeTable:
         different txn — the manifest's immutability makes txn identity
         a complete change detector: a partition's bytes can only change
         by being rewritten into a new txn)."""
-        a = self._read_manifest(from_mid)
-        b = self._read_manifest(to_mid)
-        return {
-            "added": sorted(set(b) - set(a)),
-            "removed": sorted(set(a) - set(b)),
-            "rewritten": sorted(
-                r for r in set(a) & set(b) if a[r] != b[r]
-            ),
-        }
+        return self._diff_rels(
+            self._read_manifest(from_mid), self._read_manifest(to_mid)
+        )
 
     def snapshot_diff_rows(self, from_mid: int, to_mid: int) -> DataFrame:
         """Row-level diff between two retained snapshots: one row per
@@ -900,11 +977,7 @@ class SnapshotLakeTable:
         b_doc = self._read_manifest_doc(to_mid)
         a, _ = self._read_manifest_full(from_mid, doc=a_doc)
         b, _ = self._read_manifest_full(to_mid, doc=b_doc)
-        d = {
-            "added": sorted(set(b) - set(a)),
-            "removed": sorted(set(a) - set(b)),
-            "rewritten": sorted(r for r in set(a) & set(b) if a[r] != b[r]),
-        }
+        d = self._diff_rels(a, b)
         old_rels = d["removed"] + d["rewritten"]
         new_rels = d["added"] + d["rewritten"]
         sa = self._schema_from_doc(a_doc)
@@ -1175,21 +1248,23 @@ class SnapshotLakeTable:
 
     def drop_partition_values(self, rows: Sequence[Sequence]) -> None:
         """Metadata-only partition drop: publish a manifest without the
-        entries (no data move; GC reaps the bytes once unreferenced)."""
-        rels = set()
+        entries (no data move; GC reaps the bytes once unreferenced).
+        Values resolve through the typed value index (same cast as the
+        scanner), so spellings like ``True`` vs the directory's
+        ``true`` cannot silently miss; the str-rel form is tried too
+        for raw directory-spelled strings. Unknown values no-op."""
         for vals in rows:
             if len(vals) != len(self.partition_cols):
                 raise ValueError(
                     f"expected {len(self.partition_cols)} values "
                     f"{self.partition_cols}, got {vals!r}"
                 )
-            rels.add(
-                "/".join(
-                    f"{k}={escape_partition_value(v)}"
-                    for k, v in zip(self.partition_cols, vals)
-                )
-            )
         cur = self.current_manifest() or {}
+        index = self._rel_value_index(cur)
+        rels = set()
+        for vals in rows:
+            rel = index.get(tuple(vals))
+            rels.add(rel if rel is not None else self._rel_of(vals))
         self._publish_manifest({r: t for r, t in cur.items() if r not in rels})
 
     def rename_column(self, old: str, new: str) -> int:
@@ -1390,6 +1465,20 @@ class SnapshotLakeTable:
         ).persist()
         skeys = source.select(*key_cols).persist()
         bkeys = F.broadcast(skeys) if broadcast_keys else skeys
+
+        def semi_on_keys(left: DataFrame) -> DataFrame:
+            # null-SAFE key match (<=>): a NULL key component matches
+            # its live NULL counterpart, so replaying an already-
+            # applied NULL-keyed upsert cancels in the net-change step
+            # instead of inserting a duplicate (exceptAll is null-safe
+            # too) — the replay-safety contract holds for every key
+            right = bkeys.alias("__mk")
+            cond = None
+            for k in key_cols:
+                c = left[k].eqNullSafe(F.col(f"__mk.{k}"))
+                cond = c if cond is None else (cond & c)
+            return left.join(right, cond, "leftsemi")
+
         net_del = net_ins = None
         try:
             # 1. locate: which live partitions hold a batch key?
@@ -1409,29 +1498,34 @@ class SnapshotLakeTable:
                 rngs = {
                     k: (r[f"__mn_{k}"], r[f"__mx_{k}"]) for k in zone_keys
                 }
-                cand = {
-                    rel: t
-                    for rel, t in txns.items()
-                    if zones_may_match(stats.get(rel, {}), rngs)
-                }
-            loc = (
-                self._scan_rels(cand, list(cand), merged, renames)
-                .select(*key_cols, *self.partition_cols)
-                .join(bkeys, key_cols, "leftsemi")
-                .select(*self.partition_cols)
-                .distinct()
-                .collect()
+                cand = self._prune_txns(txns, stats, rngs)
+            loc = semi_on_keys(
+                self._scan_rels(cand, list(cand), merged, renames).select(
+                    *key_cols, *self.partition_cols
+                )
+            ).select(*self.partition_cols).distinct().collect()
+            # typed values -> manifest rels through the value index
+            # (str(v) need not match Spark's directory spelling)
+            rel_index = self._rel_value_index(txns)
+            loc_tuples = {
+                tuple(row[c] for c in self.partition_cols) for row in loc
+            }
+            unresolved = sorted(
+                str(t) for t in loc_tuples if t not in rel_index
             )
-            matched_rels = sorted(
-                {
-                    self._rel_of([row[c] for c in self.partition_cols])
-                    for row in loc
-                }
-                & set(txns)
+            if unresolved:
+                # every located tuple came FROM a live partition; a
+                # miss means the decode disagrees with the scan parse
+                # for this type — failing loud beats silently treating
+                # a live partition as new (which would drop its rows)
+                raise RuntimeError(
+                    "merge_rows could not map scanned partition values "
+                    f"back to manifest entries: {unresolved[:5]}"
+                )
+            matched_rels = sorted({rel_index[t] for t in loc_tuples})
+            matched_old = semi_on_keys(
+                self._scan_rels(txns, matched_rels, merged, renames)
             )
-            matched_old = self._scan_rels(
-                txns, matched_rels, merged, renames
-            ).join(bkeys, key_cols, "leftsemi")
             # 2. net change (batch-sized both sides)
             net_del = matched_old.exceptAll(upserts).persist()
             net_ins = upserts.exceptAll(matched_old).persist()
@@ -1443,12 +1537,19 @@ class SnapshotLakeTable:
             )
             if not aff_vals:
                 return {"written": [], "replaced": []}
+            # existing partitions resolve through the value index; a
+            # tuple with no entry is a brand-new partition (insert) —
+            # the write walk picks it up. net_del tuples always resolve
+            # (they are live rows), since loc_tuples ⊇ their partitions.
             aff_rels = sorted(
                 {
-                    self._rel_of([row[c] for c in self.partition_cols])
-                    for row in aff_vals
+                    rel_index[t]
+                    for t in (
+                        tuple(row[c] for c in self.partition_cols)
+                        for row in aff_vals
+                    )
+                    if t in rel_index
                 }
-                & set(txns)
             )
             # 3. rewrite only net-affected partitions
             content = (
@@ -1610,14 +1711,19 @@ class SnapshotLakeTable:
             manifest = dict(prior_txns)
             if changed_year_months is not None:
                 lead = self.partition_cols[0]
+                # the dropped value is either the WHOLE rel (one-level
+                # partitioning) or its leading directory — a bare
+                # prefix test would never match one-level rels and
+                # stale delete-to-empty entries would survive
                 dropped = {
-                    f"{lead}={escape_partition_value(v)}/"
+                    f"{lead}={escape_partition_value(v)}"
                     for v in changed_year_months
                 }
                 manifest = {
                     rel: txn
                     for rel, txn in manifest.items()
-                    if not any(rel.startswith(d) for d in dropped)
+                    if rel not in dropped
+                    and not any(rel.startswith(d + "/") for d in dropped)
                 }
             manifest.update({rel: nxt for rel in written})
         # NOTE: an empty extract leaves the claimed txn dir in place —
@@ -1627,10 +1733,11 @@ class SnapshotLakeTable:
         # zone maps: carried entries keep their prior stats; written
         # entries get fresh ones computed from the just-written txn dir
         # (change-set-sized, column-pruned read-back — never the lake)
+        written_set = set(written)
         stats = {
             rel: prior_stats[rel]
             for rel in manifest
-            if rel not in set(written) and rel in prior_stats
+            if rel not in written_set and rel in prior_stats
         }
         if self.stats_cols and written:
             stats.update(self._collect_stats(txn_dir, written, rec_schema))

@@ -446,3 +446,142 @@ def test_history_metadata_board(spark, tmp_path):
     assert h[3].row_neutral and h[3].renames == 1
     assert h[3].partitions_written == 0 and not h[3].has_cdf
     assert h[3].schema_columns == 3
+
+
+def test_read_where_lower_bound_spelling_soundness(spark, tmp_path):
+    """Review fix: date-ish LOWER bounds are weakened to their date
+    prefix before probing zones — a time-bearing literal over a DATE
+    column (Spark casts by truncation) and a 'T'-separated ISO literal
+    over a TIMESTAMP column must both KEEP the partitions the row
+    filter would keep (read_where ≡ read().where, always)."""
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("ym",),
+        schema="id int, d date, ts timestamp, ym int",
+        retain=2,
+        stats_cols=("d", "ts"),
+    )
+    lake.write_full(
+        spark.createDataFrame(
+            [(1, "2024-06-01", "2024-06-01 18:00:00", 202406)],
+            "id int, d string, ts string, ym int",
+        ).select(
+            "id",
+            F.col("d").cast("date").alias("d"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "ym",
+        )
+    )
+    # DATE column, time-bearing literal: Spark truncates the literal
+    # to 2024-06-01 so the row MATCHES — the zone probe must not prune
+    for pred in (
+        "d >= '2024-06-01 12:30:00'",
+        "d = '2024-06-01 12:30:00'",
+        "d BETWEEN '2024-06-01 12:30:00' AND '2024-06-02'",
+    ):
+        got = lake.read_where(pred).count()
+        want = lake.read().where(pred).count()
+        assert got == want, (pred, got, want)
+    # TIMESTAMP column, 'T'-separated literal below the row's time:
+    # the row matches; the space-vs-T spelling must not prune it
+    for pred in (
+        "ts >= '2024-06-01T12:30:00'",
+        "ts > '2024-06-01T00:00:00'",
+    ):
+        got = lake.read_where(pred).count()
+        want = lake.read().where(pred).count()
+        assert got == want == 1, (pred, got, want)
+    # pruning strength retained at day grain: a next-day probe prunes
+    assert lake.read_where("ts >= '2024-06-02'").count() == 0
+
+
+def test_merge_boolean_partition_spelling(spark, tmp_path):
+    """Review fix: partition values whose str() differs from Spark's
+    directory spelling (True vs 'true') resolve through the typed
+    value index — a merge into a boolean-partitioned lake keeps every
+    pre-existing row."""
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("flag",),
+        schema="id int, amt double, flag boolean",
+        retain=2,
+    )
+    lake.write_full(
+        spark.createDataFrame(
+            [(1, 1.0, True), (2, 2.0, True), (3, 3.0, False)],
+            "id int, amt double, flag boolean",
+        )
+    )
+    res = lake.merge_rows(
+        spark.createDataFrame([(2, 22.0, True)], "id int, amt double, flag boolean"),
+        key_cols=["id"],
+    )
+    assert res["replaced"] == ["flag=true"]
+    assert sorted((r.id, r.amt) for r in lake.read().collect()) == [
+        (1, 1.0), (2, 22.0), (3, 3.0),
+    ]
+    # drop_partition_values resolves Python True -> dir 'true' too
+    lake.drop_partition_values([(False,)])
+    assert sorted(lake.current_manifest()) == ["flag=true"]
+
+
+def test_merge_null_key_replay_safe(spark, tmp_path):
+    """Review fix: NULL key components match null-safely (<=>), so
+    replaying an already-applied NULL-keyed upsert cancels to an empty
+    change set instead of inserting a duplicate."""
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("ym",),
+        schema="id int, amt double, ym int",
+        retain=4,
+    )
+    lake.write_full(
+        spark.createDataFrame([(1, 1.0, 202405)], "id int, amt double, ym int")
+    )
+    batch = spark.createDataFrame(
+        [(None, 9.0, 202405)], "id int, amt double, ym int"
+    )
+    lake.merge_rows(batch, key_cols=["id"])
+    mid = lake.current_id()
+    assert lake.read().count() == 2
+    # replay: the live NULL-keyed row matches null-safely -> no-op
+    res = lake.merge_rows(batch, key_cols=["id"])
+    assert res == {"written": [], "replaced": []}
+    assert lake.current_id() == mid
+    assert lake.read().count() == 2
+    # and a NULL-keyed update replaces, never duplicates
+    lake.merge_rows(
+        spark.createDataFrame([(None, 10.0, 202405)], "id int, amt double, ym int"),
+        key_cols=["id"],
+    )
+    assert sorted(
+        ((r.id, r.amt) for r in lake.read().collect()), key=str
+    ) == sorted([(1, 1.0), (None, 10.0)], key=str)
+
+
+def test_apply_rebuild_drop_single_level_partitioning(spark, tmp_path):
+    """Review fix (pre-existing): delete-to-empty cleanup in
+    apply_rebuild must also drop ONE-level rels (the old prefix test
+    required a trailing '/' that single-level rels don't have)."""
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("ym",),
+        schema="id int, amt double, ym int",
+        retain=2,
+    )
+    lake.write_full(
+        spark.createDataFrame(
+            [(1, 1.0, 202405), (2, 2.0, 202406)], "id int, amt double, ym int"
+        )
+    )
+    # June's re-extract produces NOTHING -> its entry must drop
+    lake.apply_rebuild(
+        spark.createDataFrame([], "id int, amt double, ym int"),
+        changed_year_months=[202406],
+    )
+    assert sorted(lake.current_manifest()) == ["ym=202405"]
+    assert lake.read().count() == 1

@@ -940,13 +940,24 @@ _ts_atom = st.tuples(
         min_value=datetime(2024, 4, 20).date(),
         max_value=datetime(2024, 8, 10).date(),
     ),
-    st.booleans(),
-).map(
-    lambda t: f"ts {t[0]} '{t[1].isoformat()}"
-    + (" 12:30:00'" if t[2] else "'")
-)
+    # bare date / space-separated / 'T'-separated ISO spellings — the
+    # 'T' form compares ABOVE every space-separated zone spelling of
+    # the same instant and exposed the r11 lower-bound wrong-prune
+    st.sampled_from(["", " 12:30:00", "T12:30:00"]),
+).map(lambda t: f"ts {t[0]} '{t[1].isoformat()}{t[2]}'")
+# DATE-typed column probed with a time-bearing literal: both engines
+# cast the literal to DATE by TRUNCATION, so the row filter is weaker
+# than the full-string zone compare — the other r11 wrong-prune class
+_d_atom = st.tuples(
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+    st.dates(
+        min_value=datetime(2024, 4, 20).date(),
+        max_value=datetime(2024, 8, 10).date(),
+    ),
+    st.sampled_from(["", " 12:30:00", "T06:00:00"]),
+).map(lambda t: f"d {t[0]} '{t[1].isoformat()}{t[2]}'")
 _predicate = st.lists(
-    st.one_of(_num_atom, _between_atom, _str_atom, _ts_atom),
+    st.one_of(_num_atom, _between_atom, _str_atom, _ts_atom, _d_atom),
     min_size=1,
     max_size=3,
 ).map(" AND ".join)
@@ -963,7 +974,7 @@ def test_zone_prune_never_drops_a_matching_row(parts, pred):
         zones_may_match,
     )
 
-    ranges = extract_prune_ranges(pred, ["v", "s", "ts"])
+    ranges = extract_prune_ranges(pred, ["v", "s", "ts", "d"])
     kept = set()
     for i, rows in enumerate(parts):
         zones = {
@@ -979,15 +990,24 @@ def test_zone_prune_never_drops_a_matching_row(parts, pred):
                 _stat_encode(min(r[2] for r in rows), widen=-1),
                 _stat_encode(max(r[2] for r in rows), widen=1),
             ],
+            "d": [
+                _stat_encode(min(r[2].date() for r in rows), widen=-1),
+                _stat_encode(max(r[2].date() for r in rows), widen=1),
+            ],
         }
         if zones_may_match(zones, ranges):
             kept.add(i)
 
     con = duckdb.connect()
-    con.execute("CREATE TABLE t (pid INT, v INT, s VARCHAR, ts TIMESTAMP)")
+    con.execute(
+        "CREATE TABLE t (pid INT, v INT, s VARCHAR, ts TIMESTAMP, d DATE)"
+    )
     for i, rows in enumerate(parts):
         for v, s, ts in rows:
-            con.execute("INSERT INTO t VALUES (?, ?, ?, ?)", [i, v, s, ts])
+            con.execute(
+                "INSERT INTO t VALUES (?, ?, ?, ?, ?)",
+                [i, v, s, ts, ts.date()],
+            )
     matching = {
         r[0]
         for r in con.execute(
