@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for ALL 210 registered queries (100% oracle-backed
+    """DuckDB twins for ALL 211 registered queries (100% oracle-backed
     since r9; r10 added winnow-based span decontamination + its apply
     census, exact copy-span verification, and the snapshot-diff/
     zone-map golden; r11 adds the duplicate-span scrub APPLY — the

@@ -455,6 +455,110 @@ def lake_zone_readwhere_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Rename-evolution oracle: a REPLAYING oracle — the lake is seeded
+# from orders under one column name, the column is renamed (pure
+# metadata), and a post-rename month publishes under the NEW name;
+# the final aggregate reads pre-rename files (physical 'totalprice')
+# and post-rename files (physical 'price') under ONE current name.
+# DuckDB replays the same union from orders — the rename machinery
+# (per-txn name mapping) is the only thing that can diverge.
+LAKE_RENAME_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS okey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS ym
+  FROM orders
+), extra AS (
+  SELECT -okey AS okey, price + 2 AS price, 210001 AS ym
+  FROM base WHERE ym = 199506 AND okey <> 0
+)
+SELECT ym,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS cents
+FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("lake_rename_demo", oracle=LAKE_RENAME_ORACLE)
+def lake_rename_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-rename evolution end-to-end (r11,
+    ``SnapshotLakeTable.rename_column``): orders seed the lake under
+    ``totalprice``; the column is renamed to ``price`` (one metadata
+    publish, zero data movement); a mirrored 210001 month then
+    publishes under the NEW name, so the live snapshot mixes files
+    whose physical columns differ. The per-month aggregate reads both
+    file generations under the one current name — DuckDB replays it
+    straight from orders. Inline asserts pin the semantics the hash
+    can't see: time travel keeps the pre-rename name, and a publish
+    under the retired name is refused.
+
+    Scale: rename cost is one manifest write at any lake size; reads
+    add at most one extra scan GROUP per rename event (rels are
+    grouped by owning-txn rename signature), never per partition.
+    """
+    from ..sources.catalog import Catalog
+    from ..sources.lake_snapshot import SnapshotLakeTable
+
+    orders = Catalog(spark, sf_dir).orders
+    base = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+        F.date_format("o_orderdate", "yyyyMM").cast("int").alias("ym"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_ren_")
+    try:
+        lake = SnapshotLakeTable(
+            spark,
+            f"{root}/lake",
+            partition_cols=("ym",),
+            schema=base.schema,
+            retain=4,
+        )
+        lake.write_full(base)
+        pre = lake.current_id()
+        lake.rename_column("totalprice", "price")
+
+        extra = base.where(
+            (F.col("ym") == 199506) & (F.col("okey") != 0)
+        ).select(
+            (-F.col("okey")).alias("okey"),
+            (F.col("totalprice") + 2)
+            .cast("decimal(18,2)")
+            .alias("price"),
+            F.lit(210001).alias("ym"),
+        )
+        lake.overwrite_partitions(extra)
+
+        # semantics the value hash can't see
+        if "totalprice" not in lake.read_snapshot(pre).columns:
+            raise AssertionError("time travel lost the pre-rename name")
+        try:
+            lake.overwrite_partitions(
+                extra.withColumnRenamed("price", "totalprice")
+            )
+            raise AssertionError("retired name was accepted")
+        except ValueError:
+            pass
+
+        agg = (
+            lake.read()
+            .groupBy("ym")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((F.col("price") * 100).cast("long")).alias("cents"),
+            )
+            .orderBy("ym")
+        )
+        rows = [(r.ym, r.n_rows, r.cents) for r in agg.collect()]
+        return spark.createDataFrame(
+            rows, "ym int, n_rows bigint, cents bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Row-level mart oracle: a true REPLAYING oracle — the lake is seeded
 # from orders, one deterministic update cycle (every 97th order key
 # gets +10.00) flows through the recorded CDF and the signed integer-

@@ -90,6 +90,19 @@ POINTER = "_CURRENT"
 ROLLBACK_KEEP = "_ROLLBACK_KEEP"  # manifests/ marker: highest once-live id
 
 
+class ExpectationError(ValueError):
+    """A publish-time data-quality expectation failed. Nothing was
+    claimed or written — the lake is exactly as before. ``violations``
+    maps each failed expectation name to its violating-row count."""
+
+    def __init__(self, what: str, violations: dict):
+        self.violations = dict(violations)
+        super().__init__(
+            f"{what} rejected by expectations: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in violations.items())
+        )
+
+
 class CdfGapError(RuntimeError):
     """The writer-recorded change-data feed cannot cover the requested
     snapshot range (a publish recorded no CDF, a manifest aged out, or
@@ -526,6 +539,7 @@ class SnapshotLakeTable:
         grace_seconds: float = 0.0,
         stats_cols: Sequence[str] = (),
         manifest_shard_size: int = 20000,
+        expectations: dict | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -538,6 +552,14 @@ class SnapshotLakeTable:
         # below it the single-JSON layout stays (~37 bytes/entry —
         # one read to ~10^5 partitions). Readers are shard-transparent.
         self.manifest_shard_size = manifest_shard_size
+        # publish-time data-quality gates: {name: SQL predicate} every
+        # written row must satisfy (SQL CHECK semantics — NULL passes),
+        # enforced on the change set of EVERY publish path (full load,
+        # CDC rebuild, merge, streaming sinks) BEFORE anything is
+        # claimed or written; a violation raises ExpectationError with
+        # per-expectation counts and the lake is untouched. One extra
+        # change-set-sized aggregate per gated publish.
+        self.expectations = dict(expectations or {})
         # zone-map columns: per-partition [min, max] recorded in the
         # manifest at publish (computed from the just-written change
         # set only), so readers can prune partitions on NON-partition
@@ -1577,6 +1599,31 @@ class SnapshotLakeTable:
 
     # -- internals ----------------------------------------------------------
 
+    def _check_expectations(self, df: DataFrame) -> None:
+        """Evaluate every configured expectation over the change set in
+        ONE aggregate job; raise :class:`ExpectationError` naming each
+        failed expectation with its violating-row count. SQL CHECK
+        semantics: a row violates only when the predicate evaluates to
+        FALSE (NULL/unknown passes, the standard's behavior)."""
+        if not self.expectations:
+            return
+        names = list(self.expectations)
+        aggs = [
+            F.sum(
+                (~F.coalesce(F.expr(self.expectations[n]), F.lit(True)))
+                .cast("long")
+            ).alias(f"__e{i}")
+            for i, n in enumerate(names)
+        ]
+        row = df.agg(*aggs).first()
+        bad = {
+            n: int(row[f"__e{i}"])
+            for i, n in enumerate(names)
+            if row[f"__e{i}"]
+        }
+        if bad:
+            raise ExpectationError("publish", bad)
+
     def _walk_partitions(self, base: str, depth: int) -> list[str]:
         """Rel paths of partition leaf dirs under ``base`` holding at
         least one data file, via the fs seam (no Spark job)."""
@@ -1618,6 +1665,7 @@ class SnapshotLakeTable:
             raise ValueError(
                 "replace_rels and changed_year_months are exclusive"
             )
+        self._check_expectations(df)  # before any claim or write
         nxt, observed = self._proto.begin()  # claims data/txn=<nxt>
         txn_dir = f"{self.root}/data/txn={nxt}"
         # resolve the prior snapshot ONCE (doc + shards): at 10^5

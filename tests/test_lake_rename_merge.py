@@ -585,3 +585,67 @@ def test_apply_rebuild_drop_single_level_partitioning(spark, tmp_path):
     )
     assert sorted(lake.current_manifest()) == ["ym=202405"]
     assert lake.read().count() == 1
+
+
+def test_publish_expectations_gate(spark, tmp_path):
+    """Publish-time data-quality expectations (SQL CHECK semantics):
+    a violating change set raises ExpectationError with per-gate
+    counts BEFORE anything is claimed or written; NULL predicates
+    pass (the standard's CHECK behavior); every publish path — full
+    load, partition overwrite, merge — is gated."""
+    import os
+
+    from bigdatapipelinepysparksqlserver_spark.sources.lake_snapshot import (
+        ExpectationError,
+    )
+
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("ym",),
+        schema="id int, amt double, ym int",
+        retain=4,
+        expectations={
+            "amt_positive": "amt > 0",
+            "id_present": "id IS NOT NULL",
+        },
+    )
+    # initial load violating one gate: refused, nothing on disk
+    with pytest.raises(ExpectationError, match="amt_positive \\(1 rows\\)"):
+        lake.write_full(
+            spark.createDataFrame(
+                [(1, 1.0, 202405), (2, -2.0, 202405)],
+                "id int, amt double, ym int",
+            )
+        )
+    assert not os.path.exists(str(tmp_path / "lake" / "data"))
+    assert lake.current_id() is None
+
+    lake.write_full(
+        spark.createDataFrame(
+            [(1, 1.0, 202405), (2, None, 202405)],  # NULL passes (CHECK)
+            "id int, amt double, ym int",
+        )
+    )
+    assert lake.read().count() == 2
+    mid = lake.current_id()
+
+    # overwrite path gated; both failing gates reported with counts
+    with pytest.raises(ExpectationError) as ei:
+        lake.overwrite_partitions(
+            spark.createDataFrame(
+                [(None, -1.0, 202406), (None, 2.0, 202406)],
+                "id int, amt double, ym int",
+            )
+        )
+    assert ei.value.violations == {"amt_positive": 1, "id_present": 2}
+    assert lake.current_id() == mid
+
+    # merge path gated too (content carries the violating upsert)
+    with pytest.raises(ExpectationError):
+        lake.merge_rows(
+            spark.createDataFrame([(1, -9.0, 202405)], "id int, amt double, ym int"),
+            key_cols=["id"],
+        )
+    assert lake.current_id() == mid
+    assert {r.amt for r in lake.read().collect()} == {1.0, None}
