@@ -649,3 +649,130 @@ def test_publish_expectations_gate(spark, tmp_path):
         )
     assert lake.current_id() == mid
     assert {r.amt for r in lake.read().collect()} == {1.0, None}
+
+
+def test_randomized_merge_rename_lifecycle_matches_model(spark, tmp_path):
+    """Model-based check over the NEW surface: a deterministic random
+    sequence of merges (upsert/move/delete), renames, partition
+    overwrites, and rollbacks must track a plain {id: row} dict model
+    exactly after EVERY step, with the live column name following the
+    rename history; every merge's recorded CDF must equal
+    snapshot_diff_rows over its own publish. Extends the r10 lifecycle
+    model test to the r11 operations instead of hand-reasoning them."""
+    import random
+
+    rng = random.Random(7)
+    YMS = [202401, 202402, 202403]
+    lake = SnapshotLakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        partition_cols=("ym",),
+        schema="id long, v0 double, ym int",
+        retain=2,
+    )
+    model: dict = {}          # id -> (id, paid, ym)
+    cur_name = ["v0"]         # the paid column's current spelling
+    name_seq = [0]
+    next_id = [0]
+    states: dict = {}         # mid -> (model snapshot, name)
+
+    def df_of(rows, extra_cols=""):
+        return spark.createDataFrame(
+            rows, f"id long, {cur_name[0]} double, ym int{extra_cols}"
+        )
+
+    def fresh_rows(n):
+        out = []
+        for _ in range(n):
+            next_id[0] += 1
+            out.append(
+                (next_id[0], float(next_id[0]), rng.choice(YMS))
+            )
+        return out
+
+    def check():
+        df = lake.read()
+        assert cur_name[0] in df.columns
+        got = sorted((r["id"], r[cur_name[0]], r["ym"]) for r in df.collect())
+        assert got == sorted(model.values())
+
+    seed = fresh_rows(6)
+    lake.write_full(df_of(seed))
+    model = {r[0]: r for r in seed}
+    states[lake.current_id()] = (dict(model), cur_name[0])
+    check()
+
+    for step in range(18):
+        op = rng.choice(["merge", "merge", "rename", "overwrite", "rollback"])
+        if op == "merge":
+            batch = []
+            live = sorted(model)
+            # updates (some moving partitions), deletes, inserts
+            for i in rng.sample(live, min(len(live), rng.randint(0, 3))):
+                old = model[i]
+                if rng.random() < 0.5:
+                    batch.append((i, old[1] + 100.0, old[2], False))
+                else:
+                    batch.append(
+                        (i, old[1] + 100.0, rng.choice(YMS), False)
+                    )
+            for i in rng.sample(live, min(len(live), rng.randint(0, 2))):
+                if not any(b[0] == i for b in batch):
+                    batch.append((i, None, None, True))
+            for row in fresh_rows(rng.randint(0, 2)):
+                batch.append((*row, False))
+            if not batch:
+                continue
+            pre = lake.current_id()
+            res = lake.merge_rows(
+                df_of(
+                    [(b[0], b[1], b[2]) for b in batch]
+                ).withColumn(
+                    "__del",
+                    F.col("id").isin(
+                        [b[0] for b in batch if b[3]]
+                    ),
+                ),
+                key_cols=["id"],
+                delete_col="__del",
+            )
+            for b in batch:
+                if b[3]:
+                    model.pop(b[0], None)
+                else:
+                    model[b[0]] = (b[0], b[1], b[2])
+            if res != {"written": [], "replaced": []}:
+                post = lake.current_id()
+                cdf = lake.changes_between(pre, post)
+                diff = lake.snapshot_diff_rows(pre, post)
+                assert sorted(map(tuple, cdf.collect())) == sorted(
+                    map(tuple, diff.collect())
+                )
+        elif op == "rename":
+            name_seq[0] += 1
+            new = f"v{name_seq[0]}"
+            lake.rename_column(cur_name[0], new)
+            cur_name[0] = new
+        elif op == "overwrite":
+            ym = rng.choice(YMS)
+            rows = [r for r in fresh_rows(2)]
+            rows = [(i, p, ym) for i, p, _ in rows]
+            lake.overwrite_partitions(df_of(rows))
+            model = {i: r for i, r in model.items() if r[2] != ym}
+            for r in rows:
+                model[r[0]] = r
+        else:  # rollback
+            ids = lake.snapshots()
+            cur = lake.current_id()
+            older = [i for i in ids if i < (cur or 0) and i in states]
+            if not older:
+                continue
+            target = older[-1]
+            lake.rollback(target)
+            snap, nm = states[target]
+            model = dict(snap)
+            cur_name[0] = nm
+        mid = lake.current_id()
+        if mid is not None:
+            states[mid] = (dict(model), cur_name[0])
+        check()
