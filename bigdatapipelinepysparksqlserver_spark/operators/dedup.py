@@ -973,11 +973,20 @@ def connected_components_star(
     Both preserve connectivity and strictly shrink a potential
     function, so the fixed point — star graphs rooted at each
     component's minimum — is reached without oscillation. Convergence
-    is detected by an (edge-count, hash-sum) fingerprint: equal
-    fingerprints ⇒ identical edge sets (sum collision odds ~2⁻⁶⁴,
-    and a false stop could only return a not-yet-contracted forest,
-    never a wrong merge — same over-split-only failure mode as the
-    label propagation cap). Per-round localCheckpoint severs lineage;
+    is detected by the STAR-FOREST test itself (r11): the edge set is
+    a fixed point iff no ``lo`` endpoint also appears as a ``hi`` (all
+    (hi, lo) rows keep hi > lo, so a component whose lo-set and hi-set
+    are disjoint is exactly a star rooted at its minimum — the fixed
+    point the rounds provably reach). The test is one map-side-
+    combinable aggregate over the round's checkpointed output (union
+    both endpoint roles, group by node, nonempty both-roles set ⇒ not
+    yet a star), so it replaces the old (edge-count, hash-sum)
+    fingerprint — which could only detect a fixed point by running one
+    EXTRA full round and comparing — and the loop now stops one round
+    (≈ 6 exchanges over the edge list) earlier, with the same exact
+    output. Checked BEFORE each round too, so an already-contracted
+    input (all-pair-components near-dup boards) skips the loop
+    entirely. Per-round localCheckpoint severs lineage;
     each round EAGERLY materializes its checkpoint and then frees the
     previous round's blocks (r5 — the loop used to strand one
     edge-list-sized checkpoint per round until GC noticed). The inputs
@@ -999,10 +1008,29 @@ def connected_components_star(
         .union(deduped.select("lo"))
         .distinct()
     )
+    def _is_star_forest(df: DataFrame) -> bool:
+        # hi > lo holds for every row, so the edge set is the fixed
+        # point (stars rooted at each component minimum) iff (a) no
+        # node plays both roles AND (b) every hi appears in exactly one
+        # edge — a hi carrying two distinct lo's is an uncontracted
+        # wedge (e.g. {(2,0),(2,1)}: roles disjoint, still one round
+        # from the fixpoint {(1,0),(2,0)}). Rows are distinct, so
+        # SUM(role) counts a hi's edges. One union + one node-keyed
+        # aggregate, map-side-combinable; take(1) on violations.
+        viol = (
+            df.select(F.col("hi").alias("n"), F.lit(1).alias("s"))
+            .union(df.select(F.col("lo"), F.lit(0)))
+            .groupBy("n")
+            .agg(F.min("s").alias("mn"), F.sum("s").alias("nhi"))
+            .where((F.col("mn") == 0) & (F.col("nhi") > 0) | (F.col("nhi") > 1))
+        )
+        return viol.isEmpty()
+
     cur = deduped
     free_prev = None  # never free deduped mid-loop: nodes reads it lazily
-    prev_print: tuple = (None, None)
     for _ in range(max_iter):
+        if _is_star_forest(cur):
+            break
         # large-star over the symmetrized edges: (v, m(u)) for v > u
         sym = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             cur.select(F.col("lo"), F.col("hi"))
@@ -1026,20 +1054,12 @@ def connected_components_star(
             .union(with_min.select("hi", F.col("m")))
             .distinct()
         )
-        # bit_xor, not sum: order-insensitive like sum but cannot overflow
-        # (ANSI mode makes a BIGINT sum of 64-bit hashes a runtime error)
-        cnt, hsum = small.agg(
-            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(hi, lo))")
-        ).first()
         # this round's checkpoint is materialized (eager) — the PREVIOUS
         # round's blocks are unreachable from any future plan: free now
         if free_prev is not None:
             free_prev()
         free_prev = free_new
         cur = small
-        if (cnt, hsum) == prev_print:
-            break
-        prev_print = (cnt, hsum)
     labels = nodes.join(
         cur.select(F.col("hi").alias("doc_id"), F.col("lo").alias("component")),
         "doc_id",

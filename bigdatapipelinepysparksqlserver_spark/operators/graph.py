@@ -48,18 +48,27 @@ def pagerank(
     directed graphs should add self-loops for sinks or accept the mass
     leak (documented, not hidden).
 
-    Scale: the edge list joins its node-sized outdegree relation ONCE
-    (persisted projected — 24 B/row), then each iteration is one
-    node-keyed integer-sum shuffle plus a node-sized rank join; the
-    driver loop just composes plans, no data crosses the driver.
-    ``iters`` is a fixed small constant by contract (rank deltas decay
-    geometrically; 3 rounds is the recommendation-feature regime).
+    Scale: outdegree is a COUNT window over the edge list's src
+    partitioning — ONE src-keyed exchange attaches it in place (r11:
+    the old groupBy+self-join form computed the edge-build subtree
+    twice, because HOF lambdas in upstream basket expansion defeat
+    exchange reuse — measured as 2 full edge builds per call); then
+    each iteration is one node-keyed integer-sum shuffle plus a
+    node-sized rank join; the driver loop just composes plans, no data
+    crosses the driver. ``iters`` is a fixed small constant by contract
+    (rank deltas decay geometrically; 3 rounds is the
+    recommendation-feature regime).
     """
+    from pyspark.sql import Window
+
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = scoped_persist(e.join(outdeg, "src"))
+    ed = scoped_persist(
+        e.withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    )
     nodes = scoped_persist(ed.select(F.col("src").alias("node")).distinct())
     n = nodes.count()
     if n == 0:

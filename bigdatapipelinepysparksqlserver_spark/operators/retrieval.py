@@ -320,12 +320,24 @@ def _store_relations(
     with dl inline the probe's read set is exactly the probed terms'
     postings. ``doclens`` stays in the store as the (id → dl) side
     artifact (stats recomputation, diagnostics), just off the probe
-    path."""
-    w = docs.select(
-        F.col(id_col).alias("id"), _words(text_col).alias("__ws")
-    ).select("id", F.size("__ws").alias("dl"), F.col("__ws"))
+    path.
+
+    r11: the tokenized relation ``w`` and the aggregated ``postings``
+    are persisted for the duration of the build — the four store
+    relations previously each re-ran the corpus tokenization (4 full
+    tokenize passes per build, plus the (term, id) aggregation twice);
+    now the corpus is tokenized ONCE, postings aggregate once, and
+    doclens/stats/termstats are cache-fed projections/aggregates. The
+    caches release via the harness's caching scope after the writes."""
+    from ..caching import scoped_persist
+
+    w = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("id"), _words(text_col).alias("__ws")
+        ).select("id", F.size("__ws").alias("dl"), F.col("__ws"))
+    )
     lens = w.select("id", "dl")
-    postings = (
+    postings = scoped_persist(
         w.select("id", "dl", F.explode("__ws").alias("term"))
         .groupBy("term", "id")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
@@ -376,6 +388,10 @@ def build_postings_store(
     The store is rebuilt per corpus version; for daily ingest use the
     append form :func:`postings_store_append_batch` (batch=N layer,
     same contract as `ivf_store_append_batch`).
+
+    r11: one corpus tokenization per build, not four —
+    ``_store_relations`` persists the tokenized relation and the
+    aggregated postings, so doclens/stats/termstats are cache-fed.
     """
     postings, lens, stats, termstats = _store_relations(
         docs, text_col, id_col, num_buckets
@@ -420,7 +436,9 @@ def postings_store_append_batch(
     global df is the sum of per-batch dfs (disjoint docs ⇒ no double
     counting), and per-(term, doc) tf rows live in exactly one batch.
     A store is either flat (rebuild) or batched (append-only from
-    batch 0) — never both under one ``path``.
+    batch 0) — never both under one ``path``. Persist economics as in
+    :func:`build_postings_store` (one tokenize pass per batch, not 4 —
+    owned by ``_store_relations``).
     """
     postings, lens, stats, termstats = _store_relations(
         docs, text_col, id_col, num_buckets
@@ -485,7 +503,9 @@ def bm25_from_store(
     probe = spark.createDataFrame([(t,) for t in terms], "term string").select(
         "term", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("b")
     )
-    buckets = sorted({int(r["b"]) for r in probe.collect()})
+    # one control-plane collect for BOTH bucket sets (r11: was two jobs)
+    term_bucket = {r["term"]: int(r["b"]) for r in probe.collect()}
+    buckets = sorted(set(term_bucket.values()))
     dfs = {
         r["term"]: int(r["sdf"])
         for r in (
@@ -502,9 +522,7 @@ def bm25_from_store(
         t: math.log(1.0 + (n - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
         for t in scored_terms
     }
-    kept_buckets = sorted(
-        {int(r["b"]) for r in probe.where(F.col("term").isin(scored_terms)).collect()}
-    )
+    kept_buckets = sorted({term_bucket[t] for t in scored_terms})
     postings = (
         spark.read.parquet(f"{path}/postings")
         .where(F.col("bucket").isin(kept_buckets))

@@ -58,16 +58,28 @@ def brute_force_topk(
 
     Returns (query_id, neighbor_id, cosine, rank), self-matches excluded.
     """
+    # norms hoisted to the per-side projections (r11): norm() is an
+    # interpreted HOF fold over the vector, and inside the per-pair
+    # cosine it re-ran once per (query, neighbor) pair and side; hoisted
+    # it runs once per vector row. dot/(qn·nn) is exactly what cosine()
+    # expands to — same fold order, bit-identical result.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     pairs = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+        norm(F.col(vec_col)).alias("__nn"),
     ).crossJoin(F.broadcast(q))
     scored = pairs.where(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+        (
+            dot(F.col("query_vec"), F.col("neighbor_vec"))
+            / (F.col("__qn") * F.col("__nn"))
+        ).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -259,16 +271,20 @@ def lsh_topk(
     inverse.
     """
     buckets = hyperplane_buckets(F.col(vec_col), dim=dim, bits=bits, tables=tables)
+    # norms hoisted per vector row (r11, bit-identical — see
+    # brute_force_topk): once per side row instead of once per candidate
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("neighbor_vec"),
+        norm(F.col(vec_col)).alias("__nn"),
         F.explode(buckets).alias("tb"),
-    ).select("neighbor_id", "neighbor_vec", "tb.table", "tb.bucket")
+    ).select("neighbor_id", "neighbor_vec", "__nn", "tb.table", "tb.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("__qn"),
         F.explode(buckets).alias("tb"),
-    ).select("query_id", "query_vec", "tb.table", "tb.bucket")
+    ).select("query_id", "query_vec", "__qn", "tb.table", "tb.bucket")
     cands = (
         v.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -277,7 +293,10 @@ def lsh_topk(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+        (
+            dot(F.col("query_vec"), F.col("neighbor_vec"))
+            / (F.col("__qn") * F.col("__nn"))
+        ).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -439,12 +458,29 @@ def embedding_near_duplicates(
     pairs = grouped_pair_enumeration(
         tagged, ["table", "bucket"], "doc_id", bucket_cap=bucket_cap
     ).dropDuplicates(["id1", "id2"])
-    v1 = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    v2 = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    # norms hoisted per vector row (r11, bit-identical — see
+    # brute_force_topk): once per side row instead of once per pair
+    v1 = vectors.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        norm(F.col(vec_col)).alias("__n1"),
+    )
+    v2 = vectors.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        norm(F.col(vec_col)).alias("__n2"),
+    )
     scored = (
         pairs.join(v1, "id1")
         .join(v2, "id2")
-        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos_raw"))
+        .select(
+            "id1",
+            "id2",
+            (
+                dot(F.col("v1"), F.col("v2"))
+                / (F.col("__n1") * F.col("__n2"))
+            ).alias("cos_raw"),
+        )
     )
     return scored.where(F.col("cos_raw") >= threshold).select(
         "id1", "id2", F.round("cos_raw", 6).alias("cosine")
@@ -565,6 +601,8 @@ def ivf_codebook_topk(
     probe = _ivf_probe_sql(cells, n_probe)
     vnorm = _IVF_VNORM_SQL
 
+    # __vnorm doubles as the hoisted re-rank norm (r11): it is the same
+    # sqrt-of-squares fold cosine() would recompute per candidate pair
     assigned = (
         vectors.select(
             F.col(id_col).alias("neighbor_id"),
@@ -573,7 +611,10 @@ def ivf_codebook_topk(
         )
         .withColumn("__vnorm", F.expr(vnorm))
         .select(
-            "neighbor_id", "neighbor_vec", F.expr(argmax).alias("cell")
+            "neighbor_id",
+            "neighbor_vec",
+            F.col("__vnorm").alias("__nn"),
+            F.expr(argmax).alias("cell"),
         )
     )
     q = (
@@ -584,7 +625,10 @@ def ivf_codebook_topk(
         )
         .withColumn("__vnorm", F.expr(vnorm))
         .select(
-            "query_id", "query_vec", F.explode(F.expr(probe)).alias("cell")
+            "query_id",
+            "query_vec",
+            F.col("__vnorm").alias("__qn"),
+            F.explode(F.expr(probe)).alias("cell"),
         )
     )
     cands = (
@@ -595,7 +639,10 @@ def ivf_codebook_topk(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+        (
+            dot(F.col("query_vec"), F.col("neighbor_vec"))
+            / (F.col("__qn") * F.col("__nn"))
+        ).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -723,10 +770,15 @@ def ivf_partitioned_topk(
         for _, cell in scores[:n_probe]:
             probe_rows.append((int(r[id_col]), cell, [float(x) for x in r[vec_col]]))
     probe_cells = sorted({c for _, c, _ in probe_rows})
-    store = spark.read.parquet(store_path).where(F.col("cell").isin(probe_cells))
+    # norms hoisted per row (r11, bit-identical — see brute_force_topk)
+    store = (
+        spark.read.parquet(store_path)
+        .where(F.col("cell").isin(probe_cells))
+        .withColumn("__nn", norm(F.col(vec_col)))
+    )
     q_df = spark.createDataFrame(
         probe_rows, f"query_id long, cell int, query_vec array<double>"
-    )
+    ).withColumn("__qn", norm(F.col("query_vec")))
     cands = (
         store.join(F.broadcast(q_df), "cell")
         .where(F.col("query_id") != F.col(id_col))
@@ -735,7 +787,10 @@ def ivf_partitioned_topk(
     scored = cands.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("query_vec"), F.col(vec_col)).alias("cos_raw"),
+        (
+            dot(F.col("query_vec"), F.col(vec_col))
+            / (F.col("__qn") * F.col("__nn"))
+        ).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -915,12 +970,30 @@ def semantic_dedup(
         "doc_id",
         bucket_cap=bucket_cap,
     )
-    v1 = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    v2 = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    # norms hoisted to the per-VECTOR side projections (r11): norm(v)
+    # depends only on the vector, so computing it inside the per-pair
+    # cosine re-ran the interpreted HOF fold once per candidate pair and
+    # side (Σ c² pairs × 2 folds) instead of once per vector. The pair
+    # predicate below is dot/(n1*n2) — the exact expression cosine()
+    # expands to, same fold order, same double arithmetic, bit-identical
+    # to the oracle's replay.
+    v1 = vectors.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        norm(F.col(vec_col)).alias("__n1"),
+    )
+    v2 = vectors.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        norm(F.col(vec_col)).alias("__n2"),
+    )
     verified = (
         pairs.join(v1, "id1")
         .join(v2, "id2")
-        .where(cosine(F.col("v1"), F.col("v2")) >= threshold)
+        .where(
+            dot(F.col("v1"), F.col("v2")) / (F.col("__n1") * F.col("__n2"))
+            >= threshold
+        )
         .select("id1", "id2")
     )
     comp = connected_components_star(verified)
@@ -1084,8 +1157,12 @@ def semantic_dedup_incremental(
     MinHash form).
     """
     cells = _collect_codebook(codebook, cell_col, cent_col, "semantic_dedup_incremental")
+    # norms hoisted per row (r11, bit-identical — see brute_force_topk)
     assigned = ivf_assign(batch, cells, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("batch_id"), F.col(vec_col).alias("batch_vec"), "cell"
+        F.col(id_col).alias("batch_id"),
+        F.col(vec_col).alias("batch_vec"),
+        norm(F.col(vec_col)).alias("__bn"),
+        "cell",
     )
     probe_cells = sorted(
         r["cell"] for r in assigned.select("cell").distinct().collect()
@@ -1095,6 +1172,7 @@ def semantic_dedup_incremental(
         store.select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).alias("corpus_vec"),
+            norm(F.col(vec_col)).alias("__cn"),
             "cell",
         )
         .join(assigned, "cell")
@@ -1102,7 +1180,10 @@ def semantic_dedup_incremental(
         .select(
             "batch_id",
             "corpus_id",
-            cosine(F.col("batch_vec"), F.col("corpus_vec")).alias("cos_raw"),
+            (
+                dot(F.col("batch_vec"), F.col("corpus_vec"))
+                / (F.col("__bn") * F.col("__cn"))
+            ).alias("cos_raw"),
         )
     )
     return scored.where(F.col("cos_raw") >= threshold).select(
@@ -1298,16 +1379,26 @@ def pq_topk(
     )
     # brute_force_topk wants one vec_col name on both sides; the query
     # side stays RAW (asymmetric ADC) — inline the same plan shape
+    # norms hoisted per row (r11, bit-identical — see brute_force_topk);
+    # the neighbor norm is over the RECONSTRUCTED vector, once per code
+    # row instead of once per (query, neighbor) pair
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     pairs = recon.select(
-        F.col(id_col).alias("neighbor_id"), F.col("__recon").alias("neighbor_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__recon").alias("neighbor_vec"),
+        norm(F.col("__recon")).alias("__nn"),
     ).crossJoin(F.broadcast(q))
     scored = pairs.where(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+        (
+            dot(F.col("query_vec"), F.col("neighbor_vec"))
+            / (F.col("__qn") * F.col("__nn"))
+        ).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -1459,10 +1550,12 @@ def ivfpq_topk(
             "cell",
             recon_expr.alias("__recon"),
         )
+        # norm hoisted per reconstructed row (r11, bit-identical)
+        .withColumn("__nn", norm(F.col("__recon")))
     )
     q_df = spark.createDataFrame(
         probe_rows, "query_id long, cell int, query_vec array<double>"
-    )
+    ).withColumn("__qn", norm(F.col("query_vec")))
     cands = (
         store.join(F.broadcast(q_df), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -1471,7 +1564,10 @@ def ivfpq_topk(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_vec"), F.col("__recon")).alias("cos_raw"),
+        (
+            dot(F.col("query_vec"), F.col("__recon"))
+            / (F.col("__qn") * F.col("__nn"))
+        ).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -1687,16 +1783,20 @@ def lsh_multiprobe_topk(
     corpus side of the plan is byte-identical to :func:`lsh_topk`.
     """
     buckets = hyperplane_buckets(F.col(vec_col), dim=dim, bits=bits, tables=tables)
+    # norms hoisted per vector row (r11, bit-identical — see
+    # brute_force_topk)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("neighbor_vec"),
+        norm(F.col(vec_col)).alias("__nn"),
         F.explode(buckets).alias("tb"),
-    ).select("neighbor_id", "neighbor_vec", "tb.table", "tb.bucket")
+    ).select("neighbor_id", "neighbor_vec", "__nn", "tb.table", "tb.bucket")
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
+        norm(F.col(vec_col)).alias("__qn"),
         F.explode(buckets).alias("tb"),
-    ).select("query_id", "query_vec", "tb.table", "tb.bucket")
+    ).select("query_id", "query_vec", "__qn", "tb.table", "tb.bucket")
     probe_set = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
@@ -1704,6 +1804,7 @@ def lsh_multiprobe_topk(
     qp = q0.select(
         "query_id",
         "query_vec",
+        "__qn",
         "table",
         F.explode(probe_set).alias("bucket"),
     )
@@ -1715,7 +1816,10 @@ def lsh_multiprobe_topk(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cos_raw"),
+        (
+            dot(F.col("query_vec"), F.col("neighbor_vec"))
+            / (F.col("__qn") * F.col("__nn"))
+        ).alias("cos_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()

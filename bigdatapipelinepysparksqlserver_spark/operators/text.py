@@ -1166,18 +1166,27 @@ def winnow_fingerprints(
     2^20 packing span — ~1 M tokens, beyond any testdata document (at
     real scale, fingerprint per CHUNK, which also bounds shuffle keys).
 
-    Scale: one scan-side gram explode (~tokens per doc), one
-    doc-partitioned window (never global), one map-side-combinable
-    DISTINCT. Fingerprint density is ~2/(w+1) of grams, so downstream
-    joins see a w-fold-reduced relation with the match guarantee
-    intact — that is the whole point of winnowing over "hash every
-    gram".
+    Scale: ONE doc-keyed exchange of raw documents, then gram explode,
+    window argmin and the fingerprint DISTINCT all run without further
+    shuffles — hash-partitioning by the doc id propagates through the
+    gram Generate, satisfies the window's required distribution, and
+    (as a superset-clustering) the distinct's too. r11: the previous
+    shape exchanged GRAM rows for the window (~32 B × tokens, ≈ 5× the
+    raw text) and fingerprint rows again for the distinct; moving the
+    exchange above the explode shuffles the corpus text once instead —
+    guide §2.3 "shuffle a lightweight proxy", here inverted: the doc IS
+    the lighter proxy for its own gram expansion. Fingerprint density
+    is ~2/(w+1) of grams, so downstream joins see a w-fold-reduced
+    relation with the match guarantee intact — that is the whole point
+    of winnowing over "hash every gram".
     """
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), " "), lambda t: t != ""
     )
-    base = df.select(F.col(id_col), toks.alias("__toks")).where(
-        F.size("__toks") >= k + w - 1
+    base = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), toks.alias("__toks"))
+        .where(F.size("__toks") >= k + w - 1)
     )
     n_grams = F.size("__toks") - F.lit(k - 1)
     grams = base.select(

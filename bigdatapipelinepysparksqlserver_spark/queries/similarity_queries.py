@@ -138,7 +138,7 @@ def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the baseline registered at any scale).
     """
     from ..operators.dedup import PairBudgetExceeded
-    from ..operators.similarity import cosine
+    from ..operators.similarity import dot, norm
 
     emb = Catalog(spark, sf_dir).embeddings
     n = emb.count()
@@ -149,11 +149,27 @@ def emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " scale path instead: emb_neardup_lsh_sized (policy-sized"
             " hyperplane LSH, measured 19x wall at 100x data)"
         )
-    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb"))
+    # norms hoisted per vector row (r11): the interpreted HOF norm fold
+    # runs N times per side instead of N²/2 times per side inside the
+    # per-pair cosine; dot/(na·nb) is exactly cosine()'s expansion —
+    # bit-identical result.
+    a = emb.select(
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("__na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("__nb"),
+    )
     pairs = a.join(b, F.col("id1") < F.col("id2"))
     scored = pairs.select(
-        "id1", "id2", cosine(F.col("va"), F.col("vb")).alias("cos_raw")
+        "id1",
+        "id2",
+        (
+            dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
+        ).alias("cos_raw"),
     )
     return scored.where(F.col("cos_raw") >= EMB_NEARDUP_THRESHOLD).select(
         "id1", "id2", F.round("cos_raw", 6).alias("cosine")

@@ -1547,7 +1547,12 @@ def _winnow_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = keep.select(F.col("doc_id").alias("doc_a"), "fp_hash")
     b = keep.select(F.col("doc_id").alias("doc_b"), "fp_hash")
-    return (
+    # persist the ≤ top-k board itself (r11): the span verify/scrub
+    # consumers reference `pairs` from THREE subtrees (ids_a, ids_b, the
+    # per-pair gram match) plus a final re-join — without this the
+    # whole pair-board aggregation (over the persisted `keep`) re-runs
+    # once per reference. ≤ 20 rows; deterministic order-by + limit.
+    return scoped_persist(
         a.join(b, "fp_hash")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
