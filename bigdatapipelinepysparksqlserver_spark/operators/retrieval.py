@@ -322,34 +322,49 @@ def _store_relations(
     artifact (stats recomputation, diagnostics), just off the probe
     path.
 
-    r11: the tokenized relation ``w`` and the aggregated ``postings``
-    are persisted for the duration of the build — the four store
-    relations previously each re-ran the corpus tokenization (4 full
-    tokenize passes per build, plus the (term, id) aggregation twice);
-    now the corpus is tokenized ONCE, postings aggregate once, and
-    doclens/stats/termstats are cache-fed projections/aggregates. The
-    caches release via the harness's caching scope after the writes."""
+    r11, two measured changes:
+
+    - the aggregated posting rows are PERSISTED for the duration of the
+      build, so ``termstats`` (an aggregate OVER postings) no longer
+      re-runs the tokenize + explode + (term, id) aggregation — the
+      heaviest chain in the build — a second time. The tokenized
+      relation itself is deliberately NOT cached: measured A/B,
+      persisting token arrays (serialize + columnar convert + read
+      back) costs more than the scan-side re-tokenize it saves.
+    - the write relation hash-clusters on ``bucket`` EXPLICITLY before
+      the partitioned write. The old shape leaned on AQE coalescing to
+      keep the task count (and therefore files-per-bucket-dir) low —
+      but a persisted subtree pins its output partitioning (AQE cannot
+      re-plan through an InMemoryRelation), so the write fanned out to
+      tasks × buckets tiny files (measured: the build went 5.2 s →
+      9.2 s from commit overhead alone). The explicit repartition is
+      also the correct 100 TB layout independent of caching: one
+      writer task per bucket hash share ⇒ ~1 file per bucket dir
+      instead of shuffle-partitions × buckets (guide §6's
+      write-distribution-mode=hash). Sort stays (bucket, term) within
+      write partitions for row-group pruning of non-probed terms.
+    """
     from ..caching import scoped_persist
 
-    w = scoped_persist(
-        docs.select(
-            F.col(id_col).alias("id"), _words(text_col).alias("__ws")
-        ).select("id", F.size("__ws").alias("dl"), F.col("__ws"))
-    )
+    w = docs.select(
+        F.col(id_col).alias("id"), _words(text_col).alias("__ws")
+    ).select("id", F.size("__ws").alias("dl"), F.col("__ws"))
     lens = w.select("id", "dl")
-    postings = scoped_persist(
+    base = scoped_persist(
         w.select("id", "dl", F.explode("__ws").alias("term"))
         .groupBy("term", "id")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
         .withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
         )
-        .sortWithinPartitions("bucket", "term")
+    )
+    postings = base.repartition(F.col("bucket")).sortWithinPartitions(
+        "bucket", "term"
     )
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
-    termstats = postings.groupBy("bucket", "term").agg(
+    termstats = base.groupBy("bucket", "term").agg(
         F.count(F.lit(1)).alias("df")
     )
     return postings, lens, stats, termstats
