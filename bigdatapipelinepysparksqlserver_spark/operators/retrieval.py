@@ -404,18 +404,33 @@ def build_postings_store(
     append form :func:`postings_store_append_batch` (batch=N layer,
     same contract as `ivf_store_append_batch`).
 
-    r11: one corpus tokenization per build, not four —
-    ``_store_relations`` persists the tokenized relation and the
-    aggregated postings, so doclens/stats/termstats are cache-fed.
+    r11/r12 persist economics: ``_store_relations`` persists the
+    aggregated posting rows, so the postings write and termstats are
+    cache-fed (the two heaviest chains). doclens still re-tokenizes
+    from the scan BY DESIGN — it needs every doc (including zero-term
+    docs, which the postings aggregate drops), and the measured A/B in
+    ``_store_relations`` found caching the raw token arrays costs more
+    than the scan-side re-tokenize it saves. stats is aggregated from
+    the just-written doclens parquet (r12) — exact integer COUNT/SUM
+    over identical rows, zero extra tokenize. Net: two tokenize passes
+    per build (postings+termstats share one, doclens the other), not
+    four.
     """
-    postings, lens, stats, termstats = _store_relations(
+    postings, lens, _stats, termstats = _store_relations(
         docs, text_col, id_col, num_buckets
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/postings"
     )
     lens.write.mode("overwrite").parquet(f"{path}/doclens")
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    # stats from the just-written doclens parquet, not a third tokenize
+    # pass (r12): COUNT/SUM over the identical (id, dl) rows are exact
+    # integers, so the stored stats row is bit-identical to aggregating
+    # the in-flight relation — but the read set is the fixed-width
+    # doclens files instead of a full corpus re-tokenize.
+    docs.sparkSession.read.parquet(f"{path}/doclens").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
     termstats.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/termstats"
     )
@@ -455,7 +470,7 @@ def postings_store_append_batch(
     :func:`build_postings_store` (one tokenize pass per batch, not 4 —
     owned by ``_store_relations``).
     """
-    postings, lens, stats, termstats = _store_relations(
+    postings, lens, _stats, termstats = _store_relations(
         docs, text_col, id_col, num_buckets
     )
     b = f"batch={batch_id}"
@@ -463,7 +478,12 @@ def postings_store_append_batch(
         f"{path}/postings/{b}"
     )
     lens.write.mode("overwrite").parquet(f"{path}/doclens/{b}")
-    stats.write.mode("overwrite").parquet(f"{path}/stats/{b}")
+    # this batch's stats from its just-written doclens files (r12, same
+    # bit-identical read-back as build_postings_store — one fewer
+    # tokenize pass per batch)
+    docs.sparkSession.read.parquet(f"{path}/doclens/{b}").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).write.mode("overwrite").parquet(f"{path}/stats/{b}")
     termstats.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/termstats/{b}"
     )

@@ -2,10 +2,11 @@
 plans/<tag>/<query>_<suffix>.txt — the optimization-round evidence trail
 (judge checks plan claims against these files).
 
-Usage: python tools/explain_dump.py <suffix> [sf_dir] [query ...]
+Usage: python tools/explain_dump.py <tag> <suffix> [sf_dir] [query ...]
 
-With no query names, dumps every HEADLINE query. ``suffix`` is usually
-``before`` or ``after``; files land in plans/r11/.
+With no query names, dumps every HEADLINE query. ``tag`` is the round
+directory (e.g. ``r12``); ``suffix`` is usually ``before`` or ``after``;
+files land in plans/<tag>/.
 """
 
 from __future__ import annotations
@@ -19,16 +20,16 @@ from bigdatapipelinepysparksqlserver_spark.caching import release_caches  # noqa
 from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY  # noqa: E402
 from bigdatapipelinepysparksqlserver_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
-)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    names = sys.argv[3:] or [n for n, s in REGISTRY.items() if s.headline]
-    os.makedirs(OUT_DIR, exist_ok=True)
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r12"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    names = sys.argv[4:] or [n for n, s in REGISTRY.items() if s.headline]
+    out_dir = os.path.join(REPO_ROOT, "plans", tag)
+    os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain-dump")
     for name in names:
         spec = REGISTRY[name]
@@ -36,7 +37,7 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        path = os.path.join(OUT_DIR, f"{name}_{suffix}.txt")
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)
         release_caches()
