@@ -1413,33 +1413,46 @@ def _winnow_diagonal_runs(
     """
     from pyspark.sql import Window
 
+    from ..caching import scoped_persist
+
     g = k + w - 1
-    ids_a = pairs.select(F.col(a_col).alias("__id")).distinct()
-    ids_b = pairs.select(F.col(b_col).alias("__id")).distinct()
+    # one id-extraction branch (r12): explode both pair endpoints from
+    # the (persisted, ≤ top-k) board in a single pass instead of two
+    # aggregate branches unioned
+    ids = (
+        pairs.select(
+            F.explode(F.array(F.col(a_col), F.col(b_col))).alias("__id")
+        ).distinct()
+    )
     flagged = docs.join(
-        ids_a.unionByName(ids_b).distinct(),
-        F.col(id_col) == F.col("__id"),
-        "left_semi",
+        F.broadcast(ids), F.col(id_col) == F.col("__id"), "left_semi"
     )
     toks = F.filter(F.split(F.trim(F.col(text_col)), " "), lambda t: t != "")
     base = flagged.select(F.col(id_col), toks.alias("__toks")).where(
         F.size("__toks") >= g
     )
     n_grams = F.size("__toks") - F.lit(g - 1)
-    grams = base.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n_grams),
-                lambda i: F.concat_ws(" ", F.slice("__toks", i, g)),
-            )
-        ).alias("__p0", "__gram"),
-    ).select(
-        id_col,
-        (F.col("__p0") + 1).alias("pos"),
-        F.conv(F.substring(F.md5("__gram"), 1, 10), 16, 10)
-        .cast("long")
-        .alias("gh"),
+    # persist the flagged-doc gram relation (r12): ga and gb are the
+    # SAME relation consumed from both sides of the per-pair match join,
+    # and the HOF gram-build lambdas defeat exchange reuse — without the
+    # cache the scan + semi-join + explode subtree ran twice per call
+    # (guide §5). Bounded: ≤ 2·top-k docs' grams at any corpus size.
+    grams = scoped_persist(
+        base.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_grams),
+                    lambda i: F.concat_ws(" ", F.slice("__toks", i, g)),
+                )
+            ).alias("__p0", "__gram"),
+        ).select(
+            id_col,
+            (F.col("__p0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("__gram"), 1, 10), 16, 10)
+            .cast("long")
+            .alias("gh"),
+        )
     )
     ga = grams.select(
         F.col(id_col).alias(a_col), F.col("pos").alias("pa"), "gh"
@@ -1447,11 +1460,22 @@ def _winnow_diagonal_runs(
     gb = grams.select(
         F.col(id_col).alias(b_col), F.col("pos").alias("pb"), "gh"
     )
+    # ONE victim-keyed exchange for the whole downstream pipeline (r12):
+    # hash-clustering the match rows on b_col satisfies — as a subset
+    # clustering — the match DISTINCT on (a, b, pa, pb), the diagonal
+    # window on (a, b, d), the run groupBy, and (because projection
+    # aliases preserve partitioning) the span distinct, the interval
+    # windows and the per-victim groupBys in _winnow_cut_intervals /
+    # winnow_span_verify. Before, each of those planned its own
+    # ENSURE_REQUIREMENTS exchange (4 per consumer). The relation is
+    # top-k-bounded (≤ k pairs' grams), so ≤ k-way parallelism here is
+    # inherent to the algorithm, not a skew regression.
     matches = (
         pairs.select(a_col, b_col)
         .join(ga, a_col)
         .join(gb, [b_col, "gh"])
         .select(a_col, b_col, "pa", "pb")
+        .repartition(F.col(b_col))
         .distinct()
     )
     # diagonal runs: consecutive (pa, pb) both advancing by 1 share
@@ -1644,7 +1668,13 @@ def winnow_span_scrub_apply(
         else F.col(c)
         for c in docs.columns
     ]
-    return docs.join(cuts, id_col, "left").select(
+    # broadcast the cuts side (r12): it is victim-bounded (≤ the pair
+    # board's top-k distinct doc_b, one row per victim after the
+    # collect_list) but sits under aggregates the planner won't size —
+    # without the hint the corpus side was EXCHANGED AND SORTED for a
+    # SortMergeJoin against ≤ k rows (guide §3.1: broadcast replaces the
+    # big side's shuffle at any corpus scale).
+    return docs.join(F.broadcast(cuts), id_col, "left").select(
         *out_cols,
         F.when(F.col("__cuts").isNull(), F.lit(0))
         .otherwise(F.size(toks) - F.size(kept))

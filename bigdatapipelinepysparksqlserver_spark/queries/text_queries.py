@@ -1533,7 +1533,16 @@ def _winnow_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import winnow_fingerprints
 
     docs = Catalog(spark, sf_dir).documents
-    fps = winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+    # persist the corpus fingerprint set (r12): `keep` consumes fps from
+    # TWO branches (the rows themselves and the per-hash df counts), and
+    # without the cache each branch re-ran the FULL corpus winnow —
+    # scan + gram explode + window argmin + distinct, the heaviest
+    # subtree in every pair-board consumer (guide §5: reused AND
+    # expensive to recompute). The hcounts aggregate is map-side
+    # combinable over the cache, so only hash-sized partials shuffle.
+    fps = scoped_persist(
+        winnow_fingerprints(docs).select("doc_id", "fp_hash").distinct()
+    )
     # fps is already distinct on (doc_id, fp_hash): per-hash doc_ids are
     # unique, so a plain count avoids a second distinct-aggregate pass
     hcounts = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
