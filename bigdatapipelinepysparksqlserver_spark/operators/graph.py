@@ -48,46 +48,57 @@ def pagerank(
     directed graphs should add self-loops for sinks or accept the mass
     leak (documented, not hidden).
 
-    Scale: outdegree is a COUNT window over the edge list's src
-    partitioning — ONE src-keyed exchange attaches it in place (r11:
-    the old groupBy+self-join form computed the edge-build subtree
-    twice, because HOF lambdas in upstream basket expansion defeat
-    exchange reuse — measured as 2 full edge builds per call); then
-    each iteration is one node-keyed integer-sum shuffle plus a
-    node-sized rank join; the driver loop just composes plans, no data
-    crosses the driver. ``iters`` is a fixed small constant by contract
-    (rank deltas decay geometrically; 3 rounds is the
-    recommendation-feature regime).
+    Scale (r12 shape): the projected edge list is persisted ONCE; pass
+    it src-clustered (``copurchase_edges`` already emits that layout —
+    its distinct pays the one exchange) and every iteration's
+    contribution join streams the edge cache with NO edge-side exchange
+    at any scale (the node-sized side co-partitions or broadcasts; an
+    unclustered input still works, it just pays the join's exchange or
+    broadcast per iteration). Outdegree is a map-side-combinable
+    groupBy over the cache (r11's window form put every hub's edges
+    through a single task and was ineligible for AQE skew handling —
+    the ADVICE r11 finding; the groupBy shuffles only node-sized
+    partials, and the edge cache is built exactly once so the r10
+    double-edge-build the window fixed cannot recur). The per-src
+    division happens on the NODE-sized relation before the edge join
+    (N divisions instead of E); each iteration is then one node-keyed
+    integer-sum exchange plus node-sized joins — the driver loop just
+    composes plans, no data crosses the driver. ``iters`` is a fixed
+    small constant by contract (rank deltas decay geometrically; 3
+    rounds is the recommendation-feature regime).
     """
-    from pyspark.sql import Window
-
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    ed = scoped_persist(
-        e.withColumn(
-            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    e = scoped_persist(
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
     )
-    nodes = scoped_persist(ed.select(F.col("src").alias("node")).distinct())
-    n = nodes.count()
+    # (node, outdeg): node-sized, every edge-list node appears (outdeg
+    # ≥ 1 by the bidirectional contract), distinct by construction
+    outdeg = scoped_persist(
+        e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
+    )
+    n = outdeg.count()
     if n == 0:
-        return nodes.select("node", F.lit(0).cast("long").alias("rank"))
+        return outdeg.select("node", F.lit(0).cast("long").alias("rank"))
     base = (scale * (100 - damping_pct)) // (100 * n)
-    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
+    ranks = outdeg.select(
+        "node", F.lit(scale // n).cast("long").alias("rank")
+    )
     for _ in range(iters):
         # `div` (not `/`): Spark's `/` on longs is DOUBLE division — a
         # quotient one ulp above an integer truncates UP vs exact
         # integer floor, silently diverging from DuckDB's `//`
-        contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("c"),
-            )
+        per_src = ranks.join(outdeg, "node").select(
+            F.col("node").alias("src"),
+            F.expr("rank div outdeg").alias("c"),
+        )
+        contrib = e.join(per_src, "src").select(
+            F.col("dst").alias("node"), "c"
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(sums, "node", "left").select(
+        ranks = outdeg.select("node").join(sums, "node", "left").select(
             "node",
             (
                 F.lit(base).cast("long")
@@ -387,24 +398,42 @@ def copurchase_order_pairs(lineitem: DataFrame) -> DataFrame:
     sf10 — see part_copurchase_pagerank). Consumers derive their edge
     semantics from it: ``.distinct()`` for the unweighted graph
     (:func:`copurchase_edges`), ``groupBy(src, dst).count()`` for
-    co-occurrence weights (copurchase_cheapest_path)."""
+    co-occurrence weights (copurchase_cheapest_path).
+
+    r12: the expansion is two chained ``explode``\\ s with a src ≠ dst
+    filter instead of the nested transform/filter/struct lambdas —
+    higher-order-function lambdas are interpreted per element while
+    Generate is whole-stage-codegen'd; identical pair multiset
+    (equality-checked), measured 1.93 → 1.28 s on the sf0.1
+    edge-distinct build (with the src-clustered distinct below)."""
     grouped = lineitem.select("l_orderkey", "l_partkey").groupBy(
         "l_orderkey"
     ).agg(F.collect_set("l_partkey").alias("ps"))
-    pair_structs = F.expr(
-        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x),"
-        " y -> struct(x AS src, y AS dst))))"
-    )
-    return grouped.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
+    return (
+        grouped.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
     )
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct directed co-purchase edges (both directions) between
     parts sharing an order — the edge relation the unweighted graph
-    queries consume."""
-    return copurchase_order_pairs(lineitem).distinct()
+    queries consume.
+
+    Output is hash-clustered on ``src`` (r12): the explicit repartition
+    BEFORE the distinct provides the aggregate's required distribution
+    (src ⊆ (src, dst) — subset clustering satisfies it), so the dedup
+    costs the same single exchange as before but the result leaves in
+    the layout every consumer joins or groups on — PageRank's
+    contribution join, LPA's label join, k-hop expansion all stream it
+    with no further edge-side exchange (guide §2.4: two operations
+    keyed the same way share one exchange)."""
+    return (
+        copurchase_order_pairs(lineitem)
+        .repartition(F.col("src"))
+        .distinct()
+    )
 
 
 EDGE_STORE_BUCKETS = 32
