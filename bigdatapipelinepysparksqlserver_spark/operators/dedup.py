@@ -200,14 +200,21 @@ def grouped_pair_enumeration(
         .where(F.size("ids") > 1)
     )
     buckets = buckets_all.where(F.size("ids") <= bucket_cap)
-    pair_structs = F.expr(
-        "flatten(transform(sequence(0, size(ids) - 2), "
-        "i -> transform(sequence(i + 1, size(ids) - 1), "
-        "j -> struct(element_at(ids, i + 1) AS id1, "
-        "element_at(ids, j + 1) AS id2))))"
-    )
-    small_pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")
+    # r12: index-ordered pair expansion as TWO chained explodes
+    # (posexplode each element, explode the array tail after it) instead
+    # of the nested transform/struct lambdas — higher-order-function
+    # lambdas are interpreted per element while Generate is whole-stage-
+    # codegen'd (guide §4.1; same rewrite as the co-purchase basket
+    # expansion). Identical pair multiset: both enumerate (i < j) index
+    # pairs of the same sorted array.
+    small_pairs = (
+        buckets.select(F.posexplode("ids").alias("__i", "id1"), "ids")
+        .select(
+            "id1",
+            F.explode(
+                F.expr("slice(ids, __i + 2, size(ids) - __i - 1)")
+            ).alias("id2"),
+        )
     )
     big = buckets_all.where(F.size("ids") > bucket_cap).select(
         *bucket_cols, F.explode("ids").alias("__id")

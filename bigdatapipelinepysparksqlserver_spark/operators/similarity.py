@@ -958,8 +958,17 @@ def semantic_dedup(
         pair_budget_guard,
     )
 
+    from ..caching import scoped_persist
+
     cells = _collect_codebook(codebook, cell_col, cent_col, "semantic_dedup")
-    assigned = ivf_assign_with_cos(vectors, cells, id_col=id_col, vec_col=vec_col)
+    # persist the assignment (r12): it is consumed by the pair
+    # enumeration (eagerly materialized through the components loop's
+    # first checkpoint) AND by the final members join — without the
+    # cache the C-way argmax-cosine projection over every vector ran
+    # twice per query (guide §5: reused and expensive to recompute).
+    assigned = scoped_persist(
+        ivf_assign_with_cos(vectors, cells, id_col=id_col, vec_col=vec_col)
+    )
     if pair_budget is not None:
         pair_budget_guard(
             assigned.select("cell"), ["cell"], pair_budget, scale_path

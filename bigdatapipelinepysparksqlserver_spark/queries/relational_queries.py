@@ -119,19 +119,33 @@ def mart_client_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mart query 1 shape: denormalize ⟕ dims → filter → exact grouped
     count-distinct → decode (reference load_sales_mart.py:26-35).
 
-    Scale: dims broadcast (orders never shuffles for the join); the
-    count-distinct shuffles once on (country, segment, custkey) via Expand.
+    Scale (r12 shape): (country, segment) is FUNCTIONALLY DEPENDENT on
+    o_custkey through the dim joins (one customer row per custkey), so
+    the custkey dedup commutes with the denormalize — dedup FIRST, then
+    join. The distinct's exchange carries 8-byte custkeys instead of
+    (country, segment, custkey) rows, and the dim hash joins probe one
+    row per DISTINCT customer instead of one per order (guide §2.3
+    "shuffle fewer bytes", §3.3 "reduce before the join"). Dims still
+    broadcast; the final (country, segment) count shuffles map-side
+    partials only. Two exchanges total — the structural minimum for an
+    exact distributed grouped count-distinct (dedup clustering + group
+    re-key).
     """
     t = Catalog(spark, sf_dir)
+    clients = (
+        t.orders.where(F.col("o_totalprice") > 0)
+        .select("o_custkey")
+        .distinct()
+    )
     joined = denormalize(
-        t.orders,
+        clients,
         [
-            (t.customer, t.orders.o_custkey == t.customer.c_custkey),
+            (t.customer, F.col("o_custkey") == t.customer.c_custkey),
             (t.nation, t.customer.c_nationkey == t.nation.n_nationkey),
         ],
     )
     return grouped_count_distinct(
-        joined.where(F.col("o_totalprice") > 0).select(
+        joined.select(
             F.col("n_name").alias("country"),
             decode_map("c_mktsegment", SEGMENT_DECODE, "Other").alias("segment"),
             "o_custkey",
