@@ -1315,7 +1315,11 @@ def decontaminate_spans(
     """
     from ..caching import scoped_persist
 
-    efps = (
+    # persist the eval fingerprint set (r12): it feeds BOTH the
+    # broadcast semi-join probe set and the final hits join — two
+    # broadcast builds that each re-ran the eval-side winnow without the
+    # cache. Eval-suite-sized (small by contract), so the cache is tiny.
+    efps = scoped_persist(
         winnow_fingerprints(
             eval_docs, k=k, w=w, id_col=eval_id_col, text_col=text_col
         )

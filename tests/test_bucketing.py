@@ -10,12 +10,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from bigdatapipelinepysparksqlserver_spark.sources.lake import write_bucketed_table
+import pytest
 
 
 def _plan(df):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     orders = spark.range(0, 1000).select(
         F.col("id").alias("o_key"), (F.col("id") % 7).alias("o_val")
@@ -64,6 +66,7 @@ def test_bucketed_groupby_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_events_b")
 
 
+@pytest.mark.slow
 def test_bucketed_band_store_probe_exchange_free(spark, tmp_path):
     """The MinHash band index as a bucketed table: an incremental probe
     must (a) return exactly the plain-store results, and (b) join

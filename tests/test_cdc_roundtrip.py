@@ -35,6 +35,7 @@ def env(spark, tmp_path):
     return src, gen, lake, ledger
 
 
+@pytest.mark.slow
 def test_full_then_incremental_roundtrip(spark, env):
     src, gen, lake, ledger = env
 
@@ -85,6 +86,7 @@ def test_full_then_incremental_roundtrip(spark, env):
     }
 
 
+@pytest.mark.slow
 def test_exact_cutoff_row_deferred_to_next_run(spark, env):
     """A sale stamped exactly at the cutoff is excluded by run N ([prev,cur))
     and picked up by run N+1 — processed exactly once, never twice."""
@@ -107,6 +109,7 @@ def test_exact_cutoff_row_deferred_to_next_run(spark, env):
     assert 999_999 in {r.id for r in lake.read().collect()}
 
 
+@pytest.mark.slow
 def test_backdated_insert_is_skipped_by_design(spark, env):
     """README.md:76 semantics: a row inserted with sale_date BEFORE
     previous_cutoff (and no updated_date) is never picked up. The test
@@ -163,6 +166,7 @@ def test_stale_running_row_is_taken_over(spark, env):
     assert [r.pipeline_status for r in rows] == ["SUCCESSFUL"]  # leftover purged
 
 
+@pytest.mark.slow
 def test_fully_deleted_partition_is_dropped_from_lake(spark, env):
     """Delete-to-empty cleanup: when every row of a partition is deleted
     in a window, dynamic overwrite alone cannot clean it (nothing to
@@ -181,6 +185,7 @@ def test_fully_deleted_partition_is_dropped_from_lake(spark, env):
     assert lake.read().count() == 0  # no stale rows survive anywhere
 
 
+@pytest.mark.slow
 def test_empty_changeset_short_circuits(spark, env):
     src, gen, lake, ledger = env
     gen.insert_sales(30, batch=1, now=T1, spread_days=5)
@@ -191,6 +196,7 @@ def test_empty_changeset_short_circuits(spark, env):
     assert rep2["validation"].status == SUCCESSFUL
 
 
+@pytest.mark.slow
 def test_failed_run_writes_failed_and_restart_recovers(spark, env, monkeypatch):
     """A pipeline exception must reach the ledger as FAILED (the soft-
     crash path), and the next run must purge the failed row, REUSE its
@@ -220,6 +226,7 @@ def test_failed_run_writes_failed_and_restart_recovers(spark, env, monkeypatch):
     assert len(rows) == 1 and rows[0].pipeline_status == "SUCCESSFUL"
 
 
+@pytest.mark.slow
 def test_transient_failure_succeeds_on_retry(spark, env, monkeypatch):
     """run_with_retries — the reference's Airflow retry policy
     (retries=2, retry_delay=10s, dags/sales_pipeline_dag.py:5-8):
@@ -289,6 +296,7 @@ def test_retries_exhausted_reraises_and_single_flight_not_retried(spark, env, mo
     assert attempts["n"] == 1 and slept2 == []
 
 
+@pytest.mark.slow
 def test_compaction_hook_bounds_file_counts_across_cycles(spark, env):
     """The optional post-rebuild compaction hook (VERDICT r5 #7): a
     15-min-cadence pipeline accretes small files per cycle — with
@@ -318,6 +326,7 @@ def test_compaction_hook_bounds_file_counts_across_cycles(spark, env):
         assert nfiles == 1, (rel, nfiles, nbytes)
 
 
+@pytest.mark.slow
 def test_compaction_hook_scopes_to_touched_partitions(spark, env, monkeypatch):
     """Cost ∝ change set: the hook must pass only the just-rebuilt
     year_month dirs to compact_partitions (a lake-wide walk per cycle

@@ -75,6 +75,7 @@ def test_star_handles_duplicate_and_reversed_edges(spark):
         max_size=20,
     )
 )
+@pytest.mark.slow
 def test_components_equal_union_find(spark, edges):
     expected = _components_bruteforce(edges)
     for algo in ALGOS:
@@ -85,6 +86,7 @@ def test_components_equal_union_find(spark, edges):
         assert got == expected, algo.__name__
 
 
+@pytest.mark.slow
 def test_star_contraction_frees_intermediate_round_checkpoints(spark):
     """The iterative loop must not strand one checkpoint per round: after
     running on a long chain (many contraction rounds), the persistent-RDD
@@ -212,6 +214,7 @@ def test_bm25_store_probe_equals_corpus_scan(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+@pytest.mark.slow
 def test_bm25_batch_equals_scalar_searches(spark):
     """VERDICT r6 #1: bm25_search_batch must equal one bm25_search per
     topic — same ids, same scores, same per-topic ranking — including
@@ -342,6 +345,7 @@ def test_store_path_sweeps_dead_process_siblings(tmp_path, monkeypatch):
     assert path.endswith(f"_p{os.getpid()}")
 
 
+@pytest.mark.slow
 def test_postings_store_append_equals_rebuild(spark, tmp_path):
     """Incremental ingest contract: append(A)+append(B) probe results
     are BIT-EQUAL to a rebuild over A∪B (exact-integer stats and dfs

@@ -109,6 +109,7 @@ def test_jdbc_truncate_overwrite_staging_protocol(spark, derby_cfg):
     assert read_jdbc(spark, derby_cfg, "STG").count() == 7
 
 
+@pytest.mark.slow
 def test_cdc_pipeline_with_jdbc_source(spark, derby_cfg, tmp_path):
     """The reference's real topology: SQL database as CDC source. The
     full protocol — seeded workload, two incremental loads with
@@ -217,6 +218,7 @@ def test_jdbc_publish_identity_insert_reads_columns_from_metadata(
     assert sorted((r.id, r.amount) for r in got) == [(i, 2 * i) for i in range(4)]
 
 
+@pytest.mark.slow
 def test_jdbc_ledger_state_machine_and_full_pipeline(spark, derby_cfg, tmp_path):
     """The ledger where the reference keeps it — a lineage table in the
     database, mutated with real INSERT/UPDATE/DELETE — driving the full

@@ -198,6 +198,7 @@ def _files_hit(path, col_ranges):
     return hit, total
 
 
+@pytest.mark.slow
 def test_zorder_layout_skips_files_on_every_dimension(spark, tmp_path):
     from bigdatapipelinepysparksqlserver_spark.sources.lake import write_zordered
 

@@ -156,6 +156,7 @@ def test_rename_diff_and_cdf_alignment(spark, tmp_path):
     assert mid_cdf.count() == 0
 
 
+@pytest.mark.slow
 def test_merge_rows_upsert_delete_move(spark, tmp_path):
     """One merge batch: update-in-place, update that MOVES partitions,
     insert, delete, and an identical (no-op) upsert. Net-change
@@ -339,6 +340,7 @@ def test_merge_after_rename_and_evolution(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_foreach_batch_keyed_merge_replay_safe(spark, tmp_path):
     """The streaming merge sink: a micro-batch merges by key; a
     REPLAYED batch cancels to an empty net change and publishes
@@ -651,6 +653,7 @@ def test_publish_expectations_gate(spark, tmp_path):
     assert {r.amt for r in lake.read().collect()} == {1.0, None}
 
 
+@pytest.mark.slow
 def test_randomized_merge_rename_lifecycle_matches_model(spark, tmp_path):
     """Model-based check over the NEW surface: a deterministic random
     sequence of merges (upsert/move/delete), renames, partition

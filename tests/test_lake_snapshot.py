@@ -50,6 +50,7 @@ def _totals(lake):
 
 
 @pytest.mark.parametrize("fs_cls", ["LocalFS", "ObjectStoreSimFS"])
+@pytest.mark.slow
 def test_cdc_rebuild_reader_hammer(spark, tmp_path, fs_cls):
     """Readers hammering the lake DURING run 2's multi-partition CDC
     rebuild (inserts + updates + deletes across 2 year_months × many
@@ -101,6 +102,7 @@ def test_cdc_rebuild_reader_hammer(spark, tmp_path, fs_cls):
     assert len(rep2["rebuilt_partitions"]) >= 2  # multi-partition rebuild
 
 
+@pytest.mark.slow
 def test_snapshot_lake_matches_plain_lake_pipeline(spark, tmp_path):
     """Equivalence oracle: the same seeded two-run workload through a
     SnapshotLakeTable and a plain LakeTable yields identical lake
@@ -139,6 +141,7 @@ def test_snapshot_lake_matches_plain_lake_pipeline(spark, tmp_path):
     assert parts["snap"] == parts["plain"]
 
 
+@pytest.mark.slow
 def test_delete_to_empty_partition_drops_from_manifest(spark, tmp_path):
     """A changed partition whose rows were ALL deleted in the window
     must vanish from the next snapshot — the manifest swap's built-in
@@ -369,6 +372,7 @@ def test_manifest_zone_map_pruning(spark, tmp_path):
     assert "year_month=202405/country=US" in keep
 
 
+@pytest.mark.slow
 def test_snapshot_diff_partition_and_row_level(spark, tmp_path):
     """r10 snapshot diff: partition-grain changes from pure manifest
     metadata (txn identity = complete change detector), row-level
@@ -700,6 +704,7 @@ def test_streaming_sink_publishes_atomic_snapshots(spark, tmp_path):
     assert got == {("purchase", 1), ("purchase", 2), ("view", 9)}
 
 
+@pytest.mark.slow
 def test_randomized_lifecycle_matches_dict_model(spark, tmp_path):
     """Model-based check: a deterministic random sequence of 24
     operations (full load, partition overwrite, rebuild-with-drops,

@@ -64,6 +64,7 @@ def _assert_marts_match_full(lake, mart):
     )
 
 
+@pytest.mark.slow
 def test_incremental_mart_tracks_cdc_exactly(spark, env):
     src, gen, lake, ledger, mart = env
 
@@ -84,6 +85,7 @@ def test_incremental_mart_tracks_cdc_exactly(spark, env):
     _assert_marts_match_full(lake, mart)
 
 
+@pytest.mark.slow
 def test_refresh_untouched_partition_partials_stay_put(spark, env):
     src, gen, lake, ledger, mart = env
     gen.insert_sales(200, batch=1, now=T1, spread_days=45)
@@ -118,6 +120,7 @@ def test_refresh_untouched_partition_partials_stay_put(spark, env):
     _assert_marts_match_full(lake, mart)
 
 
+@pytest.mark.slow
 def test_delete_to_empty_partition_drops_partials(spark, env):
     src, gen, lake, ledger, mart = env
     gen.insert_sales(100, batch=1, now=T1, spread_days=30)
@@ -136,6 +139,7 @@ def test_delete_to_empty_partition_drops_partials(spark, env):
     assert mart.client_count(REFRESH).count() == 0
 
 
+@pytest.mark.slow
 def test_pipeline_2_incremental_publishes_same_snapshot(spark, env, tmp_path):
     from bigdatapipelinepysparksqlserver_spark.pipelines import (
         MartPublisher,
@@ -159,6 +163,7 @@ def test_pipeline_2_incremental_publishes_same_snapshot(spark, env, tmp_path):
         assert full == inc
 
 
+@pytest.mark.slow
 def test_sketched_client_count_tracks_exact(spark, env):
     """The persisted HLL sketch partials must merge to within HLL error
     of the exact count-distinct, across an incremental refresh."""
@@ -185,6 +190,7 @@ def test_sketched_client_count_tracks_exact(spark, env):
         assert abs(approx[k] - n) <= max(2, 0.05 * n)  # HLL error envelope
 
 
+@pytest.mark.slow
 def test_bootstrap_equals_refresh_path(spark, env):
     src, gen, lake, ledger, mart = env
     gen.insert_sales(150, batch=1, now=T1, spread_days=20)

@@ -91,6 +91,7 @@ def test_publish_retains_previous_snapshot_and_gcs_older(spark, tmp_path):
 
 
 @pytest.mark.parametrize("fs_cls", ["LocalFS", "ObjectStoreSimFS"])
+@pytest.mark.slow
 def test_reader_never_sees_missing_path_during_publishes(spark, tmp_path, fs_cls):
     """The reference's transactional guarantee (load_sales_mart.py:92-102,
     README.md:76): no downtime for readers. Hammer read() from a thread

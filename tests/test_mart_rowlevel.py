@@ -151,6 +151,7 @@ def _assert_equiv(corpus, mart):
     assert clients == corpus.expected_clients()
 
 
+@pytest.mark.slow
 def test_rowlevel_equals_full_recompute_across_iud_cycles(spark, setup):
     """The signed fold over recorded CDFs matches a full recompute
     after every cycle: inserts, updates (same and CROSS-partition,
@@ -206,6 +207,7 @@ def test_rowlevel_equals_full_recompute_across_iud_cycles(spark, setup):
     _assert_equiv(corpus, mart)
 
 
+@pytest.mark.slow
 def test_rowlevel_falls_back_when_a_publish_recorded_no_cdf(spark, setup):
     """A publish without changes= leaves a CDF gap; refresh_to must
     silently fall back to the recomputed snapshot_diff_rows and still

@@ -360,6 +360,7 @@ def test_asof_attribution_is_union_window_not_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+@pytest.mark.slow
 def test_no_single_partition_windows_anywhere(spark):
     """A window with an empty partition spec funnels its whole input
     through ONE task — fine on a 100-row ledger, fatal on a corpus-sized

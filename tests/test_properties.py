@@ -8,6 +8,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from bigdatapipelinepysparksqlserver_spark.functions.expressions import (
@@ -39,6 +40,7 @@ def test_cutoff_properties(now, lag):
     events=st.lists(TS, min_size=1, max_size=40),
     cuts=st.lists(TS, min_size=2, max_size=4, unique=True),
 )
+@pytest.mark.slow
 def test_windows_partition_events_exactly_once(spark, events, cuts):
     """Consecutive half-open windows [c0,c1),[c1,c2),... assign every
     event in [c0, cN) to EXACTLY one window — the no-loss/no-dup CDC
@@ -243,6 +245,7 @@ def test_recommended_cells_properties(n):
         assert (n ** 0.5) / c <= 2 ** 0.5 + 1e-9
 
 
+@pytest.mark.slow
 def test_bm25_store_equals_scan_on_randomized_corpora(spark, tmp_path):
     """Store-probe ≡ corpus-scan BM25 over seeded randomized corpora and
     probe sets — including terms absent from the corpus and docs with
@@ -280,6 +283,7 @@ def test_bm25_store_equals_scan_on_randomized_corpora(spark, tmp_path):
         ], f"seed {seed} diverged"
 
 
+@pytest.mark.slow
 def test_postings_append_matches_duckdb_replay_under_tokenizer_drift(
     spark, tmp_path
 ):
@@ -584,6 +588,7 @@ def test_token_budget_mix_equals_sequential_reference(spark, data, budgets):
     ),
     batch_pick=st.integers(min_value=0, max_value=4),
 )
+@pytest.mark.slow
 def test_bigram_lm_store_probe_equals_scan_on_randomized_corpora(
     spark, tmp_path_factory, corpus, batch_pick
 ):
@@ -668,6 +673,7 @@ def test_hash_fold_in_range_and_reference_exact(spark, keys, k):
     ),
     bins=st.integers(min_value=2, max_value=8),
 )
+@pytest.mark.slow
 def test_equi_depth_partitions_every_row_exactly_once(spark, vals, bins):
     """Mass conservation under arbitrary skew/duplicates: the bins
     always sum to N and the output is always exactly `bins` rows."""
@@ -786,6 +792,7 @@ _PAGE = st.lists(
 
 @settings(max_examples=20, deadline=None)
 @given(page=_PAGE)
+@pytest.mark.slow
 def test_html_extract_matches_python_reference(spark, page):
     """For random tag/entity/anchor soup (including degenerate lines:
     empty, unclosed tags, bare entities), the Spark expression tree and

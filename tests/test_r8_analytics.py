@@ -16,6 +16,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from bigdatapipelinepysparksqlserver_spark.queries import REGISTRY
+import pytest
 
 EVENT_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string,"
@@ -266,6 +267,7 @@ def test_value_mad_outliers_python_reference(spark, tmp_path):
         max_size=10,
     )
 )
+@pytest.mark.slow
 def test_prefix_filter_equals_allpairs(spark, tmp_path_factory, docs):
     """Prefix filtering is LOSSLESS: the query's pair list equals the
     brute-force all-pairs exact 3-gram-set Jaccard ≥ 0.6 — on arbitrary

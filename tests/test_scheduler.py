@@ -171,6 +171,7 @@ def test_single_flight_never_retried():
     assert len(attempts) == 2 and recs[0]["status"] == "SKIPPED_RUNNING"
 
 
+@pytest.mark.slow
 def test_scheduled_pipeline_crash_retry_ledger_accounting(spark, tmp_path):
     """End-to-end (the VERDICT's done-criterion): a mid-run crash
     inside pipeline 1 (injected after the ledger opens the RUNNING
@@ -252,6 +253,7 @@ def test_scheduled_pipeline_crash_retry_ledger_accounting(spark, tmp_path):
     assert mart.current_version("sales_history_2") is not None
 
 
+@pytest.mark.slow
 def test_mid_run_ledger_crash_is_purged_by_retry(spark, tmp_path):
     """The sharper crash: pipeline 1 dies INSIDE the loader (after the
     RUNNING row is written, before finish_run) — run_pipeline_1 writes

@@ -35,6 +35,7 @@ def test_brute_force_topk_properties(spark, emb):
         assert all(r.neighbor_id != qid for r in rows)   # no self-match
 
 
+@pytest.mark.slow
 def test_approximate_results_are_subset_quality(spark, emb):
     """Every approximate hit must carry the TRUE cosine (exact re-rank),
     so approx results are always a subset of the exact score space."""
@@ -55,6 +56,7 @@ def test_approximate_results_are_subset_quality(spark, emb):
             assert exact[(r.query_id, r.neighbor_id)] == r.cosine
 
 
+@pytest.mark.slow
 def test_ivf_deterministic(spark, emb):
     q = emb.where(F.col("vec_id") < 3)
     a = sorted(map(str, ivf_topk(emb, q, n_centroids=8, n_probe=2, k=5).collect()))
@@ -62,6 +64,7 @@ def test_ivf_deterministic(spark, emb):
     assert a == b
 
 
+@pytest.mark.slow
 def test_multi_table_lsh_recall_floor(spark, emb):
     """Amplification regression guard: 4-table LSH must beat the
     single-table recall collapse (0.125 @ bits=4) by a wide margin.
@@ -80,6 +83,7 @@ def test_multi_table_lsh_recall_floor(spark, emb):
     assert recall >= 0.25, f"multi-table LSH recall collapsed: {recall:.3f}"
 
 
+@pytest.mark.slow
 def test_ivf_partitioned_store_prunes_and_matches(spark, emb, tmp_path):
     """The cell-partitioned vector store must (a) return EXACTLY the
     projection-assignment search's results (the driver-side probe twin
@@ -175,6 +179,7 @@ def _vec(base, eps=0.0):
     return v
 
 
+@pytest.mark.slow
 def test_semantic_dedup_keeps_least_central_member(spark):
     """SemDeDup contract on a hand-built corpus: two centroid-aligned
     near-dup groups + one singleton — components labeled by min id,
@@ -218,6 +223,7 @@ def test_semantic_dedup_keeps_least_central_member(spark):
     assert by_id[10]["cent_cos"] > by_id[12]["cent_cos"]
 
 
+@pytest.mark.slow
 def test_semantic_dedup_cross_cell_pairs_not_examined(spark):
     """The cluster-partition recall contract: a near-dup pair split
     across two cells is NOT reported (the paper's accepted trade) —
@@ -311,6 +317,7 @@ def test_assignment_blas_path_matches_literal(spark):
     assert lit_rows == blas_rows
 
 
+@pytest.mark.slow
 def test_quantized_search_recall_and_exactness(spark, emb):
     """int8 quantization contract: (a) qvec values are genuine tinyints
     in [-127, 127] with the max-|x| element hitting ±127 exactly,
@@ -393,6 +400,7 @@ def test_kmeans_refine_moves_centroids_and_drops_empty_cells(spark):
     assert out == out2
 
 
+@pytest.mark.slow
 def test_semantic_dedup_incremental_probe_semantics(spark, emb, tmp_path):
     """Store-probe contract: (a) batch-batch pairs are never reported,
     (b) the probe equals the partition-free within-cell comparison the
@@ -447,6 +455,7 @@ def test_semantic_dedup_incremental_probe_semantics(spark, emb, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_pq_codes_and_reconstruction_contract(spark, emb):
     """PQ contract: codebook vectors reconstruct EXACTLY to themselves
     (their slices are their own nearest sub-centroids → zero error),
@@ -482,6 +491,7 @@ def test_pq_codes_and_reconstruction_contract(spark, emb):
     assert sum(recalls) / len(recalls) >= 0.2
 
 
+@pytest.mark.slow
 def test_pq_assign_blas_agrees_with_literal_path(spark, emb):
     """The Arrow/numpy assignment (the scale path — 10.6x faster at
     200k rows, measured) must produce the SAME codes as the literal

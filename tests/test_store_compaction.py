@@ -32,6 +32,7 @@ def _batch_dirs(root: str) -> list[str]:
     return out
 
 
+@pytest.mark.slow
 def test_postings_store_compaction_probe_equivalence(spark, tmp_path):
     """Three appends → compact → flat store: the probe returns the
     rebuild's rows bit-for-bit (exact-integer stats/df recomposition),
@@ -92,6 +93,7 @@ def test_postings_store_compaction_probe_equivalence(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_postings_compaction_bounds_files_across_many_appends(spark, tmp_path):
     """The maintenance loop the operator exists for: 6 appends + compact
     keeps the postings file count constant instead of linear in batch
@@ -221,6 +223,7 @@ def test_compact_semantic_streaming_store(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_ivfpq_append_probe_and_compaction_parity(spark, tmp_path):
     """The IVFPQ store's incremental form: append(A)+append(B) probes
     identically to rebuild(A∪B), compaction flattens batch levels with
@@ -285,6 +288,7 @@ def test_ivfpq_append_probe_and_compaction_parity(spark, tmp_path):
     assert compact_store_batches(spark, batched)["compacted"] is False
 
 
+@pytest.mark.slow
 def test_postings_store_delete_equals_rebuild(spark, tmp_path):
     """Right-to-be-forgotten on the postings store: after deleting B's
     docs from a store over A∪B, every probe result equals a store built
@@ -342,6 +346,7 @@ def test_postings_store_delete_equals_rebuild(spark, tmp_path):
         postings_store_delete_docs(spark, batched, b.select("doc_id"))
 
 
+@pytest.mark.slow
 def test_vector_store_delete_rewrites_only_affected_cells(spark, tmp_path):
     """Vector-store deletion: untouched cells' FILES survive byte-level
     (mtime-stable), deleted ids gone, a fully-emptied cell's directory
@@ -452,6 +457,7 @@ def _hammer_during(fn, probe, valid_states):
 
 
 @pytest.mark.parametrize("fs_cls", ["LocalFS", "ObjectStoreSimFS"])
+@pytest.mark.slow
 def test_postings_store_live_compaction_reader_hammer(spark, tmp_path, fs_cls):
     """Probes through the versioned pointer must see a WHOLE postings
     store before, during, and after compaction — every hammered read

@@ -10,6 +10,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from bigdatapipelinepysparksqlserver_spark.sources.lake import LakeTable
+import pytest
+
 from bigdatapipelinepysparksqlserver_spark.streaming import (
     foreach_batch_partition_overwrite,
     streaming_dedup,
@@ -200,6 +202,7 @@ def test_streaming_enrich_stream_static(spark, tmp_path):
     assert streamed == batch
 
 
+@pytest.mark.slow
 def test_streaming_interval_join_stream_stream(spark, tmp_path):
     """Stream-stream interval join (both sides watermarked) run as a real
     availableNow stream equals the identical plan on batch frames."""
@@ -305,6 +308,7 @@ def test_foreach_batch_incremental_mart_end_to_end(spark, tmp_path):
     assert full == inc and len(full) > 0
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_data_append_mode(spark, tmp_path):
     """Late-data semantics, the part complete-mode tests can't see:
     in APPEND mode a window is emitted once its end falls behind the
@@ -378,6 +382,7 @@ def test_watermark_drops_late_data_append_mode(spark, tmp_path):
     assert got3[(datetime(2024, 1, 1, 10), "purchase")] == (2, 30.0)
 
 
+@pytest.mark.slow
 def test_online_corpus_dedup_across_microbatches(spark, tmp_path):
     """Continuously-deduplicated corpus ingestion: batch 2's near-dup of
     a batch-1 ACCEPTED doc is rejected via the STORED band index (the
@@ -444,6 +449,7 @@ def test_online_corpus_dedup_across_microbatches(spark, tmp_path):
     assert bands_ids == kept_ids
 
 
+@pytest.mark.slow
 def test_online_dedup_invariant_under_randomized_batch_orderings(spark, tmp_path):
     """Property test (r4 verdict item 5): the greedy online accept rule
     is ORDER-DEPENDENT (which member of a near-dup cluster survives
@@ -699,6 +705,7 @@ def test_streaming_ivf_store_grows_and_keeps_pruning(spark, tmp_path):
     assert "cell" in plan.split("PartitionFilters")[1][:300]
 
 
+@pytest.mark.slow
 def test_online_dedup_replay_is_exactly_once(spark, tmp_path):
     """The sink's exactly-once claim, exercised directly: replaying a
     micro-batch (same df, same batch_id — what Structured Streaming does
@@ -1180,6 +1187,7 @@ def test_foreach_batch_drift_monitor(spark, tmp_path):
     assert before == after
 
 
+@pytest.mark.slow
 def test_foreach_batch_lm_quality_gate(spark, tmp_path):
     """Online perplexity gate: accepted/rejected splits match the batch
     scorer's verdicts per micro-batch, unscorable (<3-token) docs land
@@ -1391,6 +1399,7 @@ def test_streaming_edge_store_append_recomposes_and_replays(spark, tmp_path):
     assert again == want
 
 
+@pytest.mark.slow
 def test_streaming_rolling_actives_multibatch_keeps_ontime_contributions(
     spark, tmp_path
 ):
@@ -1460,6 +1469,7 @@ def test_streaming_rolling_actives_multibatch_keeps_ontime_contributions(
         assert n == expect[d], (d, n, expect[d])
 
 
+@pytest.mark.slow
 def test_streaming_transitions_event_time_correct_under_reordering(spark, tmp_path):
     """VERDICT r8 #6: the event-time transition counter must equal the
     batch LEAD twin even when arrivals are deliberately SHUFFLED across
@@ -1541,6 +1551,7 @@ def test_streaming_transitions_event_time_correct_under_reordering(spark, tmp_pa
     assert expect[(1, "view", "click")] == 1
 
 
+@pytest.mark.slow
 def test_event_time_transitions_numeric_id_tiebreak(spark, tmp_path):
     """Timestamp-tied events must order by the id's NATIVE comparison
     (the batch twin's (ts, event_id)): ids 9 and 10 at the same ts —
@@ -1586,6 +1597,7 @@ def test_event_time_transitions_numeric_id_tiebreak(spark, tmp_path):
     assert dict(got) == {(1, "view", "buy"): 1}
 
 
+@pytest.mark.slow
 def test_online_copy_gate_across_microbatches(spark, tmp_path):
     """Continuously copy-gated ingestion over the growing winnowing
     index: batch 2's doc copying a >= w+k-1-token run from an ACCEPTED
